@@ -1,0 +1,286 @@
+"""Mapping execution engine: IR → triples DataFrame.
+
+Execution strategy (Spark-first, see SURVEY.md §3/§5):
+
+* Each triples map compiles to **one scan** of its logical table: the
+  subject plus every (class / predicate-object) emission is built as an
+  array of structs and exploded — no per-predicate re-scan, no union of
+  N branches over the same source (the reference instead iterates the
+  JDBC ResultSet once per mapping and emits per row,
+  Generator.java:285-550).
+* Ref-object maps (rr:parentTriplesMap) become ordinary pruned
+  equi-joins — replacing the reference's per-child-row correlated JDBC
+  subquery (N+1 queries, Generator.java:463-521). Both sides are
+  pre-projected to join keys + subject expression so only the needed
+  columns shuffle; AQE picks broadcast/skew strategies at runtime.
+* Triples maps are evaluated in parent-first topological order
+  (Parser.java:117-132) — only required for join-condition-less ref
+  objects (J2), where the object set is "every subject the parent map
+  generated" (Generator.java:522-540).
+* The final graph is a set: dropDuplicates over the 7 term columns
+  (Jena Model set-insert semantics, golden D005).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from r2rml_parser_spark.mapping.model import (
+    LogicalTable,
+    MappingDocument,
+    PredicateObjectMap,
+    RefObjectMap,
+    TriplesMap,
+)
+from r2rml_parser_spark.mapping.parse import MappingError
+from r2rml_parser_spark.plans.compile import (
+    TRIPLE_COLUMNS,
+    CompiledTerm,
+    TermCompiler,
+    force_uri,
+    resolve_column,
+)
+from r2rml_parser_spark.rdf.terms import RDF_TYPE
+
+LINEAGE_COLUMN = "source_map"
+
+
+def rewrite_sql_quotes(sql: str) -> str:
+    """Rewrite ANSI double-quoted identifiers to Spark backticks, leaving
+    single-quoted string literals untouched (replaces the reference's
+    hand-rolled dialect-specific SelectQuery parser, SelectQuery.java)."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":  # string literal: copy through '' escapes
+            j = i + 1
+            while j < n:
+                if sql[j] == "'" and j + 1 < n and sql[j + 1] == "'":
+                    j += 2
+                elif sql[j] == "'":
+                    break
+                else:
+                    j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+        elif c == '"':
+            j = sql.find('"', i + 1)
+            if j == -1:
+                raise MappingError(f"unterminated quoted identifier in SQL: {sql!r}")
+            out.append("`" + sql[i + 1 : j] + "`")
+            i = j + 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+class MappingEngine:
+    """Runs a MappingDocument over Spark sources → triples DataFrame.
+
+    ``sources`` maps logical table names to DataFrames; names not present
+    fall back to the session catalog (``spark.table``). SQL logical tables
+    require their referenced tables to be registered as temp views —
+    ``register_sources`` does that.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        doc: MappingDocument,
+        sources: dict[str, DataFrame] | None = None,
+        *,
+        encode_iris: bool = True,
+        form_encoding: bool = False,
+        force_uris: bool = False,
+        base_ns: str | None = None,
+    ):
+        self.spark = spark
+        self.doc = doc
+        self.sources = dict(sources or {})
+        self.encode_iris = encode_iris
+        self.form_encoding = form_encoding
+        self.force_uris = force_uris
+        self.base_ns = base_ns if base_ns is not None else doc.base_ns
+        self._parent_subjects: dict[str, DataFrame] = {}
+
+    # -- sources -------------------------------------------------------
+    def register_sources(self) -> None:
+        for name, df in self.sources.items():
+            df.createOrReplaceTempView(name)
+
+    def source_df(self, lt: LogicalTable) -> DataFrame:
+        if lt.table_name is not None:
+            if lt.table_name in self.sources:
+                return self.sources[lt.table_name]
+            ci = {k.lower(): v for k, v in self.sources.items()}
+            if lt.table_name.lower() in ci:
+                return ci[lt.table_name.lower()]
+            return self.spark.table(f"`{lt.table_name}`")
+        try:
+            return self.spark.sql(rewrite_sql_quotes(lt.sql_query))
+        except Exception as e:  # surface a clean mapping error (S5 dry-run)
+            raise MappingError(f"invalid rr:sqlQuery: {e}") from e
+
+    # -- per-map compilation --------------------------------------------
+    def _compiler(self, df: DataFrame) -> TermCompiler:
+        return TermCompiler(
+            df, self.base_ns, encode_iris=self.encode_iris, form_encoding=self.form_encoding
+        )
+
+    def _exploded_emissions(
+        self, df: DataFrame, subj: CompiledTerm, tm: TriplesMap
+    ) -> DataFrame | None:
+        """Class triples + non-ref predicate-object emissions as ONE scan:
+        build array<struct(pred,obj,obj_kind,lang,dtype)>, explode, filter."""
+        comp = self._compiler(df)
+        emissions = []
+        for cls in tm.classes:  # P7
+            emissions.append(
+                CompiledTerm(
+                    F.lit(cls), F.lit("iri"),
+                    F.lit(None).cast("string"), F.lit(None).cast("string"),
+                ).as_struct(F.lit(RDF_TYPE))
+            )
+        for pom in tm.predicate_object_maps:
+            for obj_map in pom.objects:
+                term = comp.compile(obj_map)
+                if self.force_uris:
+                    term = force_uri(term)
+                for pred in pom.predicates:  # P9 fan-out
+                    emissions.append(term.as_struct(F.lit(pred)))
+        if not emissions:
+            return None
+        return (
+            df.select(
+                subj.value.alias("subj"),
+                subj.kind.alias("subj_kind"),
+                F.explode(F.array(*emissions)).alias("_t"),
+            )
+            .select("subj", "subj_kind", "_t.pred", "_t.obj", "_t.obj_kind", "_t.lang", "_t.dtype")
+            .where(F.col("subj").isNotNull() & F.col("obj").isNotNull())  # P10
+        )
+
+    def _ref_object_triples(
+        self, df: DataFrame, subj: CompiledTerm, tm: TriplesMap,
+        pom: PredicateObjectMap, ro: RefObjectMap,
+    ) -> DataFrame:
+        parent_tm = self.doc.by_uri(ro.parent_triples_map)
+        parent_df = self.source_df(parent_tm.logical_table)
+        parent_subj = self._compiler(parent_df).compile(parent_tm.subject_map)
+
+        if ro.join_conditions:
+            # J1: pre-project both sides to keys + subject expr (column
+            # pruning before the shuffle), then plain equi-join.
+            child_keys = [
+                resolve_column(df, jc.child)[0].alias(f"_ck{i}")
+                for i, jc in enumerate(ro.join_conditions)
+            ]
+            parent_keys = [
+                resolve_column(parent_df, jc.parent)[0].alias(f"_pk{i}")
+                for i, jc in enumerate(ro.join_conditions)
+            ]
+            child_sel = df.select(
+                subj.value.alias("subj"), subj.kind.alias("subj_kind"), *child_keys
+            ).where(F.col("subj").isNotNull())
+            parent_sel = (
+                parent_df.select(
+                    parent_subj.value.alias("obj"),
+                    parent_subj.kind.alias("obj_kind"),
+                    *parent_keys,
+                )
+                .where(F.col("obj").isNotNull())
+                .dropDuplicates()
+            )
+            cond = None
+            for i in range(len(ro.join_conditions)):
+                c = child_sel[f"_ck{i}"] == parent_sel[f"_pk{i}"]
+                cond = c if cond is None else (cond & c)
+            joined = child_sel.join(parent_sel, cond, "inner")
+        else:
+            # J2: cartesian link to every subject the parent map generated.
+            parents = self._parent_subjects.get(ro.parent_triples_map)
+            if parents is None:
+                parents = (
+                    parent_df.select(
+                        parent_subj.value.alias("obj"), parent_subj.kind.alias("obj_kind")
+                    )
+                    .where(F.col("obj").isNotNull())
+                    .dropDuplicates()
+                )
+                self._parent_subjects[ro.parent_triples_map] = parents
+            joined = df.select(
+                subj.value.alias("subj"), subj.kind.alias("subj_kind")
+            ).where(F.col("subj").isNotNull()).crossJoin(parents)
+
+        null_s = F.lit(None).cast("string")
+        parts = []
+        for pred in pom.predicates:
+            parts.append(
+                joined.select(
+                    "subj", "subj_kind",
+                    F.lit(pred).alias("pred"),
+                    "obj", "obj_kind",
+                    null_s.alias("lang"), null_s.alias("dtype"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def triples_for(self, tm: TriplesMap) -> DataFrame:
+        """All triples of one map, with a lineage column (the Spark-side
+        replacement for reified dc:source provenance, Generator.java:311)."""
+        df = self.source_df(tm.logical_table)
+        subj = self._compiler(df).compile(tm.subject_map)
+
+        parts: list[DataFrame] = []
+        exploded = self._exploded_emissions(df, subj, tm)
+        if exploded is not None:
+            parts.append(exploded)
+        for pom in tm.predicate_object_maps:
+            for ro in pom.ref_objects:
+                parts.append(self._ref_object_triples(df, subj, tm, pom, ro))
+        if not parts:
+            # subject/class-less map contributes nothing
+            return self.spark.createDataFrame([], self._schema())
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.withColumn(LINEAGE_COLUMN, F.lit(tm.uri))
+
+    @staticmethod
+    def _schema():
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        return StructType([StructField(c, StringType(), True) for c in TRIPLE_COLUMNS])
+
+    def triples(
+        self, extra: DataFrame | None = None, *, dedup: bool = True, lineage: bool = True
+    ) -> DataFrame:
+        """Union of all triples maps (parent-first topo order), set-dedup'd.
+
+        ``extra`` merges an input model (S2/A4, Parser.java:702-714)."""
+        parts = [self.triples_for(tm) for tm in self.doc.topo_sorted()]
+        if extra is not None:
+            null_s = F.lit(None).cast("string")
+            e = extra
+            for c in TRIPLE_COLUMNS:
+                if c not in e.columns:
+                    e = e.withColumn(c, null_s)
+            if LINEAGE_COLUMN not in e.columns:
+                e = e.withColumn(LINEAGE_COLUMN, F.lit("input-model"))
+            parts.append(e.select(*TRIPLE_COLUMNS, LINEAGE_COLUMN))
+        if not parts:
+            return self.spark.createDataFrame([], self._schema())
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if dedup:  # A1 set semantics
+            out = out.dropDuplicates(TRIPLE_COLUMNS)
+        if not lineage:
+            out = out.drop(LINEAGE_COLUMN)
+        return out
