@@ -15,6 +15,7 @@ Turtle triples — the mapping document is tiny and driver-side.
 
 from __future__ import annotations
 
+import re
 from collections import defaultdict
 
 from r2rml_parser_spark.mapping.model import (
@@ -83,9 +84,24 @@ def _lit(node: Term, what: str) -> str:
     return node.lexical
 
 
+_LANG_RE = re.compile(r"^[a-zA-Z]{2,3}(-[a-zA-Z0-9]{1,8})*$")
+
+
+def _check_language(lang: str) -> str:
+    """Reject malformed BCP47 tags (W3C TC0015b: 'english' is a data
+    error; 'en', 'en-US', 'ja' are fine)."""
+    if not _LANG_RE.match(lang):
+        raise MappingError(f"invalid rr:language tag {lang!r}")
+    return lang
+
+
 def _subject_map(g: _Graph, tm_node: Term) -> tuple[TermMap, tuple[str, ...]]:
     classes: list[str] = []
-    sm = g.one(tm_node, "subjectMap")
+    sms = g.objects(tm_node, "subjectMap")
+    if len(sms) > 1:
+        # exactly one subject map per triples map (W3C TC0012d)
+        raise MappingError(f"triples map {tm_node} has {len(sms)} subjectMaps")
+    sm = sms[0] if sms else None
     if sm is None:
         # rr:subject shortcut — constant subject (Parser.java:261-269)
         const = g.one(tm_node, "subject")
@@ -99,14 +115,25 @@ def _subject_map(g: _Graph, tm_node: Term) -> tuple[TermMap, tuple[str, ...]]:
             raise MappingError(f"rr:class must be an IRI, got {c}")
         classes.append(c.value)
 
+    # graph maps collapse into the default graph (the reference parses
+    # them as a stub too, Parser.java:250-259) — but a literal-typed
+    # graph map is invalid (W3C TC0007h)
+    for gm in g.objects(sm, "graphMap"):
+        if _term_type(g, gm, TermType.IRI) != TermType.IRI:
+            raise MappingError("rr:graphMap terms must be IRIs")
+
     tmpl = g.one(sm, "template")
     col = g.one(sm, "column")
     const = g.one(sm, "constant")
     if tmpl is not None:
         tt = _term_type(g, sm, TermType.IRI)
+        if tt == TermType.LITERAL:
+            raise MappingError("subject map may not produce literals")
         return TermMap(template=Template.parse(_lit(tmpl, "rr:template")), term_type=tt), tuple(classes)
     if col is not None:
         tt = _term_type(g, sm, TermType.IRI)
+        if tt == TermType.LITERAL:
+            raise MappingError("subject map may not produce literals")
         return TermMap(column=strip_sql_quotes(_lit(col, "rr:column")), term_type=tt), tuple(classes)
     if const is not None:
         if isinstance(const, IRI):
@@ -135,7 +162,7 @@ def _object_map(g: _Graph, om: Term) -> TermMap | RefObjectMap:
         return RefObjectMap(parent_triples_map=parent.value, join_conditions=tuple(joins))
 
     lang_node = g.one(om, "language")
-    lang = _lit(lang_node, "rr:language") if lang_node is not None else None
+    lang = _check_language(_lit(lang_node, "rr:language")) if lang_node is not None else None
     dt_node = g.one(om, "datatype")
     datatype = _expand_datatype(dt_node) if dt_node is not None else None
 
@@ -230,6 +257,12 @@ def parse_mapping_document(text: str, base_ns: str = "") -> MappingDocument:
         lt_node = g.one(node, "logicalTable") or node
         table = g.one(lt_node, "tableName")
         sql = g.one(lt_node, "sqlQuery")
+        sql_version = g.one(lt_node, "sqlVersion")
+        if sql_version is not None and not (
+            isinstance(sql_version, IRI) and sql_version.value == RR + "SQL2008"
+        ):
+            # only the core SQL2008 identifier is valid (W3C TC0003a)
+            raise MappingError(f"unsupported rr:sqlVersion: {sql_version}")
         if table is not None:
             lt = LogicalTable(table_name=strip_sql_quotes(_lit(table, "rr:tableName")))
         elif sql is not None:

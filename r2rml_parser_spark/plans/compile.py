@@ -132,14 +132,20 @@ class TermCompiler:
         return F.concat(F.lit(self.base_ns + "/"), filled)
 
     def _iri_from_value(self, value: Column) -> Column:
-        """Column-valued IRI term: absolute values pass through, others are
-        resolved against the base namespace (runtime isUri heuristic,
-        UtilImpl.java:458-470)."""
-        if not self.base_ns:
-            return value
-        return F.when(value.rlike(_SCHEME_RLIKE), value).otherwise(
-            F.concat(F.lit(self.base_ns + "/"), self._encode(value) if self.encode_iris else value)
-        )
+        """Column-valued IRI term: absolute values pass through, relative
+        values resolve against the base namespace (runtime isUri heuristic,
+        UtilImpl.java:458-470). Per the W3C semantics (D019 golden +
+        manifest), column IRIs are NOT percent-encoded — a value that is
+        not a valid IRI is a *data error* that aborts the run."""
+        resolved = value
+        if self.base_ns:
+            resolved = F.when(value.rlike(_SCHEME_RLIKE), value).otherwise(
+                F.concat(F.lit(self.base_ns + "/"), value)
+            )
+        invalid = resolved.rlike(r'[\x00-\x20<>"{}|^`\\]')
+        return F.when(invalid & resolved.isNotNull(),
+                      F.raise_error(F.concat(F.lit("R2RML data error: invalid IRI: "), resolved))
+                      ).otherwise(resolved)
 
     # -- public -------------------------------------------------------
     def compile(self, tm: TermMap) -> CompiledTerm:

@@ -109,7 +109,12 @@ class MappingEngine:
     # -- sources -------------------------------------------------------
     def register_sources(self) -> None:
         for name, df in self.sources.items():
-            df.createOrReplaceTempView(name)
+            try:
+                df.createOrReplaceTempView(name)
+            except Exception:
+                # names illegal as view identifiers (e.g. "Country Info",
+                # D010) stay reachable through the sources dict
+                pass
 
     def source_df(self, lt: LogicalTable) -> DataFrame:
         if lt.table_name is not None:
@@ -118,7 +123,10 @@ class MappingEngine:
             ci = {k.lower(): v for k, v in self.sources.items()}
             if lt.table_name.lower() in ci:
                 return ci[lt.table_name.lower()]
-            return self.spark.table(f"`{lt.table_name}`")
+            try:
+                return self.spark.table(f"`{lt.table_name}`")
+            except Exception as e:
+                raise MappingError(f"unknown logical table {lt.table_name!r}: {e}") from e
         try:
             return self.spark.sql(rewrite_sql_quotes(lt.sql_query))
         except Exception as e:  # surface a clean mapping error (S5 dry-run)

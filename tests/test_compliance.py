@@ -1,0 +1,129 @@
+"""W3C RDB2RDF compliance-corpus parity vs the reference's golden dumps.
+
+Mirrors the reference's JUnit harness (ComplianceTests.java:50-113): for
+each (case, mapping) pair, interpret ``create.sql`` into DataFrames, run
+the mapping through the engine, and compare with the golden ``mapped*.nq``
+graph-isomorphically. Pairs without a (non-empty) golden are negative
+cases: the engine must raise MappingError or emit nothing.
+
+Reads the corpus from /root/reference (read-only); skipped if absent.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from r2rml_parser_spark.mapping.parse import MappingError, parse_mapping_document
+from r2rml_parser_spark.plans.engine import MappingEngine
+from r2rml_parser_spark.rdf.isomorphism import diff_ground, isomorphic
+from r2rml_parser_spark.rdf.terms import BNode, IRI, Literal
+from r2rml_parser_spark.rdf.turtle import parse_ntriples
+from r2rml_parser_spark.sources.sqlfixtures import load_sql_fixture
+
+CORPUS = "/root/reference/src/test/resources/postgres"
+
+# the reference's own test matrix (ComplianceTests.java:54-79)
+MATRIX: dict[str, list[str]] = {
+    "D000-1table1column0rows": ["r2rml.ttl"],
+    "D001-1table1column1row": ["r2rmla.ttl", "r2rmlb.ttl"],
+    "D002-1table2columns1row": ["r2rmla.ttl", "r2rmlb.ttl", "r2rmlc.ttl", "r2rmld.ttl",
+                                 "r2rmle.ttl", "r2rmlf.ttl", "r2rmlg.ttl", "r2rmlh.ttl",
+                                 "r2rmli.ttl", "r2rmlj.ttl"],
+    "D003-1table3columns1row": ["r2rmla.ttl", "r2rmlb.ttl", "r2rmlc.ttl"],
+    "D004-1table2columns1row": ["r2rmla.ttl", "r2rmlb.ttl"],
+    "D005-1table3columns3rows2duplicates": ["r2rmla.ttl", "r2rmlb.ttl"],
+    "D006-1table1primarykey1column1row": ["r2rmla.ttl"],
+    "D007-1table1primarykey2columns1row": ["r2rmla.ttl", "r2rmlb.ttl", "r2rmlc.ttl",
+                                            "r2rmld.ttl", "r2rmle.ttl", "r2rmlf.ttl",
+                                            "r2rmlg.ttl", "r2rmlh.ttl"],
+    "D008-1table1compositeprimarykey3columns1row": ["r2rmla.ttl", "r2rmlb.ttl", "r2rmlc.ttl"],
+    "D009-2tables1primarykey1foreignkey": ["r2rmla.ttl", "r2rmlb.ttl", "r2rmlc.ttl", "r2rmld.ttl"],
+    "D010-1table1primarykey3colums3rows": ["r2rmla.ttl", "r2rmlb.ttl", "r2rmlc.ttl"],
+    "D011-M2MRelations": ["r2rmla.ttl", "r2rmlb.ttl"],
+    "D012-2tables2duplicates0nulls": ["r2rmla.ttl", "r2rmlb.ttl", "r2rmlc.ttl",
+                                       "r2rmld.ttl", "r2rmle.ttl"],
+    "D013-1table1primarykey3columns2rows1nullvalue": ["r2rmla.ttl"],
+    "D014-3tables1primarykey1foreignkey": ["r2rmla.ttl", "r2rmlb.ttl", "r2rmlc.ttl", "r2rmld.ttl"],
+    "D015-1table3columns1composityeprimarykey3rows2languages": ["r2rmla.ttl", "r2rmlb.ttl"],
+    "D016-1table1primarykey10columns3rowsSQLdatatypes": ["r2rmla.ttl", "r2rmlb.ttl",
+                                                          "r2rmlc.ttl", "r2rmld.ttl", "r2rmle.ttl"],
+    "D018-1table1primarykey2columns3rows": ["r2rmla.ttl"],
+    "D019-1table1primarykey3columns3rows": ["r2rmla.ttl", "r2rmlb.ttl"],
+    "D020-1table1column5rows": ["r2rmla.ttl", "r2rmlb.ttl"],
+}
+
+#: documented intentional divergences:
+#: - D002 r2rmlf: template field {ID} vs quoted column "ID" — Postgres
+#:   identifier folding makes this a W3C-expected failure; this engine
+#:   resolves columns case-insensitively (like JDBC rs.getString) and
+#:   accepts it.
+#: - D012 r2rmlb: the mapping stored in the reference repo was edited
+#:   (object constant "At") and can no longer produce the W3C golden
+#:   ("London"/"Madrid") under ANY implementation, including the
+#:   reference itself.
+KNOWN_DIVERGENT: set[tuple[str, str]] = {
+    ("D002-1table2columns1row", "r2rmlf.ttl"),
+    ("D012-2tables2duplicates0nulls", "r2rmlb.ttl"),
+}
+
+PAIRS = [(case, m) for case, maps in MATRIX.items() for m in maps]
+
+needs_corpus = pytest.mark.skipif(not os.path.isdir(CORPUS), reason="reference corpus not present")
+
+
+def _run(spark, case: str, mapping_file: str):
+    folder = os.path.join(CORPUS, case)
+    sources = load_sql_fixture(spark, open(os.path.join(folder, "create.sql")).read())
+    doc = parse_mapping_document(open(os.path.join(folder, mapping_file)).read())
+    engine = MappingEngine(spark, doc, sources=sources, base_ns="http://example.com/base#")
+    engine.register_sources()
+    rows = engine.triples(lineage=False).collect()
+    out = []
+    for r in rows:
+        s = BNode(r.subj) if r.subj_kind == "bnode" else IRI(r.subj)
+        p = IRI(r.pred)
+        if r.obj_kind == "iri":
+            o = IRI(r.obj)
+        elif r.obj_kind == "bnode":
+            o = BNode(r.obj)
+        else:
+            o = Literal(r.obj, lang=r.lang, datatype=r.dtype)
+        out.append((s, p, o))
+    return out
+
+
+@needs_corpus
+@pytest.mark.parametrize("case,mapping_file", PAIRS, ids=[f"{c.split('-')[0]}-{m}" for c, m in PAIRS])
+def test_compliance_case(spark, case: str, mapping_file: str):
+    golden_path = os.path.join(
+        CORPUS, case, mapping_file.replace("r2rml", "mapped").replace(".ttl", ".nq")
+    )
+    has_golden = os.path.exists(golden_path) and os.path.getsize(golden_path) > 0
+
+    if (case, mapping_file) in KNOWN_DIVERGENT:
+        pytest.xfail("documented divergence from reference/W3C expectation")
+
+    if not has_golden:
+        # negative case: engine must reject the mapping (MappingError),
+        # abort on a data error (raise_error in the plan), or emit nothing
+        try:
+            got = _run(spark, case, mapping_file)
+        except MappingError:
+            return
+        except Exception as e:
+            assert "R2RML data error" in str(e), f"unexpected failure kind: {e}"
+            return
+        assert got == [], f"negative case produced {len(got)} triples: {got[:5]}"
+        return
+
+    got = _run(spark, case, mapping_file)
+    expected = parse_ntriples(open(golden_path).read())
+    if not isomorphic(got, expected):
+        only_got, only_exp = diff_ground(got, expected)
+        raise AssertionError(
+            f"graph mismatch vs {golden_path}\n"
+            f"only in engine ({len(only_got)}): {sorted(only_got)[:8]}\n"
+            f"only in golden ({len(only_exp)}): {sorted(only_exp)[:8]}"
+        )
