@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full docs→KG pipeline (span synthesis,
+mention detection, mapping-driven triple emission, MinHash+CC
+canonicalization) at sf0.001.
+
+``queries()`` / ``oracle_sql()`` — one entry per operator family from
+SURVEY.md §3 + the data-ops additions; DuckDB oracles reproduce each
+result bit-for-bit (md5-based hashing, identical folds, rounded
+doubles). Non-SQL-expressible iterative/stateful ops (connected
+components, IVF routing, mapInPandas feature extraction) ship without
+an oracle → the driver records the weaker rows-only check.
 """
 
 from __future__ import annotations
@@ -12,27 +17,239 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from r2rml_parser_spark.pipeline import build_kg
+
+    return build_kg(spark, "/root/testdata/sf0.001", canonicalize=True)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# -- KG construction ---------------------------------------------------
+
+def q_kg_docs_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.pipeline import build_kg
+
+    return build_kg(spark, sf_dir, canonicalize=False)
+
+
+def q_kg_tpch_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.tpch_kg import build_tpch_kg
+
+    return build_tpch_kg(spark, sf_dir)
+
+
+def q_span_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.sources.docs import span_view, synth_docs
+
+    return span_view(synth_docs(spark, sf_dir)).withColumnRenamed("offset", "span_offset")
+
+
+def q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.operators.mentions import detect_mentions, entity_dictionary
+    from r2rml_parser_spark.sources.docs import span_view, synth_docs
+
+    spans = span_view(synth_docs(spark, sf_dir))
+    return detect_mentions(spans, entity_dictionary(spark)).withColumnRenamed(
+        "offset", "span_offset"
+    )
+
+
+# -- dedup family ------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.operators.dedup import minhash_band_buckets
+
+    return minhash_band_buckets(_docs(spark, sf_dir))
+
+
+def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.operators.dedup import jaccard_pairs, minhash_candidate_pairs
+
+    docs = _docs(spark, sf_dir)
+    return jaccard_pairs(docs, minhash_candidate_pairs(docs), threshold=0.8)
+
+
+def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.operators.dedup import simhash_groups
+
+    return simhash_groups(_docs(spark, sf_dir))
+
+
+# -- text analysis -----------------------------------------------------
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.operators.textstats import quality_stats
+
+    return quality_stats(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.operators.textstats import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.operators.textstats import bpe_ish_token_count, token_count
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_pieces"),
+    )
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.operators.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+# -- similarity search -------------------------------------------------
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.operators.similarity import cosine_topk
+
+    emb = _embeddings(spark, sf_dir)
+    return cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.operators.similarity import embedding_neardup
+
+    return embedding_neardup(_embeddings(spark, sf_dir), threshold=0.8)
+
+
+# -- non-SQL-expressible (rows-only checks) ----------------------------
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.operators.components import connected_components
+    from r2rml_parser_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = _docs(spark, sf_dir)
+    edges = minhash_candidate_pairs(docs).select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    )
+    return connected_components(edges)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.operators.similarity import ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5, nprobe=2)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.operators.multimodal import extract_features, synth_media_table
+    from r2rml_parser_spark.sources.docs import span_view, synth_docs
+
+    media = synth_media_table(span_view(synth_docs(spark, sf_dir)))
+    return extract_features(media, fake_decode=True)
+
+
+def q_docs_reassembled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-sequence invariant surface: explode → shuffle → reassemble,
+    returning per-doc sequence fingerprints (SQL-checkable)."""
+    from r2rml_parser_spark.sources.docs import reassemble, span_view, synth_docs
+
+    docs = reassemble(span_view(synth_docs(spark, sf_dir)).repartition(32, "kind"))
+    seq = F.transform(
+        "spans",
+        lambda s: F.concat_ws(
+            "\x01",
+            s["kind"], F.coalesce(s["text"], F.lit("")),
+            F.coalesce(s["media_ref"], F.lit("")), s["offset"].cast("string"),
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        F.md5(F.array_join(seq, "\x02")).alias("sequence_md5"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_docs_triples": q_kg_docs_triples,
+        "kg_tpch_triples": q_kg_tpch_triples,
+        "span_view": q_span_view,
+        "mentions": q_mentions,
+        "dedup_exact": q_dedup_exact,
+        "minhash_bands": q_minhash_bands,
+        "neardup_pairs": q_neardup_pairs,
+        "simhash_groups": q_simhash_groups,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "token_counts": q_token_counts,
+        "fingerprints": q_fingerprints,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "docs_reassembled": q_docs_reassembled,
+        "connected_components": q_connected_components,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "media_features": q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from r2rml_parser_spark import oracles
+    from r2rml_parser_spark.operators.mentions import mentions_oracle_sql
+    from r2rml_parser_spark.pipeline import kg_oracle_sql
+    from r2rml_parser_spark.sources.docs import SPAN_VIEW_ORACLE_SQL
+    from r2rml_parser_spark.tpch_kg import TPCH_KG_ORACLE_SQL
+
+    span_sql = f"SELECT doc_id, lang, source, kind, text, media_ref, \"offset\" AS span_offset FROM ({SPAN_VIEW_ORACLE_SQL}) v"
+    reassembled_sql = f"""
+WITH sv AS ({SPAN_VIEW_ORACLE_SQL}),
+seq AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(
+             list_sort(list(
+               {{'o': "offset", 'line': kind || chr(1) || coalesce(text, '') ||
+                 chr(1) || coalesce(media_ref, '') || chr(1) || "offset"}})),
+             x -> x.line),
+           chr(2)) AS joined,
+         count(*) AS n_spans
+  FROM sv GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM seq
+"""
+    return {
+        "kg_docs_triples": kg_oracle_sql(),
+        "kg_tpch_triples": TPCH_KG_ORACLE_SQL,
+        "span_view": span_sql,
+        "mentions": mentions_oracle_sql(SPAN_VIEW_ORACLE_SQL),
+        "dedup_exact": oracles.DEDUP_EXACT_SQL,
+        "minhash_bands": oracles.minhash_bands_sql(),
+        "neardup_pairs": oracles.neardup_pairs_sql(0.8),
+        "simhash_groups": oracles.simhash_groups_sql(),
+        "text_quality": oracles.text_quality_sql(),
+        "lang_id": oracles.lang_id_sql(),
+        "token_counts": oracles.token_counts_sql(),
+        "fingerprints": oracles.fingerprints_sql(),
+        "ann_cosine_topk": oracles.ann_cosine_topk_sql(5, 10),
+        "embedding_neardup": oracles.embedding_neardup_sql(0.8),
+        "docs_reassembled": reassembled_sql,
+        # connected_components / ann_ivf_topk / media_features: iterative
+        # or Python-stateful — rows-only checks by design
+    }

@@ -44,10 +44,14 @@ def shingles(col: Column, k: int = SHINGLE_K) -> Column:
     """Distinct word k-gram shingles of a text column (in-row, no shuffle)."""
     toks = F.split(normalized_text(col), " ")
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
         lambda i: F.array_join(F.slice(toks, i, k), " "),
     )
-    return F.array_distinct(grams)
+    # guard: Spark sequence(1, n) DESCENDS when n < 1 — short texts get
+    # an empty shingle set instead of a bogus descending index range
+    return F.when(F.size(toks) >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def minhash_signature(col: Column, n_hashes: int = N_HASHES) -> Column:

@@ -93,7 +93,9 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     t = F.col(text_col)
     norm = F.lower(F.trim(F.regexp_replace(t, r"\s+", " ")))
     toks = F.split(norm, " ")
-    mod = F.lit(2305843009213693951)  # 2^61 - 1
+    # modulus small enough that acc*31 never overflows int64 (matters for
+    # the DuckDB oracle doing the identical fold in int64)
+    mod = F.lit(1_000_000_007)
     rolling = F.aggregate(
         toks,
         F.lit(0).cast("long"),

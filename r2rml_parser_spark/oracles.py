@@ -1,0 +1,195 @@
+"""DuckDB oracle SQL for the data-ops operators.
+
+Each SQL string reproduces the matching Spark operator bit-for-bit on
+the same parquet tables (md5-based hashing, identical fold formulas,
+rounded doubles) so the driver's row-count + schema + value-hash
+comparison passes. Kept next to each other so drift is reviewable.
+"""
+
+from __future__ import annotations
+
+from r2rml_parser_spark.operators.dedup import N_BANDS, N_HASHES, SHINGLE_K
+from r2rml_parser_spark.operators.mentions import ENTITY_DICT  # noqa: F401 (reused by callers)
+from r2rml_parser_spark.operators.textstats import LANG_MARKERS, STOPWORDS
+
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+DEDUP_EXACT_SQL = f"""
+SELECT md5({_NORM}) AS text_hash, min(doc_id) AS keep_id,
+       count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def _shingle_cte() -> str:
+    k = SHINGLE_K
+    return f"""
+toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {k}
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(t) - {k - 1}),
+                     i -> array_to_string(t[i:i+{k - 1}], ' ')))
+              ELSE [] END AS s
+  FROM toks
+)"""
+
+
+def _sig_exprs() -> str:
+    mins = ", ".join(
+        f"list_aggregate(list_transform(s, x -> md5('{seed}|' || x)), 'min')"
+        for seed in range(N_HASHES)
+    )
+    return f"[{mins}]"
+
+
+def minhash_bands_sql() -> str:
+    rows = N_HASHES // N_BANDS
+    bands = []
+    for b in range(N_BANDS):
+        parts = " || ':' || ".join(f"sig[{b * rows + r + 1}]" for r in range(rows))
+        bands.append(
+            f"SELECT doc_id, {b} AS band, md5('{b}' || ':' || {parts}) AS band_key FROM sig_t"
+        )
+    union = "\nUNION ALL\n".join(bands)
+    return f"""
+WITH {_shingle_cte()},
+sig_t AS (SELECT doc_id, {_sig_exprs()} AS sig FROM sh WHERE len(s) > 0)
+{union}
+"""
+
+
+def neardup_pairs_sql(threshold: float = 0.8) -> str:
+    return f"""
+WITH bands AS ({minhash_bands_sql()}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.band_key = r.band_key AND l.band = r.band
+  WHERE l.doc_id < r.doc_id
+),
+{_shingle_cte()}
+SELECT c.a, c.b,
+       round(len(list_intersect(sa.s, sb.s)) /
+             len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+WHERE round(len(list_intersect(sa.s, sb.s)) /
+            len(list_distinct(list_concat(sa.s, sb.s))), 6) >= {threshold}
+"""
+
+
+def simhash_groups_sql() -> str:
+    bit_terms = []
+    for pos in range(16):
+        votes = (
+            f"list_aggregate(list_transform(dt, x -> CASE WHEN "
+            f"ascii(substr(md5(x), {pos + 1}, 1)) >= ascii('8') THEN 1 ELSE -1 END), 'sum')"
+        )
+        bit_terms.append(f"(CASE WHEN {votes} >= 0 THEN {1 << pos} ELSE 0 END)")
+    simhash = " + ".join(bit_terms)
+    return f"""
+WITH toks AS (SELECT doc_id, list_distinct({_TOKS}) AS dt FROM documents)
+SELECT CAST({simhash} AS INT) AS simhash,
+       count(*) AS n_docs, min(doc_id) AS min_doc
+FROM toks GROUP BY 1
+"""
+
+
+def text_quality_sql() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    toks = "string_split(lower(trim(text)), ' ')"
+    n_tokens = f"CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len({toks}) END"
+    n_stop = f"len(list_filter({toks}, x -> x IN ({stop_list})))"
+    return f"""
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST({n_tokens} AS INT) AS n_tokens,
+       CAST({n_stop} AS INT) AS n_stopwords,
+       CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS INT) AS n_punct,
+       CASE WHEN {n_tokens} > 0
+            THEN round(length(regexp_replace(text, ' ', '', 'g')) / {n_tokens}, 6)
+            ELSE 0.0 END AS mean_token_len,
+       CASE WHEN {n_tokens} > 0 THEN round({n_stop} / {n_tokens}, 6)
+            ELSE 0.0 END AS stopword_ratio
+FROM documents
+"""
+
+
+def lang_id_sql() -> str:
+    toks = "string_split(lower(trim(text)), ' ')"
+    hit_cols = []
+    for code, markers in sorted(LANG_MARKERS.items()):
+        lst = ", ".join(f"'{m}'" for m in markers)
+        hit_cols.append(f"len(list_filter({toks}, x -> x IN ({lst}))) AS h_{code}")
+    codes_desc = [c for c, _ in sorted(LANG_MARKERS.items(), reverse=True)]
+    best = "greatest(" + ", ".join(f"h_{c}" for c in codes_desc) + ")"
+    guess = "CASE " + " ".join(
+        f"WHEN h_{c} = {best} THEN '{c}'" for c in codes_desc
+    ) + " END"
+    return f"""
+WITH h AS (SELECT doc_id, {", ".join(hit_cols)} FROM documents)
+SELECT doc_id,
+       CASE WHEN {best} > 0 THEN {guess} ELSE 'und' END AS lang_guess,
+       CAST({best} AS INT) AS marker_hits
+FROM h
+"""
+
+
+def token_counts_sql() -> str:
+    return """
+SELECT doc_id,
+       CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                 ELSE len(string_split(lower(trim(text)), ' ')) END AS INT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT)
+           AS n_pieces
+FROM documents
+"""
+
+
+def fingerprints_sql() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_NORM} AS norm, {_TOKS} AS t FROM documents)
+SELECT doc_id, md5(norm) AS content_md5,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(t, x -> CAST(ascii(x) + length(x) AS BIGINT))),
+         (a, b) -> (a * 31 + b) % 1000000007) AS rolling_hash
+FROM toks
+"""
+
+
+def ann_cosine_topk_sql(k: int = 5, n_queries: int = 10) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id AS corpus_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings),
+s AS (SELECT query_id, corpus_id,
+             round(list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)
+                 AS score
+      FROM q, c WHERE query_id <> corpus_id),
+r AS (SELECT *, CAST(row_number() OVER
+        (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS INT) AS rank
+      FROM s)
+SELECT query_id, corpus_id, score, rank FROM r WHERE rank <= {k}
+"""
+
+
+def embedding_neardup_sql(threshold: float = 0.8) -> str:
+    return f"""
+WITH e AS (SELECT label AS cell, vec_id AS id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+SELECT a.id AS a, b.id AS b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+           AS score
+FROM e a JOIN e b ON a.cell = b.cell AND a.id < b.id
+WHERE round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+      >= {threshold}
+"""
