@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+    python bench.py                 # driver mode: one config, one JSON line
+    python bench.py --scaling       # N vs 4N cores scaling evidence
+                                    # (north_rule two-cluster-size criterion)
+
+The headline metric is KG-build throughput (triples/sec) on the
+interleaved-doc corpus; per-query wall seconds are reported alongside.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _session(cores: int):
+    from r2rml_parser_spark.session import build_session
+
+    return build_session(
+        app_name=f"r2rml-bench-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(cores, 8),
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+
+
+def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
+    """Run headline queries; return per-query seconds and result sizes."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    headline = [
+        "kg_docs_triples",
+        "kg_tpch_triples",
+        "mentions",
+        "neardup_pairs",
+        "text_quality",
+        "ann_cosine_topk",
+        "connected_components",
+    ]
+    secs: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in headline:
+        t0 = time.monotonic()
+        rows[name] = qs[name](spark, sf_dir).count()
+        secs[name] = round(time.monotonic() - t0, 3)
+    return secs, rows
+
+
+def kg_throughput(spark, sf_dir: str) -> tuple[float, int, float]:
+    """(triples/sec, triples, seconds) for the canonicalized KG build."""
+    from r2rml_parser_spark.pipeline import build_kg
+
+    t0 = time.monotonic()
+    n = build_kg(spark, sf_dir, canonicalize=True).count()
+    dt = time.monotonic() - t0
+    return n / dt, n, dt
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--scaling", action="store_true",
+                    help="run the KG build at N and 4N cores, report efficiency")
+    args = ap.parse_args()
+    sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    if args.scaling:
+        from pyspark.sql import SparkSession
+
+        results = {}
+        small, big = max(args.cpus // 4, 1), args.cpus
+        for cores in (small, big):
+            spark = _session(cores)
+            kg_throughput(spark, "/root/testdata/sf0.001")  # warmup/JIT
+            tps, n, dt = kg_throughput(spark, args.sf_dir)
+            results[cores] = {"triples_per_sec": round(tps, 1), "triples": n,
+                              "sec": round(dt, 2)}
+            spark.stop()
+            SparkSession.builder._options = {}
+        eff = (results[big]["triples_per_sec"] / results[small]["triples_per_sec"]) / (
+            big / small
+        )
+        print(json.dumps({
+            "metric": "kg_build_scaling",
+            "value": results[big]["sec"],
+            "unit": "sec",
+            "queries": {f"kg_build_local[{c}]": results[c]["sec"] for c in results},
+            "sf": float(sf),
+            "throughput": {f"local[{c}]": results[c]["triples_per_sec"] for c in results},
+            "triples": results[big]["triples"],
+            "scaling_efficiency": round(eff, 3),
+        }))
+        return
+
+    spark = _session(args.cpus)
+    bench_queries(spark, "/root/testdata/sf0.001")  # warmup/JIT
+    secs, rows = bench_queries(spark, args.sf_dir)
+    tps, n, dt = kg_throughput(spark, args.sf_dir)
+    secs["kg_build_canonicalized"] = round(dt, 3)
+    print(json.dumps({
+        "metric": "kg_build_triples_per_sec",
+        "value": round(tps, 1),
+        "unit": "sec",
+        "queries": secs,
+        "sf": float(sf),
+        "triples": n,
+        "rows": rows,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -68,7 +68,7 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 25, checkpoint_every: int = 2
+    edges: DataFrame, max_iterations: int = 25, checkpoint_every: int = 1
 ) -> DataFrame:
     """Undirected edges (u, v) → assignments (node, component) where
     component is the minimum node id of the component.
@@ -81,6 +81,9 @@ def connected_components(
         edges.select("u", "v")
         .where(F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v")))
         .dropDuplicates()
+        # materialize the input once: upstream edge derivations (e.g. the
+        # whole MinHash pipeline) must not re-execute per CC iteration
+        .localCheckpoint(eager=True)
     )
     prev_fp = None
     for i in range(max_iterations):

@@ -115,7 +115,7 @@ def build_kg(
         edges = jaccard_pairs(raw_docs, pairs, threshold=0.8).select(
             F.concat(F.lit(f"{KG}/doc/"), F.col("a")).alias("u"),
             F.concat(F.lit(f"{KG}/doc/"), F.col("b")).alias("v"),
-        )
+        ).localCheckpoint(eager=True)  # tiny; stops MinHash re-execution
         if edges.limit(1).count() > 0:
             triples = rewrite_subjects(triples, canonical_mapping(edges))
     return triples

@@ -50,6 +50,10 @@ def _media_kind(doc_id, i):
 def synth_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet → docs(doc_id, spans) (plus passthrough lang/source)."""
     raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # small parquet files arrive as one input split; spread rows across
+    # the cluster before the (CPU-heavy) span/mention/md5 work
+    par = spark.sparkContext.defaultParallelism
+    raw = raw.repartition(par, "doc_id")
     doc_id = F.col("doc_id").cast("string")
     toks = F.split(F.col("text"), " ")
     nch = F.ceil(F.size(toks) / CHUNK).cast("int")
