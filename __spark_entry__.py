@@ -28,11 +28,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # small single-split parquet: spread rows so md5/shingle-heavy
+    # operators use every core (no-op effect on results)
+    par = spark.sparkContext.defaultParallelism
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(par)
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    par = spark.sparkContext.defaultParallelism
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(par)
 
 
 # -- KG construction ---------------------------------------------------

@@ -68,24 +68,56 @@ def kg_throughput(spark, sf_dir: str) -> tuple[float, int, float]:
     return n / dt, n, dt
 
 
+def _materialize_scaled_corpus(spark, sf_dir: str, replicas: int, out_dir: str) -> str:
+    """Deterministically replicate documents.parquet ×replicas: each
+    replica gets a distinct doc_id suffix and per-replica salt tokens
+    interleaved so replicas are NOT near-duplicates of each other (the
+    MinHash stage must do real work, not collapse one mega-cluster).
+    sf0.1 stays overhead-bound on 32 local cores (~2s of real CPU), so
+    the two-cluster-size criterion is evidenced on this scaled corpus."""
+    from pyspark.sql import functions as F
+
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("k")
+    scaled = raw.select("*", k).select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("r"), F.col("k")).alias("doc_id"),
+        F.regexp_replace(
+            F.col("text"), " ", F.concat(F.lit(" s"), F.col("k").cast("string"), F.lit(" "))
+        ).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    scaled.repartition(64).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    return out_dir
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--scaling", action="store_true",
                     help="run the KG build at N and 4N cores, report efficiency")
+    ap.add_argument("--replicas", type=int, default=12,
+                    help="corpus replication factor for --scaling")
     args = ap.parse_args()
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     if args.scaling:
+        import tempfile
+
         from pyspark.sql import SparkSession
 
         results = {}
         small, big = max(args.cpus // 4, 1), args.cpus
+        scaled_dir = None
         for cores in (small, big):
             spark = _session(cores)
+            if scaled_dir is None:
+                scaled_dir = _materialize_scaled_corpus(
+                    spark, args.sf_dir, args.replicas,
+                    tempfile.mkdtemp(prefix="r2rml_bench_scale_"),
+                )
             kg_throughput(spark, "/root/testdata/sf0.001")  # warmup/JIT
-            tps, n, dt = kg_throughput(spark, args.sf_dir)
+            tps, n, dt = kg_throughput(spark, scaled_dir)
             results[cores] = {"triples_per_sec": round(tps, 1), "triples": n,
                               "sec": round(dt, 2)}
             spark.stop()
@@ -99,6 +131,7 @@ def main() -> None:
             "unit": "sec",
             "queries": {f"kg_build_local[{c}]": results[c]["sec"] for c in results},
             "sf": float(sf),
+            "corpus_replicas": args.replicas,
             "throughput": {f"local[{c}]": results[c]["triples_per_sec"] for c in results},
             "triples": results[big]["triples"],
             "scaling_efficiency": round(eff, 3),

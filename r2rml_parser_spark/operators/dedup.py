@@ -97,7 +97,10 @@ def minhash_candidate_pairs(docs: DataFrame, **kw) -> DataFrame:
     """Distinct candidate pairs (a < b) from shared LSH buckets.
     The self-join shuffles only (doc_id, band_key); hot buckets are
     split by AQE skew-join handling."""
-    b = minhash_band_buckets(docs, **kw)
+    # persist: both sides of the self-join would otherwise recompute the
+    # md5-heavy signatures (bands are 8 narrow rows/doc — cheap to hold,
+    # spills to disk at scale)
+    b = minhash_band_buckets(docs, **kw).persist()
     left = b.select(F.col("band_key"), F.col("band"), F.col("doc_id").alias("a"))
     right = b.select(F.col("band_key"), F.col("band"), F.col("doc_id").alias("b"))
     return (
@@ -114,7 +117,9 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard verification of candidate pairs → dedup edges.
     Joins shingle sets to both pair sides; arrays stay in-row."""
-    sh = docs.select(F.col(id_col).alias("_id"), shingles(F.col(text_col)).alias("_sh"))
+    # persist: shingle sets are joined to BOTH pair sides; recomputing the
+    # k-gram arrays twice costs more than holding them (spillable)
+    sh = docs.select(F.col(id_col).alias("_id"), shingles(F.col(text_col)).alias("_sh")).persist()
     j = (
         pairs.join(sh.withColumnRenamed("_id", "a").withColumnRenamed("_sh", "sh_a"), "a")
         .join(sh.withColumnRenamed("_id", "b").withColumnRenamed("_sh", "sh_b"), "b")

@@ -79,11 +79,14 @@ DOCS_MAPPING_TTL = f"""
 
 def register_kg_sources(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     docs = synth_docs(spark, sf_dir)
-    spans = span_view(docs)
+    # the span view feeds 4 of the 5 triples maps (union branches would
+    # otherwise re-run synthesis + explode once per branch): persist it —
+    # MEMORY_AND_DISK, spill-safe at scale
+    spans = span_view(docs).persist()
     dictionary = entity_dictionary(spark)
     mentions = detect_mentions(spans, dictionary).withColumn(
         "score_str", F.col("score").cast("string")
-    )
+    ).persist()
     sources = {
         "docs_meta": docs.select("doc_id", "lang", "source"),
         "doc_spans": spans.select("doc_id", "kind", "text", "media_ref", "offset"),
@@ -110,7 +113,7 @@ def build_kg(
         # co-referent subjects via large-star/small-star CC
         raw_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             F.col("doc_id").cast("string").alias("doc_id"), "text"
-        )
+        ).repartition(spark.sparkContext.defaultParallelism)  # small-file read arrives as 1 split; the md5-heavy MinHash stage needs all cores
         pairs = minhash_candidate_pairs(raw_docs)
         edges = jaccard_pairs(raw_docs, pairs, threshold=0.8).select(
             F.concat(F.lit(f"{KG}/doc/"), F.col("a")).alias("u"),

@@ -1,0 +1,141 @@
+"""Unit tests for the data-ops operators on planted fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from r2rml_parser_spark.operators.components import (
+    canonical_mapping,
+    connected_components,
+    rewrite_subjects,
+)
+from r2rml_parser_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_candidate_pairs,
+    simhash_groups,
+)
+from r2rml_parser_spark.operators.multimodal import (
+    decode_media,
+    extract_features,
+    synth_media_table,
+)
+from r2rml_parser_spark.operators.similarity import cosine_topk, embedding_neardup, ivf_topk
+
+
+BASE = "one two three four five six seven eight nine ten eleven twelve"
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, BASE + " thirteen"),  # near dup of 1/2
+        (4, "completely different words live in this document here now"),
+        (5, "another unrelated text with its own vocabulary entirely apart"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(planted_docs):
+    got = {r.keep_id: r.n_dups for r in exact_dedup(planted_docs).collect()}
+    assert got[1] == 2  # docs 1+2 collapse
+    assert got[3] == 1 and got[4] == 1 and got[5] == 1
+
+
+def test_minhash_finds_planted_neardups(planted_docs):
+    pairs = minhash_candidate_pairs(planted_docs)
+    verified = jaccard_pairs(planted_docs, pairs, threshold=0.5)
+    got = {(r.a, r.b): r.jaccard for r in verified.collect()}
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0
+    assert all(a in (1, 2, 3) and b in (1, 2, 3) for a, b in got)
+
+
+def test_simhash_identical_docs_share_bucket(planted_docs):
+    groups = {r.simhash: r.n_docs for r in simhash_groups(planted_docs).collect()}
+    assert max(groups.values()) >= 2  # docs 1+2 identical → same simhash
+
+
+def test_connected_components_chain_and_star(spark):
+    # chain 1-2-3-4-5, star 10-(11,12,13), isolated pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (10, 13), (20, 21)],
+        ["u", "v"],
+    )
+    cc = {r.node: r.component for r in connected_components(edges).collect()}
+    assert all(cc[n] == 1 for n in (1, 2, 3, 4, 5))
+    assert all(cc[n] == 10 for n in (10, 11, 12, 13))
+    assert cc[20] == 20 and cc[21] == 20
+
+
+def test_connected_components_long_chain_converges(spark):
+    n = 200  # needs O(log n) rounds, not O(n)
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], ["u", "v"])
+    cc = connected_components(edges, max_iterations=15)
+    comps = cc.select("component").distinct().collect()
+    assert len(comps) == 1 and comps[0].component == 0
+
+
+def test_rewrite_subjects_merges_coreferent_iris(spark):
+    triples = spark.createDataFrame(
+        [
+            ("http://x/a", "iri", "http://p/name", "A", "literal", None, None),
+            ("http://x/b", "iri", "http://p/name", "A", "literal", None, None),
+            ("http://x/c", "iri", "http://p/ref", "http://x/b", "iri", None, None),
+        ],
+        "subj string, subj_kind string, pred string, obj string, obj_kind string, "
+        "lang string, dtype string",
+    )
+    edges = spark.createDataFrame([("http://x/a", "http://x/b")], ["u", "v"])
+    out = rewrite_subjects(triples, canonical_mapping(edges))
+    rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    # a and b merge into a (min); object IRIs rewritten too; dedup applies
+    assert ("http://x/a", "http://p/name", "A") in rows
+    assert ("http://x/c", "http://p/ref", "http://x/a") in rows
+    assert len(rows) == 2
+
+
+def test_cosine_topk_self_similarity_excluded_and_ranked(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),
+        (2, [0.0, 1.0, 0.0], 1),
+        (3, [0.0, 0.9, 0.1], 1),
+        (4, [-1.0, 0.0, 0.0], 0),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = cosine_topk(emb, emb.where(F.col("vec_id") == 0), k=2)
+    got = [(r.corpus_id, r.rank) for r in out.collect()]
+    assert got == [(1, 1), (2, 2)] or got[0] == (1, 1)
+    ivf = ivf_topk(emb, emb.where(F.col("vec_id") == 0), k=2, nprobe=1)
+    assert [r.corpus_id for r in ivf.collect()][0] == 1
+
+    nd = embedding_neardup(emb, threshold=0.9)
+    assert {(r.a, r.b) for r in nd.collect()} == {(0, 1), (2, 3)}
+
+
+def test_multimodal_plumbing(spark):
+    spans = spark.createDataFrame(
+        [("d1", "image", None, "media://d1/0", 0), ("d1", "text", "hi", None, 1),
+         ("d2", "audio", None, "media://d2/0", 0)],
+        ["doc_id", "kind", "text", "media_ref", "offset"],
+    )
+    media = synth_media_table(spans)
+    rows = media.collect()
+    assert {r.kind for r in rows} == {"image", "audio"}
+    assert all(isinstance(r.payload, (bytes, bytearray)) and len(r.payload) == 64 for r in rows)
+    img = [r for r in rows if r.kind == "image"][0]
+    assert img.meta.width and img.meta.height and img.meta.duration_ms is None
+
+    feats = extract_features(media, fake_decode=True).collect()
+    assert len(feats) == 2
+    assert all(len(f.feature) == 8 and f.n_frames >= 1 for f in feats)
+    # determinism
+    feats2 = extract_features(media, fake_decode=True).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"x", "image", fake=False)
