@@ -140,11 +140,12 @@ class TriplesMap:
         (UtilImpl.java:395-437), used by incremental skip logic."""
         return hashlib.md5(repr(self).encode("utf-8")).hexdigest()
 
-    def parent_refs(self) -> tuple[str, ...]:
+    def parent_refs(self, unconditioned_only: bool = False) -> tuple[str, ...]:
         return tuple(
             ro.parent_triples_map
             for pom in self.predicate_object_maps
             for ro in pom.ref_objects
+            if not (unconditioned_only and ro.join_conditions)
         )
 
 
@@ -164,7 +165,11 @@ class MappingDocument:
     def topo_sorted(self) -> tuple[TriplesMap, ...]:
         """Parents before children — generalizes the reference's
         'no-parent-ref first' ordering (Parser.java:117-132) to a real
-        topological sort of the ref-object DAG."""
+        topological sort. Only CONDITION-LESS ref objects (J2: "link to
+        every parent subject") impose ordering/acyclicity — joins with
+        rr:joinCondition re-derive both sides from sources and are
+        order-independent (self-referencing hierarchies like
+        iswc-mapping's #Concept are valid)."""
         order: list[TriplesMap] = []
         seen: set[str] = set()
 
@@ -172,12 +177,16 @@ class MappingDocument:
             if tm.uri in seen:
                 return
             if tm.uri in stack:
-                raise ValueError(f"cyclic rr:parentTriplesMap chain via {tm.uri}")
-            for parent in tm.parent_refs():
+                raise ValueError(f"cyclic condition-less rr:parentTriplesMap chain via {tm.uri}")
+            for parent in tm.parent_refs(unconditioned_only=True):
                 visit(self.by_uri(parent), stack + (tm.uri,))
             seen.add(tm.uri)
             order.append(tm)
 
         for tm in self.triples_maps:
             visit(tm, ())
+        # resolvability check for conditioned refs too
+        for tm in self.triples_maps:
+            for parent in tm.parent_refs():
+                self.by_uri(parent)
         return tuple(order)

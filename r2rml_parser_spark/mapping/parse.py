@@ -241,9 +241,20 @@ def _predicate_object_maps(g: _Graph, tm_node: Term) -> tuple[PredicateObjectMap
     return tuple(poms)
 
 
-def parse_mapping_document(text: str, base_ns: str = "") -> MappingDocument:
-    """Parse a Turtle R2RML mapping document into the IR."""
-    triples, prefixes, base = parse_turtle(text)
+def parse_mapping_document(text: str, base_ns: str = "", format: str = "auto") -> MappingDocument:
+    """Parse an R2RML mapping document (Turtle or RDF/XML) into the IR.
+
+    The reference reads both via Jena (``mapping.file.type`` knob,
+    Parser.java:695); format 'auto' sniffs XML documents."""
+    if format == "auto":
+        head = text.lstrip()[:200]
+        format = "rdfxml" if head.startswith("<?xml") or "<rdf:RDF" in head else "turtle"
+    if format == "rdfxml":
+        from r2rml_parser_spark.rdf.rdfxml import parse_rdfxml
+
+        triples, prefixes, base = parse_rdfxml(text), {}, ""
+    else:
+        triples, prefixes, base = parse_turtle(text)
     g = _Graph(triples)
 
     tm_nodes = g.subjects_with("logicalTable")

@@ -25,7 +25,9 @@ from r2rml_parser_spark.rdf.terms import BNode, IRI, Literal, Term, Triple, unes
 _TOKEN_RE = re.compile(
     r"""
       (?P<longstr>\"\"\"(?:[^"\\]|\\.|\"(?!\"\"))*\"\"\")
+    | (?P<longsq>'''(?:[^'\\]|\\.|'(?!''))*''')
     | (?P<str>\"(?:[^"\\\n]|\\.)*\")
+    | (?P<sqstr>'(?:[^'\\\n]|\\.)*')
     | (?P<iri><[^<>\s]*>)
     | (?P<comment>\#[^\n]*)
     | (?P<punct>\^\^|[;,.\[\]()])
@@ -55,7 +57,7 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
         kind = m.lastgroup
         if kind != "comment":
             # prefixed names match via pname/local groups; normalize kind
-            if m.group("str") or m.group("longstr"):
+            if m.group("str") or m.group("longstr") or m.group("sqstr") or m.group("longsq"):
                 tokens.append(("string", m.group(0)))
             elif m.group("iri"):
                 tokens.append(("iri", m.group(0)))
@@ -187,7 +189,7 @@ class _Parser:
                 return Literal(v, datatype="http://www.w3.org/2001/XMLSchema#boolean")
             raise TurtleParseError(f"unexpected keyword {v!r} as {position}")
         if kind == "string":
-            raw = v[3:-3] if v.startswith('"""') else v[1:-1]
+            raw = v[3:-3] if (v.startswith('"""') or v.startswith("'''")) else v[1:-1]
             lexical = unescape_literal(raw)
             nxt = self._peek()
             if nxt and nxt[0] == "at":
