@@ -127,6 +127,20 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir))
 
 
+# -- event analytics ---------------------------------------------------
+
+def q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.operators.events import windowed_event_stats
+
+    return windowed_event_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.operators.events import sessionize
+
+    return sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 # -- similarity search -------------------------------------------------
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,6 +221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
+        "windowed_events": q_windowed_events,
+        "sessionized_events": q_sessionized_events,
         "docs_reassembled": q_docs_reassembled,
         "connected_components": q_connected_components,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -216,6 +232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from r2rml_parser_spark import oracles
+    from r2rml_parser_spark.operators import events as events_ops
     from r2rml_parser_spark.operators.mentions import mentions_oracle_sql
     from r2rml_parser_spark.pipeline import kg_oracle_sql
     from r2rml_parser_spark.sources.docs import SPAN_VIEW_ORACLE_SQL
@@ -253,6 +270,8 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "fingerprints": oracles.fingerprints_sql(),
         "ann_cosine_topk": oracles.ann_cosine_topk_sql(5, 10),
         "embedding_neardup": oracles.embedding_neardup_sql(0.8),
+        "windowed_events": events_ops.windowed_event_stats_sql(),
+        "sessionized_events": events_ops.sessionize_sql(),
         "docs_reassembled": reassembled_sql,
         # connected_components / ann_ivf_topk / media_features: iterative
         # or Python-stateful — rows-only checks by design

@@ -58,11 +58,11 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    # bit_xor: order-insensitive and overflow-free (sum(xxhash64) throws
+    # ARITHMETIC_OVERFLOW under ANSI mode)
     row = edges.agg(
         F.count(F.lit(1)).alias("n"),
-        F.coalesce(
-            F.sum(F.xxhash64(F.col("u"), F.col("v"))), F.lit(0)
-        ).alias("h"),
+        F.coalesce(F.bit_xor(F.xxhash64(F.col("u"), F.col("v"))), F.lit(0)).alias("h"),
     ).collect()[0]
     return int(row["n"]), int(row["h"])
 

@@ -264,7 +264,9 @@ class MappingEngine:
     def _schema():
         from pyspark.sql.types import StringType, StructField, StructType
 
-        return StructType([StructField(c, StringType(), True) for c in TRIPLE_COLUMNS])
+        return StructType(
+            [StructField(c, StringType(), True) for c in [*TRIPLE_COLUMNS, LINEAGE_COLUMN]]
+        )
 
     def triples(
         self, extra: DataFrame | None = None, *, dedup: bool = True, lineage: bool = True
