@@ -10,7 +10,7 @@ JSON manifest records, per triples map:
 
   * the mapping-definition hash (TriplesMap.definition_hash — replaces
     UtilImpl.java:395-437),
-  * a commutative source content hash (sum of xxhash64 over rows —
+  * a commutative source content hash (bit_xor of xxhash64 over rows —
     replaces the order-sensitive rolling MD5 of UtilImpl.java:364-393,
     which cannot parallelize),
   * per-partition triple counts (lineage metrics),
@@ -44,10 +44,11 @@ def _safe_dirname(uri: str) -> str:
 
 
 def source_content_hash(df: DataFrame) -> int:
-    """Order-insensitive content fingerprint of a source: sum (wrapping)
-    of xxhash64 over all columns. One aggregate pass, map-side combined."""
+    """Order-insensitive content fingerprint of a source: bit_xor of
+    xxhash64 over all columns — commutative (parallelizes with map-side
+    combine) and overflow-free (sum of hashes throws under ANSI mode)."""
     row = df.select(
-        F.coalesce(F.sum(F.xxhash64(*[F.col(c) for c in df.columns])), F.lit(0)).alias("h")
+        F.coalesce(F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])), F.lit(0)).alias("h")
     ).collect()[0]
     return int(row["h"]) & 0xFFFFFFFFFFFFFFFF
 
