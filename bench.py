@@ -120,12 +120,16 @@ def main() -> None:
         from pyspark.sql import SparkSession
 
         results = {}
-        # N vs 4N cores, both ≤ half the host's 32 hardware threads: a
-        # config that saturates the host measures shared-resource
-        # contention (one JVM heap, memory bandwidth, hypervisor
-        # scheduling), not the job's scaling. Each config runs the
-        # build twice and keeps the faster run (VM timing noise).
-        small, big = max(args.cpus // 8, 1), max(args.cpus // 2, 4)
+        # N vs 4N cores, both ≤ a quarter of the host's 32 physical
+        # cores: a config that saturates the host measures
+        # shared-resource contention (one JVM heap, memory bandwidth,
+        # hypervisor scheduling), not the job's scaling — a pure-codegen
+        # calibration job scales 0.88 at 2→8 cores but only 0.83 at
+        # 4→16 on this host. Each config runs the build `repeats` times
+        # COLD (operator-internal persists cleared between runs, so
+        # every run pays the full signature/emission compute) and keeps
+        # the faster run (VM timing noise).
+        small, big = max(args.cpus // 16, 1), max(args.cpus // 4, 2)
         scaled_dir = None
         for cores in (small, big):
             spark = _session(cores)
@@ -137,6 +141,7 @@ def main() -> None:
             kg_throughput(spark, "/root/testdata/sf0.001")  # warmup/JIT
             best = None
             for _ in range(args.repeats):
+                spark.catalog.clearCache()  # cold run: no cross-run reuse
                 tps, n, dt = kg_throughput(spark, scaled_dir)
                 if best is None or tps > best[0]:
                     best = (tps, n, dt)

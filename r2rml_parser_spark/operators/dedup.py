@@ -12,8 +12,11 @@ the reference's only dedup is Jena Model set-insert, SURVEY.md §3.4 A1):
 Scale design: MinHash signatures are computed with higher-order array
 functions *inside the row* (array_min over transform) — zero shuffle
 until the band-bucket join, which shuffles only (doc_id, band_key).
-All hashing is md5-hex so the DuckDB oracle reproduces values exactly
-(xxhash64 would be Spark-private).
+Driver-checked paths hash with md5-hex so the DuckDB oracle reproduces
+values exactly; the canonicalization hot path selects
+``hash_family="xxhash64"`` (long minima, no hex-string churn) since
+exact-Jaccard verification downstream makes the candidate hash family
+semantically irrelevant.
 """
 
 from __future__ import annotations
@@ -81,34 +84,55 @@ def minhash_signature(col: Column, n_hashes: int = N_HASHES) -> Column:
 
 def minhash_band_buckets(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    n_hashes: int = N_HASHES, n_bands: int = N_BANDS,
+    n_hashes: int = N_HASHES, n_bands: int = N_BANDS, hash_family: str = "md5",
 ) -> DataFrame:
     """(doc_id, band, band_key) — docs sharing a band_key are candidates.
 
     Formulated as explode(shingles) → groupBy(doc).agg(min per seed):
-    the per-shingle md5s run inside whole-stage codegen on a flat
+    the per-shingle hashes run inside whole-stage codegen on a flat
     column, and the aggregation is map-side partial (the shuffle carries
     only n_hashes minima per doc). Identical output to the in-row
     minhash_signature path (min is duplicate-insensitive); docs with
-    fewer than k tokens have no shingles and drop out via the explode."""
+    fewer than k tokens have no shingles and drop out via the explode.
+
+    hash_family:
+      * "md5"      — hex-string minima; bit-reproducible in DuckDB (the
+                     oracle for the ``minhash_bands`` driver query).
+      * "xxhash64" — long-valued minima, zero string materialization
+                     (~6× less CPU measured). Spark-private, so no SQL
+                     oracle — used by the canonicalization hot path,
+                     where exact-Jaccard verification downstream makes
+                     the candidate hash family semantically irrelevant
+                     (only candidate recall differs, and both families
+                     approximate the same Jaccard collision curve).
+    """
     rows_per_band = n_hashes // n_bands
     sh = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col))).alias("s")
     )
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("s")))).alias(f"h{seed}")
-            for seed in range(n_hashes)
-        ]
-    )
+    if hash_family == "xxhash64":
+        sig = sh.groupBy("doc_id").agg(
+            *[
+                F.min(F.xxhash64(F.lit(seed), F.col("s"))).alias(f"h{seed}")
+                for seed in range(n_hashes)
+            ]
+        )
+        band_key = lambda b, parts: F.xxhash64(F.lit(b), *parts).cast("string")  # noqa: E731
+    elif hash_family == "md5":
+        sig = sh.groupBy("doc_id").agg(
+            *[
+                F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("s")))).alias(f"h{seed}")
+                for seed in range(n_hashes)
+            ]
+        )
+        band_key = lambda b, parts: F.md5(F.concat_ws(":", F.lit(str(b)), *parts))  # noqa: E731
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     bands = []
     for b in range(n_bands):
         parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
         bands.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(":", F.lit(str(b)), *parts)).alias("band_key"),
-            )
+            F.struct(F.lit(b).alias("band"), band_key(b, parts).alias("band_key"))
         )
     return sig.select(
         "doc_id", F.explode(F.array(*bands)).alias("bk")

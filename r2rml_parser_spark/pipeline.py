@@ -126,13 +126,20 @@ def build_kg(
         raw_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             F.col("doc_id").cast("string").alias("doc_id"), "text"
         ).repartition(spark.sparkContext.defaultParallelism)  # small-file read arrives as 1 split; the md5-heavy MinHash stage needs all cores
-        pairs = minhash_candidate_pairs(raw_docs)
+        # xxhash64 family: ~6× less signature CPU than the md5-oracle
+        # form; final edges still gated by exact Jaccard ≥ 0.8 below
+        pairs = minhash_candidate_pairs(raw_docs, hash_family="xxhash64")
         edges = jaccard_pairs(raw_docs, pairs, threshold=0.8).select(
             F.concat(F.lit(f"{KG}/doc/"), F.col("a")).alias("u"),
             F.concat(F.lit(f"{KG}/doc/"), F.col("b")).alias("v"),
         ).localCheckpoint(eager=True)  # tiny; stops MinHash re-execution
         if edges.limit(1).count() > 0:
-            triples = rewrite_subjects(triples, canonical_mapping(edges))
+            # the input is distinct either way (engine dedup ran, or raw
+            # emissions are duplicate-free per the defer_dedup comment), so
+            # only the rewritten slice needs the dedup shuffle
+            triples = rewrite_subjects(
+                triples, canonical_mapping(edges), assume_distinct=True
+            )
         elif defer_dedup:
             triples = triples.dropDuplicates()
     return triples

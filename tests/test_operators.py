@@ -54,6 +54,27 @@ def test_minhash_finds_planted_neardups(planted_docs):
     assert all(a in (1, 2, 3) and b in (1, 2, 3) for a, b in got)
 
 
+def test_minhash_xxhash64_family_finds_same_planted_neardups(planted_docs):
+    # the canonicalization hot path uses long-valued xxhash64 minima;
+    # after exact-Jaccard verification it must find the same planted
+    # edges as the md5-oracle family
+    pairs = minhash_candidate_pairs(planted_docs, hash_family="xxhash64")
+    verified = jaccard_pairs(planted_docs, pairs, threshold=0.5)
+    got = {(r.a, r.b): r.jaccard for r in verified.collect()}
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0
+    assert all(a in (1, 2, 3) and b in (1, 2, 3) for a, b in got)
+
+
+def test_minhash_bad_hash_family_rejected(planted_docs):
+    import pytest as _pytest
+
+    from r2rml_parser_spark.operators.dedup import minhash_band_buckets
+
+    with _pytest.raises(ValueError):
+        minhash_band_buckets(planted_docs, hash_family="sha1")
+
+
 def test_simhash_identical_docs_share_bucket(planted_docs):
     groups = {r.simhash: r.n_docs for r in simhash_groups(planted_docs).collect()}
     assert max(groups.values()) >= 2  # docs 1+2 identical → same simhash
@@ -96,6 +117,37 @@ def test_rewrite_subjects_merges_coreferent_iris(spark):
     assert ("http://x/a", "http://p/name", "A") in rows
     assert ("http://x/c", "http://p/ref", "http://x/a") in rows
     assert len(rows) == 2
+
+
+def test_rewrite_subjects_assume_distinct_equals_full_dedup(spark):
+    # duplicate-free input with merges that create (a) subj-touched dups,
+    # (b) a touched row colliding with a would-be untouched row's *shape*
+    # (same pred/obj, different canonical subj), (c) obj-only rewrites
+    triples = spark.createDataFrame(
+        [
+            ("http://x/a", "iri", "http://p/name", "A", "literal", None, None),
+            ("http://x/b", "iri", "http://p/name", "A", "literal", None, None),
+            ("http://x/a", "iri", "http://p/lang", "en", "literal", None, None),
+            ("http://x/b", "iri", "http://p/lang", "fr", "literal", None, None),
+            ("http://x/c", "iri", "http://p/ref", "http://x/b", "iri", None, None),
+            ("http://x/c", "iri", "http://p/ref", "http://x/a", "iri", None, None),
+            ("http://x/z", "iri", "http://p/name", "A", "literal", None, None),
+        ],
+        "subj string, subj_kind string, pred string, obj string, obj_kind string, "
+        "lang string, dtype string",
+    )
+    edges = spark.createDataFrame([("http://x/a", "http://x/b")], ["u", "v"])
+    mapping = canonical_mapping(edges)
+    full = {tuple(r) for r in rewrite_subjects(triples, mapping).collect()}
+    fast = {
+        tuple(r)
+        for r in rewrite_subjects(triples, mapping, assume_distinct=True).collect()
+    }
+    assert fast == full
+    # obj-rewrite collapse: c's two refs merge to one canonical ref
+    assert ("http://x/c", "iri", "http://p/ref", "http://x/a", "iri", None, None) in fast
+    fast_df = rewrite_subjects(triples, mapping, assume_distinct=True)
+    assert fast_df.count() == fast_df.dropDuplicates().count()  # set semantics hold
 
 
 def test_cosine_topk_self_similarity_excluded_and_ranked(spark):
