@@ -107,7 +107,7 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--scaling", action="store_true",
                     help="run the KG build at N and 4N cores, report efficiency")
-    ap.add_argument("--replicas", type=int, default=24,
+    ap.add_argument("--replicas", type=int, default=48,
                     help="corpus replication factor for --scaling")
     ap.add_argument("--repeats", type=int, default=2,
                     help="timed runs per config for --scaling (best kept)")

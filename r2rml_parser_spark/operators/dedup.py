@@ -62,6 +62,24 @@ def shingles(col: Column, k: int = SHINGLE_K) -> Column:
     )
 
 
+def hashed_shingles(col: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct xxhash64 values of the word k-gram shingles (in-row).
+
+    Long-for-string substitution for the canonicalization hot path: the
+    k-gram string is never materialized (xxhash64 over the k token
+    columns directly), so set operations downstream run on flat longs.
+    Jaccard over these sets equals string-shingle Jaccard up to
+    astronomically-unlikely 64-bit collisions."""
+    toks = F.split(normalized_text(col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.xxhash64(*[F.element_at(toks, i + j) for j in range(k)]),
+    )
+    return F.when(F.size(toks) >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
 def minhash_signature(col: Column, n_hashes: int = N_HASHES) -> Column:
     """array<string> of per-seed minima of md5(seed || '|' || shingle).
 
@@ -107,10 +125,19 @@ def minhash_band_buckets(
                      approximate the same Jaccard collision curve).
     """
     rows_per_band = n_hashes // n_bands
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col))).alias("s")
-    )
     if hash_family == "xxhash64":
+        # explode the string shingles once, then hash the flat column
+        # with cheap long-valued xxhash64 per seed (the md5 family
+        # materializes a 32-char hex string per (seed, shingle) — the
+        # dominant allocation). Two rejected variants, both measured
+        # SLOWER than this: hashing token triples after an index
+        # explode (carries the token array through the explode,
+        # O(tokens²) row bytes), and building long-hash arrays in-row
+        # (higher-order transform is CodegenFallback — interpreted
+        # per-element eval dwarfs the hash cost).
+        sh = docs.select(
+            F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col))).alias("s")
+        )
         sig = sh.groupBy("doc_id").agg(
             *[
                 F.min(F.xxhash64(F.lit(seed), F.col("s"))).alias(f"h{seed}")
@@ -119,6 +146,9 @@ def minhash_band_buckets(
         )
         band_key = lambda b, parts: F.xxhash64(F.lit(b), *parts).cast("string")  # noqa: E731
     elif hash_family == "md5":
+        sh = docs.select(
+            F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col))).alias("s")
+        )
         sig = sh.groupBy("doc_id").agg(
             *[
                 F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("s")))).alias(f"h{seed}")
@@ -159,13 +189,20 @@ def minhash_candidate_pairs(docs: DataFrame, **kw) -> DataFrame:
 
 def jaccard_pairs(
     docs: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    threshold: float = 0.8,
+    threshold: float = 0.8, shingle_family: str = "string",
 ) -> DataFrame:
     """Exact n-gram Jaccard verification of candidate pairs → dedup edges.
-    Joins shingle sets to both pair sides; arrays stay in-row."""
+    Joins shingle sets to both pair sides; arrays stay in-row.
+
+    shingle_family "string" keeps k-gram strings (DuckDB-oracle exact);
+    "xxhash64" intersects 64-bit shingle hashes instead — same Jaccard
+    up to negligible collisions, far less allocation (hot path)."""
+    mk = shingles if shingle_family == "string" else hashed_shingles
+    if shingle_family not in ("string", "xxhash64"):
+        raise ValueError(f"unknown shingle_family: {shingle_family!r}")
     # persist: shingle sets are joined to BOTH pair sides; recomputing the
     # k-gram arrays twice costs more than holding them (spillable)
-    sh = docs.select(F.col(id_col).alias("_id"), shingles(F.col(text_col)).alias("_sh")).persist()
+    sh = docs.select(F.col(id_col).alias("_id"), mk(F.col(text_col)).alias("_sh")).persist()
     j = (
         pairs.join(sh.withColumnRenamed("_id", "a").withColumnRenamed("_sh", "sh_a"), "a")
         .join(sh.withColumnRenamed("_id", "b").withColumnRenamed("_sh", "sh_b"), "b")

@@ -64,6 +64,14 @@ def test_minhash_xxhash64_family_finds_same_planted_neardups(planted_docs):
     assert (1, 2) in got and got[(1, 2)] == 1.0
     assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0
     assert all(a in (1, 2, 3) and b in (1, 2, 3) for a, b in got)
+    # hashed-shingle Jaccard values must equal string-shingle values
+    hashed = {
+        (r.a, r.b): r.jaccard
+        for r in jaccard_pairs(
+            planted_docs, pairs, threshold=0.5, shingle_family="xxhash64"
+        ).collect()
+    }
+    assert hashed == got
 
 
 def test_minhash_bad_hash_family_rejected(planted_docs):
