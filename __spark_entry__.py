@@ -8,8 +8,8 @@ canonicalization) at sf0.001.
 SURVEY.md §3 + the data-ops additions; DuckDB oracles reproduce each
 result bit-for-bit (md5-based hashing, identical folds, rounded
 doubles). Non-SQL-expressible iterative/stateful ops (connected
-components, IVF routing, mapInPandas feature extraction) ship without
-an oracle → the driver records the weaker rows-only check.
+components, mapInPandas feature extraction) ship without an oracle →
+the driver records the weaker rows-only check.
 """
 
 from __future__ import annotations
@@ -156,6 +156,13 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup(_embeddings(spark, sf_dir), threshold=0.8)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.operators.similarity import ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5, nprobe=2)
+
+
 # -- non-SQL-expressible (rows-only checks) ----------------------------
 
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,13 +174,6 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a").alias("u"), F.col("b").alias("v")
     )
     return connected_components(edges)
-
-
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from r2rml_parser_spark.operators.similarity import ivf_topk
-
-    emb = _embeddings(spark, sf_dir)
-    return ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5, nprobe=2)
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,10 +269,11 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "token_counts": oracles.token_counts_sql(),
         "fingerprints": oracles.fingerprints_sql(),
         "ann_cosine_topk": oracles.ann_cosine_topk_sql(5, 10),
+        "ann_ivf_topk": oracles.ann_ivf_topk_sql(5, 2, 10),
         "embedding_neardup": oracles.embedding_neardup_sql(0.8),
         "windowed_events": events_ops.windowed_event_stats_sql(),
         "sessionized_events": events_ops.sessionize_sql(),
         "docs_reassembled": reassembled_sql,
-        # connected_components / ann_ivf_topk / media_features: iterative
-        # or Python-stateful — rows-only checks by design
+        # connected_components / media_features: iterative or
+        # Python-stateful — rows-only checks by design
     }

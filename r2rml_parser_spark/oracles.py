@@ -193,3 +193,36 @@ WHERE round(list_dot_product(a.v, b.v) /
             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
       >= {threshold}
 """
+
+
+def ann_ivf_topk_sql(k: int = 5, nprobe: int = 2, n_queries: int = 10) -> str:
+    """DuckDB twin of operators.similarity.ivf_topk: per-cell element-wise
+    mean centroids, route each query to its nprobe nearest cells by
+    (unrounded) cosine, brute-force cosine top-k inside probed cells.
+    Centroid averages differ from Spark's only in fp summation order;
+    emitted scores are rounded to 6 decimals like the exact-ANN oracle."""
+    cos = "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    return f"""
+WITH e AS (SELECT label AS cell, vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+dims AS (SELECT unnest(generate_series(1, (SELECT max(len(v)) FROM e))) AS i),
+cent AS (SELECT cell, i, avg(v[i]) AS m FROM e, dims GROUP BY cell, i),
+cents AS (SELECT cell, list(m ORDER BY i) AS centroid FROM cent GROUP BY cell),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {n_queries}),
+routed AS (SELECT query_id, qv, cell,
+                  {cos.format(a='qv', b='centroid')} AS cscore
+           FROM q, cents),
+probes AS (SELECT query_id, qv, cell FROM (
+             SELECT *, row_number() OVER
+               (PARTITION BY query_id ORDER BY cscore DESC, cell) AS r
+             FROM routed) WHERE r <= {nprobe}),
+s AS (SELECT query_id, c.vec_id AS corpus_id,
+             round({cos.format(a='p.qv', b='c.v')}, 6) AS score
+      FROM probes p JOIN e c ON p.cell = c.cell
+      WHERE p.query_id <> c.vec_id),
+r AS (SELECT *, CAST(row_number() OVER
+        (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS INT) AS rank
+      FROM s)
+SELECT query_id, corpus_id, score, rank FROM r WHERE rank <= {k}
+"""
