@@ -7,9 +7,9 @@ canonicalization) at sf0.001.
 ``queries()`` / ``oracle_sql()`` — one entry per operator family from
 SURVEY.md §3 + the data-ops additions; DuckDB oracles reproduce each
 result bit-for-bit (md5-based hashing, identical folds, rounded
-doubles). Non-SQL-expressible iterative/stateful ops (connected
-components, mapInPandas feature extraction) ship without an oracle →
-the driver records the weaker rows-only check.
+doubles). Iterative CC is oracled via a DuckDB recursive-CTE closure;
+the one non-SQL-expressible op (mapInPandas feature extraction) ships
+without an oracle → the driver records the weaker rows-only check.
 """
 
 from __future__ import annotations
@@ -274,6 +274,6 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "windowed_events": events_ops.windowed_event_stats_sql(),
         "sessionized_events": events_ops.sessionize_sql(),
         "docs_reassembled": reassembled_sql,
-        # connected_components / media_features: iterative or
-        # Python-stateful — rows-only checks by design
+        "connected_components": oracles.connected_components_sql(),
+        # media_features: mapInPandas (Python-stateful) — rows-only by design
     }

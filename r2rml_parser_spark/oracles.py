@@ -226,3 +226,28 @@ r AS (SELECT *, CAST(row_number() OVER
       FROM s)
 SELECT query_id, corpus_id, score, rank FROM r WHERE rank <= {k}
 """
+
+
+def connected_components_sql() -> str:
+    """DuckDB twin of operators.components.connected_components over the
+    MinHash-LSH candidate graph (the driver's connected_components
+    query): recursive-CTE transitive closure + min-label per node.
+    Tractable because LSH-blocked graphs are sparse (edges ≪ docs);
+    the Spark operator's contract — every non-isolated node maps to the
+    minimum node id of its component — is reproduced exactly."""
+    return f"""
+WITH RECURSIVE
+bands AS (SELECT * FROM ({minhash_bands_sql()}) _b),
+e AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.band_key = r.band_key AND l.band = r.band
+  WHERE l.doc_id < r.doc_id
+),
+e2 AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
+reach(u, v) AS (
+  SELECT u, v FROM e2
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN e2 ON r.v = e2.u
+)
+SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u
+"""
