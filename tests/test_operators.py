@@ -108,6 +108,28 @@ def test_connected_components_long_chain_converges(spark):
     assert len(comps) == 1 and comps[0].component == 0
 
 
+def test_connected_components_power_law_distributed_matches_union_find(spark):
+    # skew shape CC must survive at scale: one hot hub (degree 1500),
+    # a few mid hubs, long chains — large-star splits the hubs, driver
+    # union-find is the ground truth
+    import random
+
+    rng = random.Random(7)
+    edges = [(0, i) for i in range(1, 1501)]                      # hot hub
+    edges += [(2000 + 100 * h, 2000 + 100 * h + j)                # mid hubs
+              for h in range(5) for j in range(1, 60)]
+    edges += [(10_000 + i, 10_001 + i) for i in range(300)]       # chain
+    edges += [(rng.randrange(1, 1501), rng.randrange(1, 1501)) for _ in range(200)]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    dist = {(r.node, r.component)
+            for r in connected_components(df, collect_threshold=0).collect()}
+    truth = {(r.node, r.component)
+             for r in connected_components(df).collect()}  # driver union-find
+    assert dist == truth
+    comps = {c for _, c in dist}
+    assert 0 in comps and 10_000 in comps  # hub comp and chain comp both rooted at min
+
+
 def test_rewrite_subjects_merges_coreferent_iris(spark):
     triples = spark.createDataFrame(
         [
