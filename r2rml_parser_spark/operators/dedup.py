@@ -266,3 +266,60 @@ def simhash_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("min_doc"))
     )
+
+
+def neardup_edges(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    threshold: float = 0.8, n_hashes: int = N_HASHES, n_bands: int = N_BANDS,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Verified near-duplicate edges (a, b, jaccard) in ONE shingle pass.
+
+    Fuses minhash_candidate_pairs + jaccard_pairs around a single
+    persisted (id, shingle-array) relation: the k-gram construction —
+    the dominant allocation of both stages — runs once instead of
+    twice; the MinHash signature derives from explode(_sh) and the
+    exact-Jaccard verification joins the same persisted arrays to both
+    pair sides. Semantically identical to the two-call composition
+    (asserted in tests); this is the canonicalization hot path."""
+    if hash_family == "xxhash64":
+        seed_hash = lambda seed: F.xxhash64(F.lit(seed), F.col("s"))  # noqa: E731
+        band_key = lambda b, parts: F.xxhash64(F.lit(b), *parts).cast("string")  # noqa: E731
+    elif hash_family == "md5":
+        seed_hash = lambda seed: F.md5(F.concat(F.lit(f"{seed}|"), F.col("s")))  # noqa: E731
+        band_key = lambda b, parts: F.md5(F.concat_ws(":", F.lit(str(b)), *parts))  # noqa: E731
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    rows_per_band = n_hashes // n_bands
+    sh = docs.select(
+        F.col(id_col).alias("_id"), shingles(F.col(text_col)).alias("_sh")
+    ).persist()
+    flat = sh.select("_id", F.explode("_sh").alias("s"))
+    sig = flat.groupBy("_id").agg(
+        *[F.min(seed_hash(seed)).alias(f"h{seed}") for seed in range(n_hashes)]
+    )
+    bands = []
+    for b in range(n_bands):
+        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(F.struct(F.lit(b).alias("band"), band_key(b, parts).alias("band_key")))
+    bk = sig.select(
+        "_id", F.explode(F.array(*bands)).alias("bk")
+    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    left = bk.select("band_key", "band", F.col("_id").alias("a"))
+    right = bk.select("band_key", "band", F.col("_id").alias("b"))
+    pairs = (
+        left.join(right, ["band_key", "band"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates()
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed("_id", "a").withColumnRenamed("_sh", "sh_a"), "a")
+        .join(sh.withColumnRenamed("_id", "b").withColumnRenamed("_sh", "sh_b"), "b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return j.select("a", "b", F.round(jac, 6).alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )

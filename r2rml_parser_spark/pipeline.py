@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from r2rml_parser_spark.mapping.parse import parse_mapping_document
 from r2rml_parser_spark.operators.components import canonical_mapping, rewrite_subjects
-from r2rml_parser_spark.operators.dedup import jaccard_pairs, minhash_candidate_pairs
+from r2rml_parser_spark.operators.dedup import neardup_edges
 from r2rml_parser_spark.operators.mentions import (
     detect_mentions,
     entity_dictionary,
@@ -126,10 +126,10 @@ def build_kg(
         raw_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             F.col("doc_id").cast("string").alias("doc_id"), "text"
         ).repartition(spark.sparkContext.defaultParallelism)  # small-file read arrives as 1 split; the md5-heavy MinHash stage needs all cores
-        # xxhash64 family: ~6× less signature CPU than the md5-oracle
-        # form; final edges still gated by exact Jaccard ≥ 0.8 below
-        pairs = minhash_candidate_pairs(raw_docs, hash_family="xxhash64")
-        edges = jaccard_pairs(raw_docs, pairs, threshold=0.8).select(
+        # fused single-shingle-pass LSH + verification, xxhash64 family
+        # (~6× less signature CPU than the md5-oracle form); edges gated
+        # by exact Jaccard ≥ 0.8 regardless of family
+        edges = neardup_edges(raw_docs, threshold=0.8, hash_family="xxhash64").select(
             F.concat(F.lit(f"{KG}/doc/"), F.col("a")).alias("u"),
             F.concat(F.lit(f"{KG}/doc/"), F.col("b")).alias("v"),
         ).localCheckpoint(eager=True)  # tiny; stops MinHash re-execution

@@ -74,6 +74,22 @@ def test_minhash_xxhash64_family_finds_same_planted_neardups(planted_docs):
     assert hashed == got
 
 
+def test_neardup_edges_fused_equals_two_call_composition(planted_docs):
+    from r2rml_parser_spark.operators.dedup import neardup_edges
+
+    for fam in ("md5", "xxhash64"):
+        pairs = minhash_candidate_pairs(planted_docs, hash_family=fam)
+        two_call = {
+            (r.a, r.b, r.jaccard)
+            for r in jaccard_pairs(planted_docs, pairs, threshold=0.5).collect()
+        }
+        fused = {
+            (r.a, r.b, r.jaccard)
+            for r in neardup_edges(planted_docs, threshold=0.5, hash_family=fam).collect()
+        }
+        assert fused == two_call, fam
+
+
 def test_minhash_bad_hash_family_rejected(planted_docs):
     import pytest as _pytest
 
