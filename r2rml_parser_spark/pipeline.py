@@ -136,7 +136,11 @@ def build_kg(
         if edges.limit(1).count() > 0:
             # the input is distinct either way (engine dedup ran, or raw
             # emissions are duplicate-free per the defer_dedup comment), so
-            # only the rewritten slice needs the dedup shuffle
+            # only the rewritten slice needs the dedup shuffle. The
+            # touched/untouched split scans the emission pipeline twice;
+            # persisting `triples` first measured SLOWER (84s vs 82s,
+            # 35.8M rows at 8 cores) — wide-row cache write+read costs
+            # more than recomputing codegen'd string emissions.
             triples = rewrite_subjects(
                 triples, canonical_mapping(edges), assume_distinct=True
             )
