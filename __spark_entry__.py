@@ -84,10 +84,11 @@ def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from r2rml_parser_spark.operators.dedup import jaccard_pairs, minhash_candidate_pairs
+    from r2rml_parser_spark.operators.dedup import neardup_edges
 
-    docs = _docs(spark, sf_dir)
-    return jaccard_pairs(docs, minhash_candidate_pairs(docs), threshold=0.8)
+    # fused single-shingle-pass form; identical output to the
+    # minhash_candidate_pairs + jaccard_pairs composition (tested)
+    return neardup_edges(_docs(spark, sf_dir), threshold=0.8, hash_family="md5")
 
 
 def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
