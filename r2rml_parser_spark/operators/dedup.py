@@ -38,13 +38,36 @@ def normalized_text(col: Column) -> Column:
     return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
 
 
-def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    salt_buckets: int | None = None,
+) -> DataFrame:
     """Exact dedup: md5 of normalized text → keep the minimum id.
-    One partial-aggregatable groupBy (map-side combine)."""
-    return (
-        docs.select(F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("text_hash"))
-        .groupBy("text_hash")
-        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    One partial-aggregatable groupBy (map-side combine).
+
+    ``salt_buckets``: two-phase salted aggregation for pathological key
+    skew (north_star's "salted repartitionByRange" story for hot keys).
+    Map-side combine already absorbs most duplicate mass, but a single
+    text duplicated across a large fraction of a 10^12-doc corpus still
+    funnels every partial row of that key to ONE reducer; salting by
+    ``xxhash64(id) % salt_buckets`` first aggregates (hash, salt) —
+    spreading the hot key over `salt_buckets` reducers — then combines
+    the per-salt partials. min/count are algebraic, so the result is
+    identical (asserted in tests)."""
+    keyed = docs.select(
+        F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("text_hash")
+    )
+    if not salt_buckets:
+        return keyed.groupBy("text_hash").agg(
+            F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups")
+        )
+    partial = (
+        keyed.withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)))
+        .groupBy("text_hash", "_salt")
+        .agg(F.min(id_col).alias("_keep"), F.count(F.lit(1)).alias("_n"))
+    )
+    return partial.groupBy("text_hash").agg(
+        F.min("_keep").alias("keep_id"), F.sum("_n").cast("long").alias("n_dups")
     )
 
 

@@ -45,6 +45,18 @@ def test_exact_dedup(planted_docs):
     assert got[3] == 1 and got[4] == 1 and got[5] == 1
 
 
+def test_exact_dedup_salted_equals_unsalted_on_hot_key(spark):
+    # 80% of rows share one text — the skew shape salting exists for
+    rows = [(i, "the same hot document text repeated everywhere") for i in range(400)]
+    rows += [(1000 + i, f"unique text number {i} with words") for i in range(100)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    plain = {tuple(r) for r in exact_dedup(docs).collect()}
+    salted = {tuple(r) for r in exact_dedup(docs, salt_buckets=16).collect()}
+    assert salted == plain
+    hot = next(r for r in plain if r[2] == 400)
+    assert hot[1] == 0  # keep_id is the global min across salt buckets
+
+
 def test_minhash_finds_planted_neardups(planted_docs):
     pairs = minhash_candidate_pairs(planted_docs)
     verified = jaccard_pairs(planted_docs, pairs, threshold=0.5)
