@@ -171,25 +171,25 @@ def main() -> None:
     secs, rows = bench_queries(spark, args.sf_dir)
     tps_sf, n_sf, dt_sf = kg_throughput(spark, args.sf_dir)
     secs["kg_build_canonicalized"] = round(dt_sf, 3)
-    # headline throughput on a ×8 replicated corpus: at raw sf0.1 the
-    # 32-core build is fixed-overhead-bound (plan compile, persists,
-    # small jobs ≈ half the wall), which understates sustained
-    # triples/sec by ~5× — the quantity the target metric names
+    # headline throughput on a ×48 replicated corpus (~36M triples): at
+    # raw sf0.1 the 32-core build is fixed-overhead-bound (plan compile,
+    # persists, small jobs ≈ half the wall), which understates sustained
+    # triples/sec — the quantity the target metric names — by ~6×
     import tempfile
 
     scaled = _materialize_scaled_corpus(
-        spark, args.sf_dir, 8, tempfile.mkdtemp(prefix="r2rml_bench_head_")
+        spark, args.sf_dir, 48, tempfile.mkdtemp(prefix="r2rml_bench_head_")
     )
     spark.catalog.clearCache()  # cold: no reuse from the sf0.1 runs
     tps, n, dt = kg_throughput(spark, scaled)
-    secs["kg_build_canonicalized_x8"] = round(dt, 3)
+    secs["kg_build_canonicalized_x48"] = round(dt, 3)
     print(json.dumps({
         "metric": "kg_build_triples_per_sec",
         "value": round(tps, 1),
         "unit": "sec",
         "queries": secs,
         "sf": float(sf),
-        "corpus_replicas": 8,
+        "corpus_replicas": 48,
         "triples": n,
         "sf_dir_triples": n_sf,
         "sf_dir_triples_per_sec": round(tps_sf, 1),
