@@ -127,13 +127,20 @@ def connected_components(
     run the large-star/small-star fixpoint. Set the threshold to 0 to
     force the distributed path.
     """
-    cur = (
+    def _cut_lineage(df: DataFrame) -> DataFrame:
+        # reliable checkpoint when the session has a checkpoint dir
+        # (cluster runs: survives executor loss); localCheckpoint
+        # otherwise (single-JVM test/bench: no HDFS round-trip)
+        if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    cur = _cut_lineage(
         edges.select("u", "v")
         .where(F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v")))
         .dropDuplicates()
         # materialize the input once: upstream edge derivations (e.g. the
         # whole MinHash pipeline) must not re-execute per CC iteration
-        .localCheckpoint(eager=True)
     )
     if collect_threshold and cur.count() <= collect_threshold:
         return _driver_union_find(cur)
@@ -141,7 +148,7 @@ def connected_components(
     for i in range(max_iterations):
         cur = _small_star(_large_star(cur))
         if (i + 1) % checkpoint_every == 0:
-            cur = cur.localCheckpoint(eager=True)
+            cur = _cut_lineage(cur)
         fp = _fingerprint(cur)
         if fp == prev_fp:
             break

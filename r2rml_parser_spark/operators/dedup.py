@@ -9,9 +9,12 @@ the reference's only dedup is Jena Model set-insert, SURVEY.md §3.4 A1):
 * n-gram Jaccard         — exact verification of LSH candidate pairs
 * embedding near-dup     — cosine ≥ threshold pairs (see similarity.py)
 
-Scale design: MinHash signatures are computed with higher-order array
-functions *inside the row* (array_min over transform) — zero shuffle
-until the band-bucket join, which shuffles only (doc_id, band_key).
+Scale design: MinHash signatures run as explode(shingles) → groupBy
+min-per-seed — flat whole-stage-codegen hashing with map-side partial
+aggregation, so the shuffle carries only n_hashes minima per doc and
+the band-bucket join shuffles only (doc_id, band_key). The fused
+``neardup_edges`` builds the shingle arrays once for both signature
+and verification.
 Driver-checked paths hash with md5-hex so the DuckDB oracle reproduces
 values exactly; the canonicalization hot path selects
 ``hash_family="xxhash64"`` (long minima, no hex-string churn) since
