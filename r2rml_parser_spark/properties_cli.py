@@ -1,0 +1,274 @@
+"""Reference-compatible ``r2rml.properties`` runner.
+
+The reference's only user entry point is ``r2rml-parser.sh -p
+r2rml.properties`` (Main.java:34-73); this module lets that same
+properties file drive the Spark engine, so a reference user can switch
+without rewriting their configuration. Knob mapping (reference key →
+engine behavior):
+
+  mapping.file / mapping.file.type   parse_mapping_document (TURTLE / N3
+                                     / N-TRIPLE / RDF/XML, Parser.java:695)
+  default.namespace                  MappingEngine(base_ns=...)
+  default.forceURI                   force_uris (Generator.java:372-383)
+  jena.encodeURLs                    form_encoding=True — Java URLEncoder
+                                     semantics (UtilImpl.java:83-121); the
+                                     default (false) uses the engine's
+                                     IRI-safe percent-encoding, the
+                                     documented delta vs the reference
+  input.model / input.model.type     parsed → triples DF merged via
+                                     engine.triples(extra=...) (Parser.java:702-714)
+  default.incremental                IncrementalRunner over the graph store
+  jena.storeOutputModelUsingTdb /    GraphStore at jena.tdb.directory
+    jena.tdb.directory               (partitioned parquet + manifest —
+                                     the TDB re-imagination, SURVEY §2.4)
+  jena.cleanTdbOnStartup             wipe the store dir first
+  jena.destinationFileName /         sorted N-Triples dump; N3 / N-TRIPLE
+    jena.destinationFileSyntax       / NT accepted (output is the NT
+                                     subset of N3); RDF/XML → MappingError
+  default.log                        run manifest JSON (status.rdf analogue)
+
+  db.url / db.login / db.password /  JDBC sources via spark.read.jdbc —
+    db.driver                        every logical table / SQL view is
+                                     pushed to the database like the
+                                     reference's Statement path
+  spark.tables.dir                   ENGINE EXTENSION replacing db.*: a
+                                     directory of ``<table>.parquet``
+                                     registered as the logical tables
+
+Unknown keys are ignored (the reference does the same via Properties).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from r2rml_parser_spark.mapping.parse import MappingError, parse_mapping_document
+from r2rml_parser_spark.plans.compile import TRIPLE_COLUMNS
+from r2rml_parser_spark.plans.engine import MappingEngine
+from r2rml_parser_spark.rdf.terms import BNode, IRI, Literal
+from r2rml_parser_spark.sinks.ntriples import write_sorted
+
+
+def load_properties(text: str) -> dict[str, str]:
+    """Minimal java.util.Properties parser: ``k=v`` / ``k: v`` lines,
+    ``#``/``!`` comments, trailing-backslash continuations."""
+    props: dict[str, str] = {}
+    pending = ""
+    for raw in text.splitlines():
+        line = pending + raw.strip()
+        pending = ""
+        if not line or line.lstrip()[:1] in ("#", "!"):
+            continue
+        if line.endswith("\\"):
+            pending = line[:-1]
+            continue
+        for sep in ("=", ":"):
+            if sep in line:
+                k, _, v = line.partition(sep)
+                props[k.strip()] = v.strip()
+                break
+    return props
+
+
+def _flag(props: dict[str, str], key: str, default: bool = False) -> bool:
+    return props.get(key, str(default)).strip().lower() == "true"
+
+
+_FORMATS = {
+    "TURTLE": "turtle", "TTL": "turtle", "N3": "turtle",
+    "N-TRIPLE": "ntriples", "N-TRIPLES": "ntriples", "NTRIPLE": "ntriples",
+    "NTRIPLES": "ntriples", "NT": "ntriples",
+    "RDF/XML": "rdfxml", "RDF/XML-ABBREV": "rdfxml", "RDFXML": "rdfxml",
+}
+
+
+def triples_df_from_rdf(spark: SparkSession, text: str, fmt: str = "auto") -> DataFrame:
+    """Parse an RDF document (input model) into the engine's 7-column
+    triples DataFrame (S2, Parser.java:702-714)."""
+    from r2rml_parser_spark.rdf.rdfxml import parse_rdfxml
+    from r2rml_parser_spark.rdf.turtle import parse_ntriples, parse_turtle
+
+    fmt = _FORMATS.get(fmt.upper(), fmt) if fmt != "auto" else fmt
+    if fmt == "auto":
+        head = text.lstrip()[:200]
+        fmt = "rdfxml" if head.startswith("<?xml") or "<rdf:RDF" in head else "turtle"
+    if fmt == "rdfxml":
+        triples = parse_rdfxml(text)
+    elif fmt == "ntriples":
+        triples = parse_ntriples(text)
+    else:
+        triples, _, _ = parse_turtle(text)
+
+    def term_cols(t):
+        if isinstance(t, IRI):
+            return t.value, "iri", None, None
+        if isinstance(t, BNode):
+            return t.label, "bnode", None, None
+        assert isinstance(t, Literal)
+        return t.lexical, "literal", t.lang, t.datatype
+
+    rows = []
+    for s, p, o in triples:
+        sv, sk, _, _ = term_cols(s)
+        pv, _, _, _ = term_cols(p)
+        ov, ok, lang, dtype = term_cols(o)
+        rows.append((sv, sk, pv, ov, ok, lang, dtype))
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([StructField(c, StringType(), True) for c in TRIPLE_COLUMNS])
+    return spark.createDataFrame(rows, schema)
+
+
+def _jdbc_sources(spark: SparkSession, props: dict[str, str], doc) -> dict[str, DataFrame]:
+    url = props["db.url"]
+    opts = {"url": url, "user": props.get("db.login", ""), "password": props.get("db.password", "")}
+    if props.get("db.driver"):
+        opts["driver"] = props["db.driver"]
+    sources: dict[str, DataFrame] = {}
+    for tm in doc.triples_maps:
+        lt = tm.logical_table
+        name = lt.table_name
+        if name and name not in sources:
+            sources[name] = spark.read.format("jdbc").options(dbtable=name, **opts).load()
+        elif lt.sql_query:
+            # push the view SQL to the database, like the reference's
+            # Statement execution (Generator.java:281)
+            view = f"({lt.sql_query}) r2rml_view"
+            for t in _referenced_tables(lt.sql_query):
+                sources.setdefault(
+                    t, spark.read.format("jdbc").options(dbtable=t, **opts).load()
+                )
+            _ = view  # per-table registration suffices; spark.sql runs the view
+    return sources
+
+
+def _referenced_tables(sql: str) -> list[str]:
+    import re
+
+    return re.findall(r"(?:from|join)\s+\"?([A-Za-z_][A-Za-z0-9_]*)\"?", sql, re.IGNORECASE)
+
+
+def _parquet_sources(spark: SparkSession, tables_dir: str) -> dict[str, DataFrame]:
+    sources = {}
+    for entry in sorted(os.listdir(tables_dir)):
+        if entry.endswith(".parquet"):
+            sources[entry[: -len(".parquet")]] = spark.read.parquet(
+                os.path.join(tables_dir, entry)
+            )
+    return sources
+
+
+def run_properties(
+    spark: SparkSession,
+    props: dict[str, str],
+    *,
+    base_dir: str = ".",
+    sources: dict[str, DataFrame] | None = None,
+) -> dict:
+    """Execute one reference-style run; returns a summary dict (the
+    status.rdf analogue, also written to ``default.log`` as JSON)."""
+    t0 = time.monotonic()
+
+    def p(path: str) -> str:
+        return path if os.path.isabs(path) else os.path.join(base_dir, path)
+
+    mapping_path = props.get("mapping.file")
+    if not mapping_path:
+        raise MappingError("mapping.file is required")
+    with open(p(mapping_path)) as f:
+        mapping_text = f.read()
+    fmt = _FORMATS.get(props.get("mapping.file.type", "auto").upper(), "auto")
+    doc = parse_mapping_document(
+        mapping_text, format="rdfxml" if fmt == "rdfxml" else ("turtle" if fmt != "auto" else "auto")
+    )
+
+    if sources is None:
+        if props.get("spark.tables.dir"):
+            sources = _parquet_sources(spark, p(props["spark.tables.dir"]))
+        elif props.get("db.url"):
+            sources = _jdbc_sources(spark, props, doc)
+        else:
+            raise MappingError("no sources: set spark.tables.dir or db.url")
+
+    engine = MappingEngine(
+        spark,
+        doc,
+        sources=sources,
+        base_ns=props.get("default.namespace"),
+        force_uris=_flag(props, "default.forceURI"),
+        form_encoding=_flag(props, "jena.encodeURLs"),
+    )
+    engine.register_sources()
+
+    extra = None
+    if props.get("input.model"):
+        with open(p(props["input.model"])) as f:
+            extra = triples_df_from_rdf(
+                spark, f.read(), props.get("input.model.type", "auto")
+            )
+
+    summary: dict = {"mappings": len(doc.triples_maps)}
+
+    use_store = _flag(props, "jena.storeOutputModelUsingTdb")
+    incremental = _flag(props, "default.incremental")
+    if use_store or incremental:
+        from r2rml_parser_spark.sinks.checkpoint import GraphStore, IncrementalRunner
+
+        store_dir = p(props.get("jena.tdb.directory", "tdb"))
+        if _flag(props, "jena.cleanTdbOnStartup"):
+            shutil.rmtree(store_dir, ignore_errors=True)
+        store = GraphStore(spark, store_dir)
+        result = IncrementalRunner(engine, store).run()
+        summary["incremental"] = result
+        triples = store.read()
+        if extra is not None:
+            triples = triples.unionByName(extra).dropDuplicates(TRIPLE_COLUMNS)
+    else:
+        triples = engine.triples(extra=extra, lineage=False)
+
+    dest = props.get("jena.destinationFileName")
+    if dest:
+        syntax = props.get("jena.destinationFileSyntax", "N-TRIPLE").upper()
+        if _FORMATS.get(syntax) == "rdfxml":
+            raise MappingError(
+                "RDF/XML dumps are not supported; use N-TRIPLE/N3 "
+                "(sorted N-Triples is the deterministic dump format)"
+            )
+        write_sorted(triples.select(*TRIPLE_COLUMNS), p(dest))
+        summary["dump"] = dest
+
+    summary["triples"] = triples.count()
+    summary["seconds"] = round(time.monotonic() - t0, 3)
+    log_path = props.get("default.log")
+    if log_path:
+        with open(p(log_path if log_path.endswith(".json") else log_path + ".json"), "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+    return summary
+
+
+def main(argv: list[str] | None = None) -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Run an r2rml.properties file against the Spark engine"
+    )
+    ap.add_argument("-p", "--properties", required=True)
+    args = ap.parse_args(argv)
+    with open(args.properties) as f:
+        props = load_properties(f.read())
+    from r2rml_parser_spark.session import build_session
+
+    spark = build_session(app_name="r2rml-properties-run")
+    summary = run_properties(
+        spark, props, base_dir=os.path.dirname(os.path.abspath(args.properties))
+    )
+    print(json.dumps(summary, sort_keys=True))
+
+
+if __name__ == "__main__":
+    main()
