@@ -101,6 +101,41 @@ def test_properties_incremental_store_run(spark, tmp_path):
     assert second["incremental"]["skipped"] and not second["incremental"]["generated"]
 
 
+def test_reference_shipped_epersons_mapping_via_properties(spark, tmp_path):
+    """The literal switch story: the reference's own RDF/XML production
+    mapping (dspace/epersons-mapping.rdf) + a reference-style properties
+    file, parquet tables standing in for the Postgres db.* source."""
+    import pytest
+
+    ref = "/root/reference/dspace/epersons-mapping.rdf"
+    if not os.path.exists(ref):
+        pytest.skip("reference checkout not present")
+    from r2rml_parser_spark.sources.dspace_fixture import eperson_tables
+
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    for name, df in eperson_tables(
+        spark, n_persons=50, n_groups=5, memberships_per_person=2
+    ).items():
+        df.write.parquet(str(tables / f"{name}.parquet"))
+
+    props = load_properties(
+        f"mapping.file={ref}\n"
+        "mapping.file.type=TURTLE\n"  # the reference's r2rml.properties value
+
+        "default.namespace=http://localhost/\n"
+        "spark.tables.dir=tables\n"
+        "jena.destinationFileName=dump.nt\n"
+        "jena.destinationFileSyntax=N-TRIPLE\n"
+    )
+    summary = run_properties(spark, props, base_dir=str(tmp_path))
+    assert summary["mappings"] == 3
+    part = next(f for f in os.listdir(tmp_path / "dump.nt") if f.startswith("part-"))
+    lines = (tmp_path / "dump.nt" / part).read_text().splitlines()
+    assert len(lines) == summary["triples"] > 100
+    assert any("foaf" in ln and "/name" in ln.lower() for ln in lines)
+
+
 def test_triples_df_from_rdf_turtle(spark):
     df = triples_df_from_rdf(
         spark, '@prefix ex: <http://e/> . ex:s ex:p "v"@en .', "TURTLE"
