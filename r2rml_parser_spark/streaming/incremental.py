@@ -80,3 +80,27 @@ def windowed_event_counts(
             F.col("sum_value"),
         )
     )
+
+
+def stream_dedup_docs(
+    docs: DataFrame, *, watermark: str = "1 hour", ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Stateful streaming exact-dedup: keep exactly one arrival of each
+    normalized-text hash within the watermark horizon, dropping the rest
+    (which row survives is engine-chosen, per
+    ``dropDuplicatesWithinWatermark`` semantics); state is evicted past
+    the horizon, bounding memory — the streaming analogue of
+    operators.dedup.exact_dedup's batch groupBy.
+
+    Works on both streaming and static frames (same plan); on a stream
+    it uses ``dropDuplicatesWithinWatermark`` so two duplicates that
+    arrive within the horizon dedup exactly, and state never grows
+    unboundedly at 10^12-doc scale."""
+    from r2rml_parser_spark.operators.dedup import normalized_text
+
+    keyed = docs.withColumn("text_hash", F.md5(normalized_text(F.col(text_col))))
+    wm = keyed.withWatermark(ts_col, watermark)
+    if docs.isStreaming:
+        return wm.dropDuplicatesWithinWatermark(["text_hash"])
+    return wm.dropDuplicates(["text_hash"])

@@ -47,3 +47,42 @@ def test_windowed_event_counts_static(spark):
     assert rows and all(r.n_events > 0 for r in rows)
     total = sum(r.n_events for r in rows)
     assert total == events.where(F.col("ts").isNotNull()).count()
+
+
+def test_stream_dedup_docs_drops_in_horizon_duplicates(spark, tmp_path):
+    from r2rml_parser_spark.streaming.incremental import stream_dedup_docs
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    rows = [
+        (1, "2024-01-01 00:00:00", "same text here"),
+        (2, "2024-01-01 00:10:00", "same  TEXT  here"),  # dup after normalize
+        (3, "2024-01-01 00:20:00", "different text entirely"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "ts_s", "text"]).select(
+        "doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "text"
+    )
+    df.write.parquet(str(src / "batch0.parquet"))
+    stream = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(
+        str(src / "*.parquet")
+    )
+    q = (
+        stream_dedup_docs(stream, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out))
+    kept = sorted(r.doc_id for r in got.collect())
+    # exactly one survivor per normalized text: {1 or 2} plus 3 (which of
+    # the duplicate pair survives is engine-chosen)
+    assert len(kept) == 2 and kept[1] == 3 and kept[0] in (1, 2)
+
+    # static frame: same operator, batch semantics
+    static = stream_dedup_docs(df)
+    assert static.count() == 2
