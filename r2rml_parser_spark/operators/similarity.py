@@ -136,3 +136,52 @@ def embedding_neardup(
         .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("score"))
         .where(F.col("score") >= threshold)
     )
+
+
+def assign_cells(
+    embeddings: DataFrame, n_cells: int = 16, iterations: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """k-means-lite coarse quantizer for corpora WITHOUT a cell column:
+    returns the input plus an assigned ``label`` cell, making the IVF
+    index (ivf_topk / embedding_neardup) self-contained.
+
+    Deterministic seeding (no RNG — resumable plans can't call
+    Math.random): the ``n_cells`` rows with the smallest
+    xxhash64(id) become the initial centroids — a uniform pseudo-random
+    sample under any id distribution. Each iteration is one broadcast
+    join (centroids are tiny) + the centroid-rebuild shuffle of
+    ivf_centroids; Lloyd converges enough for ROUTING purposes in 1-2
+    rounds (the quantizer only needs stable-ish cells, not optimal
+    clustering — mis-assignment trades recall, not correctness, and the
+    verify/score stage downstream is exact either way)."""
+    from pyspark.sql.window import Window
+
+    e = embeddings.select(F.col(id_col).alias("_aid"), _as_double(F.col(vec_col)).alias("_v"))
+    seeds = (
+        e.withColumn("_h", F.xxhash64(F.col("_aid")))
+        .orderBy("_h")
+        .limit(n_cells)
+        .withColumn("cell", F.row_number().over(Window.orderBy("_aid")) - 1)
+        .select("cell", F.col("_v").alias("centroid"))
+    )
+    w = Window.partitionBy("_aid").orderBy(F.desc("_s"), F.asc("cell"))
+
+    def best_cell(cents):
+        scored = e.crossJoin(cents).select(
+            "_aid", "_v", "cell", cosine(F.col("_v"), F.col("centroid")).alias("_s")
+        )
+        return scored.withColumn("_r", F.row_number().over(w)).where(F.col("_r") == 1)
+
+    cents = F.broadcast(seeds)
+    for _ in range(iterations):
+        cents = F.broadcast(
+            ivf_centroids(
+                best_cell(cents).select(
+                    F.col("cell").alias("label"), F.col("_v").alias("embedding")
+                ),
+                cell_col="label", vec_col="embedding",
+            )
+        )
+    lab = best_cell(cents).select(F.col("_aid").alias(id_col), F.col("cell").alias("label"))
+    return embeddings.drop("label").join(lab, id_col)

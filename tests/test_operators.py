@@ -208,6 +208,24 @@ def test_rewrite_subjects_assume_distinct_equals_full_dedup(spark):
     assert fast_df.count() == fast_df.dropDuplicates().count()  # set semantics hold
 
 
+def test_assign_cells_separates_blobs_and_feeds_ivf(spark):
+    from r2rml_parser_spark.operators.similarity import assign_cells, ivf_topk
+
+    # two well-separated blobs in 3-d; no label column provided
+    rows = [(i, [10.0 + (i % 3) * 0.1, 0.1, 0.0]) for i in range(10)]
+    rows += [(100 + i, [0.1, 10.0 + (i % 3) * 0.1, 0.0]) for i in range(10)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    labeled = assign_cells(emb, n_cells=2, iterations=2)
+    cells = {r.vec_id: r.label for r in labeled.collect()}
+    blob_a = {cells[i] for i in range(10)}
+    blob_b = {cells[100 + i] for i in range(10)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+    # the assigned labels drive the IVF index end-to-end
+    out = ivf_topk(labeled, labeled.where(F.col("vec_id") == 0), k=3, nprobe=1)
+    got = {r.corpus_id for r in out.collect()}
+    assert got and all(c < 100 for c in got)  # routed to blob A's cell only
+
+
 def test_cosine_topk_self_similarity_excluded_and_ranked(spark):
     rows = [
         (0, [1.0, 0.0, 0.0], 0),
