@@ -261,9 +261,12 @@ def test_multimodal_plumbing(spark):
     feats = extract_features(media, fake_decode=True).collect()
     assert len(feats) == 2
     assert all(len(f.feature) == 8 and f.n_frames >= 1 for f in feats)
-    # determinism
+    # determinism across runs AND across batch boundaries (each row's
+    # feature must not depend on which mapInPandas batch it lands in)
     feats2 = extract_features(media, fake_decode=True).collect()
     assert sorted(map(str, feats)) == sorted(map(str, feats2))
+    feats3 = extract_features(media.repartition(3), fake_decode=True).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats3))
 
     with pytest.raises(NotImplementedError):
         decode_media(b"x", "image", fake=False)
