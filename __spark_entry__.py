@@ -128,6 +128,12 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir))
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.operators.textstats import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir))
+
+
 # -- event analytics ---------------------------------------------------
 
 def q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,6 +226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
+        "gopher_rules": q_gopher_rules,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "windowed_events": q_windowed_events,
@@ -269,6 +276,7 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "lang_id": oracles.lang_id_sql(),
         "token_counts": oracles.token_counts_sql(),
         "fingerprints": oracles.fingerprints_sql(),
+        "gopher_rules": oracles.gopher_rules_sql(),
         "ann_cosine_topk": oracles.ann_cosine_topk_sql(5, 10),
         "ann_ivf_topk": oracles.ann_ivf_topk_sql(5, 2, 10),
         "embedding_neardup": oracles.embedding_neardup_sql(0.8),

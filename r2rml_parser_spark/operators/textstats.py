@@ -106,3 +106,40 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.md5(norm).alias("content_md5"),
         rolling.alias("rolling_hash"),
     )
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition/quality signals (Rae et al. 2021, §A1.1 —
+    public paper; the rules large-scale training pipelines filter on):
+
+      * unique_token_ratio  — lexical diversity; low ⇒ repetitive doc
+      * symbol_word_ratio   — '#'/'…' symbols per token
+      * bullet_line_frac    — fraction of lines starting with a bullet
+      * ellipsis_line_frac  — fraction of lines ending with '...' or '…'
+      * mean_word_len       — mean alpha-token length
+
+    All in-row whole-stage-codegen expressions over one scan; the DuckDB
+    twin (oracles.gopher_rules_sql) reproduces every value bit-for-bit
+    after round(6)."""
+    toks = _tokens(F.col(text_col))
+    n_tok = token_count(F.col(text_col))
+    n_uniq = F.when(n_tok == 0, F.lit(0)).otherwise(F.size(F.array_distinct(toks)))
+    n_sym = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[#…]|\.\.\."), 0))
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"^([-*•])")))
+    n_ellip = F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$")))
+    alpha_lens = F.transform(
+        F.filter(toks, lambda t: t.rlike(r"^[a-z]+$")), lambda t: F.length(t)
+    )
+    n_alpha = F.size(alpha_lens)
+    sum_alpha = F.aggregate(alpha_lens, F.lit(0), lambda a, x: a + x)
+    r6 = lambda c: F.round(c, 6)  # noqa: E731
+    return docs.select(
+        F.col(id_col),
+        r6(F.when(n_tok > 0, n_uniq / n_tok).otherwise(F.lit(0.0))).alias("unique_token_ratio"),
+        r6(F.when(n_tok > 0, n_sym / n_tok).otherwise(F.lit(0.0))).alias("symbol_word_ratio"),
+        r6(F.when(n_lines > 0, n_bullet / n_lines).otherwise(F.lit(0.0))).alias("bullet_line_frac"),
+        r6(F.when(n_lines > 0, n_ellip / n_lines).otherwise(F.lit(0.0))).alias("ellipsis_line_frac"),
+        r6(F.when(n_alpha > 0, sum_alpha / n_alpha).otherwise(F.lit(0.0))).alias("mean_word_len"),
+    )

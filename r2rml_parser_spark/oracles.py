@@ -251,3 +251,27 @@ reach(u, v) AS (
 )
 SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u
 """
+
+
+def gopher_rules_sql() -> str:
+    """DuckDB twin of operators.textstats.gopher_rules."""
+    toks = "string_split(lower(trim(text)), ' ')"
+    n_tok = f"CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len({toks}) END"
+    n_uniq = f"CASE WHEN {n_tok} = 0 THEN 0 ELSE len(list_distinct({toks})) END"
+    n_sym = r"len(regexp_extract_all(text, '[#…]|\.\.\.'))"
+    lines = "string_split(text, chr(10))"
+    n_lines = f"len({lines})"
+    n_bullet = f"len(list_filter({lines}, ln -> regexp_matches(trim(ln), '^([-*•])')))"
+    n_ellip = rf"len(list_filter({lines}, ln -> regexp_matches(trim(ln), '(\.\.\.|…)$')))"
+    alpha = f"list_filter({toks}, t -> regexp_matches(t, '^[a-z]+$'))"
+    n_alpha = f"len({alpha})"
+    sum_alpha = f"list_aggregate(list_transform({alpha}, t -> length(t)), 'sum')"
+    return f"""
+SELECT doc_id,
+  round(CASE WHEN {n_tok} > 0 THEN {n_uniq} / {n_tok} ELSE 0.0 END, 6) AS unique_token_ratio,
+  round(CASE WHEN {n_tok} > 0 THEN {n_sym} / {n_tok} ELSE 0.0 END, 6) AS symbol_word_ratio,
+  round(CASE WHEN {n_lines} > 0 THEN {n_bullet} / {n_lines} ELSE 0.0 END, 6) AS bullet_line_frac,
+  round(CASE WHEN {n_lines} > 0 THEN {n_ellip} / {n_lines} ELSE 0.0 END, 6) AS ellipsis_line_frac,
+  round(CASE WHEN {n_alpha} > 0 THEN CAST({sum_alpha} AS DOUBLE) / {n_alpha} ELSE 0.0 END, 6) AS mean_word_len
+FROM documents
+"""
