@@ -8,8 +8,8 @@ canonicalization) at sf0.001.
 SURVEY.md §3 + the data-ops additions; DuckDB oracles reproduce each
 result bit-for-bit (md5-based hashing, identical folds, rounded
 doubles). Iterative CC is oracled via a DuckDB recursive-CTE closure;
-the one non-SQL-expressible op (mapInPandas feature extraction) ships
-without an oracle → the driver records the weaker rows-only check.
+even the mapInPandas feature extraction is oracled — its fake decode
+is a hex-string md5 chain DuckDB can replay exactly.
 """
 
 from __future__ import annotations
@@ -184,11 +184,15 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from r2rml_parser_spark.operators.multimodal import extract_features, synth_media_table
+    """mapInPandas feature extraction, projected to scalar double
+    columns (feat_0..feat_7) so the driver canonicalizer can sort/hash
+    the frame — and so the md5-arithmetic DuckDB oracle can check the
+    actual feature values, not just row counts."""
+    from r2rml_parser_spark.operators.multimodal import features_checkable, synth_media_table
     from r2rml_parser_spark.sources.docs import span_view, synth_docs
 
     media = synth_media_table(span_view(synth_docs(spark, sf_dir)))
-    return extract_features(media, fake_decode=True)
+    return features_checkable(media)
 
 
 def q_docs_reassembled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,6 +246,7 @@ def oracle_sql() -> dict[str, str]:
     from r2rml_parser_spark import oracles
     from r2rml_parser_spark.operators import events as events_ops
     from r2rml_parser_spark.operators.mentions import mentions_oracle_sql
+    from r2rml_parser_spark.operators.multimodal import media_features_sql
     from r2rml_parser_spark.pipeline import kg_oracle_sql
     from r2rml_parser_spark.sources.docs import SPAN_VIEW_ORACLE_SQL
     from r2rml_parser_spark.tpch_kg import TPCH_KG_ORACLE_SQL
@@ -284,5 +289,7 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "sessionized_events": events_ops.sessionize_sql(),
         "docs_reassembled": reassembled_sql,
         "connected_components": oracles.connected_components_sql(),
-        # media_features: mapInPandas (Python-stateful) — rows-only by design
+        # the fake decode chain is pure (hex-string) md5 arithmetic —
+        # fully replayable in DuckDB, upgrading this from rows-only
+        "media_features": media_features_sql(SPAN_VIEW_ORACLE_SQL),
     }

@@ -71,8 +71,19 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     inter-event gap exceeds ``gap_seconds``.
 
     Output: (user_id, session_seq, n_events, session_start,
-    session_end, duration_sec). Both the window and the final groupBy
+    session_end, duration_us). Both the window and the final groupBy
     shuffle on user_id, so the exchange is reused.
+
+    Skew note (10^12-event scale): the window partitions on user_id, so
+    one pathological hot user (a bot emitting a large fraction of all
+    events) funnels its entire history through a single task — windows
+    cannot be salted without breaking the running session_seq. The
+    mitigation at scale is upstream: cap events per (user_id, day) with
+    an approximate filter, or pre-split known-hot service accounts into
+    (user_id, epoch-day) sub-users and stitch sessions crossing the day
+    boundary in a cheap second pass (at a 30-min gap, at most one
+    session per user per boundary can straddle it). AQE cannot split a
+    running-window partition, so the guard must be data-level.
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # microsecond-exact arithmetic: ts carries sub-second precision, and
@@ -110,7 +121,12 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
 
 
 def sessionize_sql(gap_seconds: int = 1800) -> str:
-    """DuckDB oracle for ``sessionize`` (identical window semantics)."""
+    """DuckDB oracle for ``sessionize`` (identical window semantics).
+
+    DuckDB's SUM(CASE...) returns HUGEINT and COUNT(*) BIGINT; both are
+    cast to BIGINT so the canonicalized frame types match Spark's long
+    columns exactly (a HUGEINT reaches pandas as object/float and the
+    value-hash diverges even when every value is equal)."""
     return f"""
 WITH gaps AS (
   SELECT user_id, ts, event_id,
@@ -125,7 +141,8 @@ marked AS (
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
   FROM gaps
 )
-SELECT user_id, session_seq, COUNT(*) AS n_events,
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
        strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
        epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us

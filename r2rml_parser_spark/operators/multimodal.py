@@ -74,17 +74,24 @@ def synth_media_table(spans: DataFrame) -> DataFrame:
 
 def decode_media(payload: bytes, kind: str, *, fake: bool = False) -> bytes:
     """Codec decode stub. Real decoders (PIL / soundfile / av) are not in
-    this container; ``fake=True`` returns a deterministic expansion."""
+    this container; ``fake=True`` returns a deterministic expansion.
+
+    The fake chain runs in hex-STRING space (seed_i+1 =
+    md5_hex(seed_i_hex + str(i))) rather than raw-byte space so the
+    identical chain is expressible in any SQL engine whose md5() only
+    accepts VARCHAR (DuckDB 1.0) — that is what upgrades the
+    media_features driver query from rows-only to a real value-hash
+    check (VERDICT r1 finding #2)."""
     if not fake:
         raise NotImplementedError(
             "media decoding requires image/audio codecs not present in this environment; "
             "pass fake=True for the deterministic test double"
         )
     out = bytearray()
-    seed = payload or b""
+    seed = (payload or b"").hex()
     for i in range(4):
-        seed = hashlib.md5(seed + bytes([i])).digest()
-        out += seed
+        seed = hashlib.md5((seed + str(i)).encode()).hexdigest()
+        out += bytes.fromhex(seed)
     return bytes(out)
 
 
@@ -95,7 +102,12 @@ def extract_features(media: DataFrame, *, fake_decode: bool = True,
 
     The batch shape is the real contract: payloads arrive as a
     ``bytes`` Series, features leave as list[float32] — swap the body
-    for a real codec without touching the plan."""
+    for a real codec without touching the plan.
+
+    Feature values are exact dyadic rationals (sum-of-bytes / n / 256):
+    every value is exactly representable in float32 AND double, so no
+    rounding step exists to diverge between Python, the JVM, and the
+    DuckDB oracle."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -105,10 +117,10 @@ def extract_features(media: DataFrame, *, fake_decode: bool = True,
                 n = min(frame_sample, max(1, len(raw) // 16))
                 step = max(1, len(raw) // (n * dim))
                 vec = [
-                    float(sum(raw[(f * dim + d) * step % len(raw)] for f in range(n)) / n) / 255.0
+                    float(sum(raw[(f * dim + d) * step % len(raw)] for f in range(n)) / n) / 256.0
                     for d in range(dim)
                 ]
-                feats.append([round(v, 6) for v in vec])
+                feats.append(vec)
                 frames.append(n)
             yield pd.DataFrame(
                 {
@@ -120,3 +132,64 @@ def extract_features(media: DataFrame, *, fake_decode: bool = True,
             )
 
     return media.select("media_ref", "kind", "payload").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def features_checkable(media: DataFrame, *, frame_sample: int = 4, dim: int = 8) -> DataFrame:
+    """Hash-stable projection of ``extract_features`` for the driver
+    correctness gate: the array<float> feature (unhashable for the
+    driver's pandas canonicalizer) is unpacked into ``dim`` scalar
+    double columns. Values are exact dyadic rationals, so the
+    float→double cast is lossless."""
+    from pyspark.sql import functions as F
+
+    feats = extract_features(media, fake_decode=True, frame_sample=frame_sample, dim=dim)
+    return feats.select(
+        "media_ref",
+        "kind",
+        "n_frames",
+        *[F.col("feature")[i].cast("double").alias(f"feat_{i}") for i in range(dim)],
+    )
+
+
+def media_features_sql(span_view_sql: str, *, frame_sample: int = 4, dim: int = 8) -> str:
+    """DuckDB oracle reproducing ``features_checkable`` over the
+    synthetic media table bit-for-bit.
+
+    Works because (a) synth_media_table payloads are unhex(md5-hex
+    repeated ×4) — their lowercase hex rendering is exactly
+    repeat(md5(media_ref), 4); (b) the fake decode chain hashes hex
+    STRINGS (see decode_media), so DuckDB's VARCHAR-only md5 can replay
+    it; (c) features are dyadic rationals with no rounding step.
+
+    The synthetic payload is always 64 bytes → decode output is always
+    64 bytes, so the frame/step geometry below is constant-folded the
+    same way extract_features computes it at runtime."""
+    raw_len = 64
+    n = min(frame_sample, max(1, raw_len // 16))
+    step = max(1, raw_len // (n * dim))
+
+    def hex_byte(j: int) -> str:
+        hi = f"(strpos('0123456789abcdef', substr(rh, {2 * j + 1}, 1)) - 1)"
+        lo = f"(strpos('0123456789abcdef', substr(rh, {2 * j + 2}, 1)) - 1)"
+        return f"({hi} * 16 + {lo})"
+
+    feat_cols = []
+    for d in range(dim):
+        idxs = [(f * dim + d) * step % raw_len for f in range(n)]
+        total = " + ".join(hex_byte(j) for j in idxs)
+        feat_cols.append(
+            f"CAST({total} AS DOUBLE) / {n} / 256.0 AS feat_{d}"
+        )
+    feats = ",\n       ".join(feat_cols)
+    return f"""
+WITH sv AS ({span_view_sql}),
+media AS (SELECT media_ref, kind FROM sv WHERE kind <> 'text'),
+c1 AS (SELECT media_ref, kind,
+              md5(repeat(md5(media_ref), 4) || '0') AS s1 FROM media),
+c2 AS (SELECT *, md5(s1 || '1') AS s2 FROM c1),
+c3 AS (SELECT *, md5(s2 || '2') AS s3 FROM c2),
+raw AS (SELECT media_ref, kind, s1 || s2 || s3 || md5(s3 || '3') AS rh FROM c3)
+SELECT media_ref, kind, CAST({n} AS INT) AS n_frames,
+       {feats}
+FROM raw
+"""
