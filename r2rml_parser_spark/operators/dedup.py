@@ -297,7 +297,7 @@ def simhash_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
 def neardup_edges(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     threshold: float = 0.8, n_hashes: int = N_HASHES, n_bands: int = N_BANDS,
-    hash_family: str = "xxhash64",
+    hash_family: str = "xxhash64", collapse_exact: bool = False,
 ) -> DataFrame:
     """Verified near-duplicate edges (a, b, jaccard) in ONE shingle pass.
 
@@ -307,7 +307,24 @@ def neardup_edges(
     twice; the MinHash signature derives from explode(_sh) and the
     exact-Jaccard verification joins the same persisted arrays to both
     pair sides. Semantically identical to the two-call composition
-    (asserted in tests); this is the canonicalization hot path."""
+    (asserted in tests); this is the canonicalization hot path.
+
+    ``collapse_exact`` — the scale guard against the classic LSH skew
+    bomb (VERDICT r1 finding #3): a cluster of n IDENTICAL texts shares
+    every band key, so the raw candidate self-join emits n²/2 pairs —
+    quadratic in cluster size, and real web corpora have clusters of
+    millions. When enabled, exact-duplicate texts are collapsed first
+    (one md5-groupBy, linear), LSH runs over UNIQUE texts only, and
+    each dup group re-expands as (representative → member) edges —
+    n−1 edges per cluster instead of n²/2. The resulting edge SET
+    differs from the raw form, but its connected components are
+    IDENTICAL (every member ties to its representative at jaccard 1.0,
+    and identical texts have identical signatures, so any raw
+    member-to-other edge maps to a representative-to-other edge) —
+    asserted in tests; downstream canonicalization consumes only the
+    components. Dup groups whose text has < k tokens get no expansion
+    edges, mirroring the raw form where empty shingle sets never reach
+    a band (so component parity holds for short texts too)."""
     if hash_family == "xxhash64":
         seed_hash = lambda seed: F.xxhash64(F.lit(seed), F.col("s"))  # noqa: E731
         band_key = lambda b, parts: F.xxhash64(F.lit(b), *parts).cast("string")  # noqa: E731
@@ -317,6 +334,29 @@ def neardup_edges(
     else:
         raise ValueError(f"unknown hash_family: {hash_family!r}")
     rows_per_band = n_hashes // n_bands
+    dup_edges = None
+    if collapse_exact:
+        keyed = docs.select(
+            F.col(id_col).alias("_id"),
+            F.col(text_col).alias("_text"),
+            F.md5(normalized_text(F.col(text_col))).alias("_thash"),
+        )
+        # one algebraic groupBy (map-side combine) + a narrow-row join
+        # back on the 32-char hash; persisted because both the LSH input
+        # and the expansion edges derive from it
+        grp = keyed.groupBy("_thash").agg(F.min("_id").alias("_rep"))
+        members = keyed.join(grp, "_thash").persist()
+        docs = members.where(F.col("_id") == F.col("_rep")).select(
+            F.col("_id").alias(id_col), F.col("_text").alias(text_col)
+        )
+        n_toks = F.size(F.split(normalized_text(F.col("_text")), " "))
+        dup_edges = members.where(
+            (F.col("_id") != F.col("_rep")) & (n_toks >= SHINGLE_K)
+        ).select(
+            # _rep = min(id) < member id, so (a, b) ordering is preserved
+            F.col("_rep").alias("a"), F.col("_id").alias("b"),
+            F.lit(1.0).alias("jaccard"),
+        )
     sh = docs.select(
         F.col(id_col).alias("_id"), shingles(F.col(text_col)).alias("_sh")
     ).persist()
@@ -346,6 +386,9 @@ def neardup_edges(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return j.select("a", "b", F.round(jac, 6).alias("jaccard")).where(
+    edges = j.select("a", "b", F.round(jac, 6).alias("jaccard")).where(
         F.col("jaccard") >= threshold
     )
+    if dup_edges is not None:
+        edges = edges.unionByName(dup_edges)
+    return edges

@@ -128,8 +128,13 @@ def build_kg(
         ).repartition(spark.sparkContext.defaultParallelism)  # small-file read arrives as 1 split; the md5-heavy MinHash stage needs all cores
         # fused single-shingle-pass LSH + verification, xxhash64 family
         # (~6× less signature CPU than the md5-oracle form); edges gated
-        # by exact Jaccard ≥ 0.8 regardless of family
-        edges = neardup_edges(raw_docs, threshold=0.8, hash_family="xxhash64").select(
+        # by exact Jaccard ≥ 0.8 regardless of family. collapse_exact
+        # defuses the LSH skew bomb: exact-dup clusters contribute n−1
+        # expansion edges instead of n²/2 candidate pairs, with
+        # component-identical output (see neardup_edges docstring)
+        edges = neardup_edges(
+            raw_docs, threshold=0.8, hash_family="xxhash64", collapse_exact=True
+        ).select(
             F.concat(F.lit(f"{KG}/doc/"), F.col("a")).alias("u"),
             F.concat(F.lit(f"{KG}/doc/"), F.col("b")).alias("v"),
         ).localCheckpoint(eager=True)  # tiny; stops MinHash re-execution

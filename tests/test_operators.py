@@ -102,6 +102,44 @@ def test_neardup_edges_fused_equals_two_call_composition(planted_docs):
         assert fused == two_call, fam
 
 
+def test_neardup_collapse_exact_linear_not_quadratic(spark):
+    """VERDICT r1 finding #3: a planted exact-dup cluster of size n must
+    contribute O(n) edges under collapse_exact (vs n²/2 raw), while the
+    connected components stay identical to the raw form."""
+    from r2rml_parser_spark.operators.dedup import neardup_edges
+
+    def corpus(n):
+        rows = [(i, BASE) for i in range(n)]  # exact-dup cluster
+        rows += [(100 + i, f"unique text number {i} with distinct words alpha beta {i}")
+                 for i in range(5)]
+        rows += [(200, BASE + " thirteen")]  # near-dup of the cluster
+        rows += [(300, "hi")]  # < k tokens: no shingles, never linked
+        rows += [(301, "hi")]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def components(edges_df):
+        assigns = connected_components(
+            edges_df.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        ).collect()
+        comps = {}
+        for r in assigns:
+            comps.setdefault(r.component, set()).add(r.node)
+        return {frozenset(c) for c in comps.values()}
+
+    for n in (4, 12):
+        docs = corpus(n)
+        raw = neardup_edges(docs, threshold=0.8)
+        collapsed = neardup_edges(docs, threshold=0.8, collapse_exact=True)
+        n_raw, n_col = raw.count(), collapsed.count()
+        # raw: full clique on the cluster (n²/2-ish); collapsed: n−1
+        # expansion edges + one representative edge to the near-dup
+        assert n_raw >= n * (n - 1) // 2
+        assert n_col <= (n - 1) + 5  # linear in cluster size
+        assert components(raw) == components(collapsed)
+        # short identical texts must NOT be merged in either form
+        assert not any({300, 301} & c for c in components(collapsed))
+
+
 def test_minhash_bad_hash_family_rejected(planted_docs):
     import pytest as _pytest
 
