@@ -179,19 +179,60 @@ SELECT query_id, corpus_id, score, rank FROM r WHERE rank <= {k}
 """
 
 
-def embedding_neardup_sql(threshold: float = 0.8) -> str:
+def embedding_neardup_sql(
+    threshold: float = 0.8, hyperplane_bands: int = 4, band_bits: int = 4,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of similarity.embedding_neardup with the SAME banded
+    hyperplane-SimHash blocking: the ±1 planes are md5-derived constants
+    (similarity.hyperplane_signs) and the sign sums are emitted in the
+    identical left-associated order Spark folds them, so both engines
+    compute bit-identical doubles and bucket identically — parity is
+    exact even though the blocking is an approximation of all-pairs."""
+    from r2rml_parser_spark.operators.similarity import hyperplane_signs
+
+    signs = hyperplane_signs(hyperplane_bands * band_bits, dim)
+    bit_exprs = []
+    for k, row in enumerate(signs):
+        terms = ""
+        for j, s in enumerate(row):
+            if not terms:
+                terms = f"-v[{j + 1}]" if s < 0 else f"v[{j + 1}]"
+            else:
+                terms += f" - v[{j + 1}]" if s < 0 else f" + v[{j + 1}]"
+        bit_exprs.append(
+            f"CASE WHEN {terms} >= 0 THEN '1' ELSE '0' END AS bit_{k}"
+        )
+    bits_sql = ",\n         ".join(bit_exprs)
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT cell, id, {b} AS band, {sig} AS sig FROM sig".format(
+            b=b,
+            sig=" || ".join(f"bit_{b * band_bits + r}" for r in range(band_bits)),
+        )
+        for b in range(hyperplane_bands)
+    )
+    cos = (
+        "round(list_dot_product(ea.v, eb.v) / "
+        "(sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6)"
+    )
     return f"""
 WITH e AS (SELECT label AS cell, vec_id AS id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings)
-SELECT a.id AS a, b.id AS b,
-       round(list_dot_product(a.v, b.v) /
-             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
-           AS score
-FROM e a JOIN e b ON a.cell = b.cell AND a.id < b.id
-WHERE round(list_dot_product(a.v, b.v) /
-            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
-      >= {threshold}
+           FROM embeddings),
+sig AS (SELECT cell, id,
+         {bits_sql}
+        FROM e),
+bk AS (
+{band_selects}
+),
+pairs AS (
+  SELECT DISTINCT l.id AS a, r.id AS b
+  FROM bk l JOIN bk r
+    ON l.cell = r.cell AND l.band = r.band AND l.sig = r.sig AND l.id < r.id
+)
+SELECT p.a, p.b, {cos} AS score
+FROM pairs p JOIN e ea ON ea.id = p.a JOIN e eb ON eb.id = p.b
+WHERE {cos} >= {threshold}
 """
 
 

@@ -283,6 +283,77 @@ def test_cosine_topk_self_similarity_excluded_and_ranked(spark):
     assert {(r.a, r.b) for r in nd.collect()} == {(0, 1), (2, 3)}
 
 
+def test_embedding_neardup_hyperplane_block_subquadratic(spark):
+    """VERDICT r1 finding #4: on a corpus where cell-only blocking is
+    visibly quadratic (one hot cell), the hyperplane second level must
+    cut the candidate-pair count well below all-pairs while still
+    recovering planted near-duplicates."""
+    import random
+
+    from pyspark.sql import functions as F2
+
+    from r2rml_parser_spark.operators.similarity import (
+        _hyperplane_bands,
+        _as_double,
+        embedding_neardup,
+    )
+
+    rng = random.Random(42)
+    dim, n = 16, 2000
+
+    def unit(v):
+        s = sum(x * x for x in v) ** 0.5
+        return [x / s for x in v]
+
+    rows = []
+    for i in range(n):
+        rows.append((i, unit([rng.gauss(0, 1) for _ in range(dim)]), 0))
+    # plant 20 near-dup partners of the first 20 vectors (tiny noise)
+    planted = set()
+    for i in range(20):
+        base = rows[i][1]
+        noisy = unit([x + rng.gauss(0, 0.01) for x in base])
+        rows.append((10_000 + i, noisy, 0))
+        planted.add((i, 10_000 + i))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+    e = emb.select(
+        F2.col("label").alias("cell"), F2.col("vec_id").alias("id"),
+        _as_double(F2.col("embedding")).alias("v"),
+    )
+    bk = _hyperplane_bands(e, dim, 4, 4)
+    candidates = (
+        bk.alias("l").join(bk.alias("r"), ["cell", "band", "sig"])
+        .where(F2.col("l.id") < F2.col("r.id"))
+        .select(F2.col("l.id").alias("a"), F2.col("r.id").alias("b"))
+        .dropDuplicates()
+        .count()
+    )
+    total_pairs = (n + 20) * (n + 19) // 2
+    assert candidates < total_pairs / 3, (candidates, total_pairs)
+
+    found = {
+        (r.a, r.b)
+        for r in embedding_neardup(emb, threshold=0.95, dim=dim).collect()
+    }
+    assert len(planted & found) >= 18  # ≥90% recall on planted pairs
+
+
+def test_assign_cells_scales_with_corpus_size(spark):
+    import random
+
+    from r2rml_parser_spark.operators.similarity import assign_cells
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(1200)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    labeled = assign_cells(emb, iterations=1)  # n_cells=None → ≈√N
+    n_cells = labeled.select("label").distinct().count()
+    # √1200 ≈ 34; k-means-lite may leave a few cells empty, but the count
+    # must clearly exceed the old fixed-16 default
+    assert 20 <= n_cells <= 40, n_cells
+
+
 def test_multimodal_plumbing(spark):
     spans = spark.createDataFrame(
         [("d1", "image", None, "media://d1/0", 0), ("d1", "text", "hi", None, 1),
