@@ -183,10 +183,13 @@ def main() -> None:
     spark.catalog.clearCache()  # cold: no reuse from the sf0.1 runs
     tps, n, dt = kg_throughput(spark, scaled)
     secs["kg_build_canonicalized_x48"] = round(dt, 3)
+    # metric name carries the corpus (x48-replicated) so the value's
+    # meaning can't silently drift vs earlier runs; unit is a rate
+    # (ADVICE r1). The raw --sf-dir run stays under sf_dir_* keys.
     print(json.dumps({
-        "metric": "kg_build_triples_per_sec",
+        "metric": "kg_build_triples_per_sec_x48",
         "value": round(tps, 1),
-        "unit": "sec",
+        "unit": "triples/sec",
         "queries": secs,
         "sf": float(sf),
         "corpus_replicas": 48,

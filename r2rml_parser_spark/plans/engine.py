@@ -84,6 +84,12 @@ class MappingEngine:
     fall back to the session catalog (``spark.table``). SQL logical tables
     require their referenced tables to be registered as temp views —
     ``register_sources`` does that.
+
+    ``view_sources`` maps rr:sqlQuery TEXT to a pre-materialized
+    DataFrame, overriding Spark-SQL execution of that query — the hook
+    the JDBC path uses to push vendor-dialect view SQL down to the
+    database (mirroring the reference, which runs view SQL via a JDBC
+    Statement in the DB's own dialect, Generator.java:281).
     """
 
     def __init__(
@@ -96,10 +102,12 @@ class MappingEngine:
         form_encoding: bool = False,
         force_uris: bool = False,
         base_ns: str | None = None,
+        view_sources: dict[str, DataFrame] | None = None,
     ):
         self.spark = spark
         self.doc = doc
         self.sources = dict(sources or {})
+        self.view_sources = dict(view_sources or {})
         self.encode_iris = encode_iris
         self.form_encoding = form_encoding
         self.force_uris = force_uris
@@ -127,6 +135,8 @@ class MappingEngine:
                 return self.spark.table(f"`{lt.table_name}`")
             except Exception as e:
                 raise MappingError(f"unknown logical table {lt.table_name!r}: {e}") from e
+        if lt.sql_query in self.view_sources:
+            return self.view_sources[lt.sql_query]
         try:
             return self.spark.sql(rewrite_sql_quotes(lt.sql_query))
         except Exception as e:  # surface a clean mapping error (S5 dry-run)

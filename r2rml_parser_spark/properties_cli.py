@@ -27,10 +27,13 @@ engine behavior):
                                      subset of N3); RDF/XML → MappingError
   default.log                        run manifest JSON (status.rdf analogue)
 
-  db.url / db.login / db.password /  JDBC sources via spark.read.jdbc —
-    db.driver                        every logical table / SQL view is
-                                     pushed to the database like the
-                                     reference's Statement path
+  db.url / db.login / db.password /  JDBC sources via spark.read.jdbc:
+    db.driver                        rr:tableName → dbtable=name;
+                                     rr:sqlQuery → the whole view SQL
+                                     pushed down as a dbtable subquery,
+                                     so the DATABASE parses its own
+                                     dialect (like the reference's
+                                     Statement path, Generator.java:281)
   spark.tables.dir                   ENGINE EXTENSION replacing db.*: a
                                      directory of ``<table>.parquet``
                                      registered as the logical tables
@@ -67,11 +70,13 @@ def load_properties(text: str) -> dict[str, str]:
         if line.endswith("\\"):
             pending = line[:-1]
             continue
-        for sep in ("=", ":"):
-            if sep in line:
-                k, _, v = line.partition(sep)
-                props[k.strip()] = v.strip()
-                break
+        # java.util.Properties splits at the FIRST separator encountered,
+        # whichever kind — 'db.url: jdbc:x://h/db?user=a' must split at
+        # the ':', not at the '=' inside the value (ADVICE r1)
+        positions = [i for i in (line.find("="), line.find(":")) if i >= 0]
+        if positions:
+            cut = min(positions)
+            props[line[:cut].strip()] = line[cut + 1:].strip()
     return props
 
 
@@ -124,33 +129,40 @@ def triples_df_from_rdf(spark: SparkSession, text: str, fmt: str = "auto") -> Da
     return spark.createDataFrame(rows, schema)
 
 
-def _jdbc_sources(spark: SparkSession, props: dict[str, str], doc) -> dict[str, DataFrame]:
+def _jdbc_sources(
+    spark: SparkSession, props: dict[str, str], doc, *, read_jdbc=None
+) -> tuple[dict[str, DataFrame], dict[str, DataFrame]]:
+    """(table sources, view_sources) for the db.* path.
+
+    rr:tableName tables load as plain ``dbtable=name``. rr:sqlQuery
+    views push the ENTIRE view SQL to the database as a
+    ``dbtable=(sql) r2rml_view`` subquery — the database parses its own
+    dialect (quoted/schema-qualified identifiers, vendor functions),
+    exactly like the reference's JDBC Statement execution
+    (Generator.java:281). This replaces the old per-referenced-table
+    regex loads, which both mis-parsed quoted names and silently
+    re-dialected vendor SQL through Spark SQL (ADVICE r1).
+
+    ``read_jdbc(dbtable) -> DataFrame`` is injectable for tests (no
+    live database ships in this environment)."""
     url = props["db.url"]
     opts = {"url": url, "user": props.get("db.login", ""), "password": props.get("db.password", "")}
     if props.get("db.driver"):
         opts["driver"] = props["db.driver"]
-    sources: dict[str, DataFrame] = {}
+    if read_jdbc is None:
+        def read_jdbc(dbtable: str) -> DataFrame:
+            return spark.read.format("jdbc").options(dbtable=dbtable, **opts).load()
+    tables: dict[str, DataFrame] = {}
+    views: dict[str, DataFrame] = {}
     for tm in doc.triples_maps:
         lt = tm.logical_table
-        name = lt.table_name
-        if name and name not in sources:
-            sources[name] = spark.read.format("jdbc").options(dbtable=name, **opts).load()
-        elif lt.sql_query:
-            # push the view SQL to the database, like the reference's
-            # Statement execution (Generator.java:281)
-            view = f"({lt.sql_query}) r2rml_view"
-            for t in _referenced_tables(lt.sql_query):
-                sources.setdefault(
-                    t, spark.read.format("jdbc").options(dbtable=t, **opts).load()
-                )
-            _ = view  # per-table registration suffices; spark.sql runs the view
-    return sources
-
-
-def _referenced_tables(sql: str) -> list[str]:
-    import re
-
-    return re.findall(r"(?:from|join)\s+\"?([A-Za-z_][A-Za-z0-9_]*)\"?", sql, re.IGNORECASE)
+        if lt.table_name and lt.table_name not in tables:
+            tables[lt.table_name] = read_jdbc(lt.table_name)
+        elif lt.sql_query and lt.sql_query not in views:
+            views[lt.sql_query] = read_jdbc(
+                f"({lt.sql_query.rstrip().rstrip(';')}) r2rml_view"
+            )
+    return tables, views
 
 
 def _parquet_sources(spark: SparkSession, tables_dir: str) -> dict[str, DataFrame]:
@@ -187,11 +199,12 @@ def run_properties(
         mapping_text, format="rdfxml" if fmt == "rdfxml" else ("turtle" if fmt != "auto" else "auto")
     )
 
+    view_sources: dict[str, DataFrame] | None = None
     if sources is None:
         if props.get("spark.tables.dir"):
             sources = _parquet_sources(spark, p(props["spark.tables.dir"]))
         elif props.get("db.url"):
-            sources = _jdbc_sources(spark, props, doc)
+            sources, view_sources = _jdbc_sources(spark, props, doc)
         else:
             raise MappingError("no sources: set spark.tables.dir or db.url")
 
@@ -202,6 +215,7 @@ def run_properties(
         base_ns=props.get("default.namespace"),
         force_uris=_flag(props, "default.forceURI"),
         form_encoding=_flag(props, "jena.encodeURLs"),
+        view_sources=view_sources,
     )
     engine.register_sources()
 

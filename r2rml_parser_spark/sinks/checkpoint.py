@@ -10,9 +10,9 @@ JSON manifest records, per triples map:
 
   * the mapping-definition hash (TriplesMap.definition_hash — replaces
     UtilImpl.java:395-437),
-  * a commutative source content hash (bit_xor of xxhash64 over rows —
-    replaces the order-sensitive rolling MD5 of UtilImpl.java:364-393,
-    which cannot parallelize),
+  * a commutative, multiplicity-sensitive source content hash
+    (decimal sum of xxhash64 over rows — replaces the order-sensitive
+    rolling MD5 of UtilImpl.java:364-393, which cannot parallelize),
   * per-partition triple counts (lineage metrics),
   * a monotonically increasing snapshot id.
 
@@ -44,11 +44,19 @@ def _safe_dirname(uri: str) -> str:
 
 
 def source_content_hash(df: DataFrame) -> int:
-    """Order-insensitive content fingerprint of a source: bit_xor of
-    xxhash64 over all columns — commutative (parallelizes with map-side
-    combine) and overflow-free (sum of hashes throws under ANSI mode)."""
+    """Order-insensitive content fingerprint of a source: SUM of
+    xxhash64 over all columns, accumulated in decimal(38,0) —
+    commutative (parallelizes with map-side combine), no ANSI overflow
+    (38 digits hold 10^19 rows of ±2^63 terms), and — unlike bit_xor —
+    multiplicity-sensitive: XOR cancels rows with even multiplicity, so
+    a row going 1→3 copies or {A,A,B}→{C,C,B} fingerprinted identically
+    and the incremental runner silently skipped a changed source
+    (ADVICE r1). Folded to 64 bits for the manifest."""
     row = df.select(
-        F.coalesce(F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])), F.lit(0)).alias("h")
+        F.coalesce(
+            F.sum(F.xxhash64(*[F.col(c) for c in df.columns]).cast("decimal(38,0)")),
+            F.lit(0),
+        ).alias("h")
     ).collect()[0]
     return int(row["h"]) & 0xFFFFFFFFFFFFFFFF
 

@@ -37,6 +37,23 @@ def _graph(store):
     return {tuple(r) for r in store.read().collect()}
 
 
+def test_source_hash_is_multiplicity_sensitive(spark):
+    """ADVICE r1: bit_xor cancels even multiplicities — {A,A,B} and
+    {C,C,B} (or 1 vs 3 copies of a row) must NOT collide, or the
+    incremental runner silently skips a changed source."""
+    from r2rml_parser_spark.sinks.checkpoint import source_content_hash
+
+    one = spark.createDataFrame([(1, "a")], ["id", "v"])
+    three = spark.createDataFrame([(1, "a")] * 3, ["id", "v"])
+    aab = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], ["id", "v"])
+    ccb = spark.createDataFrame([(3, "c"), (3, "c"), (2, "b")], ["id", "v"])
+    assert source_content_hash(one) != source_content_hash(three)
+    assert source_content_hash(aab) != source_content_hash(ccb)
+    # order-insensitivity preserved
+    baa = spark.createDataFrame([(2, "b"), (1, "a"), (1, "a")], ["id", "v"])
+    assert source_content_hash(aab) == source_content_hash(baa)
+
+
 def test_skip_then_invalidate(spark, engine, tmp_path):
     store = GraphStore(spark, str(tmp_path / "g"))
     runner = IncrementalRunner(engine, store)
