@@ -22,9 +22,12 @@ engine behavior):
     jena.tdb.directory               (partitioned parquet + manifest —
                                      the TDB re-imagination, SURVEY §2.4)
   jena.cleanTdbOnStartup             wipe the store dir first
-  jena.destinationFileName /         sorted N-Triples dump; N3 / N-TRIPLE
-    jena.destinationFileSyntax       / NT accepted (output is the NT
-                                     subset of N3); RDF/XML → MappingError
+  jena.destinationFileName /         sorted N-Triples dump for N3 /
+    jena.destinationFileSyntax       N-TRIPLE / NT (output is the NT
+                                     subset of N3); RDF/XML and
+                                     RDF/XML-ABBREV via sinks.rdfxml
+  jena.showXmlDeclaration            leading <?xml ...?> on RDF/XML
+                                     dumps (Generator.java:653-660)
   default.log                        run manifest JSON (status.rdf analogue)
 
   db.url / db.login / db.password /  JDBC sources via spark.read.jdbc:
@@ -249,11 +252,14 @@ def run_properties(
     if dest:
         syntax = props.get("jena.destinationFileSyntax", "N-TRIPLE").upper()
         if _FORMATS.get(syntax) == "rdfxml":
-            raise MappingError(
-                "RDF/XML dumps are not supported; use N-TRIPLE/N3 "
-                "(sorted N-Triples is the deterministic dump format)"
+            from r2rml_parser_spark.sinks.rdfxml import write_rdfxml
+
+            write_rdfxml(
+                triples.select(*TRIPLE_COLUMNS), p(dest),
+                xml_declaration=_flag(props, "jena.showXmlDeclaration"),
             )
-        write_sorted(triples.select(*TRIPLE_COLUMNS), p(dest))
+        else:
+            write_sorted(triples.select(*TRIPLE_COLUMNS), p(dest))
         summary["dump"] = dest
 
     summary["triples"] = triples.count()

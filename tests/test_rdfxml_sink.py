@@ -1,0 +1,124 @@
+"""RDF/XML dump sink: round-trip parity with the N-Triples dump.
+
+Reference behavior: any Jena syntax can be the dump format, with an
+optional XML declaration (Generator.java:653-660, knobs
+r2rml.properties:84-88). The contract here: dumping RDF/XML and parsing
+it back yields a graph isomorphic to the N-Triples dump of the same
+triples DataFrame.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from r2rml_parser_spark.rdf.rdfxml import parse_rdfxml
+from r2rml_parser_spark.rdf.isomorphism import isomorphic
+from r2rml_parser_spark.rdf.turtle import parse_ntriples
+from r2rml_parser_spark.sinks.ntriples import dump_string
+from r2rml_parser_spark.sinks.rdfxml import (
+    RdfXmlDumpError,
+    dump_rdfxml_string,
+    split_iri,
+)
+
+COLS = "subj subj_kind pred obj obj_kind lang dtype".split()
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+
+
+def test_rdfxml_roundtrip_all_term_shapes(spark):
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    rows = [
+        ("http://x/a", "iri", "http://p/name", "Ada & <Co> \"quoted\"", "literal", None, None),
+        ("http://x/a", "iri", "http://p/name", "日本語", "literal", "ja", None),
+        ("http://x/a", "iri", "http://p/age", "30", "literal", None, xsd + "integer"),
+        ("http://x/a", "iri", "http://p/ref", "http://x/b?q=1&r=2", "iri", None, None),
+        ("http://x/a", "iri", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         "http://p/Thing", "iri", None, None),
+        ("b0", "bnode", "http://p/name", "anon", "literal", None, None),
+        ("http://x/a", "iri", "http://p/link", "b0", "bnode", None, None),
+    ]
+    triples = _df(spark, rows)
+    xml = dump_rdfxml_string(triples)
+    from_xml = parse_rdfxml(xml)
+    from_nt = parse_ntriples(dump_string(triples))
+    assert len(from_xml) == len(rows)
+    assert isomorphic(from_xml, from_nt)
+
+
+def test_rdfxml_dump_is_deterministic(spark):
+    rows = [
+        (f"http://x/{i}", "iri", "http://p/v", str(i), "literal", None, None)
+        for i in range(20)
+    ]
+    a = dump_rdfxml_string(_df(spark, rows))
+    b = dump_rdfxml_string(_df(spark, list(reversed(rows))).repartition(5))
+    assert a == b
+
+
+def test_rdfxml_unsplittable_predicate_raises(spark):
+    triples = _df(
+        spark, [("http://x/a", "iri", "http://p/", "v", "literal", None, None)]
+    )
+    with pytest.raises(RdfXmlDumpError):
+        dump_rdfxml_string(triples)
+    assert split_iri("http://p/name") == ("http://p/", "name")
+
+
+def test_properties_rdfxml_dump_isomorphic_to_nt_dump(spark, tmp_path):
+    """End-to-end through the properties runner: same mapping dumped as
+    RDF/XML (with XML declaration, like the reference) and as N-TRIPLE
+    must produce isomorphic graphs."""
+    from r2rml_parser_spark.properties_cli import run_properties
+
+    mapping = tmp_path / "m.ttl"
+    mapping.write_text(
+        """
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix ex: <http://example.com/> .
+<#Nation> a rr:TriplesMap ;
+  rr:logicalTable [ rr:tableName "nation" ] ;
+  rr:subjectMap [ rr:template "http://example.com/nation/{n_nationkey}" ; rr:class ex:Nation ] ;
+  rr:predicateObjectMap [ rr:predicate ex:name ; rr:objectMap [ rr:column "n_name" ] ] .
+"""
+    )
+    tables = str(tmp_path / "tables")
+    import os
+    import shutil
+
+    os.makedirs(tables)
+    shutil.copyfile(
+        "/root/testdata/sf0.001/nation.parquet", os.path.join(tables, "nation.parquet")
+    )
+    base = {
+        "mapping.file": "m.ttl",
+        "spark.tables.dir": "tables",
+    }
+    run_properties(
+        spark,
+        base | {
+            "jena.destinationFileName": "dump.rdf",
+            "jena.destinationFileSyntax": "RDF/XML",
+            "jena.showXmlDeclaration": "true",
+        },
+        base_dir=str(tmp_path),
+    )
+    run_properties(
+        spark,
+        base | {
+            "jena.destinationFileName": "dump.nt",
+            "jena.destinationFileSyntax": "N-TRIPLE",
+        },
+        base_dir=str(tmp_path),
+    )
+    xml_text = (tmp_path / "dump.rdf").read_text()
+    assert xml_text.startswith('<?xml version="1.0" encoding="UTF-8" ?>')
+    from_xml = parse_rdfxml(xml_text)
+    nt_dir = tmp_path / "dump.nt"
+    nt_text = "\n".join(
+        p.read_text() for p in sorted(nt_dir.glob("part-*")) if p.stat().st_size
+    )
+    from_nt = parse_ntriples(nt_text)
+    assert from_xml and isomorphic(from_xml, from_nt)
