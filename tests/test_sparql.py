@@ -1,0 +1,126 @@
+"""SPARQL-BGP query surface over the triples DataFrame.
+
+Mirrors the reference's own query tests: ComplianceTests.testSparqlQuery
+(ComplianceTests.java:147-168) runs ``SELECT ?x ?z WHERE {?x dc:source
+?z}`` with prefixes injected from the model's namespace map
+(UtilImpl.java:151-159).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from r2rml_parser_spark.plans.sparql import (
+    SparqlError,
+    register_triples_view,
+    sparql_select,
+)
+
+COLS = "subj subj_kind pred obj obj_kind lang dtype".split()
+DC = "http://purl.org/dc/elements/1.1/"
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+EX = "http://ex.org/"
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    rows = [
+        (EX + "m1", "iri", DC + "source", EX + "mapA", "iri", None, None),
+        (EX + "m2", "iri", DC + "source", EX + "mapB", "iri", None, None),
+        (EX + "p1", "iri", RDF + "type", EX + "Person", "iri", None, None),
+        (EX + "p2", "iri", RDF + "type", EX + "Person", "iri", None, None),
+        (EX + "p1", "iri", EX + "name", "Ada", "literal", None, None),
+        (EX + "p2", "iri", EX + "name", "Grace", "literal", "en", None),
+        (EX + "p1", "iri", EX + "knows", EX + "p2", "iri", None, None),
+        # literal whose lexical form equals an IRI's — must not conflate
+        (EX + "p1", "iri", EX + "note", EX + "p2", "literal", None, None),
+    ]
+    return spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+
+
+def test_reference_sample_query_dc_source(graph):
+    """The reference's own sample query shape, prefixes from the map."""
+    out = sparql_select(graph, "SELECT ?x ?z WHERE {?x dc:source ?z}", {"dc": DC})
+    got = {(r.x, r.z) for r in out.collect()}
+    assert got == {(EX + "m1", EX + "mapA"), (EX + "m2", EX + "mapB")}
+
+
+def test_bgp_join_with_type_slice_and_a_keyword(graph):
+    q = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?p ?n WHERE { ?p a ex:Person . ?p ex:name ?n }
+    """
+    got = {(r.p, r.n) for r in sparql_select(graph, q).collect()}
+    assert got == {(EX + "p1", "Ada"), (EX + "p2", "Grace")}
+
+
+def test_iri_and_literal_do_not_conflate(graph):
+    # ?o bound via ex:knows (IRI) joined against ?o via ex:note (literal
+    # with identical lexical form) must NOT join
+    q = "PREFIX ex: <http://ex.org/> SELECT ?a ?o WHERE { ?a ex:knows ?o . ?a ex:note ?o }"
+    assert sparql_select(graph, q).count() == 0
+    # but the individual patterns each match
+    assert sparql_select(graph, "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ?a ex:knows ?o }").count() == 1
+
+
+def test_literal_lang_and_limit_and_distinct(graph):
+    q = 'PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p ex:name "Grace"@en }'
+    assert [r.p for r in sparql_select(graph, q).collect()] == [EX + "p2"]
+    q2 = "SELECT DISTINCT ?t WHERE { ?s a ?t } LIMIT 1"
+    assert sparql_select(graph, q2).count() == 1
+
+
+def test_select_star_and_errors(graph):
+    out = sparql_select(graph, "SELECT * WHERE { ?x dc:source ?z }", {"dc": DC})
+    assert sorted(out.columns) == ["x", "z"]
+    with pytest.raises(SparqlError):
+        sparql_select(graph, "SELECT ?x WHERE { ?x unknown:p ?z }")
+    with pytest.raises(SparqlError):
+        sparql_select(graph, "ASK { ?s ?p ?o }")
+    with pytest.raises(SparqlError):
+        sparql_select(graph, "SELECT ?missing WHERE { ?x dc:source ?z }", {"dc": DC})
+
+
+def test_sql_over_triples_matches_sparql(graph, spark):
+    register_triples_view(graph, "g")
+    sql = spark.sql(
+        """
+        SELECT t1.subj AS p, t2.obj AS n FROM g t1
+        JOIN g t2 ON t1.subj = t2.subj
+        WHERE t1.pred = '{rdf}type' AND t1.obj = '{ex}Person'
+          AND t2.pred = '{ex}name'
+        """.format(rdf=RDF, ex=EX)
+    )
+    sparql = sparql_select(
+        graph,
+        "PREFIX ex: <http://ex.org/> SELECT ?p ?n WHERE { ?p a ex:Person . ?p ex:name ?n }",
+    )
+    assert {tuple(r) for r in sql.collect()} == {tuple(r) for r in sparql.collect()}
+
+
+def test_sparql_over_generated_graph(spark):
+    """Query a graph the engine itself generated (the reference queries
+    its own dump in testSparqlQuery)."""
+    from r2rml_parser_spark.mapping.parse import parse_mapping_document
+    from r2rml_parser_spark.plans.engine import MappingEngine
+
+    mapping = """
+    @prefix rr: <http://www.w3.org/ns/r2rml#> .
+    @prefix ex: <http://ex.org/> .
+    <#N> a rr:TriplesMap ;
+      rr:logicalTable [ rr:tableName "nation" ] ;
+      rr:subjectMap [ rr:template "http://ex.org/nation/{n_nationkey}" ; rr:class ex:Nation ] ;
+      rr:predicateObjectMap [ rr:predicate ex:name ; rr:objectMap [ rr:column "n_name" ] ] .
+    """
+    nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    doc = parse_mapping_document(mapping)
+    engine = MappingEngine(spark, doc, sources={"nation": nation})
+    triples = engine.triples()
+    out = sparql_select(
+        triples,
+        "PREFIX ex: <http://ex.org/> SELECT ?s ?n WHERE { ?s a ex:Nation . ?s ex:name ?n }",
+    )
+    rows = {(r.s, r.n) for r in out.collect()}
+    assert len(rows) == nation.count()
+    first_name = nation.where("n_nationkey = 0").first()["n_name"]
+    assert (EX + "nation/0", first_name) in rows
