@@ -107,6 +107,74 @@ class GraphStore:
     def delete_mapping(self, source_map: str) -> None:
         shutil.rmtree(self._mapping_dir(source_map), ignore_errors=True)
 
+    def read_with_lineage(self) -> DataFrame:
+        """The graph with its ``source_map`` lineage column, one union
+        branch per committed mapping (the manifest is the name index —
+        partition dirs are md5-keyed)."""
+        manifest = self.read_manifest()
+        parts = []
+        for uri in sorted(manifest["mappings"]):
+            path = self._mapping_dir(uri)
+            if os.path.isdir(path):
+                parts.append(
+                    self.spark.read.parquet(path)
+                    .select(*TRIPLE_COLUMNS)
+                    .withColumn(LINEAGE_COLUMN, F.lit(uri))
+                )
+        if not parts:
+            from pyspark.sql.types import StringType, StructField, StructType
+
+            return self.spark.createDataFrame(
+                [],
+                StructType(
+                    [
+                        StructField(c, StringType(), True)
+                        for c in [*TRIPLE_COLUMNS, LINEAGE_COLUMN]
+                    ]
+                ),
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def export_reified(self, path: str) -> None:
+        """Write the store as a reference-shaped reified N-Triples dump
+        (dump-reified.nq interchange, Generator.java:680-699)."""
+        from r2rml_parser_spark.sinks.reified import export_reified
+
+        export_reified(self.read_with_lineage(), path)
+
+    def import_reified(self, path: str) -> dict:
+        """Load a reference-produced reified dump INTO the store: one
+        partition + manifest row per dc:source mapping. Hashes are
+        marked imported so the next incremental run regenerates iff the
+        live source differs (same semantics as the reference's
+        unknown-source invalidation, Generator.java:250-253)."""
+        from r2rml_parser_spark.sinks.reified import import_reified
+
+        triples = import_reified(self.spark, path)
+        manifest = self.read_manifest()
+        manifest["snapshot"] += 1
+        sources = [
+            r[LINEAGE_COLUMN]
+            for r in triples.select(LINEAGE_COLUMN).distinct().collect()
+        ]
+        for uri in sorted(sources):
+            part = triples.where(F.col(LINEAGE_COLUMN) == uri).select(*TRIPLE_COLUMNS)
+            self.delete_mapping(uri)
+            counts = self.write_mapping(uri, part.dropDuplicates())
+            manifest["mappings"][uri] = {
+                "definition_hash": "imported",
+                "source_hash": "imported",
+                "snapshot": manifest["snapshot"],
+                "partition_counts": counts,
+                "triples": sum(counts),
+                "committed_at": time.time(),
+            }
+        self._commit_manifest(manifest)
+        return {"imported_mappings": sources, "snapshot": manifest["snapshot"]}
+
     def read(self) -> DataFrame:
         """The whole graph (set semantics across mappings)."""
         root = os.path.join(self.base, "graph")

@@ -25,21 +25,29 @@ def _escape(col: Column) -> Column:
     return col
 
 
-def nt_line(df: DataFrame) -> Column:
-    """Render one N-Triples line from the 7 term columns."""
-    subj = F.when(df["subj_kind"] == "bnode", F.concat(F.lit("_:"), df["subj"])).otherwise(
+def subj_term(df: DataFrame) -> Column:
+    """Rendered N-Triples subject term (<iri> or _:label)."""
+    return F.when(df["subj_kind"] == "bnode", F.concat(F.lit("_:"), df["subj"])).otherwise(
         F.concat(F.lit("<"), df["subj"], F.lit(">"))
     )
-    pred = F.concat(F.lit("<"), df["pred"], F.lit(">"))
+
+
+def obj_term(df: DataFrame) -> Column:
+    """Rendered N-Triples object term (IRI / bnode / literal)."""
     lit_body = F.concat(F.lit('"'), _escape(df["obj"]), F.lit('"'))
-    obj = (
+    return (
         F.when(df["obj_kind"] == "iri", F.concat(F.lit("<"), df["obj"], F.lit(">")))
         .when(df["obj_kind"] == "bnode", F.concat(F.lit("_:"), df["obj"]))
         .when(df["lang"].isNotNull(), F.concat(lit_body, F.lit("@"), df["lang"]))
         .when(df["dtype"].isNotNull(), F.concat(lit_body, F.lit("^^<"), df["dtype"], F.lit(">")))
         .otherwise(lit_body)
     )
-    return F.concat(subj, F.lit(" "), pred, F.lit(" "), obj, F.lit(" ."))
+
+
+def nt_line(df: DataFrame) -> Column:
+    """Render one N-Triples line from the 7 term columns."""
+    pred = F.concat(F.lit("<"), df["pred"], F.lit(">"))
+    return F.concat(subj_term(df), F.lit(" "), pred, F.lit(" "), obj_term(df), F.lit(" ."))
 
 
 def to_nt_lines(triples: DataFrame) -> DataFrame:

@@ -1,0 +1,110 @@
+"""Reified N-Triples interchange: reference dump-reified.nq shape in and
+out of the graph store (Generator.java:680-699, VERDICT r1 missing #3).
+"""
+
+from __future__ import annotations
+
+from r2rml_parser_spark.mapping.parse import parse_mapping_document
+from r2rml_parser_spark.plans.engine import LINEAGE_COLUMN, MappingEngine
+from r2rml_parser_spark.sinks.checkpoint import GraphStore, IncrementalRunner
+from r2rml_parser_spark.sinks.reified import (
+    export_reified_string,
+    import_reified_string,
+    reified_nt_lines,
+)
+
+MAPPING = """
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix ex: <http://ex.org/> .
+<#A> rr:logicalTable [ rr:tableName "ta" ];
+  rr:subjectMap [ rr:template "http://x/a/{id}" ];
+  rr:predicateObjectMap [ rr:predicate ex:v; rr:objectMap [ rr:column "v" ] ] .
+<#B> rr:logicalTable [ rr:tableName "tb" ];
+  rr:subjectMap [ rr:template "http://x/b/{id}" ];
+  rr:predicateObjectMap [ rr:predicate ex:w; rr:objectMap [ rr:column "w" ] ] .
+"""
+
+
+def _engine(spark):
+    ta = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "v"])
+    tb = spark.createDataFrame([(9, 3)], ["id", "w"])
+    return MappingEngine(
+        spark, parse_mapping_document(MAPPING), sources={"ta": ta, "tb": tb}
+    )
+
+
+def test_export_import_roundtrip_identical_graph(spark):
+    triples = _engine(spark).triples(lineage=True)
+    dump = export_reified_string(triples)
+    # reference shape: 5 plain triples per data triple
+    assert dump.count("\n") == triples.count() * 5
+    assert "<http://purl.org/dc/elements/1.1/source>" in dump
+    assert "<http://www.w3.org/1999/02/22-rdf-syntax-ns#subject>" in dump
+    back = import_reified_string(spark, dump)
+    orig = {tuple(r) for r in triples.collect()}
+    got = {tuple(r) for r in back.select(*triples.columns).collect()}
+    assert got == orig  # clean graph AND lineage identical
+
+
+def test_export_is_deterministic_across_partitioning(spark):
+    triples = _engine(spark).triples(lineage=True)
+    a = export_reified_string(triples)
+    b = export_reified_string(triples.repartition(7))
+    assert a == b
+
+
+REFERENCE_STYLE_DUMP = """\
+_:A37b literal-free <http://bad/line> .
+_:A1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://www.w3.org/1999/02/22-rdf-syntax-ns#Statement> .
+_:A1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#subject> <http://x/a/1> .
+_:A1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#predicate> <http://ex.org/v> .
+_:A1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#object> "x" .
+_:A1 <http://purl.org/dc/elements/1.1/source> <file:///m.ttl#A> .
+_:A2 <http://www.w3.org/1999/02/22-rdf-syntax-ns#object> "3"^^<http://www.w3.org/2001/XMLSchema#integer> .
+_:A2 <http://www.w3.org/1999/02/22-rdf-syntax-ns#predicate> <http://ex.org/w> .
+_:A2 <http://www.w3.org/1999/02/22-rdf-syntax-ns#subject> <http://x/b/9> .
+_:A2 <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://www.w3.org/1999/02/22-rdf-syntax-ns#Statement> .
+_:A2 <http://purl.org/dc/elements/1.1/source> <file:///m.ttl#B> .
+"""
+
+
+def test_import_reference_style_dump_into_store(spark, tmp_path):
+    """A Jena-labeled, arbitrarily-ordered reified dump loads into the
+    store and reads back as the identical clean graph with lineage."""
+    dump_path = tmp_path / "dump-reified.nq"
+    # drop the intentionally-bogus first line: it exercises nothing here
+    dump_path.write_text("\n".join(REFERENCE_STYLE_DUMP.splitlines()[1:]) + "\n")
+    store = GraphStore(spark, str(tmp_path / "store"))
+    result = store.import_reified(str(dump_path))
+    assert sorted(result["imported_mappings"]) == [
+        "file:///m.ttl#A", "file:///m.ttl#B",
+    ]
+    clean = {tuple(r) for r in store.read().collect()}
+    assert clean == {
+        ("http://x/a/1", "iri", "http://ex.org/v", "x", "literal", None, None),
+        ("http://x/b/9", "iri", "http://ex.org/w", "3", "literal", None,
+         "http://www.w3.org/2001/XMLSchema#integer"),
+    }
+    lineage = {
+        (r.subj, r.source_map)
+        for r in store.read_with_lineage().collect()
+    }
+    assert ("http://x/a/1", "file:///m.ttl#A") in lineage
+    assert ("http://x/b/9", "file:///m.ttl#B") in lineage
+
+
+def test_store_roundtrip_through_incremental_runner(spark, tmp_path):
+    """Full cycle: incremental run → export reified → import into a
+    FRESH store → identical clean graph (the reference's resume story,
+    interchange-compatible)."""
+    engine = _engine(spark)
+    store = GraphStore(spark, str(tmp_path / "s1"))
+    IncrementalRunner(engine, store).run()
+    dump = tmp_path / "dump-reified.nq"
+    store.export_reified(str(dump))
+
+    fresh = GraphStore(spark, str(tmp_path / "s2"))
+    fresh.import_reified(str(dump))
+    assert {tuple(r) for r in fresh.read().collect()} == {
+        tuple(r) for r in store.read().collect()
+    }
