@@ -335,23 +335,24 @@ def neardup_edges(
         raise ValueError(f"unknown hash_family: {hash_family!r}")
     rows_per_band = n_hashes // n_bands
     dup_edges = None
+    rep_ids = None
     if collapse_exact:
+        # NARROW rows only — document text is hashed in the scan and
+        # never shuffled (a join carrying text through the exchange
+        # measured a 30% wall regression on the ×48 bench corpus).
+        # Signatures still compute for every doc (linear, in-row); the
+        # quadratic candidate blowup is what gets removed, by keeping
+        # only representatives' band rows.
         keyed = docs.select(
             F.col(id_col).alias("_id"),
-            F.col(text_col).alias("_text"),
             F.md5(normalized_text(F.col(text_col))).alias("_thash"),
+            F.size(F.split(normalized_text(F.col(text_col)), " ")).alias("_ntok"),
         )
-        # one algebraic groupBy (map-side combine) + a narrow-row join
-        # back on the 32-char hash; persisted because both the LSH input
-        # and the expansion edges derive from it
         grp = keyed.groupBy("_thash").agg(F.min("_id").alias("_rep"))
-        members = keyed.join(grp, "_thash").persist()
-        docs = members.where(F.col("_id") == F.col("_rep")).select(
-            F.col("_id").alias(id_col), F.col("_text").alias(text_col)
-        )
-        n_toks = F.size(F.split(normalized_text(F.col("_text")), " "))
+        members = keyed.join(grp, "_thash")  # (_id, _thash, _ntok, _rep)
+        rep_ids = members.where(F.col("_id") == F.col("_rep")).select("_id")
         dup_edges = members.where(
-            (F.col("_id") != F.col("_rep")) & (n_toks >= SHINGLE_K)
+            (F.col("_id") != F.col("_rep")) & (F.col("_ntok") >= SHINGLE_K)
         ).select(
             # _rep = min(id) < member id, so (a, b) ordering is preserved
             F.col("_rep").alias("a"), F.col("_id").alias("b"),
@@ -364,6 +365,11 @@ def neardup_edges(
     sig = flat.groupBy("_id").agg(
         *[F.min(seed_hash(seed)).alias(f"h{seed}") for seed in range(n_hashes)]
     )
+    if rep_ids is not None:
+        # identical texts have identical signatures, so restricting the
+        # banding to one representative per text keeps the candidate
+        # components exactly (see docstring); narrow join, one row/doc
+        sig = sig.join(rep_ids, "_id")
     bands = []
     for b in range(n_bands):
         parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
