@@ -349,7 +349,10 @@ def neardup_edges(
             F.size(F.split(normalized_text(F.col(text_col)), " ")).alias("_ntok"),
         )
         grp = keyed.groupBy("_thash").agg(F.min("_id").alias("_rep"))
-        members = keyed.join(grp, "_thash")  # (_id, _thash, _ntok, _rep)
+        # persist: rep_ids and dup_edges both consume this narrow
+        # (3-col/doc) relation — without it the scan+md5+groupBy runs
+        # once per consumer
+        members = keyed.join(grp, "_thash").persist()  # (_id, _thash, _ntok, _rep)
         rep_ids = members.where(F.col("_id") == F.col("_rep")).select("_id")
         dup_edges = members.where(
             (F.col("_id") != F.col("_rep")) & (F.col("_ntok") >= SHINGLE_K)

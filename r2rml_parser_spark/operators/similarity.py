@@ -211,7 +211,10 @@ def embedding_neardup(
     )
     if hyperplane_bands:
         d = dim if dim is not None else _vector_dim(embeddings, vec_col)
-        bk = _hyperplane_bands(e, d, hyperplane_bands, band_bits)
+        # persist: both sides of the self-join would otherwise recompute
+        # the 16 signed sums per vector (narrow rows — 4/vector — cheap
+        # to hold, spills at scale; same pattern as the MinHash bands)
+        bk = _hyperplane_bands(e, d, hyperplane_bands, band_bits).persist()
         pairs = (
             bk.alias("l")
             .join(bk.alias("r"), ["cell", "band", "sig"])
