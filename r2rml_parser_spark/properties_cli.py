@@ -240,8 +240,13 @@ def run_properties(
         if _flag(props, "jena.cleanTdbOnStartup"):
             shutil.rmtree(store_dir, ignore_errors=True)
         store = GraphStore(spark, store_dir)
-        result = IncrementalRunner(engine, store).run()
-        summary["incremental"] = result
+        if incremental:
+            result = IncrementalRunner(engine, store).run()
+            summary["incremental"] = result
+        else:
+            # reference TDB semantics without incremental: set-difference
+            # sync — apply exactly removed/added (Generator.java:701-748)
+            summary["sync"] = store.sync(engine.triples(lineage=True))
         triples = store.read()
         if extra is not None:
             triples = triples.unionByName(extra).dropDuplicates(TRIPLE_COLUMNS)

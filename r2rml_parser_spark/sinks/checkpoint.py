@@ -175,6 +175,75 @@ class GraphStore:
         self._commit_manifest(manifest)
         return {"imported_mappings": sources, "snapshot": manifest["snapshot"]}
 
+    def sync(self, triples_with_lineage: DataFrame) -> dict:
+        """True set-difference sync (S9/A3, Generator.java:701-748): the
+        reference computes removed = existing∖new and added =
+        new∖existing against the TDB model and applies exactly the
+        delta, skipping entirely when nothing changed ('No changes
+        detected'). Here the diff is computed PER MAPPING with
+        ``exceptAll`` (NULL-safe set semantics — lang/dtype columns are
+        nullable, so equi-join anti-joins would mis-compare) and applied
+        as a partition rewrite only for mappings whose content actually
+        changed; mappings absent from the new graph are dropped. Returns
+        the reference-style delta counts."""
+        new = triples_with_lineage
+        if LINEAGE_COLUMN not in new.columns:
+            raise ValueError(f"sync needs the {LINEAGE_COLUMN!r} lineage column")
+        manifest = self.read_manifest()
+        manifest["snapshot"] += 1
+        new_uris = sorted(
+            r[LINEAGE_COLUMN]
+            for r in new.select(LINEAGE_COLUMN).distinct().collect()
+        )
+        stats = {"added": 0, "removed": 0, "rewritten": [], "deleted": [], "unchanged": []}
+        for uri in sorted(set(new_uris) | set(manifest["mappings"])):
+            old_path = self._mapping_dir(uri)
+            if os.path.isdir(old_path):
+                old_part = self.spark.read.parquet(old_path).select(*TRIPLE_COLUMNS)
+            else:
+                from pyspark.sql.types import StringType, StructField, StructType
+
+                old_part = self.spark.createDataFrame(
+                    [],
+                    StructType(
+                        [StructField(c, StringType(), True) for c in TRIPLE_COLUMNS]
+                    ),
+                )
+            if uri not in new_uris:
+                stats["removed"] += old_part.count()
+                self.delete_mapping(uri)
+                manifest["mappings"].pop(uri, None)
+                stats["deleted"].append(uri)
+                continue
+            new_part = (
+                new.where(F.col(LINEAGE_COLUMN) == uri)
+                .select(*TRIPLE_COLUMNS)
+                .dropDuplicates()
+            )
+            added = new_part.exceptAll(old_part).count()
+            removed = old_part.exceptAll(new_part).count()
+            stats["added"] += added
+            stats["removed"] += removed
+            if added == 0 and removed == 0:
+                stats["unchanged"].append(uri)
+                continue
+            self.delete_mapping(uri)
+            counts = self.write_mapping(uri, new_part)
+            prev = manifest["mappings"].get(uri, {})
+            manifest["mappings"][uri] = {
+                "definition_hash": prev.get("definition_hash", "synced"),
+                "source_hash": prev.get("source_hash", "synced"),
+                "snapshot": manifest["snapshot"],
+                "partition_counts": counts,
+                "triples": sum(counts),
+                "delta": {"added": added, "removed": removed},
+                "committed_at": time.time(),
+            }
+            stats["rewritten"].append(uri)
+        self._commit_manifest(manifest)
+        stats["snapshot"] = manifest["snapshot"]
+        return stats
+
     def read(self) -> DataFrame:
         """The whole graph (set semantics across mappings)."""
         root = os.path.join(self.base, "graph")

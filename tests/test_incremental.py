@@ -37,6 +37,50 @@ def _graph(store):
     return {tuple(r) for r in store.read().collect()}
 
 
+def test_set_difference_sync(spark, tmp_path):
+    """Reference TDB sync semantics (Generator.java:701-748): compute
+    removed = existing∖new and added = new∖existing, apply exactly the
+    delta, and skip untouched mappings ('No changes detected')."""
+    ta = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "v"])
+    tb = spark.createDataFrame([(9, "z")], ["id", "v"])
+    doc = parse_mapping_document(MAPPING)
+    engine = MappingEngine(spark, doc, sources={"ta": ta, "tb": tb})
+    store = GraphStore(spark, str(tmp_path / "store"))
+
+    first = store.sync(engine.triples(lineage=True))
+    assert first["removed"] == 0 and first["added"] == 3  # 2 from <#A>, 1 from <#B>
+    assert sorted(first["unchanged"]) == []
+    baseline = _graph(store)
+
+    # no-op sync: zero delta, nothing rewritten
+    again = store.sync(engine.triples(lineage=True))
+    assert again["added"] == 0 and again["removed"] == 0
+    assert again["rewritten"] == [] and len(again["unchanged"]) == 2
+    assert _graph(store) == baseline
+
+    # change ONE source row: only that mapping rewrites, delta is exact
+    ta2 = spark.createDataFrame([(1, "x"), (2, "CHANGED")], ["id", "v"])
+    engine2 = MappingEngine(spark, doc, sources={"ta": ta2, "tb": tb})
+    delta = store.sync(engine2.triples(lineage=True))
+    assert delta["added"] == 1 and delta["removed"] == 1
+    assert len(delta["rewritten"]) == 1 and len(delta["unchanged"]) == 1
+    graph = _graph(store)
+    assert ("http://x/a/2", "iri", "http://ex.org/v", "CHANGED", "literal", None, None) in graph
+    assert not any(r[3] == "y" for r in graph)
+    # end state identical to a from-scratch build
+    fresh = {tuple(r) for r in engine2.triples(lineage=False).collect()}
+    assert graph == fresh
+
+    # a mapping disappearing from the new graph is dropped
+    only_a = engine2.triples(lineage=True)
+    from pyspark.sql import functions as F
+
+    only_a = only_a.where(F.col("source_map").contains("#A"))
+    drop = store.sync(only_a)
+    assert len(drop["deleted"]) == 1 and drop["removed"] == 1
+    assert all("/b/" not in r[0] for r in _graph(store))
+
+
 def test_source_hash_is_multiplicity_sensitive(spark):
     """ADVICE r1: bit_xor cancels even multiplicities — {A,A,B} and
     {C,C,B} (or 1 vs 3 copies of a row) must NOT collide, or the
