@@ -20,10 +20,12 @@ binding is the lexical form, matching the reference's
 
 Supported subset (documented): PREFIX decls, SELECT [DISTINCT]
 ?vars|*, WHERE { t1 . t2 ... } with IRIs (<...> or pfx:local or ``a``),
-plain/lang/typed literals, variables in any position, and LIMIT n.
-No OPTIONAL/FILTER/UNION — the escape hatch for those is plain Spark
-SQL over ``register_triples_view`` (the triples DF is an ordinary
-7-column table).
+plain/lang/typed literals, variables in any position,
+FILTER (?v op term) for op ∈ {=, !=, <, <=, >, >=} and
+FILTER regex(?v, "pattern"), and LIMIT n. No OPTIONAL/UNION — the
+escape hatch is plain Spark SQL over ``register_triples_view`` (the
+triples DF is an ordinary 7-column table). Comparison FILTERs are
+lexical (string ordering), like comparing plain literals.
 """
 
 from __future__ import annotations
@@ -61,10 +63,11 @@ class Lit:
 _TOKEN = re.compile(
     r"""\s*(?:
         (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
-      | (?P<iri><[^>]*>)
+      | (?P<iri><[^>\s]*>)
       | (?P<lit>"(?:[^"\\]|\\.)*")(?:@(?P<lang>[A-Za-z][A-Za-z0-9\-]*)
                                    |\^\^(?P<dtiri><[^>]*>|[A-Za-z_][\w\-]*:[\w\-]+))?
-      | (?P<punct>[{}.;])
+      | (?P<punct>[{}.;()])
+      | (?P<op><=|>=|!=|=|<|>|,)
       | (?P<kw>[A-Za-z_][\w\-]*:?[\w\-]*|\*|\d+)
     )""",
     re.VERBOSE,
@@ -97,6 +100,8 @@ def _tokens(text: str) -> list[tuple[str, object]]:
             )
         elif m.group("punct"):
             out.append(("punct", m.group("punct")))
+        elif m.group("op"):
+            out.append(("op", m.group("op")))
         else:
             out.append(("kw", m.group("kw")))
     return out
@@ -177,7 +182,14 @@ class _Parser:
         if self._next() != ("punct", "{"):
             raise SparqlError("expected '{'")
         patterns = []
+        filters: list[tuple] = []
         while self._peek() != ("punct", "}"):
+            if self._peek()[0] == "kw" and str(self._peek()[1]).upper() == "FILTER":
+                self._next()
+                filters.append(self._filter())
+                if self._peek() == ("punct", "."):
+                    self._next()
+                continue
             s = self._term("subj")
             p = self._term("pred")
             o = self._term("obj")
@@ -197,7 +209,41 @@ class _Parser:
             raise SparqlError(f"unsupported trailing syntax: {self._peek()!r}")
         if not patterns:
             raise SparqlError("empty graph pattern")
-        return proj, distinct, patterns, limit
+        return proj, distinct, patterns, filters, limit
+
+    def _operand(self):
+        kind, val = self._peek()
+        if kind == "kw" and str(val).isdigit():
+            self._next()
+            return Lit(str(val))
+        return self._term("obj")
+
+    def _filter(self) -> tuple:
+        k, v = self._next()
+        if k == "kw" and str(v).lower() == "regex":
+            if self._next() != ("punct", "("):
+                raise SparqlError("regex needs '('")
+            var = self._operand()
+            if not isinstance(var, Var):
+                raise SparqlError("regex first argument must be a variable")
+            if self._next() != ("op", ","):
+                raise SparqlError("regex needs ','")
+            k2, lit = self._next()
+            if k2 != "lit":
+                raise SparqlError("regex pattern must be a string literal")
+            if self._next() != ("punct", ")"):
+                raise SparqlError("regex needs ')'")
+            return ("regex", var, lit[0])
+        if k == "punct" and v == "(":
+            left = self._operand()
+            kop, op = self._next()
+            if kop != "op" or op == ",":
+                raise SparqlError(f"unsupported FILTER operator {op!r}")
+            right = self._operand()
+            if self._next() != ("punct", ")"):
+                raise SparqlError("FILTER needs ')'")
+            return ("cmp", left, str(op), right)
+        raise SparqlError("unsupported FILTER form (use (?v op term) or regex(?v, \"pat\"))")
 
 
 def _pattern_df(triples: DataFrame, s, p, o) -> tuple[DataFrame, list[str]]:
@@ -261,7 +307,7 @@ def sparql_select(
     reference (UtilImpl.java:151-159): queries may use prefixed names
     without declaring them. Returns a DataFrame with one string column
     per projected variable (lexical forms, like LocalResource)."""
-    proj, distinct, patterns, limit = _Parser(query, prefixes).parse()
+    proj, distinct, patterns, filters, limit = _Parser(query, prefixes).parse()
     df: DataFrame | None = None
     bound: set[str] = set()
     for s, p, o in patterns:
@@ -277,6 +323,26 @@ def sparql_select(
             df = df.crossJoin(pat_df)
         bound |= set(variables)
     assert df is not None
+
+    def operand_col(term):
+        if isinstance(term, Var):
+            if term.name not in bound:
+                raise SparqlError(f"FILTER variable ?{term.name} never bound")
+            return F.col(term.name)
+        return F.lit(term.lexical if isinstance(term, Lit) else term.value)
+
+    _OPS = {
+        "=": lambda a, b: a == b, "!=": lambda a, b: a != b,
+        "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+        ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+    }
+    for f in filters:
+        if f[0] == "regex":
+            _, var, pat = f
+            df = df.where(operand_col(var).rlike(pat))
+        else:
+            _, left, op, right = f
+            df = df.where(_OPS[op](operand_col(left), operand_col(right)))
     if proj is None:
         proj = sorted(bound)
     missing = [v for v in proj if v not in bound]

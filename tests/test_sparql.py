@@ -70,6 +70,18 @@ def test_literal_lang_and_limit_and_distinct(graph):
     assert sparql_select(graph, q2).count() == 1
 
 
+def test_filter_comparison_and_regex(graph):
+    q = 'PREFIX ex: <http://ex.org/> SELECT ?p ?n WHERE { ?p ex:name ?n . FILTER (?n != "Ada") }'
+    assert {(r.p, r.n) for r in sparql_select(graph, q).collect()} == {(EX + "p2", "Grace")}
+    q2 = 'PREFIX ex: <http://ex.org/> SELECT ?n WHERE { ?p ex:name ?n . FILTER regex(?n, "^A") }'
+    assert [r.n for r in sparql_select(graph, q2).collect()] == ["Ada"]
+    # lexical ordering comparison + var-vs-var
+    q3 = 'PREFIX ex: <http://ex.org/> SELECT ?n WHERE { ?p ex:name ?n . FILTER (?n < "B") }'
+    assert [r.n for r in sparql_select(graph, q3).collect()] == ["Ada"]
+    with pytest.raises(SparqlError):
+        sparql_select(graph, 'SELECT ?x WHERE { ?x dc:source ?z . FILTER (?unbound = "v") }', {"dc": DC})
+
+
 def test_select_star_and_errors(graph):
     out = sparql_select(graph, "SELECT * WHERE { ?x dc:source ?z }", {"dc": DC})
     assert sorted(out.columns) == ["x", "z"]
