@@ -53,6 +53,14 @@ def q_kg_tpch_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_tpch_kg(spark, sf_dir)
 
 
+def q_sparql_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL BGP+FILTER answered over the KG the engine just built
+    (the reference's own test pattern, ComplianceTests.java:147-168)."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql
+
+    return run_tpch_sparql(spark, sf_dir)
+
+
 def q_span_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     from r2rml_parser_spark.sources.docs import span_view, synth_docs
 
@@ -220,6 +228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_docs_triples": q_kg_docs_triples,
         "kg_tpch_triples": q_kg_tpch_triples,
+        "sparql_kg": q_sparql_kg,
         "span_view": q_span_view,
         "mentions": q_mentions,
         "dedup_exact": q_dedup_exact,
@@ -249,7 +258,7 @@ def oracle_sql() -> dict[str, str]:
     from r2rml_parser_spark.operators.multimodal import media_features_sql
     from r2rml_parser_spark.pipeline import kg_oracle_sql
     from r2rml_parser_spark.sources.docs import SPAN_VIEW_ORACLE_SQL
-    from r2rml_parser_spark.tpch_kg import TPCH_KG_ORACLE_SQL
+    from r2rml_parser_spark.tpch_kg import TPCH_KG_ORACLE_SQL, TPCH_SPARQL_ORACLE_SQL
 
     span_sql = f"SELECT doc_id, lang, source, kind, text, media_ref, \"offset\" AS span_offset FROM ({SPAN_VIEW_ORACLE_SQL}) v"
     reassembled_sql = f"""
@@ -271,6 +280,7 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
     return {
         "kg_docs_triples": kg_oracle_sql(),
         "kg_tpch_triples": TPCH_KG_ORACLE_SQL,
+        "sparql_kg": TPCH_SPARQL_ORACLE_SQL,
         "span_view": span_sql,
         "mentions": mentions_oracle_sql(SPAN_VIEW_ORACLE_SQL),
         "dedup_exact": oracles.DEDUP_EXACT_SQL,

@@ -134,6 +134,49 @@ def extract_features(media: DataFrame, *, fake_decode: bool = True,
     return media.select("media_ref", "kind", "payload").mapInPandas(batches, FEATURE_SCHEMA)
 
 
+def resize_media(media: DataFrame, width: int, height: int,
+                 *, fake_decode: bool = True) -> DataFrame:
+    """Image resize plumbing: MEDIA_SCHEMA → MEDIA_SCHEMA with image
+    payloads re-encoded at (width, height) and meta updated; non-image
+    rows pass through untouched.
+
+    Like extract_features, the Arrow batch contract is the real
+    deliverable — decode → resample → re-encode happens per pandas
+    batch, so swapping the md5-chain fake for PIL's ``Image.resize`` is
+    a body-only change. The fake resample is deterministic: payload' =
+    md5-chain over (decoded-hex ‖ "{width}x{height}"), length scaled to
+    width*height/256 bytes (bounded 16..1024) so payload size tracks
+    the target resolution the way a real re-encode roughly would."""
+    target_bytes = min(1024, max(16, width * height // 256))
+
+    def _resized_payload(payload: bytes) -> bytes:
+        raw = decode_media(payload, "image", fake=fake_decode)
+        out = bytearray()
+        seed = raw.hex() + f"{width}x{height}"
+        while len(out) < target_bytes:
+            seed = hashlib.md5(seed.encode()).hexdigest()
+            out += bytes.fromhex(seed)
+        return bytes(out[:target_bytes])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for ref, kind, payload, meta in zip(
+                pdf["media_ref"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                if kind == "image":
+                    payload = _resized_payload(payload)
+                    meta = dict(meta or {})
+                    meta["width"], meta["height"] = width, height
+                    meta["bytes"] = len(payload)
+                rows.append((ref, kind, payload, meta))
+            yield pd.DataFrame(rows, columns=["media_ref", "kind", "payload", "meta"])
+
+    return media.select("media_ref", "kind", "payload", "meta").mapInPandas(
+        batches, MEDIA_SCHEMA
+    )
+
+
 def features_checkable(media: DataFrame, *, frame_sample: int = 4, dim: int = 8) -> DataFrame:
     """Hash-stable projection of ``extract_features`` for the driver
     correctness gate: the array<float> feature (unhashable for the

@@ -21,11 +21,14 @@ binding is the lexical form, matching the reference's
 Supported subset (documented): PREFIX decls, SELECT [DISTINCT]
 ?vars|*, WHERE { t1 . t2 ... } with IRIs (<...> or pfx:local or ``a``),
 plain/lang/typed literals, variables in any position,
-FILTER (?v op term) for op ∈ {=, !=, <, <=, >, >=} and
-FILTER regex(?v, "pattern"), and LIMIT n. No OPTIONAL/UNION — the
+OPTIONAL { t1 . t2 ... } groups (compiled to left joins; must share at
+least one variable with the required patterns; FILTERs may not appear
+inside an OPTIONAL group), FILTER (?v op term) for op ∈
+{=, !=, <, <=, >, >=} and FILTER regex(?v, "pattern"),
+ORDER BY [ASC()|DESC()] ?vars (projected variables only; lexical
+string ordering, like comparison FILTERs), and LIMIT n. No UNION — the
 escape hatch is plain Spark SQL over ``register_triples_view`` (the
-triples DF is an ordinary 7-column table). Comparison FILTERs are
-lexical (string ordering), like comparing plain literals.
+triples DF is an ordinary 7-column table).
 """
 
 from __future__ import annotations
@@ -182,11 +185,18 @@ class _Parser:
         if self._next() != ("punct", "{"):
             raise SparqlError("expected '{'")
         patterns = []
+        optionals: list[list[tuple]] = []
         filters: list[tuple] = []
         while self._peek() != ("punct", "}"):
             if self._peek()[0] == "kw" and str(self._peek()[1]).upper() == "FILTER":
                 self._next()
                 filters.append(self._filter())
+                if self._peek() == ("punct", "."):
+                    self._next()
+                continue
+            if self._peek()[0] == "kw" and str(self._peek()[1]).upper() == "OPTIONAL":
+                self._next()
+                optionals.append(self._group())
                 if self._peek() == ("punct", "."):
                     self._next()
                 continue
@@ -197,6 +207,32 @@ class _Parser:
             if self._peek() == ("punct", "."):
                 self._next()
         self._next()  # }
+        order: list[tuple[str, bool]] = []
+        if self._peek()[0] == "kw" and str(self._peek()[1]).upper() == "ORDER":
+            self._next()
+            k, kw2 = self._next()
+            if k != "kw" or str(kw2).upper() != "BY":
+                raise SparqlError("expected BY after ORDER")
+            while True:
+                kind, val = self._peek()
+                if kind == "var":
+                    self._next()
+                    order.append((str(val), False))
+                elif kind == "kw" and str(val).upper() in ("ASC", "DESC"):
+                    self._next()
+                    desc = str(val).upper() == "DESC"
+                    if self._next() != ("punct", "("):
+                        raise SparqlError("ASC/DESC needs '('")
+                    kv, vv = self._next()
+                    if kv != "var":
+                        raise SparqlError("ASC/DESC takes a variable")
+                    if self._next() != ("punct", ")"):
+                        raise SparqlError("ASC/DESC needs ')'")
+                    order.append((str(vv), desc))
+                else:
+                    break
+            if not order:
+                raise SparqlError("ORDER BY needs at least one sort key")
         limit = None
         if self._peek()[0] == "kw" and str(self._peek()[1]).upper() == "LIMIT":
             self._next()
@@ -208,8 +244,30 @@ class _Parser:
         if self._peek()[0] != "eof":
             raise SparqlError(f"unsupported trailing syntax: {self._peek()!r}")
         if not patterns:
-            raise SparqlError("empty graph pattern")
-        return proj, distinct, patterns, filters, limit
+            raise SparqlError("empty graph pattern (OPTIONAL needs a required part)")
+        return proj, distinct, patterns, optionals, filters, order, limit
+
+    def _group(self) -> list[tuple]:
+        """Parse ``{ t1 . t2 ... }`` (an OPTIONAL block: triple patterns
+        only — FILTER scoping inside OPTIONAL is the one SPARQL feature
+        a plain left join cannot express, so it is rejected, not
+        silently mis-evaluated)."""
+        if self._next() != ("punct", "{"):
+            raise SparqlError("OPTIONAL needs '{'")
+        group: list[tuple] = []
+        while self._peek() != ("punct", "}"):
+            if self._peek()[0] == "kw" and str(self._peek()[1]).upper() in ("FILTER", "OPTIONAL"):
+                raise SparqlError("FILTER/OPTIONAL inside OPTIONAL is not supported")
+            s = self._term("subj")
+            p = self._term("pred")
+            o = self._term("obj")
+            group.append((s, p, o))
+            if self._peek() == ("punct", "."):
+                self._next()
+        self._next()  # }
+        if not group:
+            raise SparqlError("empty OPTIONAL group")
+        return group
 
     def _operand(self):
         kind, val = self._peek()
@@ -298,16 +356,9 @@ def _pattern_df(triples: DataFrame, s, p, o) -> tuple[DataFrame, list[str]]:
     return out, variables
 
 
-def sparql_select(
-    triples: DataFrame, query: str, prefixes: dict[str, str] | None = None
-) -> DataFrame:
-    """Run a BGP SPARQL SELECT against a 7-column triples DataFrame.
-
-    ``prefixes`` plays the role of the model's namespace map in the
-    reference (UtilImpl.java:151-159): queries may use prefixed names
-    without declaring them. Returns a DataFrame with one string column
-    per projected variable (lexical forms, like LocalResource)."""
-    proj, distinct, patterns, filters, limit = _Parser(query, prefixes).parse()
+def _join_patterns(triples: DataFrame, patterns: list[tuple]) -> tuple[DataFrame, set[str]]:
+    """Inner-join a pattern group on its shared variables (+ kind
+    shadow columns); unshared patterns cross-join (SPARQL product)."""
     df: DataFrame | None = None
     bound: set[str] = set()
     for s, p, o in patterns:
@@ -323,6 +374,32 @@ def sparql_select(
             df = df.crossJoin(pat_df)
         bound |= set(variables)
     assert df is not None
+    return df, bound
+
+
+def sparql_select(
+    triples: DataFrame, query: str, prefixes: dict[str, str] | None = None
+) -> DataFrame:
+    """Run a BGP SPARQL SELECT against a 7-column triples DataFrame.
+
+    ``prefixes`` plays the role of the model's namespace map in the
+    reference (UtilImpl.java:151-159): queries may use prefixed names
+    without declaring them. Returns a DataFrame with one string column
+    per projected variable (lexical forms, like LocalResource)."""
+    proj, distinct, patterns, optionals, filters, order, limit = _Parser(
+        query, prefixes
+    ).parse()
+    df, bound = _join_patterns(triples, patterns)
+    for group in optionals:
+        gdf, gvars = _join_patterns(triples, group)
+        shared = sorted(v for v in gvars if v in bound)
+        if not shared:
+            raise SparqlError(
+                "OPTIONAL group shares no variable with the required patterns"
+            )
+        join_keys = [x for v in shared for x in (v, f"__{v}_kind")]
+        df = df.join(gdf, on=join_keys, how="left")
+        bound |= gvars
 
     def operand_col(term):
         if isinstance(term, Var):
@@ -351,6 +428,15 @@ def sparql_select(
     out = df.select(*proj)
     if distinct:
         out = out.dropDuplicates()
+    if order:
+        missing_order = [v for v, _ in order if v not in proj]
+        if missing_order:
+            raise SparqlError(
+                f"ORDER BY variables must be projected: {missing_order}"
+            )
+        out = out.orderBy(
+            *[F.col(v).desc() if desc else F.col(v).asc() for v, desc in order]
+        )
     if limit is not None:
         out = out.limit(limit)
     return out

@@ -57,6 +57,30 @@ def build_tpch_kg(spark: SparkSession, sf_dir: str, lineage: bool = False) -> Da
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 ONT = f"{KG}/ontology#"
 
+# SPARQL over the generated KG (the reference's own test pattern:
+# ComplianceTests.java:147-168 runs a SELECT over the model it just
+# generated). Five-pattern BGP + regex FILTER: class slice (broadcast),
+# literal-object constraint, and a two-hop join through ex:inNation.
+TPCH_SPARQL_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?customer ?cname ?nation_name WHERE {
+  ?customer a ex:Customer .
+  ?customer ex:name ?cname .
+  ?customer ex:marketSegment "BUILDING" .
+  ?customer ex:inNation ?nation .
+  ?nation ex:name ?nation_name .
+  FILTER regex(?cname, "1$")
+}
+"""
+
+
+def run_tpch_sparql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the TPC-H KG, then answer TPCH_SPARQL_QUERY over it
+    (UtilImpl.java:148-210 equivalent: query the model you generated)."""
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_QUERY)
+
 TPCH_KG_ORACLE_SQL = f"""
 WITH t AS (
   SELECT '{KG}/customer/' || c_custkey AS subj, '{RDF_TYPE}' AS pred,
@@ -90,4 +114,25 @@ WITH t AS (
          'iri', NULL, NULL FROM nation
 )
 SELECT DISTINCT subj, 'iri' AS subj_kind, pred, obj, obj_kind, lang, dtype FROM t
+"""
+
+# DuckDB twin of TPCH_SPARQL_QUERY: one self-join per triple pattern
+# over the same triples CTE the kg_tpch_triples oracle defines — the
+# literal SQL a BGP compiles to, so the oracle checks the SPARQL
+# engine's join/filter semantics, not just the data.
+TPCH_SPARQL_ORACLE_SQL = f"""
+WITH triples AS ({TPCH_KG_ORACLE_SQL})
+SELECT t2.subj AS customer, t2.obj AS cname, t5.obj AS nation_name
+FROM triples t1
+JOIN triples t2 ON t2.subj = t1.subj AND t2.subj_kind = t1.subj_kind
+JOIN triples t3 ON t3.subj = t1.subj AND t3.subj_kind = t1.subj_kind
+JOIN triples t4 ON t4.subj = t1.subj AND t4.subj_kind = t1.subj_kind
+JOIN triples t5 ON t5.subj = t4.obj AND t5.subj_kind = t4.obj_kind
+WHERE t1.pred = '{RDF_TYPE}' AND t1.obj = '{ONT}Customer' AND t1.obj_kind = 'iri'
+  AND t2.pred = '{ONT}name' AND t2.obj_kind = 'literal'
+  AND t3.pred = '{ONT}marketSegment' AND t3.obj = 'BUILDING'
+  AND t3.obj_kind = 'literal' AND t3.lang IS NULL AND t3.dtype IS NULL
+  AND t4.pred = '{ONT}inNation' AND t4.obj_kind = 'iri'
+  AND t5.pred = '{ONT}name' AND t5.obj_kind = 'literal'
+  AND regexp_matches(t2.obj, '1$')
 """

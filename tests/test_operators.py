@@ -381,6 +381,33 @@ def test_multimodal_plumbing(spark):
         decode_media(b"x", "image", fake=False)
 
 
+def test_resize_media_plumbing(spark):
+    from r2rml_parser_spark.operators.multimodal import resize_media
+
+    spans = spark.createDataFrame(
+        [("d1", "image", None, "media://d1/0", 0),
+         ("d2", "image", None, "media://d2/0", 0),
+         ("d3", "audio", None, "media://d3/0", 0)],
+        "doc_id string, kind string, text string, media_ref string, offset int",
+    )
+    media = synth_media_table(spans)
+    out = resize_media(media, 256, 128).collect()
+    assert len(out) == 3
+    imgs = {r.media_ref: r for r in out if r.kind == "image"}
+    # meta tracks the target resolution; payload length tracks w*h/256
+    assert all(r.meta.width == 256 and r.meta.height == 128 for r in imgs.values())
+    assert all(len(r.payload) == 128 and r.meta.bytes == 128 for r in imgs.values())
+    # distinct sources resize to distinct payloads (fake chain is keyed)
+    assert imgs["media://d1/0"].payload != imgs["media://d2/0"].payload
+    # non-image rows pass through byte-identical
+    orig_audio = [r for r in media.collect() if r.kind == "audio"][0]
+    audio = [r for r in out if r.kind == "audio"][0]
+    assert audio.payload == orig_audio.payload and audio.meta == orig_audio.meta
+    # deterministic across batch boundaries, like extract_features
+    out3 = resize_media(media.repartition(3), 256, 128).collect()
+    assert sorted(map(str, out)) == sorted(map(str, out3))
+
+
 def test_connected_components_distributed_equals_driver(spark):
     # same assignments from the union-find fast path and the
     # large-star/small-star fixpoint (threshold=0 forces distributed)

@@ -93,6 +93,48 @@ def test_select_star_and_errors(graph):
         sparql_select(graph, "SELECT ?missing WHERE { ?x dc:source ?z }", {"dc": DC})
 
 
+def test_optional_left_join(graph):
+    # p1 knows p2; p2 knows nobody — OPTIONAL keeps p2 with a NULL ?q
+    q = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?p ?n ?q WHERE {
+      ?p a ex:Person .
+      ?p ex:name ?n .
+      OPTIONAL { ?p ex:knows ?q }
+    }
+    """
+    got = {(r.p, r.n, r.q) for r in sparql_select(graph, q).collect()}
+    assert got == {(EX + "p1", "Ada", EX + "p2"), (EX + "p2", "Grace", None)}
+
+
+def test_optional_errors(graph):
+    with pytest.raises(SparqlError):  # no shared variable
+        sparql_select(
+            graph,
+            "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . OPTIONAL { ?x dc:source ?z } }",
+            {"dc": DC},
+        )
+    with pytest.raises(SparqlError):  # FILTER scoping inside OPTIONAL unsupported
+        sparql_select(
+            graph,
+            'PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . OPTIONAL { ?p ex:name ?n . FILTER (?n = "Ada") } }',
+        )
+    with pytest.raises(SparqlError):  # OPTIONAL with no required part
+        sparql_select(graph, "SELECT ?p WHERE { OPTIONAL { ?p ?x ?z } }")
+
+
+def test_order_by_asc_desc_limit(graph):
+    q = "PREFIX ex: <http://ex.org/> SELECT ?n WHERE { ?p ex:name ?n } ORDER BY ?n"
+    assert [r.n for r in sparql_select(graph, q).collect()] == ["Ada", "Grace"]
+    q2 = "PREFIX ex: <http://ex.org/> SELECT ?n WHERE { ?p ex:name ?n } ORDER BY DESC(?n) LIMIT 1"
+    assert [r.n for r in sparql_select(graph, q2).collect()] == ["Grace"]
+    with pytest.raises(SparqlError):  # order key must be projected
+        sparql_select(
+            graph,
+            "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p ex:name ?n } ORDER BY ?n",
+        )
+
+
 def test_sql_over_triples_matches_sparql(graph, spark):
     register_triples_view(graph, "g")
     sql = spark.sql(
