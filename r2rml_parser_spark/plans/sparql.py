@@ -23,12 +23,16 @@ Supported subset (documented): PREFIX decls, SELECT [DISTINCT]
 plain/lang/typed literals, variables in any position,
 OPTIONAL { t1 . t2 ... } groups (compiled to left joins; must share at
 least one variable with the required patterns; FILTERs may not appear
-inside an OPTIONAL group), FILTER (?v op term) for op ∈
-{=, !=, <, <=, >, >=} and FILTER regex(?v, "pattern"),
+inside an OPTIONAL group), { A } UNION { B } blocks (both branches
+must bind the same variables — then the union is a plain bag union and
+joins against the rest of the query stay sound; branches binding
+different variables would need SPARQL's unbound-is-compatible join
+semantics, which is rejected, not approximated), FILTER (?v op term)
+for op ∈ {=, !=, <, <=, >, >=} and FILTER regex(?v, "pattern"),
 ORDER BY [ASC()|DESC()] ?vars (projected variables only; lexical
-string ordering, like comparison FILTERs), and LIMIT n. No UNION — the
-escape hatch is plain Spark SQL over ``register_triples_view`` (the
-triples DF is an ordinary 7-column table).
+string ordering, like comparison FILTERs), and LIMIT n. Anything
+beyond this subset: plain Spark SQL over ``register_triples_view``
+(the triples DF is an ordinary 7-column table).
 """
 
 from __future__ import annotations
@@ -186,6 +190,7 @@ class _Parser:
             raise SparqlError("expected '{'")
         patterns = []
         optionals: list[list[tuple]] = []
+        unions: list[list[list[tuple]]] = []
         filters: list[tuple] = []
         while self._peek() != ("punct", "}"):
             if self._peek()[0] == "kw" and str(self._peek()[1]).upper() == "FILTER":
@@ -197,6 +202,17 @@ class _Parser:
             if self._peek()[0] == "kw" and str(self._peek()[1]).upper() == "OPTIONAL":
                 self._next()
                 optionals.append(self._group())
+                if self._peek() == ("punct", "."):
+                    self._next()
+                continue
+            if self._peek() == ("punct", "{"):
+                branches = [self._group()]
+                while self._peek()[0] == "kw" and str(self._peek()[1]).upper() == "UNION":
+                    self._next()
+                    branches.append(self._group())
+                if len(branches) < 2:
+                    raise SparqlError("a braced group must be a UNION branch")
+                unions.append(branches)
                 if self._peek() == ("punct", "."):
                     self._next()
                 continue
@@ -243,21 +259,21 @@ class _Parser:
                 raise SparqlError(f"bad LIMIT {n!r}") from e
         if self._peek()[0] != "eof":
             raise SparqlError(f"unsupported trailing syntax: {self._peek()!r}")
-        if not patterns:
+        if not patterns and not unions:
             raise SparqlError("empty graph pattern (OPTIONAL needs a required part)")
-        return proj, distinct, patterns, optionals, filters, order, limit
+        return proj, distinct, patterns, unions, optionals, filters, order, limit
 
     def _group(self) -> list[tuple]:
-        """Parse ``{ t1 . t2 ... }`` (an OPTIONAL block: triple patterns
-        only — FILTER scoping inside OPTIONAL is the one SPARQL feature
-        a plain left join cannot express, so it is rejected, not
-        silently mis-evaluated)."""
+        """Parse ``{ t1 . t2 ... }`` (an OPTIONAL or UNION block: triple
+        patterns only — FILTER scoping inside a nested group is the one
+        SPARQL feature a plain join cannot express, so it is rejected,
+        not silently mis-evaluated)."""
         if self._next() != ("punct", "{"):
-            raise SparqlError("OPTIONAL needs '{'")
+            raise SparqlError("a group needs '{'")
         group: list[tuple] = []
         while self._peek() != ("punct", "}"):
             if self._peek()[0] == "kw" and str(self._peek()[1]).upper() in ("FILTER", "OPTIONAL"):
-                raise SparqlError("FILTER/OPTIONAL inside OPTIONAL is not supported")
+                raise SparqlError("FILTER/OPTIONAL inside a braced group is not supported")
             s = self._term("subj")
             p = self._term("pred")
             o = self._term("obj")
@@ -386,10 +402,36 @@ def sparql_select(
     reference (UtilImpl.java:151-159): queries may use prefixed names
     without declaring them. Returns a DataFrame with one string column
     per projected variable (lexical forms, like LocalResource)."""
-    proj, distinct, patterns, optionals, filters, order, limit = _Parser(
+    proj, distinct, patterns, unions, optionals, filters, order, limit = _Parser(
         query, prefixes
     ).parse()
-    df, bound = _join_patterns(triples, patterns)
+    df: DataFrame | None = None
+    bound: set[str] = set()
+    if patterns:
+        df, bound = _join_patterns(triples, patterns)
+    for branches in unions:
+        compiled = [_join_patterns(triples, b) for b in branches]
+        varset = compiled[0][1]
+        if any(vs != varset for _, vs in compiled):
+            raise SparqlError(
+                "UNION branches must bind the same variables "
+                f"(got {sorted(v for _, vs in compiled for v in vs)})"
+            )
+        cols = [x for v in sorted(varset) for x in (v, f"__{v}_kind")]
+        u = compiled[0][0].select(*cols)
+        for bdf, _ in compiled[1:]:
+            u = u.unionByName(bdf.select(*cols))  # bag union (SPARQL UNION)
+        if df is None:
+            df, bound = u, set(varset)
+        else:
+            shared = [v for v in sorted(varset) if v in bound]
+            if shared:
+                join_keys = [x for v in shared for x in (v, f"__{v}_kind")]
+                df = df.join(u, on=join_keys, how="inner")
+            else:
+                df = df.crossJoin(u)
+            bound |= varset
+    assert df is not None
     for group in optionals:
         gdf, gvars = _join_patterns(triples, group)
         shared = sorted(v for v in gvars if v in bound)

@@ -135,6 +135,48 @@ def test_order_by_asc_desc_limit(graph):
         )
 
 
+def test_union_same_vars(graph):
+    # names via ex:name UNION sources via dc:source — same shape? No:
+    # use two predicate alternatives binding the same (?s ?v) pair
+    q = """
+    PREFIX ex: <http://ex.org/>
+    PREFIX dc: <http://purl.org/dc/elements/1.1/>
+    SELECT ?s ?v WHERE {
+      { ?s ex:name ?v } UNION { ?s dc:source ?v }
+    }
+    """
+    got = {(r.s, r.v) for r in sparql_select(graph, q).collect()}
+    assert got == {
+        (EX + "p1", "Ada"), (EX + "p2", "Grace"),
+        (EX + "m1", EX + "mapA"), (EX + "m2", EX + "mapB"),
+    }
+
+
+def test_union_joins_with_required_patterns(graph):
+    # the union unit joins against the required class slice on ?s
+    q = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?s ?v WHERE {
+      ?s a ex:Person .
+      { ?s ex:name ?v } UNION { ?s ex:knows ?v }
+    }
+    """
+    got = {(r.s, r.v) for r in sparql_select(graph, q).collect()}
+    assert got == {(EX + "p1", "Ada"), (EX + "p2", "Grace"), (EX + "p1", EX + "p2")}
+    # IRI binding from ex:knows and literal binding from ex:name both
+    # survive the union (kind column carried through)
+
+
+def test_union_errors(graph):
+    with pytest.raises(SparqlError):  # branches bind different variables
+        sparql_select(
+            graph,
+            "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { { ?s ex:name ?n } UNION { ?s ex:knows ?q } }",
+        )
+    with pytest.raises(SparqlError):  # lone braced group is not a UNION
+        sparql_select(graph, "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { { ?s ex:name ?n } }")
+
+
 def test_sql_over_triples_matches_sparql(graph, spark):
     register_triples_view(graph, "g")
     sql = spark.sql(
