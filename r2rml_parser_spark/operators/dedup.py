@@ -349,12 +349,16 @@ def neardup_edges(
             F.size(F.split(normalized_text(F.col(text_col)), " ")).alias("_ntok"),
         )
         grp = keyed.groupBy("_thash").agg(F.min("_id").alias("_rep"))
-        # persist: rep_ids and dup_edges both consume this narrow
-        # (3-col/doc) relation — without it the scan+md5+groupBy runs
-        # once per consumer
-        members = keyed.join(grp, "_thash").persist()  # (_id, _thash, _ntok, _rep)
-        rep_ids = members.where(F.col("_id") == F.col("_rep")).select("_id")
-        dup_edges = members.where(
+        # the rep set IS the aggregation output — no join back to the
+        # members needed (an earlier formulation persisted a members
+        # relation and filtered it for reps; each group has exactly one
+        # _rep and reps of distinct _thash groups are distinct, so this
+        # projection is the same set with one join and one persist less)
+        rep_ids = grp.select(F.col("_rep").alias("_id"))
+        # single consumer → no persist; recomputing the narrow
+        # scan+md5+groupBy once for the expansion edges is cheaper than
+        # materializing it
+        dup_edges = keyed.join(grp, "_thash").where(
             (F.col("_id") != F.col("_rep")) & (F.col("_ntok") >= SHINGLE_K)
         ).select(
             # _rep = min(id) < member id, so (a, b) ordering is preserved
