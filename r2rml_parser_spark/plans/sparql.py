@@ -22,15 +22,20 @@ Supported subset (documented): PREFIX decls, SELECT [DISTINCT]
 ?vars|*, WHERE { t1 . t2 ... } with IRIs (<...> or pfx:local or ``a``),
 plain/lang/typed literals, variables in any position,
 OPTIONAL { t1 . t2 ... } groups (compiled to left joins; must share at
-least one variable with the required patterns; FILTERs may not appear
-inside an OPTIONAL group), { A } UNION { B } blocks (both branches
+least one variable with the required patterns, and that variable must
+come from the REQUIRED part — a join variable another OPTIONAL may
+have left unbound would need SPARQL's unbound-is-compatible join,
+which an equi-join cannot express, so it is rejected; FILTERs may not
+appear inside an OPTIONAL group), { A } UNION { B } blocks (both branches
 must bind the same variables — then the union is a plain bag union and
 joins against the rest of the query stay sound; branches binding
 different variables would need SPARQL's unbound-is-compatible join
 semantics, which is rejected, not approximated), FILTER (?v op term)
-for op ∈ {=, !=, <, <=, >, >=} and FILTER regex(?v, "pattern"),
-ORDER BY [ASC()|DESC()] ?vars (projected variables only; lexical
-string ordering, like comparison FILTERs), and LIMIT n. Anything
+for op ∈ {=, !=, <, <=, >, >=} — equality/inequality compare the TERM
+(lexical form AND iri/literal/bnode kind; lang/dtype are not modeled),
+ordering operators compare lexical forms only — and
+FILTER regex(?v, "pattern"), ORDER BY [ASC()|DESC()] ?vars (projected
+variables only; lexical string ordering), and LIMIT n. Anything
 beyond this subset: plain Spark SQL over ``register_triples_view``
 (the triples DF is an ordinary 7-column table).
 """
@@ -331,8 +336,14 @@ def _pattern_df(triples: DataFrame, s, p, o) -> tuple[DataFrame, list[str]]:
         nonlocal d
         if isinstance(term, Var):
             if term.name in cols:
-                # repeated variable within one pattern: equality filter
-                d = d.where(F.col(value_col) == cols[term.name][0])
+                # repeated variable within one pattern: same TERM, not
+                # just same lexical form — value AND kind must match
+                # (an IRI subject must not satisfy ?x p ?x against a
+                # literal object with equal text)
+                prev_val, prev_kind = cols[term.name]
+                d = d.where(
+                    (F.col(value_col) == prev_val) & (kind_col == prev_kind)
+                )
             else:
                 cols[term.name] = (F.col(value_col), kind_col)
                 variables.append(term.name)
@@ -365,9 +376,13 @@ def _pattern_df(triples: DataFrame, s, p, o) -> tuple[DataFrame, list[str]]:
             )
         ]
     )
-    # tiny constant slice (constant pred + obj, e.g. ?x rdf:type <C>):
-    # hint broadcast so Catalyst can pick BHJ without a stats pass
-    if not isinstance(p, Var) and not isinstance(o, Var):
+    # class slice (?x rdf:type <C>): hint broadcast so Catalyst can pick
+    # BHJ without a stats pass. Gated to rdf:type only — a generic
+    # constant-pred+obj slice (e.g. every customer in one market
+    # segment) can be a large fraction of the graph, and an explicit
+    # hint would force a broadcast AQE cannot demote; for those, size
+    # estimation is left to Catalyst/AQE.
+    if isinstance(p, Iri) and p.value == RDF_TYPE and not isinstance(o, Var):
         out = F.broadcast(out)
     return out, variables
 
@@ -432,6 +447,7 @@ def sparql_select(
                 df = df.crossJoin(u)
             bound |= varset
     assert df is not None
+    nullable: set[str] = set()  # vars introduced by OPTIONAL (may be NULL)
     for group in optionals:
         gdf, gvars = _join_patterns(triples, group)
         shared = sorted(v for v in gvars if v in bound)
@@ -439,8 +455,20 @@ def sparql_select(
             raise SparqlError(
                 "OPTIONAL group shares no variable with the required patterns"
             )
+        maybe_null = sorted(v for v in shared if v in nullable)
+        if maybe_null:
+            # a NULL key from an earlier OPTIONAL never equi-joins, but
+            # SPARQL's compatible-join semantics would bind it — reject
+            # rather than silently return NULL where SPARQL binds a value
+            raise SparqlError(
+                "OPTIONAL join variable(s) may be unbound by an earlier "
+                f"OPTIONAL ({maybe_null}); SPARQL's unbound-is-compatible "
+                "join is not expressible as an equi-join — restructure the "
+                "query or use SQL over register_triples_view"
+            )
         join_keys = [x for v in shared for x in (v, f"__{v}_kind")]
         df = df.join(gdf, on=join_keys, how="left")
+        nullable |= gvars - bound
         bound |= gvars
 
     def operand_col(term):
@@ -450,8 +478,12 @@ def sparql_select(
             return F.col(term.name)
         return F.lit(term.lexical if isinstance(term, Lit) else term.value)
 
+    def operand_kind(term):
+        if isinstance(term, Var):
+            return F.col(f"__{term.name}_kind")
+        return F.lit("literal" if isinstance(term, Lit) else "iri")
+
     _OPS = {
-        "=": lambda a, b: a == b, "!=": lambda a, b: a != b,
         "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
         ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
     }
@@ -459,9 +491,21 @@ def sparql_select(
         if f[0] == "regex":
             _, var, pat = f
             df = df.where(operand_col(var).rlike(pat))
+            continue
+        _, left, op, right = f
+        lv, rv = operand_col(left), operand_col(right)
+        # =/!= compare TERMS: lexical form AND kind — a literal whose
+        # text equals an IRI is a different RDF term (lang/dtype
+        # distinctions are not modeled here; documented). Ordering
+        # comparisons stay lexical-form-only, like plain literals. An
+        # OPTIONAL-unbound operand is NULL → condition NULL → row
+        # dropped, matching SPARQL's FILTER-error-is-false.
+        if op == "=":
+            df = df.where((lv == rv) & (operand_kind(left) == operand_kind(right)))
+        elif op == "!=":
+            df = df.where((lv != rv) | (operand_kind(left) != operand_kind(right)))
         else:
-            _, left, op, right = f
-            df = df.where(_OPS[op](operand_col(left), operand_col(right)))
+            df = df.where(_OPS[op](lv, rv))
     if proj is None:
         proj = sorted(bound)
     missing = [v for v in proj if v not in bound]

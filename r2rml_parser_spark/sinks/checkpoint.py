@@ -189,6 +189,11 @@ class GraphStore:
         new = triples_with_lineage
         if LINEAGE_COLUMN not in new.columns:
             raise ValueError(f"sync needs the {LINEAGE_COLUMN!r} lineage column")
+        # the incoming plan (typically the full mapping engine over all
+        # sources) is consumed once for the lineage distinct and then
+        # ~3× per mapping (two exceptAll counts + the rewrite) — persist
+        # it so the engine runs once, not 1+3M times (spill-safe)
+        new = new.persist()
         manifest = self.read_manifest()
         manifest["snapshot"] += 1
         new_uris = sorted(
@@ -240,6 +245,7 @@ class GraphStore:
                 "committed_at": time.time(),
             }
             stats["rewritten"].append(uri)
+        new.unpersist()
         self._commit_manifest(manifest)
         stats["snapshot"] = manifest["snapshot"]
         return stats

@@ -89,6 +89,10 @@ def description_blocks(triples: DataFrame, qnames: dict[str, str]) -> DataFrame:
     """Triples → one-column DF of sorted ``<rdf:Description>`` blocks.
     Fully distributed: per-triple property XML is a codegen'd concat,
     the per-subject fold is one groupBy (map-side partial collect)."""
+    if not qnames:
+        # empty graph: F.create_map() with no entries is map<void,void>
+        # and fails analysis even over zero rows — render no blocks
+        return triples.select(F.lit("").alias("value")).limit(0)
     qmap = F.create_map(*[F.lit(x) for kv in qnames.items() for x in kv])
     q = qmap[F.col("pred")]
     lit_open = F.concat(

@@ -122,3 +122,12 @@ def test_properties_rdfxml_dump_isomorphic_to_nt_dump(spark, tmp_path):
     )
     from_nt = parse_ntriples(nt_text)
     assert from_xml and isomorphic(from_xml, from_nt)
+
+
+def test_empty_graph_dumps_envelope_only(spark):
+    # zero triples (e.g. an empty source table) must produce the empty
+    # <rdf:RDF/> envelope, not an AnalysisException from map()[pred]
+    out = dump_rdfxml_string(_df(spark, []))
+    assert "<rdf:RDF" in out and out.rstrip().endswith("</rdf:RDF>")
+    assert "rdf:Description" not in out
+    assert parse_rdfxml(out) == []

@@ -135,6 +135,56 @@ def test_order_by_asc_desc_limit(graph):
         )
 
 
+def test_chained_optional_nullable_join_var_rejected(graph):
+    # ?q may be NULL after the first OPTIONAL; an equi-join on it in the
+    # second OPTIONAL would silently return NULL where SPARQL binds a
+    # value — must be rejected, not approximated
+    q = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?p ?q WHERE {
+      ?p a ex:Person .
+      OPTIONAL { ?p ex:knows ?q }
+      OPTIONAL { ?p ex:note ?q }
+    }
+    """
+    with pytest.raises(SparqlError):
+        sparql_select(graph, q)
+    # sequential OPTIONALs on a REQUIRED-bound variable stay fine
+    q2 = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?p ?n ?q WHERE {
+      ?p a ex:Person . OPTIONAL { ?p ex:name ?n } OPTIONAL { ?p ex:knows ?q }
+    }
+    """
+    assert sparql_select(graph, q2).count() == 2
+
+
+def test_filter_equality_is_term_equality(graph):
+    # ex:note's object is a LITERAL whose text equals the IRI ex:p2 —
+    # FILTER (?v = <iri>) must not match it, FILTER (?v != <iri>) must
+    q = "PREFIX ex: <http://ex.org/> SELECT ?v WHERE { ?s ex:note ?v . FILTER (?v = <http://ex.org/p2>) }"
+    assert sparql_select(graph, q).count() == 0
+    q2 = "PREFIX ex: <http://ex.org/> SELECT ?v WHERE { ?s ex:note ?v . FILTER (?v != <http://ex.org/p2>) }"
+    assert sparql_select(graph, q2).count() == 1
+    # var-vs-var: ex:knows binds an IRI, ex:note a literal of equal text
+    q3 = "PREFIX ex: <http://ex.org/> SELECT ?a WHERE { ?s ex:knows ?a . ?t ex:note ?b . FILTER (?a = ?b) }"
+    assert sparql_select(graph, q3).count() == 0
+    q4 = "PREFIX ex: <http://ex.org/> SELECT ?a WHERE { ?s ex:knows ?a . ?t ex:note ?b . FILTER (?a != ?b) }"
+    assert sparql_select(graph, q4).count() == 1
+
+
+def test_repeated_variable_is_term_equality(spark):
+    rows = [
+        ("http://ex.org/A", "iri", "http://ex.org/p", "http://ex.org/A", "literal", None, None),
+        ("http://ex.org/B", "iri", "http://ex.org/p", "http://ex.org/B", "iri", None, None),
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    # ?x p ?x: subject IRI 'A' and literal object "...A" are different
+    # terms — only B (IRI both sides) matches
+    out = sparql_select(g, "PREFIX ex: <http://ex.org/> SELECT ?x WHERE { ?x ex:p ?x }")
+    assert [r.x for r in out.collect()] == ["http://ex.org/B"]
+
+
 def test_union_same_vars(graph):
     # names via ex:name UNION sources via dc:source — same shape? No:
     # use two predicate alternatives binding the same (?s ?v) pair
