@@ -62,11 +62,35 @@ def source_content_hash(df: DataFrame) -> int:
 
 
 class GraphStore:
-    """Partitioned (by source_map) parquet graph table + JSON manifest."""
+    """Partitioned (by source_map) parquet graph table + JSON manifest.
 
-    def __init__(self, spark: SparkSession, base_path: str):
+    Each mapping's partition is additionally range-clustered on
+    (subj, pred, obj) at write time — the parquet analogue of an Iceberg
+    table whose sort order is SORTED BY (subj, pred, obj): every file
+    carries tight min/max column stats, so point/range reads over the
+    store (the SPARQL BGP surface binds subjects and predicates to
+    constants) prune whole files instead of scanning the graph.
+
+    ``cluster_partitions`` sizes the range shuffle; None means
+    ``sparkContext.defaultParallelism`` (= total cluster cores), which
+    is right up to ~10^9 triples per mapping. At 10^12-doc scale set it
+    to ``triples / rows_per_file`` for ~128 MB files. No salt column is
+    needed even for hot predicates or high-degree subjects: the store
+    holds SET-deduped triples, so the 3-column range key is unique per
+    row and the range sampler splits a hot (subj, pred) run across as
+    many buckets as its obj values need — salting is only required when
+    partitioning by key EQUALITY (see operators/dedup.py exact_dedup).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        cluster_partitions: int | None = None,
+    ):
         self.spark = spark
         self.base = base_path
+        self.cluster_partitions = cluster_partitions
         os.makedirs(self.base, exist_ok=True)
 
     # -- manifest ------------------------------------------------------
@@ -91,11 +115,17 @@ class GraphStore:
         return os.path.join(self.base, "graph", f"src={_safe_dirname(source_map)}")
 
     def write_mapping(self, source_map: str, triples: DataFrame) -> list[int]:
-        """(Over)write one mapping's partition; returns per-partition
-        triple counts (the lineage metric rows)."""
+        """(Over)write one mapping's partition, range-clustered on
+        (subj, pred, obj); returns per-range-bucket triple counts (the
+        lineage metric rows — bucket i covers a contiguous triple
+        range, so the counts double as a coarse histogram)."""
         path = self._mapping_dir(source_map)
-        out = triples.select(*TRIPLE_COLUMNS).withColumn(
-            "_pid", F.spark_partition_id()
+        n = self.cluster_partitions or self.spark.sparkContext.defaultParallelism
+        out = (
+            triples.select(*TRIPLE_COLUMNS)
+            .repartitionByRange(n, "subj", "pred", "obj")
+            .sortWithinPartitions("subj", "pred", "obj")
+            .withColumn("_pid", F.spark_partition_id())
         )
         out.write.mode("overwrite").parquet(path)
         counts = (

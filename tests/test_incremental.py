@@ -147,3 +147,38 @@ def test_per_partition_lineage_metrics(spark, engine, tmp_path):
         assert entry["snapshot"] == manifest["snapshot"]
     assert manifest["mappings"]["#A"]["triples"] == 2
     assert manifest["mappings"]["#B"]["triples"] == 1
+
+
+def test_store_is_range_clustered(spark, tmp_path):
+    """write_mapping range-clusters on (subj, pred, obj): buckets are
+    balanced, sorted within, and cover DISJOINT key ranges — the
+    Iceberg sort-order analogue that makes subj/pred equality filters
+    file-prunable via parquet min/max stats."""
+    from pyspark.sql import functions as F
+
+    store = GraphStore(spark, str(tmp_path / "g"), cluster_partitions=4)
+    df = spark.range(400).select(
+        F.concat(F.lit("http://x/e"), F.format_string("%03d", "id")).alias("subj"),
+        F.lit("iri").alias("subj_kind"),
+        F.lit("http://x/p").alias("pred"),
+        F.concat(F.lit("v"), F.col("id")).alias("obj"),
+        F.lit("literal").alias("obj_kind"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("dtype"),
+    )
+    counts = store.write_mapping("http://x/m", df)
+    assert sum(counts) == 400 and len(counts) == 4
+    assert all(c > 0 for c in counts)  # sampler balanced the buckets
+
+    part = spark.read.parquet(store._mapping_dir("http://x/m"))
+    spans = (
+        part.groupBy("_pid")
+        .agg(F.min("subj").alias("lo"), F.max("subj").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    for a, b in zip(spans, spans[1:]):
+        assert a["hi"] <= b["lo"]  # disjoint, globally ordered ranges
+
+    # the read path still returns the plain triple set
+    assert store.read().count() == 400
