@@ -114,13 +114,149 @@ def test_optional_errors(graph):
             "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . OPTIONAL { ?x dc:source ?z } }",
             {"dc": DC},
         )
-    with pytest.raises(SparqlError):  # FILTER scoping inside OPTIONAL unsupported
-        sparql_select(
-            graph,
-            'PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . OPTIONAL { ?p ex:name ?n . FILTER (?n = "Ada") } }',
-        )
     with pytest.raises(SparqlError):  # OPTIONAL with no required part
         sparql_select(graph, "SELECT ?p WHERE { OPTIONAL { ?p ?x ?z } }")
+    with pytest.raises(SparqlError):  # nested OPTIONAL unsupported
+        sparql_select(
+            graph,
+            "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . OPTIONAL { ?p ex:name ?n . OPTIONAL { ?p ex:knows ?q } } }",
+        )
+
+
+def test_filter_inside_optional_group(graph):
+    # LeftJoin(A, G, F): the filter restricts which OPTIONAL rows
+    # extend a solution — non-matching rows leave the OPTIONAL vars
+    # unbound, they do NOT drop the required-side row
+    q = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?p ?n WHERE {
+      ?p a ex:Person .
+      OPTIONAL { ?p ex:name ?n . FILTER (?n = "Ada") }
+    }
+    """
+    got = {(r.p, r.n) for r in sparql_select(graph, q).collect()}
+    assert got == {(EX + "p1", "Ada"), (EX + "p2", None)}
+    # a group filter needing a variable from OUTSIDE the group is the
+    # non-compositional case — rejected, not approximated
+    with pytest.raises(SparqlError):
+        sparql_select(
+            graph,
+            "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p ex:name ?o . OPTIONAL { ?p ex:knows ?q . FILTER (?o = \"Ada\") } }",
+        )
+
+
+def test_filter_inside_union_branch(graph):
+    q = """
+    PREFIX ex: <http://ex.org/>
+    PREFIX dc: <http://purl.org/dc/elements/1.1/>
+    SELECT ?s ?v WHERE {
+      { ?s ex:name ?v . FILTER regex(?v, "^G") } UNION { ?s dc:source ?v }
+    }
+    """
+    got = {(r.s, r.v) for r in sparql_select(graph, q).collect()}
+    assert got == {
+        (EX + "p2", "Grace"), (EX + "m1", EX + "mapA"), (EX + "m2", EX + "mapB"),
+    }
+
+
+def test_required_pattern_after_optional_sharing_vars_rejected(graph):
+    # Join(LeftJoin(A,G),B) ≠ LeftJoin(Join(A,B),G) when B shares ?q
+    # with the OPTIONAL — the normalization would silently change
+    # semantics, so the shape is rejected (ADVICE r2)
+    q = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?p ?q WHERE {
+      ?p a ex:Person .
+      OPTIONAL { ?p ex:knows ?q }
+      ?q ex:name ?n
+    }
+    """
+    with pytest.raises(SparqlError, match="follows an OPTIONAL"):
+        sparql_select(graph, q)
+    # UNION after OPTIONAL sharing a var: same rejection
+    q2 = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE {
+      ?p a ex:Person .
+      OPTIONAL { ?p ex:knows ?q }
+      { ?q ex:name ?n } UNION { ?q a ex:Person }
+    }
+    """
+    with pytest.raises(SparqlError, match="follows an OPTIONAL"):
+        sparql_select(graph, q2)
+    # non-overlapping later patterns stay accepted (hoisting is
+    # semantics-preserving when no variable is shared)
+    q3 = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?p ?n ?x ?z WHERE {
+      ?p a ex:Person .
+      OPTIONAL { ?p ex:name ?n }
+      ?x dc:source ?z
+    }
+    """
+    assert sparql_select(graph, q3, {"dc": DC}).count() == 4  # 2 persons × 2 sources
+
+
+@pytest.fixture(scope="module")
+def numeric_graph(spark):
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    rows = [
+        # typed integers
+        (EX + "a", "iri", EX + "age", "9", "literal", None, XSD + "integer"),
+        (EX + "b", "iri", EX + "age", "10", "literal", None, XSD + "integer"),
+        (EX + "c", "iri", EX + "age", "11", "literal", None, XSD + "integer"),
+        # plain (untyped) numeric strings
+        (EX + "d", "iri", EX + "score", "9", "literal", None, None),
+        (EX + "e", "iri", EX + "score", "11", "literal", None, None),
+        # non-numeric literal and an IRI object
+        (EX + "f", "iri", EX + "score", "lots", "literal", None, None),
+        (EX + "g", "iri", EX + "score", EX + "big", "iri", None, None),
+    ]
+    return spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+
+
+def test_numeric_filter_comparison(numeric_graph):
+    # ?age > 10 must be NUMERIC: "9" > 10 is false even though the
+    # string "9" > "10" lexically (VERDICT r2 #3)
+    q = "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:age ?n . FILTER (?n > 10) }"
+    assert [r.s for r in sparql_select(numeric_graph, q).collect()] == [EX + "c"]
+    q2 = "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:age ?n . FILTER (?n <= 10) }"
+    assert {r.s for r in sparql_select(numeric_graph, q2).collect()} == {EX + "a", EX + "b"}
+    # decimal constant against integer-rendered values
+    q3 = "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:age ?n . FILTER (?n >= 10.5) }"
+    assert [r.s for r in sparql_select(numeric_graph, q3).collect()] == [EX + "c"]
+    # plain numeric strings also compare numerically (bindings carry no
+    # datatype — documented approximation)
+    q4 = "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:score ?n . FILTER (?n > 10) }"
+    assert [r.s for r in sparql_select(numeric_graph, q4).collect()] == [EX + "e"]
+    # non-numeric literal vs numeric constant → type error → dropped,
+    # NOT string-compared ("lots" > "10" lexically); IRI objects drop too
+    q5 = "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:score ?n . FILTER (?n < 100) }"
+    assert {r.s for r in sparql_select(numeric_graph, q5).collect()} == {EX + "d", EX + "e"}
+
+
+def test_ordering_filter_dispatch_var_vs_var(numeric_graph, graph):
+    # numbers on both sides → numeric: 9 < 11 via two different subjects
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?x ?y WHERE { ?x ex:age ?m . ?y ex:age ?n . FILTER (?m < ?n) }"""
+    got = {(r.x, r.y) for r in sparql_select(numeric_graph, q).collect()}
+    assert got == {(EX + "a", EX + "b"), (EX + "a", EX + "c"), (EX + "b", EX + "c")}
+    # strings on both sides → codepoint comparison (unchanged behavior)
+    q2 = 'PREFIX ex: <http://ex.org/> SELECT ?n WHERE { ?p ex:name ?n . FILTER (?n < "B") }'
+    assert [r.n for r in sparql_select(graph, q2).collect()] == ["Ada"]
+    # numeric/string mix → type error → dropped (never string-compared)
+    q3 = """PREFIX ex: <http://ex.org/>
+    SELECT ?x ?y WHERE { ?x ex:age ?m . ?y ex:score ?n . FILTER (?m < ?n) }"""
+    got3 = {(r.x, r.y) for r in sparql_select(numeric_graph, q3).collect()}
+    # only numeric scores ("9", "11") participate; "lots" and the IRI
+    # drop (type error), so 9<11 and 10<11 are the only matches
+    assert got3 == {(EX + "a", EX + "e"), (EX + "b", EX + "e")}
+
+
+def test_bare_numeric_literal_in_pattern(numeric_graph):
+    # SPARQL shorthand: 10 ≡ "10"^^xsd:integer as an object term
+    q = "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:age 10 }"
+    assert [r.s for r in sparql_select(numeric_graph, q).collect()] == [EX + "b"]
 
 
 def test_order_by_asc_desc_limit(graph):
