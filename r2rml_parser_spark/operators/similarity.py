@@ -270,12 +270,23 @@ def assign_cells(
     if n_cells is None:
         n = embeddings.count()
         n_cells = max(16, min(65536, int(n ** 0.5)))
-    seeds = (
-        e.withColumn("_h", F.xxhash64(F.col("_aid")))
+    # ids-first seed selection (VERDICT r2 #8): the orderBy+limit top-K
+    # funnels through a single task, so run it on the NARROW (id, hash)
+    # projection only — at d=1024 pulling 65,536 full vectors through
+    # that funnel is ~0.5 GB; the ids are ~2 MB. The seed VECTORS then
+    # arrive via a broadcast join against the corpus (seed_ids is tiny
+    # by construction) and only n_cells of them are ever collected —
+    # by the broadcast of the centroid table, which needs them anyway.
+    seed_ids = (
+        embeddings.select(F.col(id_col).alias("_aid"))
+        .withColumn("_h", F.xxhash64(F.col("_aid")))
         .orderBy("_h")
         .limit(n_cells)
         .withColumn("cell", F.row_number().over(Window.orderBy("_aid")) - 1)
-        .select("cell", F.col("_v").alias("centroid"))
+        .select("_aid", "cell")
+    )
+    seeds = e.join(F.broadcast(seed_ids), "_aid").select(
+        "cell", F.col("_v").alias("centroid")
     )
     w = Window.partitionBy("_aid").orderBy(F.desc("_s"), F.asc("cell"))
 

@@ -140,6 +140,39 @@ def test_neardup_collapse_exact_linear_not_quadratic(spark):
         assert not any({300, 301} & c for c in components(collapsed))
 
 
+def test_neardup_rep_only_signature_input(spark):
+    """VERDICT r2 #4: with collapse_exact, the signature stage consumes
+    one row per UNIQUE text — input scales with unique texts, not total
+    docs — and the fused operator's plan carries the semi-join that
+    enforces it before any shingle/hash work."""
+    from r2rml_parser_spark.operators.dedup import (
+        exact_dedup,
+        neardup_edges,
+        signature_input,
+    )
+
+    def corpus(copies):
+        rows = [
+            (u * 1000 + c, f"unique passage {u} with tokens gamma delta {u} epsilon")
+            for u in range(20)
+            for c in range(copies)
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    for copies in (15, 30):  # 300 and 600 docs, same 20 unique texts
+        docs = corpus(copies)
+        reps = exact_dedup(docs).select(F.col("keep_id").alias("_id"))
+        si = signature_input(docs, rep_ids=reps)
+        assert si.count() == 20  # invariant in total-doc count
+    # the fused operator wires the same semi-join ahead of the
+    # signature aggregate (raw form has no semi-join at all)
+    docs = corpus(15)
+    plan = neardup_edges(docs, collapse_exact=True)._jdf.queryExecution().toString()
+    assert "LeftSemi" in plan
+    raw_plan = neardup_edges(docs)._jdf.queryExecution().toString()
+    assert "LeftSemi" not in raw_plan
+
+
 def test_minhash_bad_hash_family_rejected(planted_docs):
     import pytest as _pytest
 
