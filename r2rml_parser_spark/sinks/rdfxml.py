@@ -12,10 +12,12 @@ Spark-first shape: every ``rdf:Description`` block depends only on one
 subject's triples, so rendering is a per-subject groupBy — property
 elements render as codegen'd ``concat`` expressions (the predicate →
 QName table is a tiny driver-built literal map), blocks sort
-deterministically, and only the thin driver-side assembly adds the
-header/footer. At test scale the dump collects; at cluster scale the
-blocks DataFrame can be written as globally-ordered part files with the
-envelope written separately (same pattern as sinks/ntriples.write_sorted).
+deterministically, and only the envelope is driver-written. Two
+writers: ``write_rdfxml`` assembles one file through the driver
+(test-scale / reference-parity dumps), ``write_rdfxml_parts`` writes
+globally-ordered part files with the envelope in underscore-prefixed
+side files (the ``ntriples.write_sorted`` pattern — the scale path,
+VERDICT r2 #7).
 
 Output is plain rdf:Description form (Jena's default non-ABBREV
 RDF/XML); ABBREV requests fall back to the same form — both parse
@@ -24,6 +26,7 @@ identically, which is what the reference's own round-trips rely on.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import Column, DataFrame
@@ -85,10 +88,14 @@ def namespace_table(triples: DataFrame) -> tuple[dict[str, str], dict[str, str]]
     return {v: k for k, v in ns_to_prefix.items()}, qnames
 
 
-def description_blocks(triples: DataFrame, qnames: dict[str, str]) -> DataFrame:
+def description_blocks(
+    triples: DataFrame, qnames: dict[str, str], sort: bool = True
+) -> DataFrame:
     """Triples → one-column DF of sorted ``<rdf:Description>`` blocks.
     Fully distributed: per-triple property XML is a codegen'd concat,
-    the per-subject fold is one groupBy (map-side partial collect)."""
+    the per-subject fold is one groupBy (map-side partial collect).
+    ``sort=False`` skips the global sort for callers that impose their
+    own ordered partitioning (write_rdfxml_parts)."""
     if not qnames:
         # empty graph: F.create_map() with no entries is map<void,void>
         # and fails analysis even over zero rows — render no blocks
@@ -126,12 +133,13 @@ def description_blocks(triples: DataFrame, qnames: dict[str, str]) -> DataFrame:
         .groupBy("sa")
         .agg(F.array_join(F.array_sort(F.collect_list("p")), "\n").alias("body"))
     )
-    return per_subject.select(
+    blocks = per_subject.select(
         F.concat(
             F.lit("  <rdf:Description "), F.col("sa"), F.lit(">\n"),
             F.col("body"), F.lit("\n  </rdf:Description>"),
         ).alias("value")
-    ).sort("value")
+    )
+    return blocks.sort("value") if sort else blocks
 
 
 def rdfxml_envelope(prefixes: dict[str, str]) -> tuple[str, str]:
@@ -159,3 +167,60 @@ def dump_rdfxml_string(triples: DataFrame, *, xml_declaration: bool = False) -> 
 def write_rdfxml(triples: DataFrame, path: str, *, xml_declaration: bool = False) -> None:
     with open(path, "w", encoding="utf-8") as f:
         f.write(dump_rdfxml_string(triples, xml_declaration=xml_declaration))
+
+
+HEADER_FILE = "_00_header.xml"
+FOOTER_FILE = "_zz_footer.xml"
+
+
+def write_rdfxml_parts(
+    triples: DataFrame, path: str, partitions: int | None = None,
+    *, xml_declaration: bool = False,
+) -> None:
+    """Cluster-scale RDF/XML dump (VERDICT r2 #7): the description
+    blocks are written as globally-ordered part FILES — ranged
+    partitions + within-partition sort, the ``ntriples.write_sorted``
+    pattern — so no bytes assemble through the driver. The envelope
+    lives in two driver-written side files whose leading underscore
+    keeps Spark text readers from treating them as data:
+
+        <path>/_00_header.xml   <?xml ...?> + <rdf:RDF xmlns...>
+        <path>/part-*.txt       sorted <rdf:Description> blocks
+        <path>/_zz_footer.xml   </rdf:RDF>
+
+    The document is header + part files in filename order + footer
+    (``assemble_rdfxml_parts``; equivalently ``cat`` in that order).
+    The prefix table is mapping-sized (one distinct over predicates),
+    so the envelope itself is always driver-small."""
+    prefixes, qnames = namespace_table(triples)
+    blocks = description_blocks(triples, qnames, sort=False)
+    if partitions:
+        blocks = blocks.repartitionByRange(partitions, "value").sortWithinPartitions("value")
+    else:
+        blocks = blocks.sort("value")
+    blocks.write.mode("overwrite").text(path)
+    head, tail = rdfxml_envelope(prefixes)
+    if xml_declaration:
+        head = '<?xml version="1.0" encoding="UTF-8" ?>\n' + head
+    with open(os.path.join(path, HEADER_FILE), "w", encoding="utf-8") as f:
+        f.write(head + "\n")
+    with open(os.path.join(path, FOOTER_FILE), "w", encoding="utf-8") as f:
+        f.write(tail + "\n")
+
+
+def assemble_rdfxml_parts(path: str) -> str:
+    """Concatenate a ``write_rdfxml_parts`` directory back into one
+    RDF/XML document (test-scale helper; at cluster scale downstream
+    consumers stream the files in name order)."""
+    parts = [os.path.join(path, HEADER_FILE)]
+    parts += sorted(
+        os.path.join(path, n)
+        for n in os.listdir(path)
+        if n.startswith("part-") and not n.endswith(".crc")
+    )
+    parts.append(os.path.join(path, FOOTER_FILE))
+    out: list[str] = []
+    for p in parts:
+        with open(p, encoding="utf-8") as f:
+            out.append(f.read())
+    return "".join(out)

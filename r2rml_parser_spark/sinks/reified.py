@@ -59,9 +59,11 @@ def _stmt_label(df: DataFrame) -> Column:
     )
 
 
-def reified_nt_lines(triples_with_lineage: DataFrame) -> DataFrame:
+def reified_nt_lines(triples_with_lineage: DataFrame, sort: bool = True) -> DataFrame:
     """Lineage-carrying triples DF → one-column DF of reified N-Triples
-    lines (5 per triple), globally sorted for determinism."""
+    lines (5 per triple), globally sorted for determinism.
+    ``sort=False`` skips the global sort for callers imposing their own
+    ordered partitioning (write_reified_parts)."""
     df = triples_with_lineage
     label = _stmt_label(df)
     lines = F.array(
@@ -71,7 +73,8 @@ def reified_nt_lines(triples_with_lineage: DataFrame) -> DataFrame:
         F.concat(label, F.lit(f" <{RDF_NS}object> "), obj_term(df), F.lit(" .")),
         F.concat(label, F.lit(f" <{DC_SOURCE}> <"), df[LINEAGE_COLUMN], F.lit("> .")),
     )
-    return df.select(F.explode(lines).alias("value")).sort("value")
+    out = df.select(F.explode(lines).alias("value"))
+    return out.sort("value") if sort else out
 
 
 def export_reified_string(triples_with_lineage: DataFrame) -> str:
@@ -81,6 +84,36 @@ def export_reified_string(triples_with_lineage: DataFrame) -> str:
 def export_reified(triples_with_lineage: DataFrame, path: str) -> None:
     with open(path, "w", encoding="utf-8") as f:
         f.write(export_reified_string(triples_with_lineage))
+
+
+def write_reified_parts(
+    triples_with_lineage: DataFrame, path: str, partitions: int | None = None
+) -> None:
+    """Cluster-scale reified dump (VERDICT r2 #7): globally-ordered
+    part files — ranged partitions + within-partition sort, the
+    ``ntriples.write_sorted`` pattern — no driver assembly. N-Triples
+    needs no envelope; the dump is the part files concatenated in
+    filename order (a graph is a SET, so consumers may also just read
+    the directory unordered)."""
+    lines = reified_nt_lines(triples_with_lineage, sort=False)
+    if partitions:
+        lines = lines.repartitionByRange(partitions, "value").sortWithinPartitions("value")
+    else:
+        lines = lines.sort("value")
+    lines.write.mode("overwrite").text(path)
+
+
+def import_reified_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Load a ``write_reified_parts`` directory (part-file order is
+    irrelevant for the graph's content)."""
+    import os
+
+    text = []
+    for n in sorted(os.listdir(path)):
+        if n.startswith("part-") and not n.endswith(".crc"):
+            with open(os.path.join(path, n), encoding="utf-8") as f:
+                text.append(f.read())
+    return import_reified_string(spark, "".join(text))
 
 
 def import_reified_string(spark: SparkSession, text: str) -> DataFrame:

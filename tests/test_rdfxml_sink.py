@@ -58,6 +58,51 @@ def test_rdfxml_dump_is_deterministic(spark):
     assert a == b
 
 
+def test_multipart_rdfxml_from_partitioned_store(spark, tmp_path):
+    """VERDICT r2 #7: multi-part RDF/XML written from a partitioned
+    graph store — globally-ordered part files + driver-written
+    envelope — re-parses isomorphic to the N-Triples dump, and
+    byte-matches the single-file writer once assembled."""
+    import os
+
+    from r2rml_parser_spark.sinks.checkpoint import GraphStore
+    from r2rml_parser_spark.sinks.rdfxml import (
+        assemble_rdfxml_parts,
+        write_rdfxml_parts,
+    )
+
+    store = GraphStore(spark, str(tmp_path / "g"), cluster_partitions=2)
+    for m in ("http://map/a", "http://map/b"):
+        rows = [
+            (f"http://x/{m[-1]}{i}", "iri", "http://p/v", f"val {i} & <{m[-1]}>",
+             "literal", None, None)
+            for i in range(30)
+        ]
+        store.write_mapping(m, _df(spark, rows))
+    # manifest entries so read_with_lineage/read see the partitions
+    manifest = store.read_manifest()
+    manifest["mappings"] = {
+        "http://map/a": {"snapshot": 1}, "http://map/b": {"snapshot": 1}
+    }
+    store._commit_manifest(manifest)
+    triples = store.read()
+
+    out = tmp_path / "dump-xml"
+    write_rdfxml_parts(triples, str(out), partitions=3, xml_declaration=True)
+    part_files = [
+        n for n in os.listdir(out)
+        if n.startswith("part-") and not n.endswith(".crc")
+    ]
+    assert len(part_files) > 1  # genuinely multi-part
+    xml = assemble_rdfxml_parts(str(out))
+    assert xml.startswith('<?xml version="1.0" encoding="UTF-8" ?>')
+    from_xml = parse_rdfxml(xml)
+    from_nt = parse_ntriples(dump_string(triples))
+    assert len(from_xml) == 60
+    assert isomorphic(from_xml, from_nt)
+    assert xml == dump_rdfxml_string(triples, xml_declaration=True)
+
+
 def test_rdfxml_unsplittable_predicate_raises(spark):
     triples = _df(
         spark, [("http://x/a", "iri", "http://p/", "v", "literal", None, None)]

@@ -93,6 +93,38 @@ def test_import_reference_style_dump_into_store(spark, tmp_path):
     assert ("http://x/b/9", "file:///m.ttl#B") in lineage
 
 
+def test_multipart_reified_export_matches_single_file(spark, tmp_path):
+    """VERDICT r2 #7: the distributed part-file writer produces the
+    same dump as the driver-assembled file — byte-identical once the
+    globally-ordered parts are concatenated — and imports back into
+    the identical graph."""
+    import os
+
+    from r2rml_parser_spark.sinks.reified import import_reified_dir
+
+    engine = _engine(spark)
+    store = GraphStore(spark, str(tmp_path / "s1"))
+    IncrementalRunner(engine, store).run()
+
+    single = tmp_path / "dump-reified.nq"
+    store.export_reified(str(single))
+    parts_dir = tmp_path / "dump-parts"
+    store.export_reified(str(parts_dir), partitions=3)
+
+    part_files = sorted(
+        n for n in os.listdir(parts_dir)
+        if n.startswith("part-") and not n.endswith(".crc")
+    )
+    assert len(part_files) > 1  # genuinely multi-part
+    joined = "".join(
+        open(parts_dir / n, encoding="utf-8").read() for n in part_files
+    )
+    assert joined == single.read_text()  # global order preserved
+    back = import_reified_dir(spark, str(parts_dir))
+    direct = {tuple(r) for r in store.read_with_lineage().collect()}
+    assert {tuple(r) for r in back.select(*store.read_with_lineage().columns).collect()} == direct
+
+
 def test_store_roundtrip_through_incremental_runner(spark, tmp_path):
     """Full cycle: incremental run → export reified → import into a
     FRESH store → identical clean graph (the reference's resume story,
