@@ -61,6 +61,22 @@ def q_sparql_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tpch_sparql(spark, sf_dir)
 
 
+def q_sparql_agg_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL aggregates (GROUP BY + COUNT/COUNT DISTINCT) over the
+    generated KG — customers-per-nation rollup."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_agg
+
+    return run_tpch_sparql_agg(spark, sf_dir)
+
+
+def q_sparql_typed_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL datatype() accessor + numeric FILTER over xsd:integer
+    literals (SPARQL 1.1 operator dispatch)."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_typed
+
+    return run_tpch_sparql_typed(spark, sf_dir)
+
+
 def q_span_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     from r2rml_parser_spark.sources.docs import span_view, synth_docs
 
@@ -229,6 +245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_docs_triples": q_kg_docs_triples,
         "kg_tpch_triples": q_kg_tpch_triples,
         "sparql_kg": q_sparql_kg,
+        "sparql_agg_kg": q_sparql_agg_kg,
+        "sparql_typed_kg": q_sparql_typed_kg,
         "span_view": q_span_view,
         "mentions": q_mentions,
         "dedup_exact": q_dedup_exact,
@@ -258,7 +276,12 @@ def oracle_sql() -> dict[str, str]:
     from r2rml_parser_spark.operators.multimodal import media_features_sql
     from r2rml_parser_spark.pipeline import kg_oracle_sql
     from r2rml_parser_spark.sources.docs import SPAN_VIEW_ORACLE_SQL
-    from r2rml_parser_spark.tpch_kg import TPCH_KG_ORACLE_SQL, TPCH_SPARQL_ORACLE_SQL
+    from r2rml_parser_spark.tpch_kg import (
+        TPCH_KG_ORACLE_SQL,
+        TPCH_SPARQL_AGG_ORACLE_SQL,
+        TPCH_SPARQL_ORACLE_SQL,
+        TPCH_SPARQL_TYPED_ORACLE_SQL,
+    )
 
     span_sql = f"SELECT doc_id, lang, source, kind, text, media_ref, \"offset\" AS span_offset FROM ({SPAN_VIEW_ORACLE_SQL}) v"
     reassembled_sql = f"""
@@ -281,6 +304,8 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "kg_docs_triples": kg_oracle_sql(),
         "kg_tpch_triples": TPCH_KG_ORACLE_SQL,
         "sparql_kg": TPCH_SPARQL_ORACLE_SQL,
+        "sparql_agg_kg": TPCH_SPARQL_AGG_ORACLE_SQL,
+        "sparql_typed_kg": TPCH_SPARQL_TYPED_ORACLE_SQL,
         "span_view": span_sql,
         "mentions": mentions_oracle_sql(SPAN_VIEW_ORACLE_SQL),
         "dedup_exact": oracles.DEDUP_EXACT_SQL,

@@ -13,13 +13,18 @@ projection of the triples DataFrame and shared variables become
 equi-join keys — Catalyst picks the join order/strategy, and a
 broadcast hint is applied to patterns with a constant predicate AND
 constant object (typically tiny slices like ``?x rdf:type <C>``).
-Variables carry a hidden term-kind column through the joins so an IRI
-and a literal with equal lexical forms never conflate; the projected
-binding is the lexical form, matching the reference's
+Variables carry hidden term-component columns (kind, lang tag,
+datatype IRI — the latter two coalesced to '' so they stay
+equi-joinable) through the joins, so two distinct RDF TERMS never
+conflate: an IRI and a literal with equal lexical forms, or ``"x"@en``
+vs ``"x"@fr``, or ``"5"`` vs ``"5"^^xsd:int``, are all kept apart in
+joins, DISTINCT, GROUP BY, and =/!= FILTERs. The projected binding is
+the lexical form, matching the reference's
 ``getLiteralLexicalForm``/resource-URI behavior.
 
-Supported subset (documented): PREFIX decls, SELECT [DISTINCT]
-?vars|*, WHERE { t1 . t2 ... } with IRIs (<...> or pfx:local or ``a``),
+Supported subset (documented): PREFIX decls, SELECT [DISTINCT] with
+``?var`` and ``(AGG([DISTINCT] ?v|*) AS ?alias)`` items or ``*``,
+WHERE { t1 . t2 ... } with IRIs (<...> or pfx:local or ``a``),
 plain/lang/typed literals, variables in any position,
 OPTIONAL { t1 . t2 ... } groups (compiled to left joins; must share at
 least one variable with the required patterns, and that variable must
@@ -30,16 +35,25 @@ which an equi-join cannot express, so it is rejected), { A } UNION
 union is a plain bag union and joins against the rest of the query
 stay sound; branches binding different variables would need SPARQL's
 unbound-is-compatible join semantics, which is rejected, not
-approximated), FILTER (?v op term) for op ∈ {=, !=, <, <=, >, >=} and
-FILTER regex(?v, "pattern") — at the top level or inside an
-OPTIONAL/UNION group when every filter variable is bound inside that
-group (the pre-join filter is then equivalent to SPARQL's
-LeftJoin(A, G, F) / branch-local filter; a filter needing variables
-from OUTSIDE its group is rejected) — ORDER BY [ASC()|DESC()] ?vars
-(projected variables only; lexical string ordering), and LIMIT n.
+approximated), FILTER (x op y) for op ∈ {=, !=, <, <=, >, >=} where
+x/y are variables, terms, bare numbers, or the accessors ``lang(?v)``
+/ ``datatype(?v)``, and FILTER regex(?v, "pattern") — at the top
+level or inside an OPTIONAL/UNION group when every filter variable is
+bound inside that group (the pre-join filter is then equivalent to
+SPARQL's LeftJoin(A, G, F) / branch-local filter; a filter needing
+variables from OUTSIDE its group is rejected) — GROUP BY ?vars with
+aggregates COUNT([DISTINCT] ?v|*), SUM/AVG/MIN/MAX(?v) (grouping is
+by TERM; aggregates without GROUP BY form one global group; every
+non-aggregated projected variable must be a group key; DISTINCT
+inside SUM/AVG/MIN/MAX is rejected), ORDER BY [ASC()|DESC()] over
+projected variables/aliases, and LIMIT n. HAVING is rejected
+(unsupported trailing syntax), not ignored.
 
-FILTER comparison semantics: =/!= compare the TERM (lexical form AND
-iri/literal/bnode kind; lang/dtype are not modeled). The ordering
+FILTER comparison semantics: =/!= compare the TERM (lexical form,
+kind, lang tag, datatype IRI) unless an operand is a bare number or
+an XSD-numeric-typed literal, which pins SPARQL's numeric VALUE
+comparison (``10 = "10.0"^^xsd:decimal`` is true; an uncastable or
+non-literal other side is a type error → row dropped). The ordering
 operators <, <=, >, >= follow SPARQL's operator dispatch per row:
 both operands numeric → numeric comparison (decimal); both
 non-numeric literals → codepoint string comparison; a numeric/
@@ -48,10 +62,21 @@ the row is dropped (FILTER-error-is-false), never compared lexically.
 A bare number in the query (``FILTER (?price > 10)``) or a literal
 typed with an XSD numeric datatype forces the numeric branch, so
 ``"9" > 10`` is false, not a string comparison (VERDICT r2 #3). One
-documented approximation: bindings do not carry datatypes, so a PLAIN
-literal whose lexical form parses as a number compares numerically
-against another such literal, where strict SPARQL would compare the
-untyped strings.
+documented approximation: a PLAIN literal whose lexical form parses
+as a number compares numerically against another such literal under
+the ordering operators, where strict SPARQL would compare the untyped
+strings. ``lang(?v)`` is "" for plain/typed literals, the tag for
+lang literals (compared case-sensitively; tags are stored lowercased
+by the mapping engine), and a type error (row dropped) for IRIs/
+bnodes. ``datatype(?v)`` follows SPARQL 1.1: the declared datatype
+for typed literals, xsd:string for plain literals, rdf:langString for
+lang-tagged ones, type error for IRIs/bnodes.
+
+Aggregate columns carry natural Spark types (COUNT → bigint,
+SUM/AVG → decimal, MIN/MAX → the term's lexical string): they are
+derived values, not RDF terms. SUM/AVG cast each term's lexical form
+to decimal and SKIP uncastable values (strict SPARQL errors the whole
+group); MIN/MAX compare lexical strings by codepoint.
 
 Pattern order: required patterns and UNION blocks are evaluated
 BEFORE all OPTIONAL groups (the standard Join-then-LeftJoin
@@ -75,7 +100,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
 _XSD = "http://www.w3.org/2001/XMLSchema#"
+XSD_STRING = _XSD + "string"
 XSD_NUMERIC = frozenset(
     _XSD + t
     for t in (
@@ -87,6 +114,8 @@ XSD_NUMERIC = frozenset(
 # wide enough for 26-digit integers with 12 fractional digits; SPARQL
 # numerics in mapping output are xsd:integer/decimal renderings
 _DECIMAL = "decimal(38,12)"
+
+_AGG_FUNCS = frozenset({"COUNT", "SUM", "AVG", "MIN", "MAX"})
 
 
 class SparqlError(ValueError):
@@ -108,6 +137,31 @@ class Lit:
     lexical: str
     lang: str | None = None
     dtype: str | None = None
+
+
+@dataclass(frozen=True)
+class LangOf:
+    """``lang(?v)`` FILTER accessor."""
+
+    name: str
+
+
+@dataclass(frozen=True)
+class DtypeOf:
+    """``datatype(?v)`` FILTER accessor."""
+
+    name: str
+
+
+def _shadow_cols(v: str) -> tuple[str, str, str]:
+    """Names of the hidden term-component columns carried per variable."""
+    return (f"__{v}_kind", f"__{v}_lang", f"__{v}_dtype")
+
+
+def _term_key(v: str) -> list[str]:
+    """Join/group key for variable ``v``: the full term, not just the
+    lexical form."""
+    return [v, *_shadow_cols(v)]
 
 
 _TOKEN = re.compile(
@@ -169,10 +223,18 @@ class _Parser:
     def _peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else ("eof", None)
 
+    def _peek2(self):
+        j = self.i + 1
+        return self.toks[j] if j < len(self.toks) else ("eof", None)
+
     def _next(self):
         t = self._peek()
         self.i += 1
         return t
+
+    def _kw_is(self, word: str) -> bool:
+        k, v = self._peek()
+        return k == "kw" and str(v).upper() == word
 
     def _expand(self, qname: str) -> str:
         if ":" not in qname:
@@ -203,11 +265,51 @@ class _Parser:
             return Lit(str(val), None, _XSD + ("decimal" if "." in str(val) else "integer"))
         raise SparqlError(f"unexpected token {val!r} in triple pattern")
 
+    def _agg_item(self) -> tuple:
+        """``( FUNC([DISTINCT] ?v|*) AS ?alias )`` → ("agg", func,
+        distinct, var|None, alias)."""
+        self._next()  # (
+        k, fn = self._next()
+        func = str(fn).upper()
+        if k != "kw" or func not in _AGG_FUNCS:
+            raise SparqlError(
+                f"unsupported aggregate {fn!r} (supported: {sorted(_AGG_FUNCS)})"
+            )
+        if self._next() != ("punct", "("):
+            raise SparqlError(f"{func} needs '('")
+        distinct = False
+        if self._kw_is("DISTINCT"):
+            self._next()
+            distinct = True
+        if distinct and func != "COUNT":
+            # COUNT(DISTINCT ?v) counts distinct TERMS exactly;
+            # DISTINCT under the value aggregates would need value-level
+            # dedup ("1" vs "1.0") — reject rather than approximate
+            raise SparqlError(f"DISTINCT is only supported inside COUNT, not {func}")
+        var: str | None
+        if func == "COUNT" and self._peek() == ("kw", "*"):
+            self._next()
+            var = None
+        else:
+            k2, v2 = self._next()
+            if k2 != "var":
+                raise SparqlError(f"{func} takes a ?variable" + (" or *" if func == "COUNT" else ""))
+            var = str(v2)
+        if self._next() != ("punct", ")"):
+            raise SparqlError(f"{func} needs ')'")
+        if not self._kw_is("AS"):
+            raise SparqlError("aggregates must be aliased: (AGG(?v) AS ?alias)")
+        self._next()
+        k3, alias = self._next()
+        if k3 != "var":
+            raise SparqlError("AS takes a ?alias variable")
+        if self._next() != ("punct", ")"):
+            raise SparqlError("aggregate item needs a closing ')'")
+        return ("agg", func, distinct, var, str(alias))
+
     def parse(self):
         # PREFIX decls
-        while self._peek() == ("kw", "PREFIX") or (
-            self._peek()[0] == "kw" and str(self._peek()[1]).upper() == "PREFIX"
-        ):
+        while self._kw_is("PREFIX"):
             self._next()
             k, pfx = self._next()
             if k != "kw" or not str(pfx).endswith(":"):
@@ -220,18 +322,24 @@ class _Parser:
         if k != "kw" or str(kw).upper() != "SELECT":
             raise SparqlError("only SELECT queries are supported")
         distinct = False
-        if self._peek()[0] == "kw" and str(self._peek()[1]).upper() == "DISTINCT":
+        if self._kw_is("DISTINCT"):
             distinct = True
             self._next()
-        proj: list[str] | None = []
+        # proj items: ("var", name) | ("agg", func, distinct, var|None, alias)
+        items: list[tuple] | None = []
         if self._peek() == ("kw", "*"):
-            proj = None
+            items = None
             self._next()
         else:
-            while self._peek()[0] == "var":
-                proj.append(str(self._next()[1]))
-            if not proj:
-                raise SparqlError("SELECT needs ?vars or *")
+            while True:
+                if self._peek()[0] == "var":
+                    items.append(("var", str(self._next()[1])))
+                elif self._peek() == ("punct", "("):
+                    items.append(self._agg_item())
+                else:
+                    break
+            if not items:
+                raise SparqlError("SELECT needs ?vars, (AGG(?v) AS ?alias) items, or *")
         k, kw = self._next()
         if k != "kw" or str(kw).upper() != "WHERE":
             raise SparqlError("expected WHERE")
@@ -263,13 +371,13 @@ class _Parser:
                 )
 
         while self._peek() != ("punct", "}"):
-            if self._peek()[0] == "kw" and str(self._peek()[1]).upper() == "FILTER":
+            if self._kw_is("FILTER"):
                 self._next()
                 filters.append(self._filter())
                 if self._peek() == ("punct", "."):
                     self._next()
                 continue
-            if self._peek()[0] == "kw" and str(self._peek()[1]).upper() == "OPTIONAL":
+            if self._kw_is("OPTIONAL"):
                 self._next()
                 group = self._group()
                 optionals.append(group)
@@ -279,7 +387,7 @@ class _Parser:
                 continue
             if self._peek() == ("punct", "{"):
                 branches = [self._group()]
-                while self._peek()[0] == "kw" and str(self._peek()[1]).upper() == "UNION":
+                while self._kw_is("UNION"):
                     self._next()
                     branches.append(self._group())
                 if len(branches) < 2:
@@ -300,8 +408,18 @@ class _Parser:
             if self._peek() == ("punct", "."):
                 self._next()
         self._next()  # }
+        group_by: list[str] = []
+        if self._kw_is("GROUP"):
+            self._next()
+            k, kw2 = self._next()
+            if k != "kw" or str(kw2).upper() != "BY":
+                raise SparqlError("expected BY after GROUP")
+            while self._peek()[0] == "var":
+                group_by.append(str(self._next()[1]))
+            if not group_by:
+                raise SparqlError("GROUP BY needs at least one ?variable")
         order: list[tuple[str, bool]] = []
-        if self._peek()[0] == "kw" and str(self._peek()[1]).upper() == "ORDER":
+        if self._kw_is("ORDER"):
             self._next()
             k, kw2 = self._next()
             if k != "kw" or str(kw2).upper() != "BY":
@@ -327,7 +445,7 @@ class _Parser:
             if not order:
                 raise SparqlError("ORDER BY needs at least one sort key")
         limit = None
-        if self._peek()[0] == "kw" and str(self._peek()[1]).upper() == "LIMIT":
+        if self._kw_is("LIMIT"):
             self._next()
             k, n = self._next()
             try:
@@ -340,7 +458,10 @@ class _Parser:
             raise SparqlError(f"unsupported trailing syntax: {self._peek()!r}")
         if not patterns and not unions:
             raise SparqlError("empty graph pattern (OPTIONAL needs a required part)")
-        return proj, distinct, patterns, unions, optionals, filters, order, limit
+        return (
+            items, distinct, patterns, unions, optionals, filters,
+            group_by, order, limit,
+        )
 
     def _group(self) -> tuple[list[tuple], list[tuple]]:
         """Parse ``{ t1 . t2 ... [FILTER ...] }`` (an OPTIONAL or UNION
@@ -355,9 +476,9 @@ class _Parser:
         group: list[tuple] = []
         gfilters: list[tuple] = []
         while self._peek() != ("punct", "}"):
-            if self._peek()[0] == "kw" and str(self._peek()[1]).upper() == "OPTIONAL":
+            if self._kw_is("OPTIONAL"):
                 raise SparqlError("OPTIONAL nested inside a braced group is not supported")
-            if self._peek()[0] == "kw" and str(self._peek()[1]).upper() == "FILTER":
+            if self._kw_is("FILTER"):
                 self._next()
                 gfilters.append(self._filter())
                 if self._peek() == ("punct", "."):
@@ -376,6 +497,20 @@ class _Parser:
 
     def _operand(self):
         kind, val = self._peek()
+        if (
+            kind == "kw"
+            and str(val).lower() in ("lang", "datatype")
+            and self._peek2() == ("punct", "(")
+        ):
+            fn = str(val).lower()
+            self._next()
+            self._next()  # (
+            kv, vv = self._next()
+            if kv != "var":
+                raise SparqlError(f"{fn}() takes a ?variable")
+            if self._next() != ("punct", ")"):
+                raise SparqlError(f"{fn}() needs ')'")
+            return LangOf(str(vv)) if fn == "lang" else DtypeOf(str(vv))
         if kind == "num":
             self._next()
             # bare number → numeric literal: forces numeric comparison
@@ -407,30 +542,33 @@ class _Parser:
             if self._next() != ("punct", ")"):
                 raise SparqlError("FILTER needs ')'")
             return ("cmp", left, str(op), right)
-        raise SparqlError("unsupported FILTER form (use (?v op term) or regex(?v, \"pat\"))")
+        raise SparqlError(
+            "unsupported FILTER form (use (x op y) or regex(?v, \"pat\"))"
+        )
 
 
 def _pattern_df(triples: DataFrame, s, p, o) -> tuple[DataFrame, list[str]]:
-    """One triple pattern → (projection with __kind shadow columns,
-    bound variable names)."""
+    """One triple pattern → (projection with term-component shadow
+    columns, bound variable names)."""
     d = triples
-    cols: dict[str, object] = {}
+    cols: dict[str, tuple] = {}
     variables: list[str] = []
 
-    def bind(term, value_col: str, kind_col):
+    def bind(term, value_col: str, kind_col, lang_col, dtype_col):
         nonlocal d
         if isinstance(term, Var):
             if term.name in cols:
                 # repeated variable within one pattern: same TERM, not
-                # just same lexical form — value AND kind must match
+                # just same lexical form — every component must match
                 # (an IRI subject must not satisfy ?x p ?x against a
                 # literal object with equal text)
-                prev_val, prev_kind = cols[term.name]
+                pv, pk, pl, pd = cols[term.name]
                 d = d.where(
-                    (F.col(value_col) == prev_val) & (kind_col == prev_kind)
+                    (F.col(value_col) == pv) & (kind_col == pk)
+                    & (lang_col == pl) & (dtype_col == pd)
                 )
             else:
-                cols[term.name] = (F.col(value_col), kind_col)
+                cols[term.name] = (F.col(value_col), kind_col, lang_col, dtype_col)
                 variables.append(term.name)
         elif isinstance(term, Iri):
             d = d.where((F.col(value_col) == term.value) & (kind_col == "iri"))
@@ -444,13 +582,14 @@ def _pattern_df(triples: DataFrame, s, p, o) -> tuple[DataFrame, list[str]]:
                 F.col("dtype") == term.dtype if term.dtype else F.col("dtype").isNull()
             )
 
-    if isinstance(s, Lit):
-        raise SparqlError("literal subjects are not valid RDF")
-    if isinstance(p, Lit):
-        raise SparqlError("literal predicates are not valid RDF")
-    bind(o, "obj", F.col("obj_kind"))
-    bind(s, "subj", F.col("subj_kind"))
-    bind(p, "pred", F.lit("iri"))
+    # lang/dtype shadows are coalesced to '' so they can serve as plain
+    # equi-join keys (NULL keys never equi-join); subjects/predicates
+    # have no lang/dtype by construction
+    empty = F.lit("")
+    bind(o, "obj", F.col("obj_kind"), F.coalesce(F.col("lang"), empty),
+         F.coalesce(F.col("dtype"), empty))
+    bind(s, "subj", F.col("subj_kind"), empty, empty)
+    bind(p, "pred", F.lit("iri"), empty, empty)
     out = d.select(
         *[
             expr
@@ -458,6 +597,8 @@ def _pattern_df(triples: DataFrame, s, p, o) -> tuple[DataFrame, list[str]]:
             for expr in (
                 cols[v][0].alias(v),
                 cols[v][1].alias(f"__{v}_kind"),
+                cols[v][2].alias(f"__{v}_lang"),
+                cols[v][3].alias(f"__{v}_dtype"),
             )
         ]
     )
@@ -473,8 +614,8 @@ def _pattern_df(triples: DataFrame, s, p, o) -> tuple[DataFrame, list[str]]:
 
 
 def _join_patterns(triples: DataFrame, patterns: list[tuple]) -> tuple[DataFrame, set[str]]:
-    """Inner-join a pattern group on its shared variables (+ kind
-    shadow columns); unshared patterns cross-join (SPARQL product)."""
+    """Inner-join a pattern group on its shared variables (full-term
+    keys); unshared patterns cross-join (SPARQL product)."""
     df: DataFrame | None = None
     bound: set[str] = set()
     for s, p, o in patterns:
@@ -484,7 +625,7 @@ def _join_patterns(triples: DataFrame, patterns: list[tuple]) -> tuple[DataFrame
             continue
         shared = [v for v in variables if v in bound]
         if shared:
-            join_keys = [x for v in shared for x in (v, f"__{v}_kind")]
+            join_keys = [x for v in shared for x in _term_key(v)]
             df = df.join(pat_df, on=join_keys, how="inner")
         else:
             df = df.crossJoin(pat_df)
@@ -508,49 +649,80 @@ def _apply_filters(
 ) -> DataFrame:
     """Apply parsed FILTER clauses to a bindings DataFrame.
 
-    =/!= compare the TERM (lexical form AND kind). The ordering
-    operators follow SPARQL's per-row operator dispatch (see module
-    docstring): numeric vs numeric → decimal comparison, literal string
-    vs literal string → codepoint comparison, anything mixed or
+    =/!= compare the full TERM (lexical form, kind, lang, dtype) unless
+    a numeric constant pins SPARQL's numeric value comparison. The
+    ordering operators follow SPARQL's per-row operator dispatch (see
+    module docstring): numeric vs numeric → decimal comparison, literal
+    string vs literal string → codepoint comparison, anything mixed or
     non-literal → type error → row dropped (FILTER-error-is-false). A
     numeric constant operand pins the numeric branch, so ``?price >
-    10`` can never fall back to string comparison (VERDICT r2 #3)."""
+    10`` can never fall back to string comparison (VERDICT r2 #3).
+    ``lang(?v)``/``datatype(?v)`` evaluate per SPARQL 1.1 on literal
+    bindings and are a type error (row dropped) on IRIs/bnodes."""
 
-    def operand_col(term):
-        if isinstance(term, Var):
-            if term.name not in bound:
-                raise SparqlError(
-                    f"FILTER variable ?{term.name} is not bound in {scope}"
-                )
-            return F.col(term.name)
-        return F.lit(term.lexical if isinstance(term, Lit) else term.value)
+    def _check_bound(name: str, what: str):
+        if name not in bound:
+            raise SparqlError(f"{what} variable ?{name} is not bound in {scope}")
 
-    def operand_kind(term):
+    def term_parts(term):
+        """→ (value, kind, lang, dtype) columns for the operand."""
         if isinstance(term, Var):
-            return F.col(f"__{term.name}_kind")
-        return F.lit("literal" if isinstance(term, Lit) else "iri")
+            _check_bound(term.name, "FILTER")
+            k, lg, dt = _shadow_cols(term.name)
+            return F.col(term.name), F.col(k), F.col(lg), F.col(dt)
+        if isinstance(term, LangOf):
+            _check_bound(term.name, "lang()")
+            k, lg, _ = _shadow_cols(term.name)
+            # non-literal → NULL → comparison NULL → row dropped
+            val = F.when(F.col(k) == "literal", F.col(lg))
+            return val, F.lit("literal"), F.lit(""), F.lit("")
+        if isinstance(term, DtypeOf):
+            _check_bound(term.name, "datatype()")
+            k, lg, dt = _shadow_cols(term.name)
+            val = F.when(
+                F.col(k) == "literal",
+                F.when(F.col(lg) != "", F.lit(RDF_LANGSTRING))
+                .when(F.col(dt) != "", F.col(dt))
+                .otherwise(F.lit(XSD_STRING)),
+            )
+            return val, F.lit("iri"), F.lit(""), F.lit("")
+        if isinstance(term, Lit):
+            return (
+                F.lit(term.lexical), F.lit("literal"),
+                F.lit(term.lang or ""), F.lit(term.dtype or ""),
+            )
+        assert isinstance(term, Iri)
+        return F.lit(term.value), F.lit("iri"), F.lit(""), F.lit("")
 
     for f in filters:
         if f[0] == "regex":
             _, var, pat = f
-            df = df.where(operand_col(var).rlike(pat))
+            _check_bound(var.name, "FILTER")
+            df = df.where(F.col(var.name).rlike(pat))
             continue
         _, left, op, right = f
-        lv, rv = operand_col(left), operand_col(right)
-        # =/!= compare TERMS: lexical form AND kind — a literal whose
-        # text equals an IRI is a different RDF term (lang/dtype
-        # distinctions are not modeled here; documented). An
-        # OPTIONAL-unbound operand is NULL → condition NULL → row
-        # dropped, matching SPARQL's FILTER-error-is-false.
-        if op == "=":
-            df = df.where((lv == rv) & (operand_kind(left) == operand_kind(right)))
-        elif op == "!=":
-            df = df.where((lv != rv) | (operand_kind(left) != operand_kind(right)))
+        lv, lk, ll, ld = term_parts(left)
+        rv, rk, rl, rd = term_parts(right)
+        if op in ("=", "!="):
+            if _numeric_const(left) or _numeric_const(right):
+                # SPARQL numeric VALUE equality (10 = "10.0"^^xsd:decimal);
+                # an uncastable or non-literal side is a type error —
+                # the condition is NULL and the row drops for BOTH = and
+                # != (FILTER-error-is-false)
+                ln, rn = lv.try_cast(_DECIMAL), rv.try_cast(_DECIMAL)
+                both_literal = (lk == "literal") & (rk == "literal")
+                cond = ln == rn if op == "=" else ln != rn
+                df = df.where(both_literal & cond)
+            elif op == "=":
+                # full TERM equality: an OPTIONAL-unbound operand is
+                # NULL → condition NULL → row dropped, matching
+                # SPARQL's FILTER-error-is-false
+                df = df.where((lv == rv) & (lk == rk) & (ll == rl) & (ld == rd))
+            else:
+                df = df.where((lv != rv) | (lk != rk) | (ll != rl) | (ld != rd))
         else:
             ln, rn = lv.try_cast(_DECIMAL), rv.try_cast(_DECIMAL)
-            both_literal = (operand_kind(left) == "literal") & (
-                operand_kind(right) == "literal"
-            )
+            both_literal = (lk == "literal") & (rk == "literal")
             if _numeric_const(left) or _numeric_const(right):
                 # numeric comparison; an uncastable other side is a
                 # SPARQL type error (NULL condition → row dropped)
@@ -566,6 +738,58 @@ def _apply_filters(
     return df
 
 
+def _aggregate(
+    df: DataFrame, items: list[tuple], group_by: list[str], bound: set[str]
+) -> tuple[DataFrame, list[str]]:
+    """Compile SELECT aggregate items + GROUP BY into a groupBy().agg().
+
+    Grouping keys are full TERMS (value + kind/lang/dtype shadows), so
+    ``"5"`` and ``"5"^^xsd:int`` land in different groups. Returns the
+    aggregated frame and the output column order."""
+    plain = [it[1] for it in items if it[0] == "var"]
+    aggs = [it for it in items if it[0] == "agg"]
+    for v in group_by:
+        if v not in bound:
+            raise SparqlError(f"GROUP BY variable ?{v} is never bound")
+    stray = [v for v in plain if v not in group_by]
+    if stray:
+        raise SparqlError(
+            f"non-aggregated SELECT variable(s) {stray} must appear in GROUP BY"
+        )
+    seen: set[str] = set()
+    for _, func, _, var, alias in aggs:
+        if var is not None and var not in bound:
+            raise SparqlError(f"{func} variable ?{var} is never bound")
+        if alias in bound or alias in seen:
+            raise SparqlError(f"aggregate alias ?{alias} collides with another name")
+        seen.add(alias)
+
+    def agg_expr(func: str, distinct: bool, var: str | None):
+        if func == "COUNT":
+            if var is None:
+                return F.count(F.lit(1))
+            if distinct:
+                # distinct TERMS: the shadow columns are '' (never
+                # NULL) for bound rows, so only OPTIONAL-unbound rows
+                # are skipped — exactly SPARQL's error-skip
+                return F.count_distinct(F.col(var), *[F.col(c) for c in _shadow_cols(var)])
+            return F.count(F.col(var))
+        if func in ("SUM", "AVG"):
+            col = F.col(var).try_cast(_DECIMAL)
+            return F.sum(col) if func == "SUM" else F.avg(col)
+        return F.min(F.col(var)) if func == "MIN" else F.max(F.col(var))
+
+    exprs = [agg_expr(func, d, var).alias(alias) for _, func, d, var, alias in aggs]
+    keys = [c for v in group_by for c in _term_key(v)]
+    if exprs:
+        out = df.groupBy(*keys).agg(*exprs) if keys else df.agg(*exprs)
+    else:
+        # GROUP BY with no aggregate ≡ DISTINCT over the group TERMS
+        out = df.select(*keys).dropDuplicates()
+    order = [it[1] if it[0] == "var" else it[4] for it in items]
+    return out.select(*order), order
+
+
 def sparql_select(
     triples: DataFrame, query: str, prefixes: dict[str, str] | None = None
 ) -> DataFrame:
@@ -574,10 +798,11 @@ def sparql_select(
     ``prefixes`` plays the role of the model's namespace map in the
     reference (UtilImpl.java:151-159): queries may use prefixed names
     without declaring them. Returns a DataFrame with one string column
-    per projected variable (lexical forms, like LocalResource)."""
-    proj, distinct, patterns, unions, optionals, filters, order, limit = _Parser(
-        query, prefixes
-    ).parse()
+    per projected variable (lexical forms, like LocalResource);
+    aggregate aliases carry natural numeric types."""
+    (
+        items, distinct, patterns, unions, optionals, filters, group_by, order, limit
+    ) = _Parser(query, prefixes).parse()
     df: DataFrame | None = None
     bound: set[str] = set()
     if patterns:
@@ -594,7 +819,7 @@ def sparql_select(
                 "UNION branches must bind the same variables "
                 f"(got {sorted(v for _, vs in compiled for v in vs)})"
             )
-        cols = [x for v in sorted(varset) for x in (v, f"__{v}_kind")]
+        cols = [x for v in sorted(varset) for x in _term_key(v)]
         u = compiled[0][0].select(*cols)
         for bdf, _ in compiled[1:]:
             u = u.unionByName(bdf.select(*cols))  # bag union (SPARQL UNION)
@@ -603,7 +828,7 @@ def sparql_select(
         else:
             shared = [v for v in sorted(varset) if v in bound]
             if shared:
-                join_keys = [x for v in shared for x in (v, f"__{v}_kind")]
+                join_keys = [x for v in shared for x in _term_key(v)]
                 df = df.join(u, on=join_keys, how="inner")
             else:
                 df = df.crossJoin(u)
@@ -632,18 +857,23 @@ def sparql_select(
                 "join is not expressible as an equi-join — restructure the "
                 "query or use SQL over register_triples_view"
             )
-        join_keys = [x for v in shared for x in (v, f"__{v}_kind")]
+        join_keys = [x for v in shared for x in _term_key(v)]
         df = df.join(gdf, on=join_keys, how="left")
         nullable |= gvars - bound
         bound |= gvars
 
     df = _apply_filters(df, filters, bound)
-    if proj is None:
-        proj = sorted(bound)
-    missing = [v for v in proj if v not in bound]
-    if missing:
-        raise SparqlError(f"projected variables never bound: {missing}")
-    out = df.select(*proj)
+    has_aggs = items is not None and any(it[0] == "agg" for it in items)
+    if has_aggs or group_by:
+        if items is None:
+            raise SparqlError("SELECT * cannot be combined with GROUP BY/aggregates")
+        out, proj = _aggregate(df, items, group_by, bound)
+    else:
+        proj = sorted(bound) if items is None else [it[1] for it in items]
+        missing = [v for v in proj if v not in bound]
+        if missing:
+            raise SparqlError(f"projected variables never bound: {missing}")
+        out = df.select(*proj)
     if distinct:
         out = out.dropDuplicates()
     if order:

@@ -136,3 +136,77 @@ WHERE t1.pred = '{RDF_TYPE}' AND t1.obj = '{ONT}Customer' AND t1.obj_kind = 'iri
   AND t5.pred = '{ONT}name' AND t5.obj_kind = 'literal'
   AND regexp_matches(t2.obj, '1$')
 """
+
+# Aggregate SPARQL over the generated KG: customers-per-nation with a
+# distinct-segment count — exercises GROUP BY (term-keyed), COUNT(?v),
+# COUNT(DISTINCT ?v), and ORDER BY over an aggregate projection.
+TPCH_SPARQL_AGG_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?nation_name (COUNT(?customer) AS ?n_customers)
+       (COUNT(DISTINCT ?segment) AS ?n_segments) WHERE {
+  ?customer a ex:Customer .
+  ?customer ex:inNation ?nation .
+  ?customer ex:marketSegment ?segment .
+  ?nation ex:name ?nation_name .
+} GROUP BY ?nation_name ORDER BY ?nation_name
+"""
+
+
+def run_tpch_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_AGG_QUERY)
+
+
+# DuckDB twin: each customer has exactly one ex:marketSegment triple,
+# so the per-nation row count IS the customer count; COUNT casts pin
+# BIGINT so the schema matches Spark's LongType (DuckDB HUGEINT lesson
+# from sessionized_events, r2).
+TPCH_SPARQL_AGG_ORACLE_SQL = f"""
+WITH triples AS ({TPCH_KG_ORACLE_SQL})
+SELECT t4.obj AS nation_name,
+       CAST(COUNT(t1.subj) AS BIGINT) AS n_customers,
+       CAST(COUNT(DISTINCT t3.obj) AS BIGINT) AS n_segments
+FROM triples t1
+JOIN triples t2 ON t2.subj = t1.subj AND t2.subj_kind = t1.subj_kind
+JOIN triples t3 ON t3.subj = t1.subj AND t3.subj_kind = t1.subj_kind
+JOIN triples t4 ON t4.subj = t2.obj AND t4.subj_kind = t2.obj_kind
+WHERE t1.pred = '{RDF_TYPE}' AND t1.obj = '{ONT}Customer' AND t1.obj_kind = 'iri'
+  AND t2.pred = '{ONT}inNation' AND t2.obj_kind = 'iri'
+  AND t3.pred = '{ONT}marketSegment' AND t3.obj_kind = 'literal'
+  AND t4.pred = '{ONT}name' AND t4.obj_kind = 'literal'
+GROUP BY t4.obj
+ORDER BY nation_name
+"""
+
+# Typed-literal SPARQL: datatype() accessor + numeric ordering FILTER
+# over the xsd:integer-typed ex:custkey literals (SPARQL 1.1 operator
+# dispatch: "9" must not satisfy >= 140 lexically).
+TPCH_SPARQL_TYPED_QUERY = """
+PREFIX ex:  <http://kg.example/ontology#>
+PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+SELECT ?customer ?key WHERE {
+  ?customer a ex:Customer .
+  ?customer ex:custkey ?key .
+  FILTER (datatype(?key) = xsd:integer)
+  FILTER (?key >= 140)
+}
+"""
+
+
+def run_tpch_sparql_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_TYPED_QUERY)
+
+
+TPCH_SPARQL_TYPED_ORACLE_SQL = f"""
+WITH triples AS ({TPCH_KG_ORACLE_SQL})
+SELECT t2.subj AS customer, t2.obj AS key
+FROM triples t1
+JOIN triples t2 ON t2.subj = t1.subj AND t2.subj_kind = t1.subj_kind
+WHERE t1.pred = '{RDF_TYPE}' AND t1.obj = '{ONT}Customer' AND t1.obj_kind = 'iri'
+  AND t2.pred = '{ONT}custkey' AND t2.obj_kind = 'literal'
+  AND t2.dtype = '{XSD_INT}'
+  AND TRY_CAST(t2.obj AS DECIMAL(38,12)) >= 140
+"""

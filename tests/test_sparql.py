@@ -406,3 +406,125 @@ def test_sparql_over_generated_graph(spark):
     assert len(rows) == nation.count()
     first_name = nation.where("n_nationkey = 0").first()["n_name"]
     assert (EX + "nation/0", first_name) in rows
+
+
+# -- aggregates, accessors, full-term model (r3) -----------------------
+
+def test_aggregate_global_count(graph):
+    q = "PREFIX ex: <http://ex.org/> SELECT (COUNT(*) AS ?n) WHERE { ?s a ex:Person }"
+    assert sparql_select(graph, q).collect()[0].n == 2
+
+
+def test_aggregate_group_by(graph):
+    q = "SELECT ?t (COUNT(?s) AS ?n) WHERE { ?s a ?t } GROUP BY ?t"
+    assert [(r.t, r.n) for r in sparql_select(graph, q).collect()] == [
+        (EX + "Person", 2)
+    ]
+
+
+def test_aggregate_sum_avg_min_max(numeric_graph, graph):
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT (SUM(?n) AS ?total) (AVG(?n) AS ?mean) WHERE { ?s ex:age ?n }"""
+    row = sparql_select(numeric_graph, q).collect()[0]
+    assert float(row.total) == 30.0 and float(row.mean) == 10.0
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT (MIN(?n) AS ?lo) (MAX(?n) AS ?hi) WHERE { ?p ex:name ?n }"""
+    row2 = sparql_select(graph, q2).collect()[0]
+    assert (row2.lo, row2.hi) == ("Ada", "Grace")
+
+
+def test_count_distinct_counts_terms_not_lexical_forms(graph, numeric_graph):
+    # p1's objects: Person (iri), "Ada" (lit), p2 (iri), p2's IRI text
+    # as a literal — 4 distinct TERMS though only 3 lexical forms
+    q = "SELECT (COUNT(DISTINCT ?o) AS ?n) WHERE { <http://ex.org/p1> ?p ?o }"
+    assert sparql_select(graph, q).collect()[0].n == 4
+    # scores: "9", "11", "lots" literals + one IRI object = 4 terms
+    q2 = "PREFIX ex: <http://ex.org/> SELECT (COUNT(DISTINCT ?o) AS ?n) WHERE { ?s ex:score ?o }"
+    assert sparql_select(numeric_graph, q2).collect()[0].n == 4
+
+
+def test_aggregate_order_by_alias_and_limit(numeric_graph):
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?n (COUNT(?s) AS ?c) WHERE { ?s ex:age ?n }
+    GROUP BY ?n ORDER BY DESC(?c) ?n LIMIT 2"""
+    got = [(r.n, r.c) for r in sparql_select(numeric_graph, q).collect()]
+    assert got == [("10", 1), ("11", 1)]
+
+
+def test_group_by_without_aggregates_is_distinct_terms(graph):
+    q = "SELECT ?t WHERE { ?s a ?t } GROUP BY ?t"
+    assert [r.t for r in sparql_select(graph, q).collect()] == [EX + "Person"]
+
+
+def test_aggregate_errors(graph):
+    with pytest.raises(SparqlError):  # plain var not in GROUP BY
+        sparql_select(graph, "SELECT ?s (COUNT(?t) AS ?n) WHERE { ?s a ?t }")
+    with pytest.raises(SparqlError):  # SELECT * with GROUP BY
+        sparql_select(graph, "SELECT * WHERE { ?s a ?t } GROUP BY ?t")
+    with pytest.raises(SparqlError):  # DISTINCT only inside COUNT
+        sparql_select(graph, "SELECT (SUM(DISTINCT ?t) AS ?n) WHERE { ?s a ?t }")
+    with pytest.raises(SparqlError):  # unaliased aggregate
+        sparql_select(graph, "SELECT (COUNT(?t)) WHERE { ?s a ?t }")
+    with pytest.raises(SparqlError):  # HAVING is rejected, not ignored
+        sparql_select(
+            graph,
+            "SELECT ?t (COUNT(?s) AS ?n) WHERE { ?s a ?t } GROUP BY ?t HAVING (?n > 1)",
+        )
+    with pytest.raises(SparqlError):  # alias collides with a bound var
+        sparql_select(graph, "SELECT (COUNT(?t) AS ?s) WHERE { ?s a ?t }")
+
+
+def test_lang_accessor(graph):
+    q = 'PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p ex:name ?n . FILTER (lang(?n) = "en") }'
+    assert [r.p for r in sparql_select(graph, q).collect()] == [EX + "p2"]
+    # SPARQL: lang() of a plain literal is ""
+    q2 = 'PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p ex:name ?n . FILTER (lang(?n) = "") }'
+    assert [r.p for r in sparql_select(graph, q2).collect()] == [EX + "p1"]
+    # lang() of an IRI is a type error → row dropped, not ""
+    q3 = 'PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ?a ex:knows ?o . FILTER (lang(?o) = "") }'
+    assert sparql_select(graph, q3).count() == 0
+
+
+def test_datatype_accessor(numeric_graph, graph):
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    q = f"""PREFIX ex: <http://ex.org/>
+    SELECT ?s WHERE {{ ?s ex:age ?n . FILTER (datatype(?n) = <{XSD}integer>) }}"""
+    assert sparql_select(numeric_graph, q).count() == 3
+    # plain literals are xsd:string (SPARQL 1.1); the IRI object drops
+    q2 = f"""PREFIX ex: <http://ex.org/>
+    SELECT ?s WHERE {{ ?s ex:score ?n . FILTER (datatype(?n) = <{XSD}string>) }}"""
+    assert {r.s for r in sparql_select(numeric_graph, q2).collect()} == {
+        EX + "d", EX + "e", EX + "f"
+    }
+    # lang-tagged literals are rdf:langString
+    q3 = """PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE { ?p ex:name ?n .
+      FILTER (datatype(?n) = <http://www.w3.org/1999/02/22-rdf-syntax-ns#langString>) }"""
+    assert [r.p for r in sparql_select(graph, q3).collect()] == [EX + "p2"]
+
+
+def test_equality_is_full_term_equality(graph, numeric_graph):
+    # "Grace" (simple) does not equal "Grace"@en — different terms
+    q = 'PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p ex:name ?n . FILTER (?n = "Grace") }'
+    assert sparql_select(graph, q).count() == 0
+    q2 = 'PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p ex:name ?n . FILTER (?n = "Grace"@en) }'
+    assert [r.p for r in sparql_select(graph, q2).collect()] == [EX + "p2"]
+    # a numeric constant pins VALUE equality: 10.0 = "10"^^xsd:integer
+    q3 = "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:age ?n . FILTER (?n = 10.0) }"
+    assert [r.s for r in sparql_select(numeric_graph, q3).collect()] == [EX + "b"]
+    # numeric != is a type error on the non-numeric rows (dropped), so
+    # "lots" and the IRI never satisfy != 7
+    q4 = "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:score ?n . FILTER (?n != 7) }"
+    assert {r.s for r in sparql_select(numeric_graph, q4).collect()} == {EX + "d", EX + "e"}
+
+
+def test_join_distinguishes_lang_variants(spark):
+    rows = [
+        (EX + "x", "iri", EX + "p", "hello", "literal", None, None),
+        (EX + "y", "iri", EX + "q", "hello", "literal", "en", None),
+        (EX + "z", "iri", EX + "q", "hello", "literal", None, None),
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    # join on ?v must key the full term: "hello" joins "hello", not "hello"@en
+    q = "PREFIX ex: <http://ex.org/> SELECT ?a ?b WHERE { ?a ex:p ?v . ?b ex:q ?v }"
+    assert {(r.a, r.b) for r in sparql_select(g, q).collect()} == {(EX + "x", EX + "z")}
