@@ -138,6 +138,8 @@ def main() -> None:
                     help="corpus replication factor for --scaling")
     ap.add_argument("--repeats", type=int, default=5,
                     help="interleaved (N,4N) pairs for --scaling (median kept)")
+    ap.add_argument("--query-repeats", type=int, default=3,
+                    help="driver-mode repeats per query/build (median kept)")
     args = ap.parse_args()
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
@@ -235,9 +237,11 @@ def main() -> None:
     # full set, median reported per query (the single-run r1/r2 numbers
     # sat inside a ±25% host-noise band; medians separate code from
     # host), all runs listed under query_runs
-    secs, query_runs, rows = bench_queries_repeated(spark, args.sf_dir, repeats=3)
+    secs, query_runs, rows = bench_queries_repeated(
+        spark, args.sf_dir, repeats=args.query_repeats
+    )
     sf_builds = []
-    for _ in range(3):
+    for _ in range(args.query_repeats):
         spark.catalog.clearCache()
         sf_builds.append(kg_throughput(spark, args.sf_dir))
     tps_sf, n_sf, dt_sf = sorted(sf_builds, key=lambda t: t[2])[len(sf_builds) // 2]
@@ -256,7 +260,7 @@ def main() -> None:
     # identical back-to-back builds; the median is robust to one bad
     # window where best-of-N is biased up and single-run is unprotected
     builds = []
-    for _ in range(3):
+    for _ in range(args.query_repeats):
         spark.catalog.clearCache()  # cold: no cross-run reuse
         builds.append(kg_throughput(spark, scaled))
     tps, n, dt = sorted(builds, key=lambda t: t[2])[len(builds) // 2]
@@ -275,7 +279,7 @@ def main() -> None:
         "sf_dir_triples": n_sf,
         "sf_dir_triples_per_sec": round(tps_sf, 1),
         "rows": rows,
-        "repeats": 3,
+        "repeats": args.query_repeats,
         "query_runs": query_runs,
         "build_runs_sec_x48": [round(b[2], 3) for b in builds],
         "build_runs_sec_sf_dir": [round(b[2], 3) for b in sf_builds],

@@ -262,6 +262,7 @@ def run_properties(
             write_rdfxml(
                 triples.select(*TRIPLE_COLUMNS), p(dest),
                 xml_declaration=_flag(props, "jena.showXmlDeclaration"),
+                abbrev="ABBREV" in syntax,
             )
         else:
             write_sorted(triples.select(*TRIPLE_COLUMNS), p(dest))

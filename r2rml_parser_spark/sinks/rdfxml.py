@@ -19,9 +19,16 @@ globally-ordered part files with the envelope in underscore-prefixed
 side files (the ``ntriples.write_sorted`` pattern — the scale path,
 VERDICT r2 #7).
 
-Output is plain rdf:Description form (Jena's default non-ABBREV
-RDF/XML); ABBREV requests fall back to the same form — both parse
-identically, which is what the reference's own round-trips rely on.
+Two output forms, matching Jena's two writers (knob
+``jena.destinationFileSyntax``, r2rml.properties:84-88): the default
+plain ``rdf:Description`` form, and ``abbrev=True`` → RDF/XML-ABBREV's
+typed-node form, where a subject with an ``rdf:type`` triple renders
+as ``<pfx:Class rdf:about=...>`` and that one type triple is folded
+into the element name (remaining types stay as property elements,
+Jena's own behavior). A class IRI that cannot be split into a
+namespace + XML localname simply stays in Description form — Jena
+likewise only abbreviates abbreviatable types. Both forms parse to
+the same graph.
 """
 
 from __future__ import annotations
@@ -75,27 +82,61 @@ def namespace_table(triples: DataFrame) -> tuple[dict[str, str], dict[str, str]]
     """(prefix→namespace, predicate→QName). One distinct pass over the
     predicate column — predicates come from the mapping document, so the
     result is mapping-sized, not data-sized."""
+    prefixes, qnames, _ = _build_tables(triples, include_classes=False)
+    return prefixes, qnames
+
+
+def _build_tables(
+    triples: DataFrame, include_classes: bool
+) -> tuple[dict[str, str], dict[str, str], dict[str, str]]:
+    """(prefix→namespace, predicate→QName, class-IRI→QName). Predicates
+    and (for ABBREV) rdf:type objects both come from the mapping
+    document's predicates/classes, so both distinct passes are
+    mapping-sized, not data-sized. Predicate prefixes are assigned
+    first, so plain and ABBREV dumps agree on them."""
     preds = [r.pred for r in triples.select("pred").distinct().collect()]
     ns_to_prefix: dict[str, str] = {RDF_NS: "rdf"}
-    qnames: dict[str, str] = {}
     counter = 0
-    for p in sorted(preds):  # deterministic prefix assignment
-        ns, local = split_iri(p)
+
+    def assign(iri: str) -> str:
+        nonlocal counter
+        ns, local = split_iri(iri)
         if ns not in ns_to_prefix:
             counter += 1
             ns_to_prefix[ns] = f"ns{counter}"
-        qnames[p] = f"{ns_to_prefix[ns]}:{local}"
-    return {v: k for k, v in ns_to_prefix.items()}, qnames
+        return f"{ns_to_prefix[ns]}:{local}"
+
+    qnames = {p: assign(p) for p in sorted(preds)}  # deterministic prefixes
+    class_qnames: dict[str, str] = {}
+    if include_classes:
+        classes = [
+            r.obj
+            for r in triples.where(
+                (F.col("pred") == RDF_NS + "type") & (F.col("obj_kind") == "iri")
+            ).select("obj").distinct().collect()
+        ]
+        for c in sorted(classes):
+            try:
+                class_qnames[c] = assign(c)
+            except RdfXmlDumpError:
+                pass  # unabbreviatable class: stays a property element
+    return {v: k for k, v in ns_to_prefix.items()}, qnames, class_qnames
 
 
 def description_blocks(
-    triples: DataFrame, qnames: dict[str, str], sort: bool = True
+    triples: DataFrame, qnames: dict[str, str], sort: bool = True,
+    class_qnames: dict[str, str] | None = None,
 ) -> DataFrame:
     """Triples → one-column DF of sorted ``<rdf:Description>`` blocks.
     Fully distributed: per-triple property XML is a codegen'd concat,
     the per-subject fold is one groupBy (map-side partial collect).
     ``sort=False`` skips the global sort for callers that impose their
-    own ordered partitioning (write_rdfxml_parts)."""
+    own ordered partitioning (write_rdfxml_parts). A non-empty
+    ``class_qnames`` switches to ABBREV typed-node form: per subject,
+    the smallest abbreviatable rdf:type object names the element and
+    that one type triple is dropped from the body (higher-order array
+    exprs here are CodegenFallback, which is fine in a dump sink — the
+    per-subject fold, not expression codegen, dominates)."""
     if not qnames:
         # empty graph: F.create_map() with no entries is map<void,void>
         # and fails analysis even over zero rows — render no blocks
@@ -128,6 +169,50 @@ def description_blocks(
         F.col("subj_kind") == "bnode",
         F.concat(F.lit('rdf:nodeID="'), _esc_attr(F.col("subj")), F.lit('"')),
     ).otherwise(F.concat(F.lit('rdf:about="'), _esc_attr(F.col("subj")), F.lit('"')))
+    if class_qnames:
+        cmap = F.create_map(*[F.lit(x) for kv in class_qnames.items() for x in kv])
+        is_abbrev_type = (
+            (F.col("pred") == RDF_NS + "type")
+            & (F.col("obj_kind") == "iri")
+            & F.col("obj").isin(*class_qnames)
+        )
+        per_subject = (
+            triples.select(
+                subj_attr.alias("sa"),
+                F.when(is_abbrev_type, F.col("obj")).alias("cand"),
+                F.col("pred"), F.col("obj"), prop.alias("p"),
+            )
+            .groupBy("sa")
+            .agg(
+                F.min("cand").alias("chosen"),
+                F.collect_list(F.struct("pred", "obj", "p")).alias("props"),
+            )
+        )
+        # drop exactly the folded type triple (triples are set-deduped,
+        # so it occurs once); chosen IS NULL → conjunction is FALSE →
+        # everything is kept in Description form
+        kept = F.filter(
+            F.col("props"),
+            lambda x: ~(
+                F.col("chosen").isNotNull()
+                & (x["pred"] == RDF_NS + "type")
+                & (x["obj"] == F.col("chosen"))
+            ),
+        )
+        elem = F.coalesce(cmap[F.col("chosen")], F.lit("rdf:Description"))
+        body = F.array_join(F.array_sort(F.transform(kept, lambda x: x["p"])), "\n")
+        blocks = per_subject.select(
+            F.when(
+                F.size(kept) == 0,
+                F.concat(F.lit("  <"), elem, F.lit(" "), F.col("sa"), F.lit("/>")),
+            ).otherwise(
+                F.concat(
+                    F.lit("  <"), elem, F.lit(" "), F.col("sa"), F.lit(">\n"),
+                    body, F.lit("\n  </"), elem, F.lit(">"),
+                )
+            ).alias("value")
+        )
+        return blocks.sort("value") if sort else blocks
     per_subject = (
         triples.select(subj_attr.alias("sa"), prop.alias("p"))
         .groupBy("sa")
@@ -149,24 +234,36 @@ def rdfxml_envelope(prefixes: dict[str, str]) -> tuple[str, str]:
     return f"<rdf:RDF{decls}>", "</rdf:RDF>"
 
 
-def dump_rdfxml_string(triples: DataFrame, *, xml_declaration: bool = False) -> str:
+def dump_rdfxml_string(
+    triples: DataFrame, *, xml_declaration: bool = False, abbrev: bool = False
+) -> str:
     """Driver-side RDF/XML dump (test scale / reference-parity dumps —
-    the reference itself is a single-writer here)."""
-    prefixes, qnames = namespace_table(triples)
+    the reference itself is a single-writer here). ``abbrev`` selects
+    Jena's RDF/XML-ABBREV typed-node form."""
+    prefixes, qnames, class_qnames = _build_tables(triples, include_classes=abbrev)
     head, tail = rdfxml_envelope(prefixes)
     parts = []
     if xml_declaration:
         # byte-identical to the reference's declaration (Generator.java:655)
         parts.append('<?xml version="1.0" encoding="UTF-8" ?>')
     parts.append(head)
-    parts.extend(r.value for r in description_blocks(triples, qnames).toLocalIterator())
+    parts.extend(
+        r.value
+        for r in description_blocks(
+            triples, qnames, class_qnames=class_qnames
+        ).toLocalIterator()
+    )
     parts.append(tail)
     return "\n".join(parts) + "\n"
 
 
-def write_rdfxml(triples: DataFrame, path: str, *, xml_declaration: bool = False) -> None:
+def write_rdfxml(
+    triples: DataFrame, path: str, *, xml_declaration: bool = False, abbrev: bool = False
+) -> None:
     with open(path, "w", encoding="utf-8") as f:
-        f.write(dump_rdfxml_string(triples, xml_declaration=xml_declaration))
+        f.write(
+            dump_rdfxml_string(triples, xml_declaration=xml_declaration, abbrev=abbrev)
+        )
 
 
 HEADER_FILE = "_00_header.xml"
@@ -175,7 +272,7 @@ FOOTER_FILE = "_zz_footer.xml"
 
 def write_rdfxml_parts(
     triples: DataFrame, path: str, partitions: int | None = None,
-    *, xml_declaration: bool = False,
+    *, xml_declaration: bool = False, abbrev: bool = False,
 ) -> None:
     """Cluster-scale RDF/XML dump (VERDICT r2 #7): the description
     blocks are written as globally-ordered part FILES — ranged
@@ -192,8 +289,8 @@ def write_rdfxml_parts(
     (``assemble_rdfxml_parts``; equivalently ``cat`` in that order).
     The prefix table is mapping-sized (one distinct over predicates),
     so the envelope itself is always driver-small."""
-    prefixes, qnames = namespace_table(triples)
-    blocks = description_blocks(triples, qnames, sort=False)
+    prefixes, qnames, class_qnames = _build_tables(triples, include_classes=abbrev)
+    blocks = description_blocks(triples, qnames, sort=False, class_qnames=class_qnames)
     if partitions:
         blocks = blocks.repartitionByRange(partitions, "value").sortWithinPartitions("value")
     else:
