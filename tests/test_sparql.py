@@ -528,3 +528,24 @@ def test_join_distinguishes_lang_variants(spark):
     # join on ?v must key the full term: "hello" joins "hello", not "hello"@en
     q = "PREFIX ex: <http://ex.org/> SELECT ?a ?b WHERE { ?a ex:p ?v . ?b ex:q ?v }"
     assert {(r.a, r.b) for r in sparql_select(g, q).collect()} == {(EX + "x", EX + "z")}
+
+
+def test_count_skips_optional_unbound(graph):
+    # p1 knows p2, p2 knows nobody: COUNT(?q) counts only bound rows,
+    # COUNT(*) counts all rows (SPARQL error-skip vs cardinality)
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT (COUNT(?q) AS ?bound) (COUNT(*) AS ?all) WHERE {
+      ?p a ex:Person . OPTIONAL { ?p ex:knows ?q }
+    }"""
+    row = sparql_select(graph, q).collect()[0]
+    assert (row.bound, row.all) == (1, 2)
+
+
+def test_aggregate_over_union(graph):
+    # names arrive via two disjoint branches; group per person
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p (COUNT(?n) AS ?c) WHERE {
+      { ?p ex:name ?n } UNION { ?p ex:note ?n }
+    } GROUP BY ?p ORDER BY ?p"""
+    got = [(r.p, r.c) for r in sparql_select(graph, q).collect()]
+    assert got == [(EX + "p1", 2), (EX + "p2", 1)]
