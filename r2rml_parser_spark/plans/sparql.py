@@ -37,7 +37,11 @@ stay sound; branches binding different variables would need SPARQL's
 unbound-is-compatible join semantics, which is rejected, not
 approximated), FILTER (x op y) for op ∈ {=, !=, <, <=, >, >=} where
 x/y are variables, terms, bare numbers, or the accessors ``lang(?v)``
-/ ``datatype(?v)``, and FILTER regex(?v, "pattern") — at the top
+/ ``datatype(?v)``, FILTER regex(?v, "pattern"), and the boolean
+tests ``[!]bound(?v)`` / ``isIRI`` / ``isURI`` / ``isLiteral`` /
+``isBlank`` (``!bound`` is SPARQL's standard left-join negation
+idiom; ``!isIRI(?v)`` on an unbound ?v is a type error → row
+dropped, while ``!bound`` is true there) — at the top
 level or inside an OPTIONAL/UNION group when every filter variable is
 bound inside that group (the pre-join filter is then equivalent to
 SPARQL's LeftJoin(A, G, F) / branch-local filter; a filter needing
@@ -116,6 +120,7 @@ XSD_NUMERIC = frozenset(
 _DECIMAL = "decimal(38,12)"
 
 _AGG_FUNCS = frozenset({"COUNT", "SUM", "AVG", "MIN", "MAX"})
+_BOOL_FUNCS = frozenset({"bound", "isiri", "isuri", "isliteral", "isblank"})
 
 
 class SparqlError(ValueError):
@@ -172,7 +177,7 @@ _TOKEN = re.compile(
                                    |\^\^(?P<dtiri><[^>]*>|[A-Za-z_][\w\-]*:[\w\-]+))?
       | (?P<num>-?\d+\.\d+|-?\d+)
       | (?P<punct>[{}.;()])
-      | (?P<op><=|>=|!=|=|<|>|,)
+      | (?P<op><=|>=|!=|=|<|>|,|!)
       | (?P<kw>[A-Za-z_][\w\-]*:?[\w\-]*|\*|\d+)
     )""",
     re.VERBOSE,
@@ -517,8 +522,43 @@ class _Parser:
             return Lit(str(val), None, _XSD + ("decimal" if "." in str(val) else "integer"))
         return self._term("obj")
 
+    def _bool_call(self, fn: str) -> tuple:
+        """``bound(?v)`` / ``isIRI(?v)`` / ... — the fn keyword has been
+        consumed; parses ``(?v)`` and returns ("bool", fn, var, False)."""
+        if self._next() != ("punct", "("):
+            raise SparqlError(f"{fn}() needs '('")
+        kv, vv = self._next()
+        if kv != "var":
+            raise SparqlError(f"{fn}() takes a ?variable")
+        if self._next() != ("punct", ")"):
+            raise SparqlError(f"{fn}() needs ')'")
+        return ("bool", fn, str(vv), False)
+
     def _filter(self) -> tuple:
         k, v = self._next()
+        if k == "kw" and str(v).lower() in _BOOL_FUNCS:
+            return self._bool_call(str(v).lower())
+        if k == "punct" and v == "(" and (
+            self._peek() == ("op", "!")
+            or (
+                self._peek()[0] == "kw"
+                and str(self._peek()[1]).lower() in _BOOL_FUNCS
+                and self._peek2() == ("punct", "(")
+            )
+        ):
+            negated = False
+            if self._peek() == ("op", "!"):
+                self._next()
+                negated = True
+            k2, v2 = self._next()
+            if k2 != "kw" or str(v2).lower() not in _BOOL_FUNCS:
+                raise SparqlError(
+                    f"'!' applies to {sorted(_BOOL_FUNCS)} calls, got {v2!r}"
+                )
+            call = self._bool_call(str(v2).lower())
+            if self._next() != ("punct", ")"):
+                raise SparqlError("FILTER needs ')'")
+            return (*call[:3], negated)
         if k == "kw" and str(v).lower() == "regex":
             if self._next() != ("punct", "("):
                 raise SparqlError("regex needs '('")
@@ -695,6 +735,20 @@ def _apply_filters(
         return F.lit(term.value), F.lit("iri"), F.lit(""), F.lit("")
 
     for f in filters:
+        if f[0] == "bool":
+            _, fn, name, negated = f
+            _check_bound(name, f"{fn}()")
+            if fn == "bound":
+                cond = F.col(name).isNotNull()
+            else:
+                kind = {"isiri": "iri", "isuri": "iri",
+                        "isliteral": "literal", "isblank": "bnode"}[fn]
+                # an OPTIONAL-unbound operand is a type error for the
+                # is* tests: kind shadow is NULL → condition NULL →
+                # row dropped even under '!', per FILTER-error-is-false
+                cond = F.col(f"__{name}_kind") == kind
+            df = df.where(~cond if negated else cond)
+            continue
         if f[0] == "regex":
             _, var, pat = f
             _check_bound(var.name, "FILTER")

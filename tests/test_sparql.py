@@ -549,3 +549,41 @@ def test_aggregate_over_union(graph):
     } GROUP BY ?p ORDER BY ?p"""
     got = [(r.p, r.c) for r in sparql_select(graph, q).collect()]
     assert got == [(EX + "p1", 2), (EX + "p2", 1)]
+
+
+def test_bound_and_negation(graph):
+    # !bound is the standard SPARQL left-join negation: persons who
+    # know nobody
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE { ?p a ex:Person . OPTIONAL { ?p ex:knows ?q }
+      FILTER (!bound(?q)) }"""
+    assert [r.p for r in sparql_select(graph, q).collect()] == [EX + "p2"]
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE { ?p a ex:Person . OPTIONAL { ?p ex:knows ?q }
+      FILTER bound(?q) }"""
+    assert [r.p for r in sparql_select(graph, q2).collect()] == [EX + "p1"]
+
+
+def test_is_kind_tests(graph):
+    # p1's objects span iri + literal kinds with one shared lexical form
+    q = "SELECT ?o WHERE { <http://ex.org/p1> ?p ?o . FILTER isLiteral(?o) }"
+    got = sorted(r.o for r in sparql_select(graph, q).collect())
+    assert got == ["Ada", EX + "p2"]  # the note literal shares p2's text
+    q2 = "SELECT ?o WHERE { <http://ex.org/p1> ?p ?o . FILTER (isIRI(?o)) }"
+    assert sparql_select(graph, q2).count() == 2  # Person class + knows target
+    # isURI is an alias; isBlank matches nothing here
+    q3 = "SELECT ?o WHERE { <http://ex.org/p1> ?p ?o . FILTER isURI(?o) }"
+    assert sparql_select(graph, q3).count() == 2
+    q4 = "SELECT ?o WHERE { <http://ex.org/p1> ?p ?o . FILTER isBlank(?o) }"
+    assert sparql_select(graph, q4).count() == 0
+
+
+def test_is_kind_on_unbound_is_type_error(graph):
+    # !isIRI(?q) with ?q OPTIONAL-unbound: type error → dropped (NOT
+    # kept the way !bound keeps it)
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE { ?p a ex:Person . OPTIONAL { ?p ex:knows ?q }
+      FILTER (!isIRI(?q)) }"""
+    assert sparql_select(graph, q).count() == 0
+    with pytest.raises(SparqlError):
+        sparql_select(graph, "SELECT ?s WHERE { ?s a ?t . FILTER bound(?nope) }")
