@@ -374,9 +374,10 @@ def neardup_edges(
         # NARROW rows only — document text is hashed in the scan and
         # never shuffled (a join carrying text through the exchange
         # measured a 30% wall regression on the ×48 bench corpus).
-        # Signatures still compute for every doc (linear, in-row); the
-        # quadratic candidate blowup is what gets removed, by keeping
-        # only representatives' band rows.
+        # Signatures are computed for REPRESENTATIVES only (the
+        # signature_input semi-join below); this block removes the
+        # quadratic candidate blowup by collapsing identical texts
+        # before any shingle work.
         keyed = docs.select(
             F.col(id_col).alias("_id"),
             F.md5(normalized_text(F.col(text_col))).alias("_thash"),
