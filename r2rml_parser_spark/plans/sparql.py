@@ -37,11 +37,16 @@ stay sound; branches binding different variables would need SPARQL's
 unbound-is-compatible join semantics, which is rejected, not
 approximated), FILTER (x op y) for op ∈ {=, !=, <, <=, >, >=} where
 x/y are variables, terms, bare numbers, or the accessors ``lang(?v)``
-/ ``datatype(?v)``, FILTER regex(?v, "pattern"), and the boolean
-tests ``[!]bound(?v)`` / ``isIRI`` / ``isURI`` / ``isLiteral`` /
-``isBlank`` (``!bound`` is SPARQL's standard left-join negation
-idiom; ``!isIRI(?v)`` on an unbound ?v is a type error → row
-dropped, while ``!bound`` is true there) — at the top
+/ ``datatype(?v)`` / ``STR(?v)`` (STR yields the lexical form / IRI
+string as a simple literal and never errors on bound terms), FILTER
+regex(?v, "pattern"), the boolean tests ``[!]bound(?v)`` / ``isIRI``
+/ ``isURI`` / ``isLiteral`` / ``isBlank`` (``!bound`` is SPARQL's
+standard left-join negation idiom; ``!isIRI(?v)`` on an unbound ?v is
+a type error → row dropped, while ``!bound`` is true there), and the
+string tests ``[!]CONTAINS/STRSTARTS/STRENDS(?v|STR(?v), "s")`` (a
+bare ?v argument must bind a literal — IRI/bnode arguments are type
+errors, dropped under both forms; wrap in STR() to test IRIs) — at
+the top
 level or inside an OPTIONAL/UNION group when every filter variable is
 bound inside that group (the pre-join filter is then equivalent to
 SPARQL's LeftJoin(A, G, F) / branch-local filter; a filter needing
@@ -121,6 +126,7 @@ _DECIMAL = "decimal(38,12)"
 
 _AGG_FUNCS = frozenset({"COUNT", "SUM", "AVG", "MIN", "MAX"})
 _BOOL_FUNCS = frozenset({"bound", "isiri", "isuri", "isliteral", "isblank"})
+_STR_FUNCS = frozenset({"contains", "strstarts", "strends"})
 
 
 class SparqlError(ValueError):
@@ -154,6 +160,14 @@ class LangOf:
 @dataclass(frozen=True)
 class DtypeOf:
     """``datatype(?v)`` FILTER accessor."""
+
+    name: str
+
+
+@dataclass(frozen=True)
+class StrOf:
+    """``STR(?v)`` FILTER accessor: the lexical form / IRI string as a
+    simple literal (never errors on bound terms)."""
 
     name: str
 
@@ -504,7 +518,7 @@ class _Parser:
         kind, val = self._peek()
         if (
             kind == "kw"
-            and str(val).lower() in ("lang", "datatype")
+            and str(val).lower() in ("lang", "datatype", "str")
             and self._peek2() == ("punct", "(")
         ):
             fn = str(val).lower()
@@ -515,7 +529,7 @@ class _Parser:
                 raise SparqlError(f"{fn}() takes a ?variable")
             if self._next() != ("punct", ")"):
                 raise SparqlError(f"{fn}() needs ')'")
-            return LangOf(str(vv)) if fn == "lang" else DtypeOf(str(vv))
+            return {"lang": LangOf, "datatype": DtypeOf, "str": StrOf}[fn](str(vv))
         if kind == "num":
             self._next()
             # bare number → numeric literal: forces numeric comparison
@@ -534,15 +548,43 @@ class _Parser:
             raise SparqlError(f"{fn}() needs ')'")
         return ("bool", fn, str(vv), False)
 
+    def _str_call(self, fn: str) -> tuple:
+        """``CONTAINS(?v, "s")`` / ``STRSTARTS`` / ``STRENDS`` — the fn
+        keyword has been consumed; first argument may be ``?v`` or
+        ``STR(?v)``. Returns ("sfunc", fn, arg, pattern, False)."""
+        if self._next() != ("punct", "("):
+            raise SparqlError(f"{fn}() needs '('")
+        arg = self._operand()
+        if not isinstance(arg, (Var, StrOf)):
+            raise SparqlError(f"{fn}() first argument must be ?var or STR(?var)")
+        if self._next() != ("op", ","):
+            raise SparqlError(f"{fn}() needs ','")
+        k2, lit = self._next()
+        if k2 != "lit":
+            raise SparqlError(f"{fn}() second argument must be a string literal")
+        if self._next() != ("punct", ")"):
+            raise SparqlError(f"{fn}() needs ')'")
+        return ("sfunc", fn, arg, lit[0], False)
+
     def _filter(self) -> tuple:
+        def call_of(word: str):
+            w = word.lower()
+            if w in _BOOL_FUNCS:
+                return self._bool_call(w)
+            if w in _STR_FUNCS:
+                return self._str_call(w)
+            return None
+
         k, v = self._next()
-        if k == "kw" and str(v).lower() in _BOOL_FUNCS:
-            return self._bool_call(str(v).lower())
+        if k == "kw":
+            call = call_of(str(v))
+            if call is not None:
+                return call
         if k == "punct" and v == "(" and (
             self._peek() == ("op", "!")
             or (
                 self._peek()[0] == "kw"
-                and str(self._peek()[1]).lower() in _BOOL_FUNCS
+                and str(self._peek()[1]).lower() in (_BOOL_FUNCS | _STR_FUNCS)
                 and self._peek2() == ("punct", "(")
             )
         ):
@@ -551,14 +593,14 @@ class _Parser:
                 self._next()
                 negated = True
             k2, v2 = self._next()
-            if k2 != "kw" or str(v2).lower() not in _BOOL_FUNCS:
+            call = call_of(str(v2)) if k2 == "kw" else None
+            if call is None:
                 raise SparqlError(
-                    f"'!' applies to {sorted(_BOOL_FUNCS)} calls, got {v2!r}"
+                    f"'!' applies to {sorted(_BOOL_FUNCS | _STR_FUNCS)} calls, got {v2!r}"
                 )
-            call = self._bool_call(str(v2).lower())
             if self._next() != ("punct", ")"):
                 raise SparqlError("FILTER needs ')'")
-            return (*call[:3], negated)
+            return (*call[:-1], negated)
         if k == "kw" and str(v).lower() == "regex":
             if self._next() != ("punct", "("):
                 raise SparqlError("regex needs '('")
@@ -726,6 +768,11 @@ def _apply_filters(
                 .otherwise(F.lit(XSD_STRING)),
             )
             return val, F.lit("iri"), F.lit(""), F.lit("")
+        if isinstance(term, StrOf):
+            # STR() of any bound term is its lexical form / IRI string
+            # as a simple literal; it never errors on bound terms
+            _check_bound(term.name, "str()")
+            return F.col(term.name), F.lit("literal"), F.lit(""), F.lit("")
         if isinstance(term, Lit):
             return (
                 F.lit(term.lexical), F.lit("literal"),
@@ -747,6 +794,25 @@ def _apply_filters(
                 # is* tests: kind shadow is NULL → condition NULL →
                 # row dropped even under '!', per FILTER-error-is-false
                 cond = F.col(f"__{name}_kind") == kind
+            df = df.where(~cond if negated else cond)
+            continue
+        if f[0] == "sfunc":
+            _, fn, arg, pat, negated = f
+            scope_fn = f"{fn}()"
+            _check_bound(arg.name, scope_fn)
+            val = F.col(arg.name)
+            base = {
+                "contains": val.contains(F.lit(pat)),
+                "strstarts": val.startswith(pat),
+                "strends": val.endswith(pat),
+            }[fn]
+            if isinstance(arg, Var):
+                # bare ?v must be a literal: an IRI/bnode argument is a
+                # type error — when() yields NULL there, so the row
+                # drops under BOTH the plain and '!' forms
+                cond = F.when(F.col(f"__{arg.name}_kind") == "literal", base)
+            else:
+                cond = base  # STR(?v): any bound term; unbound → NULL
             df = df.where(~cond if negated else cond)
             continue
         if f[0] == "regex":

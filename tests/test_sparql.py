@@ -587,3 +587,29 @@ def test_is_kind_on_unbound_is_type_error(graph):
     assert sparql_select(graph, q).count() == 0
     with pytest.raises(SparqlError):
         sparql_select(graph, "SELECT ?s WHERE { ?s a ?t . FILTER bound(?nope) }")
+
+
+def test_string_tests_and_str_accessor(graph):
+    # CONTAINS on literal bindings
+    q = 'PREFIX ex: <http://ex.org/> SELECT ?n WHERE { ?p ex:name ?n . FILTER CONTAINS(?n, "ra") }'
+    assert [r.n for r in sparql_select(graph, q).collect()] == ["Grace"]
+    q2 = 'PREFIX ex: <http://ex.org/> SELECT ?n WHERE { ?p ex:name ?n . FILTER STRSTARTS(?n, "A") }'
+    assert [r.n for r in sparql_select(graph, q2).collect()] == ["Ada"]
+    q3 = 'PREFIX ex: <http://ex.org/> SELECT ?n WHERE { ?p ex:name ?n . FILTER (STRENDS(?n, "a")) }'
+    assert [r.n for r in sparql_select(graph, q3).collect()] == ["Ada"]
+    # negated form keeps the complement (on literal bindings)
+    q4 = 'PREFIX ex: <http://ex.org/> SELECT ?n WHERE { ?p ex:name ?n . FILTER (!CONTAINS(?n, "ra")) }'
+    assert [r.n for r in sparql_select(graph, q4).collect()] == ["Ada"]
+    # a bare IRI argument is a type error under BOTH forms
+    q5 = 'PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ?a ex:knows ?o . FILTER CONTAINS(?o, "p2") }'
+    assert sparql_select(graph, q5).count() == 0
+    q6 = 'PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ?a ex:knows ?o . FILTER (!CONTAINS(?o, "p2")) }'
+    assert sparql_select(graph, q6).count() == 0
+    # STR() unwraps the IRI for string testing and equality
+    q7 = 'PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ?a ex:knows ?o . FILTER CONTAINS(STR(?o), "p2") }'
+    assert [r.o for r in sparql_select(graph, q7).collect()] == [EX + "p2"]
+    q8 = f'PREFIX ex: <http://ex.org/> SELECT ?a WHERE {{ ?a ex:knows ?o . FILTER (STR(?o) = "{EX}p2") }}'
+    assert [r.a for r in sparql_select(graph, q8).collect()] == [EX + "p1"]
+    # STR() of a lang literal is its bare lexical form
+    q9 = 'PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p ex:name ?n . FILTER (STR(?n) = "Grace") }'
+    assert [r.p for r in sparql_select(graph, q9).collect()] == [EX + "p2"]
