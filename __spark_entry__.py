@@ -77,6 +77,14 @@ def q_sparql_typed_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tpch_sparql_typed(spark, sf_dir)
 
 
+def q_sparql_str_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL string builtins (STRENDS, CONTAINS over STR()) + VALUES
+    inline bindings over the generated KG."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_str
+
+    return run_tpch_sparql_str(spark, sf_dir)
+
+
 def q_span_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     from r2rml_parser_spark.sources.docs import span_view, synth_docs
 
@@ -247,6 +255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_kg": q_sparql_kg,
         "sparql_agg_kg": q_sparql_agg_kg,
         "sparql_typed_kg": q_sparql_typed_kg,
+        "sparql_str_kg": q_sparql_str_kg,
         "span_view": q_span_view,
         "mentions": q_mentions,
         "dedup_exact": q_dedup_exact,
@@ -280,6 +289,7 @@ def oracle_sql() -> dict[str, str]:
         TPCH_KG_ORACLE_SQL,
         TPCH_SPARQL_AGG_ORACLE_SQL,
         TPCH_SPARQL_ORACLE_SQL,
+        TPCH_SPARQL_STR_ORACLE_SQL,
         TPCH_SPARQL_TYPED_ORACLE_SQL,
     )
 
@@ -306,6 +316,7 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "sparql_kg": TPCH_SPARQL_ORACLE_SQL,
         "sparql_agg_kg": TPCH_SPARQL_AGG_ORACLE_SQL,
         "sparql_typed_kg": TPCH_SPARQL_TYPED_ORACLE_SQL,
+        "sparql_str_kg": TPCH_SPARQL_STR_ORACLE_SQL,
         "span_view": span_sql,
         "mentions": mentions_oracle_sql(SPAN_VIEW_ORACLE_SQL),
         "dedup_exact": oracles.DEDUP_EXACT_SQL,

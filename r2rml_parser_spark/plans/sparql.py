@@ -54,9 +54,12 @@ variables from OUTSIDE its group is rejected) — GROUP BY ?vars with
 aggregates COUNT([DISTINCT] ?v|*), SUM/AVG/MIN/MAX(?v) (grouping is
 by TERM; aggregates without GROUP BY form one global group; every
 non-aggregated projected variable must be a group key; DISTINCT
-inside SUM/AVG/MIN/MAX is rejected), ORDER BY [ASC()|DESC()] over
-projected variables/aliases, and LIMIT n. HAVING is rejected
-(unsupported trailing syntax), not ignored.
+inside SUM/AVG/MIN/MAX is rejected), VALUES ?x { ... } / VALUES
+(?x ?y) { (...) ... } inline constant bindings (bag semantics,
+compiled to a broadcast join; UNDEF rejected), ORDER BY
+[ASC()|DESC()] over projected variables/aliases, and LIMIT/OFFSET in
+either order. HAVING is rejected (unsupported trailing syntax), not
+ignored.
 
 FILTER comparison semantics: =/!= compare the TERM (lexical form,
 kind, lang tag, datatype IRI) unless an operand is a bare number or
@@ -368,6 +371,7 @@ class _Parser:
         optionals: list[tuple[list[tuple], list[tuple]]] = []
         unions: list[list[tuple[list[tuple], list[tuple]]]] = []
         filters: list[tuple] = []
+        values_blocks: list[tuple[list[str], list[list]]] = []
         # variables already claimed by a textually-earlier OPTIONAL: a
         # required pattern or UNION that follows and shares one would be
         # silently re-ordered by the Join-then-LeftJoin normalization
@@ -401,6 +405,14 @@ class _Parser:
                 group = self._group()
                 optionals.append(group)
                 opt_vars |= _pattern_vars(group[0])
+                if self._peek() == ("punct", "."):
+                    self._next()
+                continue
+            if self._kw_is("VALUES"):
+                self._next()
+                block = self._values()
+                _guard_after_optional(set(block[0]), "a VALUES block")
+                values_blocks.append(block)
                 if self._peek() == ("punct", "."):
                     self._next()
                 continue
@@ -463,24 +475,83 @@ class _Parser:
                     break
             if not order:
                 raise SparqlError("ORDER BY needs at least one sort key")
-        limit = None
-        if self._kw_is("LIMIT"):
-            self._next()
+        limit = offset = None
+
+        def _nonneg(kw_name: str) -> int:
             k, n = self._next()
             try:
-                limit = int(str(n))
+                val = int(str(n))
             except ValueError as e:
-                raise SparqlError(f"bad LIMIT {n!r}") from e
-            if limit < 0:
-                raise SparqlError(f"LIMIT must be non-negative, got {limit}")
+                raise SparqlError(f"bad {kw_name} {n!r}") from e
+            if val < 0:
+                raise SparqlError(f"{kw_name} must be non-negative, got {val}")
+            return val
+
+        while True:  # LIMIT/OFFSET in either order, each at most once
+            if limit is None and self._kw_is("LIMIT"):
+                self._next()
+                limit = _nonneg("LIMIT")
+            elif offset is None and self._kw_is("OFFSET"):
+                self._next()
+                offset = _nonneg("OFFSET")
+            else:
+                break
         if self._peek()[0] != "eof":
             raise SparqlError(f"unsupported trailing syntax: {self._peek()!r}")
         if not patterns and not unions:
             raise SparqlError("empty graph pattern (OPTIONAL needs a required part)")
         return (
             items, distinct, patterns, unions, optionals, filters,
-            group_by, order, limit,
+            values_blocks, group_by, order, limit, offset,
         )
+
+    def _values_term(self):
+        k, v = self._peek()
+        if k == "kw" and str(v).upper() == "UNDEF":
+            raise SparqlError(
+                "UNDEF in VALUES is not supported (needs the "
+                "unbound-is-compatible join; use separate queries or SQL)"
+            )
+        t = self._operand()
+        if not isinstance(t, (Iri, Lit)):
+            raise SparqlError("VALUES terms must be constant IRIs or literals")
+        return t
+
+    def _values(self) -> tuple[list[str], list[list]]:
+        """``VALUES ?x { t ... }`` or ``VALUES (?x ?y) { (t t) ... }``
+        → (vars, rows of constant terms). Bag semantics (duplicate rows
+        kept); UNDEF rejected."""
+        vars_: list[str] = []
+        multi = self._peek() == ("punct", "(")
+        if multi:
+            self._next()
+            while self._peek()[0] == "var":
+                vars_.append(str(self._next()[1]))
+            if self._next() != ("punct", ")"):
+                raise SparqlError("VALUES variable list needs ')'")
+        elif self._peek()[0] == "var":
+            vars_.append(str(self._next()[1]))
+        if not vars_:
+            raise SparqlError("VALUES needs ?variables")
+        if len(set(vars_)) != len(vars_):
+            raise SparqlError("duplicate variable in VALUES")
+        if self._next() != ("punct", "{"):
+            raise SparqlError("VALUES needs '{'")
+        rows: list[list] = []
+        while self._peek() != ("punct", "}"):
+            if multi:
+                if self._next() != ("punct", "("):
+                    raise SparqlError("each VALUES row needs '('")
+                row = [self._values_term() for _ in vars_]
+                if self._next() != ("punct", ")"):
+                    raise SparqlError("each VALUES row needs ')'")
+            else:
+                row = [self._values_term()]
+            rows.append(row)
+        self._next()  # }
+        if not rows:
+            raise SparqlError("VALUES block has no rows")
+        return vars_, rows
 
     def _group(self) -> tuple[list[tuple], list[tuple]]:
         """Parse ``{ t1 . t2 ... [FILTER ...] }`` (an OPTIONAL or UNION
@@ -921,7 +992,8 @@ def sparql_select(
     per projected variable (lexical forms, like LocalResource);
     aggregate aliases carry natural numeric types."""
     (
-        items, distinct, patterns, unions, optionals, filters, group_by, order, limit
+        items, distinct, patterns, unions, optionals, filters,
+        values_blocks, group_by, order, limit, offset,
     ) = _Parser(query, prefixes).parse()
     df: DataFrame | None = None
     bound: set[str] = set()
@@ -954,6 +1026,30 @@ def sparql_select(
                 df = df.crossJoin(u)
             bound |= varset
     assert df is not None
+    for vars_, rows in values_blocks:
+        # inline constant bindings as a tiny broadcast relation carrying
+        # the same 4 term columns per variable as any pattern
+        data = []
+        for row in rows:
+            flat: list[str] = []
+            for t in row:
+                if isinstance(t, Iri):
+                    flat += [t.value, "iri", "", ""]
+                else:
+                    flat += [t.lexical, "literal", t.lang or "", t.dtype or ""]
+            data.append(tuple(flat))
+        cols = [c for v in vars_ for c in _term_key(v)]
+        vdf = F.broadcast(
+            triples.sparkSession.createDataFrame(
+                data, ", ".join(f"`{c}` string" for c in cols)
+            )
+        )
+        shared = [v for v in vars_ if v in bound]
+        if shared:
+            df = df.join(vdf, on=[x for v in shared for x in _term_key(v)], how="inner")
+        else:
+            df = df.crossJoin(vdf)
+        bound |= set(vars_)
     nullable: set[str] = set()  # vars introduced by OPTIONAL (may be NULL)
     for gpats, gfilters in optionals:
         gdf, gvars = _join_patterns(triples, gpats)
@@ -1005,6 +1101,8 @@ def sparql_select(
         out = out.orderBy(
             *[F.col(v).desc() if desc else F.col(v).asc() for v, desc in order]
         )
+    if offset is not None:
+        out = out.offset(offset)  # SPARQL slice: skip OFFSET, then take LIMIT
     if limit is not None:
         out = out.limit(limit)
     return out

@@ -210,3 +210,40 @@ WHERE t1.pred = '{RDF_TYPE}' AND t1.obj = '{ONT}Customer' AND t1.obj_kind = 'iri
   AND t2.dtype = '{XSD_INT}'
   AND TRY_CAST(t2.obj AS DECIMAL(38,12)) >= 140
 """
+
+# String-function + VALUES SPARQL: STRENDS on a literal, CONTAINS over
+# STR(iri), inline VALUES constants — the r3 builtin surface, pinned
+# against LIKE-based DuckDB SQL.
+TPCH_SPARQL_STR_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?customer ?cname WHERE {
+  ?customer a ex:Customer .
+  ?customer ex:name ?cname .
+  ?customer ex:marketSegment ?seg .
+  VALUES ?seg { "BUILDING" "MACHINERY" }
+  FILTER STRENDS(?cname, "0")
+  FILTER CONTAINS(STR(?customer), "/customer/1")
+}
+"""
+
+
+def run_tpch_sparql_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_STR_QUERY)
+
+
+TPCH_SPARQL_STR_ORACLE_SQL = f"""
+WITH triples AS ({TPCH_KG_ORACLE_SQL})
+SELECT t2.subj AS customer, t2.obj AS cname
+FROM triples t1
+JOIN triples t2 ON t2.subj = t1.subj AND t2.subj_kind = t1.subj_kind
+JOIN triples t3 ON t3.subj = t1.subj AND t3.subj_kind = t1.subj_kind
+WHERE t1.pred = '{RDF_TYPE}' AND t1.obj = '{ONT}Customer' AND t1.obj_kind = 'iri'
+  AND t2.pred = '{ONT}name' AND t2.obj_kind = 'literal'
+  AND t3.pred = '{ONT}marketSegment' AND t3.obj_kind = 'literal'
+  AND t3.lang IS NULL AND t3.dtype IS NULL
+  AND t3.obj IN ('BUILDING', 'MACHINERY')
+  AND t2.obj LIKE '%0'
+  AND t2.subj LIKE '%/customer/1%'
+"""

@@ -613,3 +613,58 @@ def test_string_tests_and_str_accessor(graph):
     # STR() of a lang literal is its bare lexical form
     q9 = 'PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p ex:name ?n . FILTER (STR(?n) = "Grace") }'
     assert [r.p for r in sparql_select(graph, q9).collect()] == [EX + "p2"]
+
+
+def test_values_single_var(graph):
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?n WHERE { ?p ex:name ?n . VALUES ?n { "Ada" "Nobody" } }"""
+    assert [(r.p, r.n) for r in sparql_select(graph, q).collect()] == [(EX + "p1", "Ada")]
+    # term-precise: plain "Grace" does not match "Grace"@en
+    q2 = 'PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p ex:name ?n . VALUES ?n { "Grace" } }'
+    assert sparql_select(graph, q2).count() == 0
+    q3 = 'PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p ex:name ?n . VALUES ?n { "Grace"@en } }'
+    assert [r.p for r in sparql_select(graph, q3).collect()] == [EX + "p2"]
+
+
+def test_values_multi_var_and_iris(graph):
+    q = f"""PREFIX ex: <http://ex.org/>
+    SELECT ?p ?n WHERE {{ ?p ex:name ?n .
+      VALUES (?p ?n) {{ (<{EX}p1> "Ada") (<{EX}p2> "wrong") }} }}"""
+    assert [(r.p, r.n) for r in sparql_select(graph, q).collect()] == [(EX + "p1", "Ada")]
+
+
+def test_values_fresh_var_cross_joins(graph):
+    # a VALUES var not bound by any pattern multiplies bindings (bag)
+    q = 'SELECT ?t ?tag WHERE { ?s a ?t . VALUES ?tag { "x" "y" } }'
+    assert sparql_select(graph, q).count() == 4  # 2 persons × 2 tags
+
+
+def test_values_errors(graph):
+    with pytest.raises(SparqlError):
+        sparql_select(graph, 'SELECT ?s WHERE { ?s a ?t . VALUES ?t { UNDEF } }')
+    with pytest.raises(SparqlError):
+        sparql_select(graph, 'SELECT ?s WHERE { ?s a ?t . VALUES ?t { ?v } }')
+    with pytest.raises(SparqlError):
+        sparql_select(graph, 'SELECT ?s WHERE { ?s a ?t . VALUES ?t { } }')
+
+
+def test_values_after_optional_guard(graph):
+    # VALUES constraining an OPTIONAL-introduced var would be reordered
+    # by the normalization — rejected like any post-OPTIONAL pattern
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE { ?p a ex:Person . OPTIONAL { ?p ex:knows ?q }
+      VALUES ?q { <http://ex.org/p2> } }"""
+    with pytest.raises(SparqlError):
+        sparql_select(graph, q)
+
+
+def test_offset_and_limit(graph):
+    base = "SELECT ?o WHERE { <http://ex.org/p1> ?p ?o } ORDER BY ?o"
+    all_rows = [r.o for r in sparql_select(graph, base).collect()]
+    assert len(all_rows) == 4
+    got = [r.o for r in sparql_select(graph, base + " LIMIT 2 OFFSET 1").collect()]
+    assert got == all_rows[1:3]
+    got2 = [r.o for r in sparql_select(graph, base + " OFFSET 3").collect()]
+    assert got2 == all_rows[3:]
+    with pytest.raises(SparqlError):
+        sparql_select(graph, base + " OFFSET -1")
