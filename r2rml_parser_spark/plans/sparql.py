@@ -43,10 +43,14 @@ regex(?v, "pattern"), the boolean tests ``[!]bound(?v)`` / ``isIRI``
 / ``isURI`` / ``isLiteral`` / ``isBlank`` (``!bound`` is SPARQL's
 standard left-join negation idiom; ``!isIRI(?v)`` on an unbound ?v is
 a type error → row dropped, while ``!bound`` is true there), and the
-string tests ``[!]CONTAINS/STRSTARTS/STRENDS(?v|STR(?v), "s")`` (a
+string tests ``CONTAINS/STRSTARTS/STRENDS(?v|STR(?v), "s")`` (a
 bare ?v argument must bind a literal — IRI/bnode arguments are type
-errors, dropped under both forms; wrap in STR() to test IRIs) — at
-the top
+errors, dropped under both plain and negated forms; wrap in STR() to
+test IRIs; regex likewise). All of these compose inside one FILTER
+with ``!``, ``&&``, ``||`` and parentheses (SPARQL Expression
+grammar, standard precedence); Spark's Kleene three-valued booleans
+reproduce SPARQL's error propagation exactly (TRUE || error = TRUE,
+FALSE && error = FALSE, !error = error → row dropped) — at the top
 level or inside an OPTIONAL/UNION group when every filter variable is
 bound inside that group (the pre-join filter is then equivalent to
 SPARQL's LeftJoin(A, G, F) / branch-local filter; a filter needing
@@ -194,7 +198,7 @@ _TOKEN = re.compile(
                                    |\^\^(?P<dtiri><[^>]*>|[A-Za-z_][\w\-]*:[\w\-]+))?
       | (?P<num>-?\d+\.\d+|-?\d+)
       | (?P<punct>[{}.;()])
-      | (?P<op><=|>=|!=|=|<|>|,|!)
+      | (?P<op><=|>=|!=|=|<|>|,|\|\||&&|!)
       | (?P<kw>[A-Za-z_][\w\-]*:?[\w\-]*|\*|\d+)
     )""",
     re.VERBOSE,
@@ -609,7 +613,7 @@ class _Parser:
 
     def _bool_call(self, fn: str) -> tuple:
         """``bound(?v)`` / ``isIRI(?v)`` / ... — the fn keyword has been
-        consumed; parses ``(?v)`` and returns ("bool", fn, var, False)."""
+        consumed; parses ``(?v)`` and returns ("bool", fn, var)."""
         if self._next() != ("punct", "("):
             raise SparqlError(f"{fn}() needs '('")
         kv, vv = self._next()
@@ -617,12 +621,12 @@ class _Parser:
             raise SparqlError(f"{fn}() takes a ?variable")
         if self._next() != ("punct", ")"):
             raise SparqlError(f"{fn}() needs ')'")
-        return ("bool", fn, str(vv), False)
+        return ("bool", fn, str(vv))
 
     def _str_call(self, fn: str) -> tuple:
         """``CONTAINS(?v, "s")`` / ``STRSTARTS`` / ``STRENDS`` — the fn
         keyword has been consumed; first argument may be ``?v`` or
-        ``STR(?v)``. Returns ("sfunc", fn, arg, pattern, False)."""
+        ``STR(?v)``. Returns ("sfunc", fn, arg, pattern)."""
         if self._next() != ("punct", "("):
             raise SparqlError(f"{fn}() needs '('")
         arg = self._operand()
@@ -635,68 +639,107 @@ class _Parser:
             raise SparqlError(f"{fn}() second argument must be a string literal")
         if self._next() != ("punct", ")"):
             raise SparqlError(f"{fn}() needs ')'")
-        return ("sfunc", fn, arg, lit[0], False)
+        return ("sfunc", fn, arg, lit[0])
+
+    def _regex_call(self) -> tuple:
+        """``regex(?v, "pat")`` — the regex keyword has been consumed."""
+        if self._next() != ("punct", "("):
+            raise SparqlError("regex needs '('")
+        var = self._operand()
+        if not isinstance(var, (Var, StrOf)):
+            raise SparqlError("regex first argument must be ?var or STR(?var)")
+        if self._next() != ("op", ","):
+            raise SparqlError("regex needs ','")
+        k2, lit = self._next()
+        if k2 != "lit":
+            raise SparqlError("regex pattern must be a string literal")
+        if self._next() != ("punct", ")"):
+            raise SparqlError("regex needs ')'")
+        return ("regex", var, lit[0])
+
+    def _call_of(self, word: str):
+        """Dispatch a consumed keyword to its builtin-call parser, or
+        None if it is not a builtin."""
+        w = word.lower()
+        if w in _BOOL_FUNCS:
+            return self._bool_call(w)
+        if w in _STR_FUNCS:
+            return self._str_call(w)
+        if w == "regex":
+            return self._regex_call()
+        return None
+
+    # boolean FILTER expression grammar (SPARQL Expression subset):
+    #   expr    := and ( '||' and )*
+    #   and     := unary ( '&&' unary )*
+    #   unary   := '!' unary | primary
+    #   primary := '(' expr ')' | builtin-call | operand CMPOP operand
+    # Spark SQL booleans are Kleene three-valued like SPARQL's, so
+    # error(NULL) propagation through !/&&/|| matches the spec
+    # (TRUE || error = TRUE, FALSE && error = FALSE, !error = error).
+    def _bool_expr(self) -> tuple:
+        node = self._bool_and()
+        while self._peek() == ("op", "||"):
+            self._next()
+            node = ("or", node, self._bool_and())
+        return node
+
+    def _bool_and(self) -> tuple:
+        node = self._bool_unary()
+        while self._peek() == ("op", "&&"):
+            self._next()
+            node = ("and", node, self._bool_unary())
+        return node
+
+    def _bool_unary(self) -> tuple:
+        if self._peek() == ("op", "!"):
+            self._next()
+            return ("not", self._bool_unary())
+        return self._bool_primary()
+
+    def _bool_primary(self) -> tuple:
+        k, v = self._peek()
+        if k == "punct" and v == "(":
+            self._next()
+            node = self._bool_expr()
+            if self._next() != ("punct", ")"):
+                raise SparqlError("FILTER expression needs ')'")
+            return node
+        if (
+            k == "kw"
+            and str(v).lower() in (_BOOL_FUNCS | _STR_FUNCS | {"regex"})
+            and self._peek2() == ("punct", "(")
+        ):
+            self._next()
+            return self._call_of(str(v))
+        left = self._operand()
+        kop, op = self._next()
+        if kop != "op" or str(op) in (",", "!", "&&", "||"):
+            raise SparqlError(f"unsupported FILTER operator {op!r}")
+        right = self._operand()
+        return ("cmp", left, str(op), right)
 
     def _filter(self) -> tuple:
-        def call_of(word: str):
-            w = word.lower()
-            if w in _BOOL_FUNCS:
-                return self._bool_call(w)
-            if w in _STR_FUNCS:
-                return self._str_call(w)
-            return None
-
-        k, v = self._next()
+        """SPARQL Constraint: a bracketted expression or a bare
+        builtin call."""
+        k, v = self._peek()
         if k == "kw":
-            call = call_of(str(v))
+            self._next()
+            call = self._call_of(str(v))
             if call is not None:
                 return call
-        if k == "punct" and v == "(" and (
-            self._peek() == ("op", "!")
-            or (
-                self._peek()[0] == "kw"
-                and str(self._peek()[1]).lower() in (_BOOL_FUNCS | _STR_FUNCS)
-                and self._peek2() == ("punct", "(")
+            raise SparqlError(
+                f"unsupported FILTER form near {v!r} (use (expr), a builtin "
+                "call, or SQL over register_triples_view)"
             )
-        ):
-            negated = False
-            if self._peek() == ("op", "!"):
-                self._next()
-                negated = True
-            k2, v2 = self._next()
-            call = call_of(str(v2)) if k2 == "kw" else None
-            if call is None:
-                raise SparqlError(
-                    f"'!' applies to {sorted(_BOOL_FUNCS | _STR_FUNCS)} calls, got {v2!r}"
-                )
-            if self._next() != ("punct", ")"):
-                raise SparqlError("FILTER needs ')'")
-            return (*call[:-1], negated)
-        if k == "kw" and str(v).lower() == "regex":
-            if self._next() != ("punct", "("):
-                raise SparqlError("regex needs '('")
-            var = self._operand()
-            if not isinstance(var, Var):
-                raise SparqlError("regex first argument must be a variable")
-            if self._next() != ("op", ","):
-                raise SparqlError("regex needs ','")
-            k2, lit = self._next()
-            if k2 != "lit":
-                raise SparqlError("regex pattern must be a string literal")
-            if self._next() != ("punct", ")"):
-                raise SparqlError("regex needs ')'")
-            return ("regex", var, lit[0])
         if k == "punct" and v == "(":
-            left = self._operand()
-            kop, op = self._next()
-            if kop != "op" or op == ",":
-                raise SparqlError(f"unsupported FILTER operator {op!r}")
-            right = self._operand()
+            self._next()
+            node = self._bool_expr()
             if self._next() != ("punct", ")"):
                 raise SparqlError("FILTER needs ')'")
-            return ("cmp", left, str(op), right)
+            return node
         raise SparqlError(
-            "unsupported FILTER form (use (x op y) or regex(?v, \"pat\"))"
+            "unsupported FILTER form (use (expr) or a builtin call)"
         )
 
 
@@ -852,25 +895,32 @@ def _apply_filters(
         assert isinstance(term, Iri)
         return F.lit(term.value), F.lit("iri"), F.lit(""), F.lit("")
 
-    for f in filters:
-        if f[0] == "bool":
-            _, fn, name, negated = f
+    def compile_node(node) -> "F.Column":
+        """FILTER AST → boolean Column. Spark's booleans are Kleene
+        three-valued like SPARQL's, so NULL (= SPARQL error)
+        propagation through not/and/or matches the spec; a top-level
+        NULL drops the row (FILTER-error-is-false)."""
+        tag = node[0]
+        if tag == "or":
+            return compile_node(node[1]) | compile_node(node[2])
+        if tag == "and":
+            return compile_node(node[1]) & compile_node(node[2])
+        if tag == "not":
+            return ~compile_node(node[1])
+        if tag == "bool":
+            _, fn, name = node
             _check_bound(name, f"{fn}()")
             if fn == "bound":
-                cond = F.col(name).isNotNull()
-            else:
-                kind = {"isiri": "iri", "isuri": "iri",
-                        "isliteral": "literal", "isblank": "bnode"}[fn]
-                # an OPTIONAL-unbound operand is a type error for the
-                # is* tests: kind shadow is NULL → condition NULL →
-                # row dropped even under '!', per FILTER-error-is-false
-                cond = F.col(f"__{name}_kind") == kind
-            df = df.where(~cond if negated else cond)
-            continue
-        if f[0] == "sfunc":
-            _, fn, arg, pat, negated = f
-            scope_fn = f"{fn}()"
-            _check_bound(arg.name, scope_fn)
+                return F.col(name).isNotNull()
+            kind = {"isiri": "iri", "isuri": "iri",
+                    "isliteral": "literal", "isblank": "bnode"}[fn]
+            # an OPTIONAL-unbound operand is a type error for the is*
+            # tests: kind shadow is NULL → condition NULL → row dropped
+            # even under '!', per FILTER-error-is-false
+            return F.col(f"__{name}_kind") == kind
+        if tag == "sfunc":
+            _, fn, arg, pat = node
+            _check_bound(arg.name, f"{fn}()")
             val = F.col(arg.name)
             base = {
                 "contains": val.contains(F.lit(pat)),
@@ -881,17 +931,19 @@ def _apply_filters(
                 # bare ?v must be a literal: an IRI/bnode argument is a
                 # type error — when() yields NULL there, so the row
                 # drops under BOTH the plain and '!' forms
-                cond = F.when(F.col(f"__{arg.name}_kind") == "literal", base)
-            else:
-                cond = base  # STR(?v): any bound term; unbound → NULL
-            df = df.where(~cond if negated else cond)
-            continue
-        if f[0] == "regex":
-            _, var, pat = f
-            _check_bound(var.name, "FILTER")
-            df = df.where(F.col(var.name).rlike(pat))
-            continue
-        _, left, op, right = f
+                return F.when(F.col(f"__{arg.name}_kind") == "literal", base)
+            return base  # STR(?v): any bound term; unbound → NULL
+        if tag == "regex":
+            _, var, pat = node
+            _check_bound(var.name, "regex()")
+            base = F.col(var.name).rlike(pat)
+            if isinstance(var, Var):
+                # SPARQL regex() takes a string literal; IRI/bnode
+                # bindings are a type error → NULL → dropped
+                return F.when(F.col(f"__{var.name}_kind") == "literal", base)
+            return base
+        assert tag == "cmp"
+        _, left, op, right = node
         lv, lk, ll, ld = term_parts(left)
         rv, rk, rl, rd = term_parts(right)
         if op in ("=", "!="):
@@ -903,29 +955,30 @@ def _apply_filters(
                 ln, rn = lv.try_cast(_DECIMAL), rv.try_cast(_DECIMAL)
                 both_literal = (lk == "literal") & (rk == "literal")
                 cond = ln == rn if op == "=" else ln != rn
-                df = df.where(both_literal & cond)
-            elif op == "=":
+                return F.when(both_literal, cond)
+            if op == "=":
                 # full TERM equality: an OPTIONAL-unbound operand is
                 # NULL → condition NULL → row dropped, matching
                 # SPARQL's FILTER-error-is-false
-                df = df.where((lv == rv) & (lk == rk) & (ll == rl) & (ld == rd))
-            else:
-                df = df.where((lv != rv) | (lk != rk) | (ll != rl) | (ld != rd))
+                return (lv == rv) & (lk == rk) & (ll == rl) & (ld == rd)
+            return (lv != rv) | (lk != rk) | (ll != rl) | (ld != rd)
+        ln, rn = lv.try_cast(_DECIMAL), rv.try_cast(_DECIMAL)
+        both_literal = (lk == "literal") & (rk == "literal")
+        if _numeric_const(left) or _numeric_const(right):
+            # numeric comparison; an uncastable other side is a
+            # SPARQL type error (NULL condition → row dropped)
+            cond = _ORD_OPS[op](ln, rn)
         else:
-            ln, rn = lv.try_cast(_DECIMAL), rv.try_cast(_DECIMAL)
-            both_literal = (lk == "literal") & (rk == "literal")
-            if _numeric_const(left) or _numeric_const(right):
-                # numeric comparison; an uncastable other side is a
-                # SPARQL type error (NULL condition → row dropped)
-                cond = _ORD_OPS[op](ln, rn)
-            else:
-                # per-row dispatch: numbers numerically, plain strings
-                # by codepoint, numeric/string mixes dropped (the
-                # when-chain yields NULL for them)
-                cond = F.when(
-                    ln.isNotNull() & rn.isNotNull(), _ORD_OPS[op](ln, rn)
-                ).when(ln.isNull() & rn.isNull(), _ORD_OPS[op](lv, rv))
-            df = df.where(both_literal & cond)
+            # per-row dispatch: numbers numerically, plain strings
+            # by codepoint, numeric/string mixes dropped (the
+            # when-chain yields NULL for them)
+            cond = F.when(
+                ln.isNotNull() & rn.isNotNull(), _ORD_OPS[op](ln, rn)
+            ).when(ln.isNull() & rn.isNull(), _ORD_OPS[op](lv, rv))
+        return F.when(both_literal, cond)
+
+    for f in filters:
+        df = df.where(compile_node(f))
     return df
 
 

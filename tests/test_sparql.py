@@ -668,3 +668,50 @@ def test_offset_and_limit(graph):
     assert got2 == all_rows[3:]
     with pytest.raises(SparqlError):
         sparql_select(graph, base + " OFFSET -1")
+
+
+def test_boolean_filter_expressions(graph):
+    # disjunction across term-precise equalities
+    q = '''PREFIX ex: <http://ex.org/>
+    SELECT ?n WHERE { ?p ex:name ?n . FILTER (?n = "Ada" || ?n = "Grace"@en) }'''
+    assert sorted(r.n for r in sparql_select(graph, q).collect()) == ["Ada", "Grace"]
+    # conjunction; && binds tighter than ||
+    q2 = '''PREFIX ex: <http://ex.org/>
+    SELECT ?n WHERE { ?p ex:name ?n .
+      FILTER (?n = "Ada" || STRSTARTS(?n, "G") && STRENDS(?n, "e")) }'''
+    assert sorted(r.n for r in sparql_select(graph, q2).collect()) == ["Ada", "Grace"]
+    # general negation of a comparison
+    q3 = 'PREFIX ex: <http://ex.org/> SELECT ?n WHERE { ?p ex:name ?n . FILTER (!(?n = "Ada")) }'
+    assert [r.n for r in sparql_select(graph, q3).collect()] == ["Grace"]
+    # contradiction
+    q4 = 'PREFIX ex: <http://ex.org/> SELECT ?n WHERE { ?p ex:name ?n . FILTER (?n = "Ada" && ?n != "Ada") }'
+    assert sparql_select(graph, q4).count() == 0
+
+
+def test_kleene_error_propagation(graph):
+    # TRUE || error = TRUE: p2's ?q is unbound (error in CONTAINS),
+    # but bound(?q)=false... use name test as the TRUE side
+    q = '''PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE { ?p a ex:Person . OPTIONAL { ?p ex:knows ?q }
+      FILTER (CONTAINS(?n0, "x") || !bound(?q) || bound(?q)) }'''
+    # ?n0 is unbound-never-bound → SparqlError (not silently NULL)
+    with pytest.raises(SparqlError):
+        sparql_select(graph, q)
+    # TRUE || error: STR comparison errors on the unbound ?q row for
+    # the left disjunct, the right disjunct rescues it
+    q2 = '''PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE { ?p a ex:Person . OPTIONAL { ?p ex:knows ?q }
+      FILTER (CONTAINS(STR(?q), "p2") || !bound(?q)) }'''
+    assert sorted(r.p for r in sparql_select(graph, q2).collect()) == [EX + "p1", EX + "p2"]
+    # FALSE && error = FALSE (row dropped, no error surfaced)
+    q3 = '''PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE { ?p a ex:Person . OPTIONAL { ?p ex:knows ?q }
+      FILTER (bound(?q) && CONTAINS(STR(?q), "p2")) }'''
+    assert [r.p for r in sparql_select(graph, q3).collect()] == [EX + "p1"]
+
+
+def test_regex_on_iri_is_type_error(graph):
+    q = 'PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ?a ex:knows ?o . FILTER regex(?o, "p2") }'
+    assert sparql_select(graph, q).count() == 0
+    q2 = 'PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ?a ex:knows ?o . FILTER regex(STR(?o), "p2") }'
+    assert [r.o for r in sparql_select(graph, q2).collect()] == [EX + "p2"]
