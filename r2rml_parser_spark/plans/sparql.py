@@ -46,7 +46,11 @@ a type error → row dropped, while ``!bound`` is true there), and the
 string tests ``CONTAINS/STRSTARTS/STRENDS(?v|STR(?v), "s")`` (a
 bare ?v argument must bind a literal — IRI/bnode arguments are type
 errors, dropped under both plain and negated forms; wrap in STR() to
-test IRIs; regex likewise). All of these compose inside one FILTER
+test IRIs; regex likewise), and ``langMatches(lang(?v), "range")``
+(RFC 4647 basic filtering, case-insensitive: exact tag or
+``range-``-prefixed extended tag; ``"*"`` matches any non-empty tag;
+a non-literal ?v is a type error → dropped; only the ``lang(?v)``
+first-argument form is accepted). All of these compose inside one FILTER
 with ``!``, ``&&``, ``||`` and parentheses (SPARQL Expression
 grammar, standard precedence); Spark's Kleene three-valued booleans
 reproduce SPARQL's error propagation exactly (TRUE || error = TRUE,
@@ -657,6 +661,25 @@ class _Parser:
             raise SparqlError("regex needs ')'")
         return ("regex", var, lit[0])
 
+    def _langmatches_call(self) -> tuple:
+        """``langMatches(lang(?v), "range")`` — keyword consumed.
+        Only the lang(?v) first-argument form is accepted (the one
+        SPARQL shape in practice; a general expression would need full
+        expression typing)."""
+        if self._next() != ("punct", "("):
+            raise SparqlError("langMatches needs '('")
+        arg = self._operand()
+        if not isinstance(arg, LangOf):
+            raise SparqlError("langMatches first argument must be lang(?var)")
+        if self._next() != ("op", ","):
+            raise SparqlError("langMatches needs ','")
+        k2, lit = self._next()
+        if k2 != "lit":
+            raise SparqlError("langMatches range must be a string literal")
+        if self._next() != ("punct", ")"):
+            raise SparqlError("langMatches needs ')'")
+        return ("langmatches", arg, lit[0])
+
     def _call_of(self, word: str):
         """Dispatch a consumed keyword to its builtin-call parser, or
         None if it is not a builtin."""
@@ -667,6 +690,8 @@ class _Parser:
             return self._str_call(w)
         if w == "regex":
             return self._regex_call()
+        if w == "langmatches":
+            return self._langmatches_call()
         return None
 
     # boolean FILTER expression grammar (SPARQL Expression subset):
@@ -707,7 +732,7 @@ class _Parser:
             return node
         if (
             k == "kw"
-            and str(v).lower() in (_BOOL_FUNCS | _STR_FUNCS | {"regex"})
+            and str(v).lower() in (_BOOL_FUNCS | _STR_FUNCS | {"regex", "langmatches"})
             and self._peek2() == ("punct", "(")
         ):
             self._next()
@@ -933,6 +958,19 @@ def _apply_filters(
                 # drops under BOTH the plain and '!' forms
                 return F.when(F.col(f"__{arg.name}_kind") == "literal", base)
             return base  # STR(?v): any bound term; unbound → NULL
+        if tag == "langmatches":
+            _, arg, rng = node
+            _check_bound(arg.name, "langMatches()")
+            k, lg, _ = _shadow_cols(arg.name)
+            # lang() value: "" for plain/typed literals, the tag for
+            # lang literals, NULL (type error → dropped) for IRIs/bnodes
+            lv = F.when(F.col(k) == "literal", F.col(lg))
+            if rng == "*":
+                return lv != ""
+            r = rng.lower()
+            # RFC 4647 basic filtering, case-insensitive: exact match
+            # or prefix followed by '-'
+            return (F.lower(lv) == r) | F.lower(lv).startswith(r + "-")
         if tag == "regex":
             _, var, pat = node
             _check_bound(var.name, "regex()")

@@ -485,6 +485,46 @@ def test_lang_accessor(graph):
     assert sparql_select(graph, q3).count() == 0
 
 
+def test_langmatches_basic_filtering(graph, spark):
+    # exact match, case-insensitive per RFC 4647
+    q = 'PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p ex:name ?n . FILTER langMatches(lang(?n), "EN") }'
+    assert [r.p for r in sparql_select(graph, q).collect()] == [EX + "p2"]
+    # "*" matches any non-empty tag — excludes the plain literal
+    q2 = 'PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p ex:name ?n . FILTER langMatches(lang(?n), "*") }'
+    assert [r.p for r in sparql_select(graph, q2).collect()] == [EX + "p2"]
+    # negated form keeps only the plain literal
+    q3 = 'PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p ex:name ?n . FILTER (!langMatches(lang(?n), "*")) }'
+    assert [r.p for r in sparql_select(graph, q3).collect()] == [EX + "p1"]
+    # range prefix: "en" matches en-GB and en, not "fr" or plain
+    rows = [
+        (EX + "a", "iri", EX + "t", "colour", "literal", "en-GB", None),
+        (EX + "b", "iri", EX + "t", "color", "literal", "en", None),
+        (EX + "c", "iri", EX + "t", "couleur", "literal", "fr", None),
+        (EX + "d", "iri", EX + "t", "plain", "literal", None, None),
+        # IRI object: type error inside langMatches → dropped both ways
+        (EX + "e", "iri", EX + "t", EX + "x", "iri", None, None),
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    q4 = 'PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:t ?v . FILTER langMatches(lang(?v), "en") }'
+    assert {r.s for r in sparql_select(g, q4).collect()} == {EX + "a", EX + "b"}
+    # "en" must NOT match "enx" (prefix requires a '-' boundary)
+    rows2 = rows + [(EX + "f", "iri", EX + "t", "x", "literal", "enx", None)]
+    g2 = spark.createDataFrame(rows2, ", ".join(f"{c} string" for c in COLS))
+    assert {r.s for r in sparql_select(g2, q4).collect()} == {EX + "a", EX + "b"}
+    # the IRI row drops under negation too (error, not false)
+    q5 = 'PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:t ?v . FILTER (!langMatches(lang(?v), "en")) }'
+    assert {r.s for r in sparql_select(g, q5).collect()} == {EX + "c", EX + "d"}
+
+
+def test_langmatches_rejections(graph):
+    with pytest.raises(SparqlError):  # first arg must be lang(?v)
+        sparql_select(graph, 'PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p ex:name ?n . FILTER langMatches(?n, "en") }')
+    with pytest.raises(SparqlError):  # range must be a string literal
+        sparql_select(graph, 'PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p ex:name ?n . FILTER langMatches(lang(?n), ?n) }')
+    with pytest.raises(SparqlError):  # unbound variable inside lang()
+        sparql_select(graph, 'PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p ex:name ?n . FILTER langMatches(lang(?zz), "en") }')
+
+
 def test_datatype_accessor(numeric_graph, graph):
     XSD = "http://www.w3.org/2001/XMLSchema#"
     q = f"""PREFIX ex: <http://ex.org/>
