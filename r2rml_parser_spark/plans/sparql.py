@@ -50,7 +50,10 @@ test IRIs; regex likewise), and ``langMatches(lang(?v), "range")``
 (RFC 4647 basic filtering, case-insensitive: exact tag or
 ``range-``-prefixed extended tag; ``"*"`` matches any non-empty tag;
 a non-literal ?v is a type error → dropped; only the ``lang(?v)``
-first-argument form is accepted). All of these compose inside one FILTER
+first-argument form is accepted), ``sameTerm(a, b)`` (RDF term
+identity — all four components), and ``expr [NOT] IN (t1, ...)``
+(desugared per SPARQL 1.1 §17.4.1.9 into the =/!= chain, inheriting
+numeric-vs-term equality dispatch). All of these compose inside one FILTER
 with ``!``, ``&&``, ``||`` and parentheses (SPARQL Expression
 grammar, standard precedence); Spark's Kleene three-valued booleans
 reproduce SPARQL's error propagation exactly (TRUE || error = TRUE,
@@ -58,7 +61,15 @@ FALSE && error = FALSE, !error = error → row dropped) — at the top
 level or inside an OPTIONAL/UNION group when every filter variable is
 bound inside that group (the pre-join filter is then equivalent to
 SPARQL's LeftJoin(A, G, F) / branch-local filter; a filter needing
-variables from OUTSIDE its group is rejected) — GROUP BY ?vars with
+variables from OUTSIDE its group is rejected) — FILTER [NOT]
+EXISTS { t1 . t2 ... [FILTER ...] } at the top level of WHERE,
+compiled to a semi/anti join on the shared term keys (the group must
+share ≥1 variable with the rest of the query, none of them
+OPTIONAL-nullable — SPARQL's unbound-is-compatible semantics cannot
+be a semi-join, so those are rejected; nesting EXISTS inside boolean
+expressions or other groups is rejected too) — ASK { ... } via
+``sparql_ask`` (compiles like SELECT *, returns a bool; probes one
+partition first via ``isEmpty``) — GROUP BY ?vars with
 aggregates COUNT([DISTINCT] ?v|*), SUM/AVG/MIN/MAX(?v) (grouping is
 by TERM; aggregates without GROUP BY form one global group; every
 non-aggregated projected variable must be a group key; DISTINCT
@@ -349,36 +360,46 @@ class _Parser:
                 raise SparqlError("PREFIX must bind to an <iri>")
             self.prefixes[str(pfx)[:-1]] = iri
         k, kw = self._next()
-        if k != "kw" or str(kw).upper() != "SELECT":
-            raise SparqlError("only SELECT queries are supported")
+        form = str(kw).upper() if k == "kw" else ""
+        if form not in ("SELECT", "ASK"):
+            raise SparqlError("only SELECT and ASK queries are supported")
         distinct = False
-        if self._kw_is("DISTINCT"):
-            distinct = True
-            self._next()
-        # proj items: ("var", name) | ("agg", func, distinct, var|None, alias)
         items: list[tuple] | None = []
-        if self._peek() == ("kw", "*"):
-            items = None
-            self._next()
+        if form == "ASK":
+            items = None  # ASK compiles like SELECT *; the caller tests emptiness
+            if self._kw_is("WHERE"):
+                self._next()  # WHERE is optional in ASK
+            if self._next() != ("punct", "{"):
+                raise SparqlError("expected '{'")
         else:
-            while True:
-                if self._peek()[0] == "var":
-                    items.append(("var", str(self._next()[1])))
-                elif self._peek() == ("punct", "("):
-                    items.append(self._agg_item())
-                else:
-                    break
-            if not items:
-                raise SparqlError("SELECT needs ?vars, (AGG(?v) AS ?alias) items, or *")
-        k, kw = self._next()
-        if k != "kw" or str(kw).upper() != "WHERE":
-            raise SparqlError("expected WHERE")
-        if self._next() != ("punct", "{"):
-            raise SparqlError("expected '{'")
+            if self._kw_is("DISTINCT"):
+                distinct = True
+                self._next()
+            # proj items: ("var", name) | ("agg", func, distinct, var|None, alias)
+            if self._peek() == ("kw", "*"):
+                items = None
+                self._next()
+            else:
+                while True:
+                    if self._peek()[0] == "var":
+                        items.append(("var", str(self._next()[1])))
+                    elif self._peek() == ("punct", "("):
+                        items.append(self._agg_item())
+                    else:
+                        break
+                if not items:
+                    raise SparqlError("SELECT needs ?vars, (AGG(?v) AS ?alias) items, or *")
+            k, kw = self._next()
+            if k != "kw" or str(kw).upper() != "WHERE":
+                raise SparqlError("expected WHERE")
+            if self._next() != ("punct", "{"):
+                raise SparqlError("expected '{'")
         patterns = []
         optionals: list[tuple[list[tuple], list[tuple]]] = []
         unions: list[list[tuple[list[tuple], list[tuple]]]] = []
         filters: list[tuple] = []
+        # (positive, (patterns, group-filters)) — FILTER [NOT] EXISTS
+        exists_blocks: list[tuple[bool, tuple[list[tuple], list[tuple]]]] = []
         values_blocks: list[tuple[list[str], list[list]]] = []
         # variables already claimed by a textually-earlier OPTIONAL: a
         # required pattern or UNION that follows and shares one would be
@@ -404,7 +425,11 @@ class _Parser:
         while self._peek() != ("punct", "}"):
             if self._kw_is("FILTER"):
                 self._next()
-                filters.append(self._filter())
+                node = self._filter()
+                if node[0] == "exists":
+                    exists_blocks.append((node[1], node[2]))
+                else:
+                    filters.append(node)
                 if self._peek() == ("punct", "."):
                     self._next()
                 continue
@@ -506,11 +531,13 @@ class _Parser:
                 break
         if self._peek()[0] != "eof":
             raise SparqlError(f"unsupported trailing syntax: {self._peek()!r}")
+        if form == "ASK" and (group_by or order or limit is not None or offset is not None):
+            raise SparqlError("ASK takes no solution modifiers")
         if not patterns and not unions:
             raise SparqlError("empty graph pattern (OPTIONAL needs a required part)")
         return (
-            items, distinct, patterns, unions, optionals, filters,
-            values_blocks, group_by, order, limit, offset,
+            form, items, distinct, patterns, unions, optionals, filters,
+            exists_blocks, values_blocks, group_by, order, limit, offset,
         )
 
     def _values_term(self):
@@ -578,7 +605,13 @@ class _Parser:
                 raise SparqlError("OPTIONAL nested inside a braced group is not supported")
             if self._kw_is("FILTER"):
                 self._next()
-                gfilters.append(self._filter())
+                node = self._filter()
+                if node[0] == "exists":
+                    raise SparqlError(
+                        "EXISTS/NOT EXISTS nested inside a braced group is "
+                        "not supported (use it at the top level of WHERE)"
+                    )
+                gfilters.append(node)
                 if self._peek() == ("punct", "."):
                     self._next()
                 continue
@@ -590,7 +623,7 @@ class _Parser:
                 self._next()
         self._next()  # }
         if not group:
-            raise SparqlError("empty OPTIONAL group")
+            raise SparqlError("empty braced group (OPTIONAL/UNION/EXISTS)")
         return group, gfilters
 
     def _operand(self):
@@ -680,6 +713,23 @@ class _Parser:
             raise SparqlError("langMatches needs ')'")
         return ("langmatches", arg, lit[0])
 
+    def _sameterm_call(self) -> tuple:
+        """``sameTerm(a, b)`` — keyword consumed. Arguments are
+        variables or constant terms (RDF term identity, all four
+        components)."""
+        if self._next() != ("punct", "("):
+            raise SparqlError("sameTerm needs '('")
+        a = self._operand()
+        if self._next() != ("op", ","):
+            raise SparqlError("sameTerm needs ','")
+        b = self._operand()
+        if self._next() != ("punct", ")"):
+            raise SparqlError("sameTerm needs ')'")
+        for t in (a, b):
+            if not isinstance(t, (Var, Iri, Lit)):
+                raise SparqlError("sameTerm arguments must be variables or terms")
+        return ("same", a, b)
+
     def _call_of(self, word: str):
         """Dispatch a consumed keyword to its builtin-call parser, or
         None if it is not a builtin."""
@@ -692,6 +742,8 @@ class _Parser:
             return self._regex_call()
         if w == "langmatches":
             return self._langmatches_call()
+        if w == "sameterm":
+            return self._sameterm_call()
         return None
 
     # boolean FILTER expression grammar (SPARQL Expression subset):
@@ -730,24 +782,74 @@ class _Parser:
             if self._next() != ("punct", ")"):
                 raise SparqlError("FILTER expression needs ')'")
             return node
+        if k == "kw" and str(v).upper() in ("EXISTS", "NOT"):
+            raise SparqlError(
+                "EXISTS/NOT EXISTS must be the entire FILTER constraint "
+                "(FILTER [NOT] EXISTS { ... }); it cannot compose inside "
+                "a boolean expression"
+            )
         if (
             k == "kw"
-            and str(v).lower() in (_BOOL_FUNCS | _STR_FUNCS | {"regex", "langmatches"})
+            and str(v).lower()
+            in (_BOOL_FUNCS | _STR_FUNCS | {"regex", "langmatches", "sameterm"})
             and self._peek2() == ("punct", "(")
         ):
             self._next()
             return self._call_of(str(v))
         left = self._operand()
+        if self._peek()[0] == "kw" and str(self._peek()[1]).upper() in ("IN", "NOT"):
+            return self._in_list(left)
         kop, op = self._next()
         if kop != "op" or str(op) in (",", "!", "&&", "||"):
             raise SparqlError(f"unsupported FILTER operator {op!r}")
         right = self._operand()
         return ("cmp", left, str(op), right)
 
+    def _in_list(self, left) -> tuple:
+        """``expr [NOT] IN (t1, t2, ...)`` — desugared per SPARQL 1.1
+        §17.4.1.9 into the equivalent =/!= chain (``IN`` ≡ ``= t1 ||
+        = t2 || ...``, ``NOT IN`` ≡ ``!= t1 && != t2 && ...``), which
+        inherits the numeric-vs-term equality dispatch and error
+        semantics of the existing comparison compiler. An empty list
+        is FALSE (IN) / TRUE (NOT IN)."""
+        k, v = self._next()
+        negated = str(v).upper() == "NOT"
+        if negated:
+            k2, v2 = self._next()
+            if k2 != "kw" or str(v2).upper() != "IN":
+                raise SparqlError("expected IN after NOT in FILTER expression")
+        if self._next() != ("punct", "("):
+            raise SparqlError("IN needs '('")
+        members = []
+        if self._peek() != ("punct", ")"):
+            members.append(self._operand())
+            while self._peek() == ("op", ","):
+                self._next()
+                members.append(self._operand())
+        if self._next() != ("punct", ")"):
+            raise SparqlError("IN needs ')'")
+        if not members:
+            return ("const", negated)
+        op = "!=" if negated else "="
+        node = ("cmp", left, op, members[0])
+        for m in members[1:]:
+            nxt = ("cmp", left, op, m)
+            node = ("and", node, nxt) if negated else ("or", node, nxt)
+        return node
+
     def _filter(self) -> tuple:
-        """SPARQL Constraint: a bracketted expression or a bare
-        builtin call."""
+        """SPARQL Constraint: a bracketted expression, a bare builtin
+        call, or (at the top level of the main group only)
+        ``[NOT] EXISTS { ... }``."""
         k, v = self._peek()
+        if k == "kw" and str(v).upper() in ("EXISTS", "NOT"):
+            positive = str(v).upper() == "EXISTS"
+            self._next()
+            if not positive:
+                k2, v2 = self._next()
+                if k2 != "kw" or str(v2).upper() != "EXISTS":
+                    raise SparqlError("expected EXISTS after NOT in FILTER")
+            return ("exists", positive, self._group())
         if k == "kw":
             self._next()
             call = self._call_of(str(v))
@@ -932,6 +1034,17 @@ def _apply_filters(
             return compile_node(node[1]) & compile_node(node[2])
         if tag == "not":
             return ~compile_node(node[1])
+        if tag == "const":
+            return F.lit(bool(node[1]))
+        if tag == "same":
+            # RDF term identity: all four components equal; an unbound
+            # variable yields NULL components → error → row dropped
+            _, a, b = node
+            ap, bp = term_parts(a), term_parts(b)
+            cond = ap[0] == bp[0]
+            for x, y in zip(ap[1:], bp[1:]):
+                cond = cond & (x == y)
+            return cond
         if tag == "bool":
             _, fn, name = node
             _check_bound(name, f"{fn}()")
@@ -1082,10 +1195,33 @@ def sparql_select(
     without declaring them. Returns a DataFrame with one string column
     per projected variable (lexical forms, like LocalResource);
     aggregate aliases carry natural numeric types."""
+    parsed = _Parser(query, prefixes).parse()
+    if parsed[0] == "ASK":
+        raise SparqlError("ASK queries return a boolean — use sparql_ask()")
+    return _compile(triples, parsed)
+
+
+def sparql_ask(
+    triples: DataFrame, query: str, prefixes: dict[str, str] | None = None
+) -> bool:
+    """Run an ASK query: True iff the graph pattern has any solution.
+
+    Mirrors the reference's Jena-backed ``QueryExecution.execAsk``
+    surface (UtilImpl.java:148-210 delegates all query forms to ARQ).
+    Compiles exactly like the equivalent SELECT * and tests emptiness
+    (Spark's ``isEmpty`` probes one partition first, so a match found
+    early never scans the full graph)."""
+    parsed = _Parser(query, prefixes).parse()
+    if parsed[0] != "ASK":
+        raise SparqlError("sparql_ask() takes an ASK query — use sparql_select()")
+    return not _compile(triples, parsed).isEmpty()
+
+
+def _compile(triples: DataFrame, parsed: tuple) -> DataFrame:
     (
-        items, distinct, patterns, unions, optionals, filters,
-        values_blocks, group_by, order, limit, offset,
-    ) = _Parser(query, prefixes).parse()
+        _form, items, distinct, patterns, unions, optionals, filters,
+        exists_blocks, values_blocks, group_by, order, limit, offset,
+    ) = parsed
     df: DataFrame | None = None
     bound: set[str] = set()
     if patterns:
@@ -1170,6 +1306,32 @@ def sparql_select(
         bound |= gvars
 
     df = _apply_filters(df, filters, bound)
+    for positive, (gpats, gfilters) in exists_blocks:
+        # FILTER [NOT] EXISTS → semi/anti join on the shared term keys:
+        # per-row existence test, never multiplies outer rows, and the
+        # probe side stays a pruned pattern join Catalyst can broadcast
+        gdf, gvars = _join_patterns(triples, gpats)
+        gdf = _apply_filters(gdf, gfilters, gvars, "this EXISTS group")
+        shared = sorted(v for v in gvars if v in bound)
+        if not shared:
+            raise SparqlError(
+                "EXISTS group shares no variable with the rest of the "
+                "query (an uncorrelated existence test is not supported)"
+            )
+        maybe_null = sorted(v for v in shared if v in nullable)
+        if maybe_null:
+            raise SparqlError(
+                "EXISTS join variable(s) may be unbound by an earlier "
+                f"OPTIONAL ({maybe_null}); SPARQL's unbound-is-compatible "
+                "semantics are not expressible as a semi-join — "
+                "restructure the query or use SQL over register_triples_view"
+            )
+        join_keys = [x for v in shared for x in _term_key(v)]
+        df = df.join(
+            gdf.select(*join_keys),
+            on=join_keys,
+            how="left_semi" if positive else "left_anti",
+        )
     has_aggs = items is not None and any(it[0] == "agg" for it in items)
     if has_aggs or group_by:
         if items is None:

@@ -755,3 +755,106 @@ def test_regex_on_iri_is_type_error(graph):
     assert sparql_select(graph, q).count() == 0
     q2 = 'PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ?a ex:knows ?o . FILTER regex(STR(?o), "p2") }'
     assert [r.o for r in sparql_select(graph, q2).collect()] == [EX + "p2"]
+
+
+def test_filter_exists_and_not_exists(graph):
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE { ?p a ex:Person . FILTER EXISTS { ?p ex:knows ?q } }"""
+    assert [r.p for r in sparql_select(graph, q).collect()] == [EX + "p1"]
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE { ?p a ex:Person . FILTER NOT EXISTS { ?p ex:knows ?q } }"""
+    assert [r.p for r in sparql_select(graph, q2).collect()] == [EX + "p2"]
+    # group-local FILTER inside EXISTS
+    q3 = """PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE { ?p a ex:Person .
+      FILTER EXISTS { ?p ex:name ?n . FILTER (lang(?n) = "en") } }"""
+    assert [r.p for r in sparql_select(graph, q3).collect()] == [EX + "p2"]
+
+
+def test_exists_never_multiplies_rows(spark):
+    rows = [
+        (EX + "p", "iri", RDF + "type", EX + "T", "iri", None, None),
+        (EX + "p", "iri", EX + "knows", EX + "x", "iri", None, None),
+        (EX + "p", "iri", EX + "knows", EX + "y", "iri", None, None),
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?s WHERE { ?s a ex:T . FILTER EXISTS { ?s ex:knows ?o } }"""
+    # two matching knows edges; EXISTS is a per-row test → one row out
+    assert [r.s for r in sparql_select(g, q).collect()] == [EX + "p"]
+
+
+def test_exists_rejections(graph):
+    with pytest.raises(SparqlError):  # no shared variable
+        sparql_select(
+            graph,
+            "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . FILTER EXISTS { ?x ex:knows ?y } }",
+        )
+    with pytest.raises(SparqlError):  # inside a boolean expression
+        sparql_select(
+            graph,
+            'PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . FILTER (EXISTS { ?p ex:knows ?q } && bound(?p)) }',
+        )
+    with pytest.raises(SparqlError):  # inside an OPTIONAL group
+        sparql_select(
+            graph,
+            "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . OPTIONAL { ?p ex:knows ?q . FILTER EXISTS { ?q ex:name ?n } } }",
+        )
+    with pytest.raises(SparqlError):  # join var nullable via OPTIONAL
+        sparql_select(
+            graph,
+            "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . OPTIONAL { ?p ex:knows ?q } FILTER NOT EXISTS { ?q ex:name ?n } }",
+        )
+
+
+def test_sameterm(numeric_graph, spark):
+    # sameTerm is TERM identity: "10"^^xsd:integer is sameTerm 10 but
+    # NOT sameTerm 10.0 — while numeric '=' treats them as equal
+    q = "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:age ?n . FILTER sameTerm(?n, 10) }"
+    assert [r.s for r in sparql_select(numeric_graph, q).collect()] == [EX + "b"]
+    q2 = "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:age ?n . FILTER sameTerm(?n, 10.0) }"
+    assert sparql_select(numeric_graph, q2).count() == 0
+    # plain "hello" is not sameTerm "hello"@en
+    rows = [
+        (EX + "y", "iri", EX + "q", "hello", "literal", "en", None),
+        (EX + "z", "iri", EX + "q", "hello", "literal", None, None),
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    q3 = 'PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:q ?v . FILTER sameTerm(?v, "hello") }'
+    assert [r.s for r in sparql_select(g, q3).collect()] == [EX + "z"]
+    # negated form: an unbound argument is an error → dropped both ways
+    q4 = """PREFIX ex: <http://ex.org/> SELECT ?s WHERE {
+      ?s ex:q ?v . OPTIONAL { ?s ex:none ?w } FILTER (!sameTerm(?w, "hello")) }"""
+    assert sparql_select(g, q4).count() == 0
+
+
+def test_in_and_not_in(graph, numeric_graph):
+    q = 'PREFIX ex: <http://ex.org/> SELECT ?n WHERE { ?p ex:name ?n . FILTER (?n IN ("Ada", "Nobody")) }'
+    assert [r.n for r in sparql_select(graph, q).collect()] == ["Ada"]
+    # numeric membership dispatches numerically: 10.0 matches "10"^^xsd:integer
+    q2 = "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:age ?n . FILTER (?n IN (10.0, 11)) }"
+    assert {r.s for r in sparql_select(numeric_graph, q2).collect()} == {EX + "b", EX + "c"}
+    # NOT IN: != is an error on the non-numeric/IRI rows → dropped
+    q3 = "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:score ?n . FILTER (?n NOT IN (9, 10)) }"
+    assert [r.s for r in sparql_select(numeric_graph, q3).collect()] == [EX + "e"]
+    # empty lists: IN () is FALSE, NOT IN () is TRUE
+    q4 = "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:age ?n . FILTER (?n IN ()) }"
+    assert sparql_select(numeric_graph, q4).count() == 0
+    q5 = "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:age ?n . FILTER (?n NOT IN ()) }"
+    assert sparql_select(numeric_graph, q5).count() == 3
+
+
+def test_ask(graph):
+    from r2rml_parser_spark.plans.sparql import sparql_ask
+
+    assert sparql_ask(graph, "ASK { ?s dc:source ?o }", {"dc": DC}) is True
+    assert sparql_ask(graph, "PREFIX ex: <http://ex.org/> ASK WHERE { ?s ex:nope ?o }") is False
+    # FILTERs participate
+    q = 'PREFIX ex: <http://ex.org/> ASK { ?p ex:name ?n . FILTER (?n = "Ada") }'
+    assert sparql_ask(graph, q) is True
+    with pytest.raises(SparqlError):  # ASK through sparql_select
+        sparql_select(graph, "ASK { ?s ?p ?o }")
+    with pytest.raises(SparqlError):  # SELECT through sparql_ask
+        sparql_ask(graph, "SELECT ?s WHERE { ?s ?p ?o }")
+    with pytest.raises(SparqlError):  # ASK takes no modifiers
+        sparql_ask(graph, "ASK { ?s ?p ?o } LIMIT 1")
