@@ -69,7 +69,10 @@ OPTIONAL-nullable — SPARQL's unbound-is-compatible semantics cannot
 be a semi-join, so those are rejected; nesting EXISTS inside boolean
 expressions or other groups is rejected too) — ASK { ... } via
 ``sparql_ask`` (compiles like SELECT *, returns a bool; probes one
-partition first via ``isEmpty``) — GROUP BY ?vars with
+partition first via ``isEmpty``) — CONSTRUCT { tpl } WHERE { ... }
+via ``sparql_construct`` (template fan-out as a bag union over one
+pass of the solutions; returns a new 7-column triples DF; invalid
+instantiations skipped per SPARQL 1.1 §16.2) — GROUP BY ?vars with
 aggregates COUNT([DISTINCT] ?v|*), SUM/AVG/MIN/MAX(?v) (grouping is
 by TERM; aggregates without GROUP BY form one global group; every
 non-aggregated projected variable must be a group key; DISTINCT
@@ -126,6 +129,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
+from types import SimpleNamespace
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -361,14 +365,23 @@ class _Parser:
             self.prefixes[str(pfx)[:-1]] = iri
         k, kw = self._next()
         form = str(kw).upper() if k == "kw" else ""
-        if form not in ("SELECT", "ASK"):
-            raise SparqlError("only SELECT and ASK queries are supported")
+        if form not in ("SELECT", "ASK", "CONSTRUCT"):
+            raise SparqlError("only SELECT, ASK, and CONSTRUCT queries are supported")
         distinct = False
         items: list[tuple] | None = []
+        template: list[tuple] = []
         if form == "ASK":
             items = None  # ASK compiles like SELECT *; the caller tests emptiness
             if self._kw_is("WHERE"):
                 self._next()  # WHERE is optional in ASK
+            if self._next() != ("punct", "{"):
+                raise SparqlError("expected '{'")
+        elif form == "CONSTRUCT":
+            items = None
+            template = self._template()
+            k, kw = self._next()
+            if k != "kw" or str(kw).upper() != "WHERE":
+                raise SparqlError("CONSTRUCT needs a WHERE clause")
             if self._next() != ("punct", "{"):
                 raise SparqlError("expected '{'")
         else:
@@ -533,12 +546,45 @@ class _Parser:
             raise SparqlError(f"unsupported trailing syntax: {self._peek()!r}")
         if form == "ASK" and (group_by or order or limit is not None or offset is not None):
             raise SparqlError("ASK takes no solution modifiers")
+        if form == "CONSTRUCT" and group_by:
+            raise SparqlError("CONSTRUCT does not take GROUP BY")
         if not patterns and not unions:
             raise SparqlError("empty graph pattern (OPTIONAL needs a required part)")
-        return (
-            form, items, distinct, patterns, unions, optionals, filters,
-            exists_blocks, values_blocks, group_by, order, limit, offset,
+        return SimpleNamespace(
+            form=form, items=items, distinct=distinct, patterns=patterns,
+            unions=unions, optionals=optionals, filters=filters,
+            exists_blocks=exists_blocks, values_blocks=values_blocks,
+            group_by=group_by, order=order, limit=limit, offset=offset,
+            template=template,
         )
+
+    def _template(self) -> list[tuple]:
+        """CONSTRUCT template: ``{ t1 . t2 ... }`` of plain triple
+        patterns (no FILTER/OPTIONAL/UNION — those belong in WHERE)."""
+        if self._next() != ("punct", "{"):
+            raise SparqlError("CONSTRUCT needs a '{ ... }' template")
+        tpl: list[tuple] = []
+        while self._peek() != ("punct", "}"):
+            if self._peek()[0] == "kw" and str(self._peek()[1]).upper() in (
+                "FILTER", "OPTIONAL", "VALUES",
+            ):
+                raise SparqlError(
+                    f"{self._peek()[1]} is not allowed in a CONSTRUCT template"
+                )
+            s = self._term("subj")
+            p = self._term("pred")
+            o = self._term("obj")
+            if isinstance(s, Lit):
+                raise SparqlError("a CONSTRUCT template subject cannot be a literal")
+            if isinstance(p, Lit):
+                raise SparqlError("a CONSTRUCT template predicate cannot be a literal")
+            tpl.append((s, p, o))
+            if self._peek() == ("punct", "."):
+                self._next()
+        self._next()  # }
+        if not tpl:
+            raise SparqlError("empty CONSTRUCT template")
+        return tpl
 
     def _values_term(self):
         k, v = self._peek()
@@ -1196,8 +1242,10 @@ def sparql_select(
     per projected variable (lexical forms, like LocalResource);
     aggregate aliases carry natural numeric types."""
     parsed = _Parser(query, prefixes).parse()
-    if parsed[0] == "ASK":
+    if parsed.form == "ASK":
         raise SparqlError("ASK queries return a boolean — use sparql_ask()")
+    if parsed.form == "CONSTRUCT":
+        raise SparqlError("CONSTRUCT queries return a graph — use sparql_construct()")
     return _compile(triples, parsed)
 
 
@@ -1212,16 +1260,20 @@ def sparql_ask(
     (Spark's ``isEmpty`` probes one partition first, so a match found
     early never scans the full graph)."""
     parsed = _Parser(query, prefixes).parse()
-    if parsed[0] != "ASK":
+    if parsed.form != "ASK":
         raise SparqlError("sparql_ask() takes an ASK query — use sparql_select()")
     return not _compile(triples, parsed).isEmpty()
 
 
-def _compile(triples: DataFrame, parsed: tuple) -> DataFrame:
-    (
-        _form, items, distinct, patterns, unions, optionals, filters,
-        exists_blocks, values_blocks, group_by, order, limit, offset,
-    ) = parsed
+def _compile_where(
+    triples: DataFrame, parsed: SimpleNamespace
+) -> tuple[DataFrame, set[str], set[str]]:
+    """Compile the WHERE clause (patterns, UNION, VALUES, OPTIONAL,
+    FILTER, EXISTS) → (solutions DF with term shadow columns, bound
+    variables, OPTIONAL-nullable variables)."""
+    patterns, unions, optionals = parsed.patterns, parsed.unions, parsed.optionals
+    filters, exists_blocks = parsed.filters, parsed.exists_blocks
+    values_blocks = parsed.values_blocks
     df: DataFrame | None = None
     bound: set[str] = set()
     if patterns:
@@ -1332,6 +1384,16 @@ def _compile(triples: DataFrame, parsed: tuple) -> DataFrame:
             on=join_keys,
             how="left_semi" if positive else "left_anti",
         )
+    return df, bound, nullable
+
+
+def _compile(triples: DataFrame, parsed: SimpleNamespace) -> DataFrame:
+    """SELECT/ASK tail: projection, aggregation, DISTINCT, ORDER BY,
+    and the LIMIT/OFFSET slice over the compiled WHERE solutions."""
+    items, distinct = parsed.items, parsed.distinct
+    group_by, order = parsed.group_by, parsed.order
+    limit, offset = parsed.limit, parsed.offset
+    df, bound, _nullable = _compile_where(triples, parsed)
     has_aggs = items is not None and any(it[0] == "agg" for it in items)
     if has_aggs or group_by:
         if items is None:
@@ -1359,6 +1421,88 @@ def _compile(triples: DataFrame, parsed: tuple) -> DataFrame:
     if limit is not None:
         out = out.limit(limit)
     return out
+
+
+def sparql_construct(
+    triples: DataFrame, query: str, prefixes: dict[str, str] | None = None
+) -> DataFrame:
+    """Run a CONSTRUCT query: instantiate the template once per WHERE
+    solution and return a NEW 7-column triples DataFrame (same schema
+    as ``MappingEngine.triples()``, so the result composes with every
+    sink, the graph store, and further SPARQL queries).
+
+    The reference gets CONSTRUCT via Jena ARQ (UtilImpl.java:148-210
+    delegates every query form); here each template triple compiles to
+    a projection of the solution relation and the template fan-out is
+    a bag union — one scan of the solutions, no per-triple re-query.
+    Per SPARQL 1.1 §16.2, instantiations that would be invalid RDF are
+    skipped, not errors: rows where a template variable is unbound
+    (OPTIONAL), a subject binds a literal, or a predicate binds a
+    non-IRI. The result graph is a SET of triples (dropDuplicates).
+    ORDER BY/LIMIT/OFFSET apply to the solution sequence before
+    templating; GROUP BY is rejected."""
+    parsed = _Parser(query, prefixes).parse()
+    if parsed.form != "CONSTRUCT":
+        raise SparqlError("sparql_construct() takes a CONSTRUCT query")
+    df, bound, _nullable = _compile_where(triples, parsed)
+    order, limit, offset = parsed.order, parsed.limit, parsed.offset
+    if order:
+        missing_order = [v for v, _ in order if v not in bound]
+        if missing_order:
+            raise SparqlError(f"ORDER BY variables never bound: {missing_order}")
+        df = df.orderBy(
+            *[F.col(v).desc() if desc else F.col(v).asc() for v, desc in order]
+        )
+    if offset is not None:
+        df = df.offset(offset)
+    if limit is not None:
+        df = df.limit(limit)
+
+    def var_parts(v: Var) -> tuple:
+        if v.name not in bound:
+            raise SparqlError(f"template variable ?{v.name} is never bound in WHERE")
+        k, lg, dt = _shadow_cols(v.name)
+        return F.col(v.name), F.col(k), F.col(lg), F.col(dt)
+
+    parts = []
+    for s, p, o in parsed.template:
+        cond = F.lit(True)
+        if isinstance(s, Var):
+            sval, skind, _, _ = var_parts(s)
+            cond = cond & sval.isNotNull() & (skind != "literal")
+        else:  # Iri (literal subjects rejected at parse)
+            sval, skind = F.lit(s.value), F.lit("iri")
+        if isinstance(p, Var):
+            pval, pkind, _, _ = var_parts(p)
+            cond = cond & pval.isNotNull() & (pkind == "iri")
+        else:
+            pval = F.lit(p.value)
+        if isinstance(o, Var):
+            oval, okind, olang, odt = var_parts(o)
+            cond = cond & oval.isNotNull()
+        elif isinstance(o, Iri):
+            oval, okind = F.lit(o.value), F.lit("iri")
+            olang = odt = F.lit("")
+        else:  # Lit
+            oval, okind = F.lit(o.lexical), F.lit("literal")
+            olang, odt = F.lit(o.lang or ""), F.lit(o.dtype or "")
+        # shadow lang/dtype are ''-coalesced; the triples schema uses
+        # NULL for "absent", so map '' back to NULL on the way out
+        parts.append(
+            df.where(cond).select(
+                sval.alias("subj"),
+                skind.alias("subj_kind"),
+                pval.alias("pred"),
+                oval.alias("obj"),
+                okind.alias("obj_kind"),
+                F.when(olang != "", olang).alias("lang"),
+                F.when(odt != "", odt).alias("dtype"),
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out.dropDuplicates()
 
 
 def register_triples_view(triples: DataFrame, name: str = "triples") -> None:

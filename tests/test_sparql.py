@@ -858,3 +858,90 @@ def test_ask(graph):
         sparql_ask(graph, "SELECT ?s WHERE { ?s ?p ?o }")
     with pytest.raises(SparqlError):  # ASK takes no modifiers
         sparql_ask(graph, "ASK { ?s ?p ?o } LIMIT 1")
+
+
+def test_construct_basic(graph):
+    from r2rml_parser_spark.plans.sparql import sparql_construct
+
+    q = """PREFIX ex: <http://ex.org/>
+    CONSTRUCT { ?p a ex:Agent . ?p ex:label ?n }
+    WHERE { ?p a ex:Person . ?p ex:name ?n }"""
+    out = sparql_construct(graph, q)
+    assert out.columns == COLS
+    got = {(r.subj, r.pred, r.obj, r.obj_kind, r.lang) for r in out.collect()}
+    assert got == {
+        (EX + "p1", RDF + "type", EX + "Agent", "iri", None),
+        (EX + "p2", RDF + "type", EX + "Agent", "iri", None),
+        (EX + "p1", EX + "label", "Ada", "literal", None),
+        (EX + "p2", EX + "label", "Grace", "literal", "en"),
+    }
+
+
+def test_construct_composes_with_select(graph):
+    from r2rml_parser_spark.plans.sparql import sparql_construct
+
+    # the constructed graph is itself queryable — graph-to-graph
+    q = """PREFIX ex: <http://ex.org/>
+    CONSTRUCT { ?b ex:knownBy ?a } WHERE { ?a ex:knows ?b }"""
+    g2 = sparql_construct(graph, q)
+    got = sparql_select(
+        g2, "PREFIX ex: <http://ex.org/> SELECT ?x WHERE { ?x ex:knownBy ?y }"
+    ).collect()
+    assert [r.x for r in got] == [EX + "p2"]
+
+
+def test_construct_skips_invalid_instantiations(graph):
+    from r2rml_parser_spark.plans.sparql import sparql_construct
+
+    # ?n binds literals → as a SUBJECT those instantiations are skipped,
+    # and the unbound-?q OPTIONAL rows are skipped, not errors
+    q = """PREFIX ex: <http://ex.org/>
+    CONSTRUCT { ?n ex:of ?p . ?p ex:met ?q }
+    WHERE { ?p ex:name ?n . OPTIONAL { ?p ex:knows ?q } }"""
+    got = {(r.subj, r.pred, r.obj) for r in sparql_construct(graph, q).collect()}
+    assert got == {(EX + "p1", EX + "met", EX + "p2")}
+    # a variable PREDICATE binding a literal is skipped too
+    q2 = """PREFIX ex: <http://ex.org/>
+    CONSTRUCT { ?p ?n ex:x } WHERE { ?p ex:name ?n }"""
+    assert sparql_construct(graph, q2).count() == 0
+
+
+def test_construct_is_a_set(spark):
+    from r2rml_parser_spark.plans.sparql import sparql_construct
+
+    rows = [
+        (EX + "a", "iri", EX + "p", "1", "literal", None, None),
+        (EX + "a", "iri", EX + "q", "2", "literal", None, None),
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    # both solutions instantiate the same constant triple → one row
+    q = "PREFIX ex: <http://ex.org/> CONSTRUCT { ex:a a ex:T } WHERE { ex:a ?p ?o }"
+    assert sparql_construct(g, q).count() == 1
+
+
+def test_construct_modifiers_and_errors(graph):
+    from r2rml_parser_spark.plans.sparql import sparql_construct
+
+    # LIMIT applies to solutions before templating
+    q = """PREFIX ex: <http://ex.org/>
+    CONSTRUCT { ?p ex:label ?n } WHERE { ?p ex:name ?n }
+    ORDER BY ?n LIMIT 1"""
+    got = sparql_construct(graph, q).collect()
+    assert [(r.subj, r.obj) for r in got] == [(EX + "p1", "Ada")]
+    with pytest.raises(SparqlError):  # CONSTRUCT through sparql_select
+        sparql_select(graph, "CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }")
+    with pytest.raises(SparqlError):  # literal template subject
+        sparql_construct(graph, 'CONSTRUCT { "x" ?p ?o } WHERE { ?s ?p ?o }')
+    with pytest.raises(SparqlError):  # GROUP BY rejected
+        sparql_construct(
+            graph,
+            "PREFIX ex: <http://ex.org/> CONSTRUCT { ?p a ex:T } WHERE { ?p ?x ?o } GROUP BY ?p",
+        )
+    with pytest.raises(SparqlError):  # unbound template variable
+        sparql_construct(graph, "CONSTRUCT { ?zz ?p ?o } WHERE { ?s ?p ?o }")
+    with pytest.raises(SparqlError):  # FILTER in template
+        sparql_construct(
+            graph, 'CONSTRUCT { FILTER (?s = "x") } WHERE { ?s ?p ?o }'
+        )
+    with pytest.raises(SparqlError):  # empty template
+        sparql_construct(graph, "CONSTRUCT { } WHERE { ?s ?p ?o }")
