@@ -85,6 +85,22 @@ def q_sparql_str_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tpch_sparql_str(spark, sf_dir)
 
 
+def q_sparql_exists_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL FILTER NOT EXISTS (anti join) over the generated KG —
+    nations with no BUILDING-segment customer."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_exists
+
+    return run_tpch_sparql_exists(spark, sf_dir)
+
+
+def q_sparql_construct_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT over the generated KG — derives a new
+    customer→region graph (7-column triples result)."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_construct
+
+    return run_tpch_sparql_construct(spark, sf_dir)
+
+
 def q_span_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     from r2rml_parser_spark.sources.docs import span_view, synth_docs
 
@@ -256,6 +272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_agg_kg": q_sparql_agg_kg,
         "sparql_typed_kg": q_sparql_typed_kg,
         "sparql_str_kg": q_sparql_str_kg,
+        "sparql_exists_kg": q_sparql_exists_kg,
+        "sparql_construct_kg": q_sparql_construct_kg,
         "span_view": q_span_view,
         "mentions": q_mentions,
         "dedup_exact": q_dedup_exact,
@@ -289,6 +307,8 @@ def oracle_sql() -> dict[str, str]:
         TPCH_KG_ORACLE_SQL,
         TPCH_SPARQL_AGG_ORACLE_SQL,
         TPCH_SPARQL_ORACLE_SQL,
+        TPCH_SPARQL_CONSTRUCT_ORACLE_SQL,
+        TPCH_SPARQL_EXISTS_ORACLE_SQL,
         TPCH_SPARQL_STR_ORACLE_SQL,
         TPCH_SPARQL_TYPED_ORACLE_SQL,
     )
@@ -317,6 +337,8 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "sparql_agg_kg": TPCH_SPARQL_AGG_ORACLE_SQL,
         "sparql_typed_kg": TPCH_SPARQL_TYPED_ORACLE_SQL,
         "sparql_str_kg": TPCH_SPARQL_STR_ORACLE_SQL,
+        "sparql_exists_kg": TPCH_SPARQL_EXISTS_ORACLE_SQL,
+        "sparql_construct_kg": TPCH_SPARQL_CONSTRUCT_ORACLE_SQL,
         "span_view": span_sql,
         "mentions": mentions_oracle_sql(SPAN_VIEW_ORACLE_SQL),
         "dedup_exact": oracles.DEDUP_EXACT_SQL,

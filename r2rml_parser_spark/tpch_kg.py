@@ -247,3 +247,78 @@ WHERE t1.pred = '{RDF_TYPE}' AND t1.obj = '{ONT}Customer' AND t1.obj_kind = 'iri
   AND t2.obj LIKE '%0'
   AND t2.subj LIKE '%/customer/1%'
 """
+
+# [NOT] EXISTS SPARQL (r3): nations that no BUILDING-segment customer
+# belongs to — the anti-join surface, pinned against a DuckDB NOT
+# EXISTS subquery over the same triples CTE.
+TPCH_SPARQL_EXISTS_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?nation ?nation_name WHERE {
+  ?nation a ex:Nation .
+  ?nation ex:name ?nation_name .
+  FILTER NOT EXISTS {
+    ?c ex:inNation ?nation .
+    ?c ex:marketSegment "BUILDING" .
+  }
+}
+"""
+
+
+def run_tpch_sparql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_EXISTS_QUERY)
+
+
+TPCH_SPARQL_EXISTS_ORACLE_SQL = f"""
+WITH triples AS ({TPCH_KG_ORACLE_SQL})
+SELECT t1.subj AS nation, t2.obj AS nation_name
+FROM triples t1
+JOIN triples t2 ON t2.subj = t1.subj AND t2.subj_kind = t1.subj_kind
+WHERE t1.pred = '{RDF_TYPE}' AND t1.obj = '{ONT}Nation' AND t1.obj_kind = 'iri'
+  AND t2.pred = '{ONT}name' AND t2.obj_kind = 'literal'
+  AND NOT EXISTS (
+    SELECT 1 FROM triples c1
+    JOIN triples c2 ON c2.subj = c1.subj AND c2.subj_kind = c1.subj_kind
+    WHERE c1.pred = '{ONT}inNation'
+      AND c1.obj = t1.subj AND c1.obj_kind = t1.subj_kind
+      AND c2.pred = '{ONT}marketSegment' AND c2.obj = 'BUILDING'
+      AND c2.obj_kind = 'literal' AND c2.lang IS NULL AND c2.dtype IS NULL
+  )
+"""
+
+# CONSTRUCT SPARQL (r3): derive a new graph (customer→region shortcut
+# + a derived class triple) from a two-hop BGP; the result is a fresh
+# 7-column triples relation, pinned against the equivalent UNION SQL.
+TPCH_SPARQL_CONSTRUCT_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+CONSTRUCT { ?c ex:locatedIn ?region . ?c a ex:LocatedCustomer }
+WHERE { ?c ex:inNation ?n . ?n ex:inRegion ?region }
+"""
+
+
+def run_tpch_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_construct
+
+    return sparql_construct(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_CONSTRUCT_QUERY)
+
+
+TPCH_SPARQL_CONSTRUCT_ORACLE_SQL = f"""
+WITH triples AS ({TPCH_KG_ORACLE_SQL}),
+sol AS (
+  SELECT t1.subj AS c, t1.subj_kind AS c_kind, t2.obj AS region,
+         t2.obj_kind AS region_kind
+  FROM triples t1
+  JOIN triples t2 ON t2.subj = t1.obj AND t2.subj_kind = t1.obj_kind
+  WHERE t1.pred = '{ONT}inNation' AND t2.pred = '{ONT}inRegion'
+)
+SELECT DISTINCT * FROM (
+  SELECT c AS subj, c_kind AS subj_kind, '{ONT}locatedIn' AS pred,
+         region AS obj, region_kind AS obj_kind,
+         CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS dtype
+  FROM sol
+  UNION ALL
+  SELECT c, c_kind, '{RDF_TYPE}', '{ONT}LocatedCustomer', 'iri', NULL, NULL
+  FROM sol
+)
+"""
