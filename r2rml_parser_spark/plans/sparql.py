@@ -25,7 +25,13 @@ the lexical form, matching the reference's
 Supported subset (documented): PREFIX decls, SELECT [DISTINCT] with
 ``?var`` and ``(AGG([DISTINCT] ?v|*) AS ?alias)`` items or ``*``,
 WHERE { t1 . t2 ... } with IRIs (<...> or pfx:local or ``a``),
-plain/lang/typed literals, variables in any position,
+plain/lang/typed literals, variables in any position, fixed-length
+property paths in predicate position (sequence ``p1/p2`` and inverse
+``^p`` over IRIs, in any combination and inside groups too —
+desugared per SPARQL 1.1 §9.3 into joined triple patterns through
+internal variables that are projected away, preserving path
+multiplicity; transitive ``+``/``*``/``?`` and alternation ``|``
+are rejected, not approximated),
 OPTIONAL { t1 . t2 ... } groups (compiled to left joins; must share at
 least one variable with the required patterns, and that variable must
 come from the REQUIRED part — a join variable another OPTIONAL may
@@ -67,7 +73,12 @@ compiled to a semi/anti join on the shared term keys (the group must
 share ≥1 variable with the rest of the query, none of them
 OPTIONAL-nullable — SPARQL's unbound-is-compatible semantics cannot
 be a semi-join, so those are rejected; nesting EXISTS inside boolean
-expressions or other groups is rejected too) — ASK { ... } via
+expressions or other groups is rejected too) — MINUS { t1 ... }
+(SPARQL 1.1 §8.3: an anti join on the shared term keys when every
+shared variable is required-bound; a MINUS sharing no variable with
+the rest of the query removes nothing and compiles away, and
+OPTIONAL-nullable shared variables are rejected like EXISTS's) —
+ASK { ... } via
 ``sparql_ask`` (compiles like SELECT *, returns a bool; probes one
 partition first via ``isEmpty``) — CONSTRUCT { tpl } WHERE { ... }
 via ``sparql_construct`` (template fan-out as a bag union over one
@@ -198,6 +209,12 @@ class StrOf:
     name: str
 
 
+def _is_internal(v: str) -> bool:
+    """Fresh variables minted by property-path expansion: joinable like
+    any other but projected away from SELECT * / UNION outputs."""
+    return v.startswith("__pp")
+
+
 def _shadow_cols(v: str) -> tuple[str, str, str]:
     """Names of the hidden term-component columns carried per variable."""
     return (f"__{v}_kind", f"__{v}_lang", f"__{v}_dtype")
@@ -216,7 +233,7 @@ _TOKEN = re.compile(
       | (?P<lit>"(?:[^"\\]|\\.)*")(?:@(?P<lang>[A-Za-z][A-Za-z0-9\-]*)
                                    |\^\^(?P<dtiri><[^>]*>|[A-Za-z_][\w\-]*:[\w\-]+))?
       | (?P<num>-?\d+\.\d+|-?\d+)
-      | (?P<punct>[{}.;()])
+      | (?P<punct>[{}.;()/^])
       | (?P<op><=|>=|!=|=|<|>|,|\|\||&&|!)
       | (?P<kw>[A-Za-z_][\w\-]*:?[\w\-]*|\*|\d+)
     )""",
@@ -264,6 +281,7 @@ class _Parser:
         self.toks = _tokens(text)
         self.i = 0
         self.prefixes = dict(prefixes or {})
+        self._path_n = 0  # fresh-variable counter for property paths
 
     def _peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else ("eof", None)
@@ -309,6 +327,57 @@ class _Parser:
             # bare numeric literal (SPARQL shorthand for xsd:integer/decimal)
             return Lit(str(val), None, _XSD + ("decimal" if "." in str(val) else "integer"))
         raise SparqlError(f"unexpected token {val!r} in triple pattern")
+
+    def _path_pred(self):
+        """Predicate position: a plain term, or an IRI property path of
+        sequence (``/``) and inverse (``^``) elements. Returns the term
+        itself, or ("path", [(inverse, Iri), ...])."""
+        inv = False
+        if self._peek() == ("punct", "^"):
+            self._next()
+            inv = True
+        t = self._term("pred")
+        if isinstance(t, Var):
+            if inv or self._peek() == ("punct", "/"):
+                raise SparqlError(
+                    "property path elements must be IRIs, not variables"
+                )
+            return t
+        elts = [(inv, t)]
+        while self._peek() == ("punct", "/"):
+            self._next()
+            inv2 = False
+            if self._peek() == ("punct", "^"):
+                self._next()
+                inv2 = True
+            t2 = self._term("pred")
+            if isinstance(t2, Var):
+                raise SparqlError(
+                    "property path elements must be IRIs, not variables"
+                )
+            elts.append((inv2, t2))
+        if len(elts) == 1 and not inv:
+            return t
+        return ("path", elts)
+
+    def _expand_path(self, s, elts, o) -> list[tuple]:
+        """SPARQL 1.1 §9.3 translation of a fixed-length path: chain
+        the elements through fresh internal variables (projected away
+        later; multiplicity through distinct intermediates is
+        preserved, as the spec's algebra translation prescribes).
+        Inverse elements swap their endpoints."""
+        pats = []
+        cur = s
+        for i, (inv, pred) in enumerate(elts):
+            last = i == len(elts) - 1
+            if last:
+                nxt = o
+            else:
+                nxt = Var(f"__pp{self._path_n}")
+                self._path_n += 1
+            pats.append((nxt, pred, cur) if inv else (cur, pred, nxt))
+            cur = nxt
+        return pats
 
     def _agg_item(self) -> tuple:
         """``( FUNC([DISTINCT] ?v|*) AS ?alias )`` → ("agg", func,
@@ -414,6 +483,7 @@ class _Parser:
         # (positive, (patterns, group-filters)) — FILTER [NOT] EXISTS
         exists_blocks: list[tuple[bool, tuple[list[tuple], list[tuple]]]] = []
         values_blocks: list[tuple[list[str], list[list]]] = []
+        minus_blocks: list[tuple[list[tuple], list[tuple]]] = []
         # variables already claimed by a textually-earlier OPTIONAL: a
         # required pattern or UNION that follows and shares one would be
         # silently re-ordered by the Join-then-LeftJoin normalization
@@ -427,8 +497,8 @@ class _Parser:
             clash = sorted(vars_ & opt_vars)
             if clash:
                 raise SparqlError(
-                    f"{what} follows an OPTIONAL and shares its variable(s) "
-                    f"{clash}: SPARQL evaluates groups in textual order "
+                    f"{what} follows an OPTIONAL/MINUS and shares its "
+                    f"variable(s) {clash}: SPARQL evaluates groups in textual order "
                     "(Join(LeftJoin(A,G),B)), which the engine's "
                     "OPTIONAL-last normalization would silently change — "
                     "move the pattern before the OPTIONAL or use SQL over "
@@ -450,6 +520,18 @@ class _Parser:
                 self._next()
                 group = self._group()
                 optionals.append(group)
+                opt_vars |= _pattern_vars(group[0])
+                if self._peek() == ("punct", "."):
+                    self._next()
+                continue
+            if self._kw_is("MINUS"):
+                self._next()
+                group = self._group()
+                minus_blocks.append(group)
+                # like OPTIONAL, MINUS is hoisted after the required
+                # patterns; a later pattern sharing its variables would
+                # grow the compatibility domain SPARQL evaluates with —
+                # reject via the same textual-order guard
                 opt_vars |= _pattern_vars(group[0])
                 if self._peek() == ("punct", "."):
                     self._next()
@@ -478,10 +560,17 @@ class _Parser:
                     self._next()
                 continue
             s = self._term("subj")
-            p = self._term("pred")
+            p = self._path_pred()
             o = self._term("obj")
-            _guard_after_optional(_pattern_vars([(s, p, o)]), "a triple pattern")
-            patterns.append((s, p, o))
+            if isinstance(p, tuple) and p[0] == "path":
+                expanded = self._expand_path(s, p[1], o)
+            else:
+                expanded = [(s, p, o)]
+            _guard_after_optional(
+                {v for v in _pattern_vars(expanded) if not _is_internal(v)},
+                "a triple pattern",
+            )
+            patterns.extend(expanded)
             if self._peek() == ("punct", "."):
                 self._next()
         self._next()  # }
@@ -554,8 +643,8 @@ class _Parser:
             form=form, items=items, distinct=distinct, patterns=patterns,
             unions=unions, optionals=optionals, filters=filters,
             exists_blocks=exists_blocks, values_blocks=values_blocks,
-            group_by=group_by, order=order, limit=limit, offset=offset,
-            template=template,
+            minus_blocks=minus_blocks, group_by=group_by, order=order,
+            limit=limit, offset=offset, template=template,
         )
 
     def _template(self) -> list[tuple]:
@@ -566,7 +655,7 @@ class _Parser:
         tpl: list[tuple] = []
         while self._peek() != ("punct", "}"):
             if self._peek()[0] == "kw" and str(self._peek()[1]).upper() in (
-                "FILTER", "OPTIONAL", "VALUES",
+                "FILTER", "OPTIONAL", "VALUES", "MINUS",
             ):
                 raise SparqlError(
                     f"{self._peek()[1]} is not allowed in a CONSTRUCT template"
@@ -647,8 +736,10 @@ class _Parser:
         group: list[tuple] = []
         gfilters: list[tuple] = []
         while self._peek() != ("punct", "}"):
-            if self._kw_is("OPTIONAL"):
-                raise SparqlError("OPTIONAL nested inside a braced group is not supported")
+            if self._kw_is("OPTIONAL") or self._kw_is("MINUS"):
+                raise SparqlError(
+                    "OPTIONAL/MINUS nested inside a braced group is not supported"
+                )
             if self._kw_is("FILTER"):
                 self._next()
                 node = self._filter()
@@ -662,9 +753,12 @@ class _Parser:
                     self._next()
                 continue
             s = self._term("subj")
-            p = self._term("pred")
+            p = self._path_pred()
             o = self._term("obj")
-            group.append((s, p, o))
+            if isinstance(p, tuple) and p[0] == "path":
+                group.extend(self._expand_path(s, p[1], o))
+            else:
+                group.append((s, p, o))
             if self._peek() == ("punct", "."):
                 self._next()
         self._next()  # }
@@ -1284,11 +1378,13 @@ def _compile_where(
             bdf, bvars = _join_patterns(triples, pats)
             bdf = _apply_filters(bdf, gfilters, bvars, "this UNION branch")
             compiled.append((bdf, bvars))
-        varset = compiled[0][1]
-        if any(vs != varset for _, vs in compiled):
+        # path-expansion internals are branch-local: project them away
+        # before the union (bag semantics keep path multiplicity)
+        varset = {v for v in compiled[0][1] if not _is_internal(v)}
+        if any({v for v in vs if not _is_internal(v)} != varset for _, vs in compiled):
             raise SparqlError(
                 "UNION branches must bind the same variables "
-                f"(got {sorted(v for _, vs in compiled for v in vs)})"
+                f"(got {sorted(v for _, vs in compiled for v in vs if not _is_internal(v))})"
             )
         cols = [x for v in sorted(varset) for x in _term_key(v)]
         u = compiled[0][0].select(*cols)
@@ -1384,6 +1480,26 @@ def _compile_where(
             on=join_keys,
             how="left_semi" if positive else "left_anti",
         )
+    for gpats, gfilters in parsed.minus_blocks:
+        # MINUS (SPARQL 1.1 §8.3): drop solutions compatible with some
+        # right-side solution on a NON-EMPTY shared domain. With every
+        # shared variable non-nullable this is exactly an anti join; a
+        # MINUS sharing no variable removes nothing and compiles away.
+        gdf, gvars = _join_patterns(triples, gpats)
+        gdf = _apply_filters(gdf, gfilters, gvars, "this MINUS group")
+        shared = sorted(v for v in gvars if v in bound)
+        if not shared:
+            continue  # disjoint domains: MINUS is a no-op by spec
+        maybe_null = sorted(v for v in shared if v in nullable)
+        if maybe_null:
+            raise SparqlError(
+                "MINUS join variable(s) may be unbound by an earlier "
+                f"OPTIONAL ({maybe_null}); SPARQL's unbound-is-compatible "
+                "semantics are not expressible as an anti join — "
+                "restructure the query or use SQL over register_triples_view"
+            )
+        join_keys = [x for v in shared for x in _term_key(v)]
+        df = df.join(gdf.select(*join_keys), on=join_keys, how="left_anti")
     return df, bound, nullable
 
 
@@ -1400,7 +1516,11 @@ def _compile(triples: DataFrame, parsed: SimpleNamespace) -> DataFrame:
             raise SparqlError("SELECT * cannot be combined with GROUP BY/aggregates")
         out, proj = _aggregate(df, items, group_by, bound)
     else:
-        proj = sorted(bound) if items is None else [it[1] for it in items]
+        proj = (
+            sorted(v for v in bound if not _is_internal(v))
+            if items is None
+            else [it[1] for it in items]
+        )
         missing = [v for v in proj if v not in bound]
         if missing:
             raise SparqlError(f"projected variables never bound: {missing}")

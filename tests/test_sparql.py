@@ -945,3 +945,93 @@ def test_construct_modifiers_and_errors(graph):
         )
     with pytest.raises(SparqlError):  # empty template
         sparql_construct(graph, "CONSTRUCT { } WHERE { ?s ?p ?o }")
+
+
+def test_minus(graph, spark):
+    # MINUS removes persons that know someone — p1 drops, p2 stays
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE { ?p a ex:Person . MINUS { ?p ex:knows ?q } }"""
+    assert [r.p for r in sparql_select(graph, q).collect()] == [EX + "p2"]
+    # group-local FILTER inside MINUS
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE { ?p a ex:Person .
+      MINUS { ?p ex:name ?n . FILTER (lang(?n) = "en") } }"""
+    assert [r.p for r in sparql_select(graph, q2).collect()] == [EX + "p1"]
+    # disjoint domains: MINUS removes NOTHING (unlike NOT EXISTS)
+    q3 = """PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE { ?p a ex:Person . MINUS { ?x ex:name ?n } }"""
+    assert sparql_select(graph, q3).count() == 2
+    with pytest.raises(SparqlError):  # nested inside a group
+        sparql_select(
+            graph,
+            "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . OPTIONAL { ?p ex:knows ?q . MINUS { ?q ex:name ?n } } }",
+        )
+    with pytest.raises(SparqlError):  # pattern after MINUS sharing its var
+        sparql_select(
+            graph,
+            "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . MINUS { ?p ex:knows ?q } ?p ex:name ?q }",
+        )
+    with pytest.raises(SparqlError):  # MINUS var nullable via OPTIONAL
+        sparql_select(
+            graph,
+            "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . OPTIONAL { ?p ex:knows ?q } MINUS { ?q ex:name ?n } }",
+        )
+
+
+def test_property_path_sequence(graph):
+    # ?p knows/name ?n — two hops through an internal variable
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?n WHERE { ?p ex:knows/ex:name ?n }"""
+    got = {(r.p, r.n) for r in sparql_select(graph, q).collect()}
+    assert got == {(EX + "p1", "Grace")}
+    # the internal variable is projected away from SELECT *
+    out = sparql_select(graph, "PREFIX ex: <http://ex.org/> SELECT * WHERE { ?p ex:knows/ex:name ?n }")
+    assert sorted(out.columns) == ["n", "p"]
+
+
+def test_property_path_inverse(graph):
+    # ^knows: who is known — and inverse inside a sequence
+    q = "PREFIX ex: <http://ex.org/> SELECT ?x WHERE { ?x ^ex:knows ?y }"
+    assert [r.x for r in sparql_select(graph, q).collect()] == [EX + "p2"]
+    # name of anyone who knows ?x: ?x ^knows/name ?n
+    q2 = "PREFIX ex: <http://ex.org/> SELECT ?x ?n WHERE { ?x ^ex:knows/ex:name ?n }"
+    got = {(r.x, r.n) for r in sparql_select(graph, q2).collect()}
+    assert got == {(EX + "p2", "Ada")}
+
+
+def test_property_path_multiplicity(spark):
+    # two distinct intermediates → two rows for the same endpoints
+    # (SPARQL fixed-length paths preserve multiplicity), collapsible
+    # by DISTINCT
+    rows = [
+        (EX + "s", "iri", EX + "p", EX + "m1", "iri", None, None),
+        (EX + "s", "iri", EX + "p", EX + "m2", "iri", None, None),
+        (EX + "m1", "iri", EX + "q", EX + "o", "iri", None, None),
+        (EX + "m2", "iri", EX + "q", EX + "o", "iri", None, None),
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    q = "PREFIX ex: <http://ex.org/> SELECT ?s ?o WHERE { ?s ex:p/ex:q ?o }"
+    assert sparql_select(g, q).count() == 2
+    q2 = "PREFIX ex: <http://ex.org/> SELECT DISTINCT ?s ?o WHERE { ?s ex:p/ex:q ?o }"
+    assert sparql_select(g, q2).count() == 1
+
+
+def test_property_path_in_groups(graph):
+    # path inside OPTIONAL
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?n WHERE { ?p a ex:Person . OPTIONAL { ?p ex:knows/ex:name ?n } }"""
+    got = {(r.p, r.n) for r in sparql_select(graph, q).collect()}
+    assert got == {(EX + "p1", "Grace"), (EX + "p2", None)}
+    # path inside UNION branches (internals are branch-local)
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT ?n WHERE { { ?p ex:knows/ex:name ?n } UNION { ?p ex:name ?n } }"""
+    assert sparql_select(graph, q2).count() == 3
+
+
+def test_property_path_rejections(graph):
+    with pytest.raises(SparqlError):  # variable path element
+        sparql_select(graph, "SELECT ?s WHERE { ?s ?p/?q ?o }")
+    with pytest.raises(SparqlError):  # transitive closure unsupported
+        sparql_select(graph, "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:knows* ?o }")
+    with pytest.raises(SparqlError):  # alternation unsupported
+        sparql_select(graph, "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:a|ex:b ?o }")
