@@ -78,7 +78,14 @@ expressions or other groups is rejected too) — MINUS { t1 ... }
 shared variable is required-bound; a MINUS sharing no variable with
 the rest of the query removes nothing and compiles away, and
 OPTIONAL-nullable shared variables are rejected like EXISTS's) —
-ASK { ... } via
+BIND(expr AS ?v) at the top
+level of WHERE (expr: any FILTER operand — terms, variables,
+lang()/datatype()/STR() — plus CONCAT(...) and IRI()/URI() over
+them, nested; evaluated after patterns/OPTIONALs and visible to
+FILTERs/projection/ORDER BY/CONSTRUCT templates; per SPARQL 1.1
+§10.1 an evaluation error leaves ?v unbound with the row KEPT; using
+?v in a later triple pattern or group is rejected via the
+already-bound/nullable checks, not re-ordered) — ASK { ... } via
 ``sparql_ask`` (compiles like SELECT *, returns a bool; probes one
 partition first via ``isEmpty``) — CONSTRUCT { tpl } WHERE { ... }
 via ``sparql_construct`` (template fan-out as a bag union over one
@@ -484,6 +491,7 @@ class _Parser:
         exists_blocks: list[tuple[bool, tuple[list[tuple], list[tuple]]]] = []
         values_blocks: list[tuple[list[str], list[list]]] = []
         minus_blocks: list[tuple[list[tuple], list[tuple]]] = []
+        binds: list[tuple[object, str]] = []  # (expr AST, target var)
         # variables already claimed by a textually-earlier OPTIONAL: a
         # required pattern or UNION that follows and shares one would be
         # silently re-ordered by the Join-then-LeftJoin normalization
@@ -521,6 +529,23 @@ class _Parser:
                 group = self._group()
                 optionals.append(group)
                 opt_vars |= _pattern_vars(group[0])
+                if self._peek() == ("punct", "."):
+                    self._next()
+                continue
+            if self._kw_is("BIND"):
+                self._next()
+                if self._next() != ("punct", "("):
+                    raise SparqlError("BIND needs '('")
+                expr = self._bind_expr()
+                if not self._kw_is("AS"):
+                    raise SparqlError("BIND needs AS: BIND(expr AS ?var)")
+                self._next()
+                kv, vv = self._next()
+                if kv != "var":
+                    raise SparqlError("BIND target must be a ?variable")
+                if self._next() != ("punct", ")"):
+                    raise SparqlError("BIND needs ')'")
+                binds.append((expr, str(vv)))
                 if self._peek() == ("punct", "."):
                     self._next()
                 continue
@@ -643,8 +668,8 @@ class _Parser:
             form=form, items=items, distinct=distinct, patterns=patterns,
             unions=unions, optionals=optionals, filters=filters,
             exists_blocks=exists_blocks, values_blocks=values_blocks,
-            minus_blocks=minus_blocks, group_by=group_by, order=order,
-            limit=limit, offset=offset, template=template,
+            minus_blocks=minus_blocks, binds=binds, group_by=group_by,
+            order=order, limit=limit, offset=offset, template=template,
         )
 
     def _template(self) -> list[tuple]:
@@ -736,9 +761,9 @@ class _Parser:
         group: list[tuple] = []
         gfilters: list[tuple] = []
         while self._peek() != ("punct", "}"):
-            if self._kw_is("OPTIONAL") or self._kw_is("MINUS"):
+            if self._kw_is("OPTIONAL") or self._kw_is("MINUS") or self._kw_is("BIND"):
                 raise SparqlError(
-                    "OPTIONAL/MINUS nested inside a braced group is not supported"
+                    "OPTIONAL/MINUS/BIND nested inside a braced group is not supported"
                 )
             if self._kw_is("FILTER"):
                 self._next()
@@ -765,6 +790,32 @@ class _Parser:
         if not group:
             raise SparqlError("empty braced group (OPTIONAL/UNION/EXISTS)")
         return group, gfilters
+
+    def _bind_expr(self):
+        """BIND expression subset: a term/accessor operand, or
+        CONCAT(e1, e2, ...) / IRI(e) (URI is an alias) over them,
+        arbitrarily nested."""
+        k, v = self._peek()
+        if (
+            k == "kw"
+            and str(v).lower() in ("concat", "iri", "uri")
+            and self._peek2() == ("punct", "(")
+        ):
+            fn = str(v).lower()
+            self._next()
+            self._next()  # (
+            args = [self._bind_expr()]
+            while self._peek() == ("op", ","):
+                self._next()
+                args.append(self._bind_expr())
+            if self._next() != ("punct", ")"):
+                raise SparqlError(f"{fn}() needs ')'")
+            if fn in ("iri", "uri"):
+                if len(args) != 1:
+                    raise SparqlError("IRI() takes exactly one argument")
+                return ("iri_fn", args[0])
+            return ("concat", args)
+        return self._operand()
 
     def _operand(self):
         kind, val = self._peek()
@@ -1107,6 +1158,84 @@ _ORD_OPS = {
 }
 
 
+def _term_parts(term, bound: set[str], scope: str = "the query"):
+    """Operand → (value, kind, lang, dtype) columns. Shared by the
+    FILTER compiler and the BIND expression evaluator."""
+
+    def _check(name: str, what: str):
+        if name not in bound:
+            raise SparqlError(f"{what} variable ?{name} is not bound in {scope}")
+
+    if isinstance(term, Var):
+        _check(term.name, "FILTER/BIND")
+        k, lg, dt = _shadow_cols(term.name)
+        return F.col(term.name), F.col(k), F.col(lg), F.col(dt)
+    if isinstance(term, LangOf):
+        _check(term.name, "lang()")
+        k, lg, _ = _shadow_cols(term.name)
+        # non-literal → NULL → comparison NULL → row dropped
+        val = F.when(F.col(k) == "literal", F.col(lg))
+        return val, F.lit("literal"), F.lit(""), F.lit("")
+    if isinstance(term, DtypeOf):
+        _check(term.name, "datatype()")
+        k, lg, dt = _shadow_cols(term.name)
+        val = F.when(
+            F.col(k) == "literal",
+            F.when(F.col(lg) != "", F.lit(RDF_LANGSTRING))
+            .when(F.col(dt) != "", F.col(dt))
+            .otherwise(F.lit(XSD_STRING)),
+        )
+        return val, F.lit("iri"), F.lit(""), F.lit("")
+    if isinstance(term, StrOf):
+        # STR() of any bound term is its lexical form / IRI string
+        # as a simple literal; it never errors on bound terms
+        _check(term.name, "str()")
+        return F.col(term.name), F.lit("literal"), F.lit(""), F.lit("")
+    if isinstance(term, Lit):
+        return (
+            F.lit(term.lexical), F.lit("literal"),
+            F.lit(term.lang or ""), F.lit(term.dtype or ""),
+        )
+    assert isinstance(term, Iri)
+    return F.lit(term.value), F.lit("iri"), F.lit(""), F.lit("")
+
+
+def _eval_bind_expr(node, bound: set[str], scope: str = "BIND"):
+    """BIND expression → (value, kind, lang, dtype) columns. A SPARQL
+    evaluation error yields a NULL value — the variable is left UNBOUND
+    for that row, the row is kept (SPARQL 1.1 §10.1, unlike FILTER).
+
+    CONCAT follows the string-argument rule: each argument must be a
+    simple or xsd:string literal (STR() coerces any term); lang-tagged
+    or otherwise-typed arguments are treated as errors → unbound (the
+    spec would propagate a COMMON language tag — this engine is
+    conservative rather than wrong for mixed tags). IRI() accepts an
+    IRI (pass-through) or a string literal (minted as-is, no base
+    resolution)."""
+    if isinstance(node, tuple) and node and node[0] == "concat":
+        pieces = []
+        for a in node[1]:
+            v, k, lg, dt = _eval_bind_expr(a, bound, scope)
+            is_str = (
+                (k == F.lit("literal"))
+                & (F.coalesce(lg, F.lit("?")) == "")
+                & F.coalesce(dt, F.lit("?")).isin("", XSD_STRING)
+            )
+            pieces.append(F.when(is_str, v))
+        # concat propagates NULL: any errored argument → unbound result
+        return F.concat(*pieces), F.lit("literal"), F.lit(""), F.lit("")
+    if isinstance(node, tuple) and node and node[0] == "iri_fn":
+        v, k, lg, dt = _eval_bind_expr(node[1], bound, scope)
+        is_str = (
+            (k == F.lit("literal"))
+            & (F.coalesce(lg, F.lit("?")) == "")
+            & F.coalesce(dt, F.lit("?")).isin("", XSD_STRING)
+        )
+        val = F.when(k == F.lit("iri"), v).when(is_str, v)
+        return val, F.lit("iri"), F.lit(""), F.lit("")
+    return _term_parts(node, bound, scope)
+
+
 def _apply_filters(
     df: DataFrame, filters: list[tuple], bound: set[str], scope: str = "the query"
 ) -> DataFrame:
@@ -1128,39 +1257,7 @@ def _apply_filters(
             raise SparqlError(f"{what} variable ?{name} is not bound in {scope}")
 
     def term_parts(term):
-        """→ (value, kind, lang, dtype) columns for the operand."""
-        if isinstance(term, Var):
-            _check_bound(term.name, "FILTER")
-            k, lg, dt = _shadow_cols(term.name)
-            return F.col(term.name), F.col(k), F.col(lg), F.col(dt)
-        if isinstance(term, LangOf):
-            _check_bound(term.name, "lang()")
-            k, lg, _ = _shadow_cols(term.name)
-            # non-literal → NULL → comparison NULL → row dropped
-            val = F.when(F.col(k) == "literal", F.col(lg))
-            return val, F.lit("literal"), F.lit(""), F.lit("")
-        if isinstance(term, DtypeOf):
-            _check_bound(term.name, "datatype()")
-            k, lg, dt = _shadow_cols(term.name)
-            val = F.when(
-                F.col(k) == "literal",
-                F.when(F.col(lg) != "", F.lit(RDF_LANGSTRING))
-                .when(F.col(dt) != "", F.col(dt))
-                .otherwise(F.lit(XSD_STRING)),
-            )
-            return val, F.lit("iri"), F.lit(""), F.lit("")
-        if isinstance(term, StrOf):
-            # STR() of any bound term is its lexical form / IRI string
-            # as a simple literal; it never errors on bound terms
-            _check_bound(term.name, "str()")
-            return F.col(term.name), F.lit("literal"), F.lit(""), F.lit("")
-        if isinstance(term, Lit):
-            return (
-                F.lit(term.lexical), F.lit("literal"),
-                F.lit(term.lang or ""), F.lit(term.dtype or ""),
-            )
-        assert isinstance(term, Iri)
-        return F.lit(term.value), F.lit("iri"), F.lit(""), F.lit("")
+        return _term_parts(term, bound, scope)
 
     def compile_node(node) -> "F.Column":
         """FILTER AST → boolean Column. Spark's booleans are Kleene
@@ -1453,6 +1550,25 @@ def _compile_where(
         nullable |= gvars - bound
         bound |= gvars
 
+    for expr, name in parsed.binds:
+        # BIND(expr AS ?v): computed per row AFTER patterns/OPTIONALs,
+        # BEFORE filters (which see ?v group-wide). Evaluation errors
+        # leave ?v unbound (NULL) with the row kept — SPARQL 1.1 §10.1.
+        if name in bound:
+            raise SparqlError(
+                f"BIND target ?{name} is already bound in this group "
+                "(SPARQL requires a fresh variable)"
+            )
+        val, kind, lg, dt = _eval_bind_expr(expr, bound)
+        k, l, d = _shadow_cols(name)
+        df = (
+            df.withColumn(name, val)
+            .withColumn(k, F.when(val.isNotNull(), kind))
+            .withColumn(l, F.when(val.isNotNull(), lg))
+            .withColumn(d, F.when(val.isNotNull(), dt))
+        )
+        bound.add(name)
+        nullable.add(name)  # may be NULL on evaluation error
     df = _apply_filters(df, filters, bound)
     for positive, (gpats, gfilters) in exists_blocks:
         # FILTER [NOT] EXISTS → semi/anti join on the shared term keys:

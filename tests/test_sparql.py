@@ -1035,3 +1035,73 @@ def test_property_path_rejections(graph):
         sparql_select(graph, "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:knows* ?o }")
     with pytest.raises(SparqlError):  # alternation unsupported
         sparql_select(graph, "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:a|ex:b ?o }")
+
+
+def test_bind_basic(graph):
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?greeting WHERE {
+      ?p ex:name ?n . BIND(CONCAT("Hello, ", ?n) AS ?greeting) }"""
+    got = {(r.p, r.greeting) for r in sparql_select(graph, q).collect()}
+    assert got == {(EX + "p1", "Hello, Ada"), (EX + "p2", None)}
+    # ("Grace"@en is a lang literal → CONCAT error → ?greeting UNBOUND,
+    # row kept — not dropped); STR() strips the tag and recovers it
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?g WHERE { ?p ex:name ?n . BIND(CONCAT("Hi ", STR(?n)) AS ?g) }"""
+    got2 = {(r.p, r.g) for r in sparql_select(graph, q2).collect()}
+    assert got2 == {(EX + "p1", "Hi Ada"), (EX + "p2", "Hi Grace")}
+
+
+def test_bind_iri_minting_and_filters(graph):
+    # mint a new IRI from a literal; the result is IRI-kind (isIRI holds)
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?u WHERE {
+      ?p ex:name ?n .
+      BIND(IRI(CONCAT("http://ex.org/label/", STR(?n))) AS ?u)
+      FILTER isIRI(?u) }"""
+    got = {r.u for r in sparql_select(graph, q).collect()}
+    assert got == {EX + "label/Ada", EX + "label/Grace"}
+    # constant + accessor binds; bound() sees BIND vars
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?l WHERE { ?p ex:name ?n . BIND(lang(?n) AS ?l) FILTER bound(?l) }"""
+    got2 = {(r.p, r.l) for r in sparql_select(graph, q2).collect()}
+    assert got2 == {(EX + "p1", ""), (EX + "p2", "en")}
+
+
+def test_bind_in_construct(graph):
+    from r2rml_parser_spark.plans.sparql import sparql_construct
+
+    # KG minting: derive a new subject IRI per solution
+    q = """PREFIX ex: <http://ex.org/>
+    CONSTRUCT { ?u a ex:Label . ?u ex:for ?p }
+    WHERE { ?p ex:name ?n
+      BIND(IRI(CONCAT("http://ex.org/label/", STR(?n))) AS ?u) }"""
+    got = {(r.subj, r.pred, r.obj) for r in sparql_construct(graph, q).collect()}
+    assert got == {
+        (EX + "label/Ada", RDF + "type", EX + "Label"),
+        (EX + "label/Grace", RDF + "type", EX + "Label"),
+        (EX + "label/Ada", EX + "for", EX + "p1"),
+        (EX + "label/Grace", EX + "for", EX + "p2"),
+    }
+
+
+def test_bind_rejections(graph):
+    with pytest.raises(SparqlError):  # target already bound
+        sparql_select(
+            graph,
+            'PREFIX ex: <http://ex.org/> SELECT ?n WHERE { ?p ex:name ?n . BIND("x" AS ?n) }',
+        )
+    with pytest.raises(SparqlError):  # unbound source variable
+        sparql_select(
+            graph,
+            "PREFIX ex: <http://ex.org/> SELECT ?g WHERE { ?p ex:name ?n . BIND(STR(?zz) AS ?g) }",
+        )
+    with pytest.raises(SparqlError):  # BIND inside a braced group
+        sparql_select(
+            graph,
+            'PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . OPTIONAL { ?p ex:knows ?q . BIND("x" AS ?z) } }',
+        )
+    with pytest.raises(SparqlError):  # BIND var used in a later EXISTS
+        sparql_select(
+            graph,
+            'PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p ex:name ?n . BIND(STR(?n) AS ?v) FILTER EXISTS { ?x ex:name ?v } }',
+        )
