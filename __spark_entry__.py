@@ -101,6 +101,14 @@ def q_sparql_construct_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tpch_sparql_construct(spark, sf_dir)
 
 
+def q_sparql_path_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL property path (two-hop sequence) + BIND IRI-minting over
+    the generated KG."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_path
+
+    return run_tpch_sparql_path(spark, sf_dir)
+
+
 def q_span_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     from r2rml_parser_spark.sources.docs import span_view, synth_docs
 
@@ -274,6 +282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_str_kg": q_sparql_str_kg,
         "sparql_exists_kg": q_sparql_exists_kg,
         "sparql_construct_kg": q_sparql_construct_kg,
+        "sparql_path_kg": q_sparql_path_kg,
         "span_view": q_span_view,
         "mentions": q_mentions,
         "dedup_exact": q_dedup_exact,
@@ -309,6 +318,7 @@ def oracle_sql() -> dict[str, str]:
         TPCH_SPARQL_ORACLE_SQL,
         TPCH_SPARQL_CONSTRUCT_ORACLE_SQL,
         TPCH_SPARQL_EXISTS_ORACLE_SQL,
+        TPCH_SPARQL_PATH_ORACLE_SQL,
         TPCH_SPARQL_STR_ORACLE_SQL,
         TPCH_SPARQL_TYPED_ORACLE_SQL,
     )
@@ -339,6 +349,7 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "sparql_str_kg": TPCH_SPARQL_STR_ORACLE_SQL,
         "sparql_exists_kg": TPCH_SPARQL_EXISTS_ORACLE_SQL,
         "sparql_construct_kg": TPCH_SPARQL_CONSTRUCT_ORACLE_SQL,
+        "sparql_path_kg": TPCH_SPARQL_PATH_ORACLE_SQL,
         "span_view": span_sql,
         "mentions": mentions_oracle_sql(SPAN_VIEW_ORACLE_SQL),
         "dedup_exact": oracles.DEDUP_EXACT_SQL,

@@ -98,8 +98,9 @@ inside SUM/AVG/MIN/MAX is rejected), VALUES ?x { ... } / VALUES
 (?x ?y) { (...) ... } inline constant bindings (bag semantics,
 compiled to a broadcast join; UNDEF rejected), ORDER BY
 [ASC()|DESC()] over projected variables/aliases, and LIMIT/OFFSET in
-either order. HAVING is rejected (unsupported trailing syntax), not
-ignored.
+either order, and HAVING (expr) over projected aliases/group keys
+(compiled as a post-aggregation filter on the naturally-typed output
+columns; composes with !/&&/||).
 
 FILTER comparison semantics: =/!= compare the TERM (lexical form,
 kind, lang tag, datatype IRI) unless an operand is a bare number or
@@ -609,6 +610,17 @@ class _Parser:
                 group_by.append(str(self._next()[1]))
             if not group_by:
                 raise SparqlError("GROUP BY needs at least one ?variable")
+        having = None
+        if self._kw_is("HAVING"):
+            self._next()
+            if not group_by:
+                raise SparqlError("HAVING requires GROUP BY")
+            if self._peek() != ("punct", "("):
+                raise SparqlError("HAVING needs a '(expr)'")
+            self._next()
+            having = self._bool_expr()
+            if self._next() != ("punct", ")"):
+                raise SparqlError("HAVING needs ')'")
         order: list[tuple[str, bool]] = []
         if self._kw_is("ORDER"):
             self._next()
@@ -669,7 +681,8 @@ class _Parser:
             unions=unions, optionals=optionals, filters=filters,
             exists_blocks=exists_blocks, values_blocks=values_blocks,
             minus_blocks=minus_blocks, binds=binds, group_by=group_by,
-            order=order, limit=limit, offset=offset, template=template,
+            having=having, order=order, limit=limit, offset=offset,
+            template=template,
         )
 
     def _template(self) -> list[tuple]:
@@ -1370,6 +1383,47 @@ def _apply_filters(
     return df
 
 
+def _compile_having(node, proj: list[str]) -> "F.Column":
+    """HAVING expression over the aggregated relation: operands are
+    projected aliases / group keys (natural column types — aggregate
+    aliases are numeric, group keys lexical strings) and constants;
+    composes with !/&&/|| like any FILTER. Referencing an unprojected
+    variable is rejected."""
+    tag = node[0]
+    if tag == "or":
+        return _compile_having(node[1], proj) | _compile_having(node[2], proj)
+    if tag == "and":
+        return _compile_having(node[1], proj) & _compile_having(node[2], proj)
+    if tag == "not":
+        return ~_compile_having(node[1], proj)
+    if tag == "const":
+        return F.lit(bool(node[1]))
+    if tag == "cmp":
+        _, left, op, right = node
+
+        def operand(t):
+            if isinstance(t, Var):
+                if t.name not in proj:
+                    raise SparqlError(
+                        f"HAVING variable ?{t.name} is not a projected "
+                        "alias or group key"
+                    )
+                return F.col(t.name)
+            if isinstance(t, Lit):
+                if t.dtype in XSD_NUMERIC:
+                    return F.lit(float(t.lexical) if "." in t.lexical else int(t.lexical))
+                return F.lit(t.lexical)
+            raise SparqlError("HAVING operands must be ?aliases or constants")
+
+        lcol, rcol = operand(left), operand(right)
+        return {
+            "=": lcol == rcol, "!=": lcol != rcol,
+            "<": lcol < rcol, "<=": lcol <= rcol,
+            ">": lcol > rcol, ">=": lcol >= rcol,
+        }[op]
+    raise SparqlError("unsupported HAVING expression form")
+
+
 def _aggregate(
     df: DataFrame, items: list[tuple], group_by: list[str], bound: set[str]
 ) -> tuple[DataFrame, list[str]]:
@@ -1631,6 +1685,8 @@ def _compile(triples: DataFrame, parsed: SimpleNamespace) -> DataFrame:
         if items is None:
             raise SparqlError("SELECT * cannot be combined with GROUP BY/aggregates")
         out, proj = _aggregate(df, items, group_by, bound)
+        if parsed.having is not None:
+            out = out.where(_compile_having(parsed.having, proj))
     else:
         proj = (
             sorted(v for v in bound if not _is_internal(v))

@@ -322,3 +322,33 @@ SELECT DISTINCT * FROM (
   FROM sol
 )
 """
+
+# Property-path + BIND SPARQL (r3): two-hop path to the region, and a
+# minted per-customer profile IRI — the KG-derivation shape (new IRIs
+# from solutions), pinned against plain-SQL string concatenation.
+TPCH_SPARQL_PATH_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?profile ?region WHERE {
+  ?c a ex:Customer .
+  ?c ex:inNation/ex:inRegion ?region .
+  BIND(IRI(CONCAT(STR(?c), "/profile")) AS ?profile)
+}
+"""
+
+
+def run_tpch_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_PATH_QUERY)
+
+
+TPCH_SPARQL_PATH_ORACLE_SQL = f"""
+WITH triples AS ({TPCH_KG_ORACLE_SQL})
+SELECT t1.subj || '/profile' AS profile, t3.obj AS region
+FROM triples t1
+JOIN triples t2 ON t2.subj = t1.subj AND t2.subj_kind = t1.subj_kind
+JOIN triples t3 ON t3.subj = t2.obj AND t3.subj_kind = t2.obj_kind
+WHERE t1.pred = '{RDF_TYPE}' AND t1.obj = '{ONT}Customer' AND t1.obj_kind = 'iri'
+  AND t2.pred = '{ONT}inNation' AND t2.obj_kind = 'iri'
+  AND t3.pred = '{ONT}inRegion' AND t3.obj_kind = 'iri'
+"""

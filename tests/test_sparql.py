@@ -465,11 +465,8 @@ def test_aggregate_errors(graph):
         sparql_select(graph, "SELECT (SUM(DISTINCT ?t) AS ?n) WHERE { ?s a ?t }")
     with pytest.raises(SparqlError):  # unaliased aggregate
         sparql_select(graph, "SELECT (COUNT(?t)) WHERE { ?s a ?t }")
-    with pytest.raises(SparqlError):  # HAVING is rejected, not ignored
-        sparql_select(
-            graph,
-            "SELECT ?t (COUNT(?s) AS ?n) WHERE { ?s a ?t } GROUP BY ?t HAVING (?n > 1)",
-        )
+    with pytest.raises(SparqlError):  # HAVING without GROUP BY
+        sparql_select(graph, "SELECT (COUNT(?s) AS ?n) WHERE { ?s a ?t } HAVING (?n > 1)")
     with pytest.raises(SparqlError):  # alias collides with a bound var
         sparql_select(graph, "SELECT (COUNT(?t) AS ?s) WHERE { ?s a ?t }")
 
@@ -1105,3 +1102,22 @@ def test_bind_rejections(graph):
             graph,
             'PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p ex:name ?n . BIND(STR(?n) AS ?v) FILTER EXISTS { ?x ex:name ?v } }',
         )
+
+
+def test_having(graph):
+    # Person has 2 instances, every other type 1 — HAVING keeps Person
+    q = "SELECT ?t (COUNT(?s) AS ?n) WHERE { ?s a ?t } GROUP BY ?t HAVING (?n > 1)"
+    got = [(r.t, r.n) for r in sparql_select(graph, q).collect()]
+    assert got == [(EX + "Person", 2)]
+    # composed condition + string compare on the group key
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT ?t (COUNT(?s) AS ?n) WHERE { ?s a ?t }
+    GROUP BY ?t HAVING (?n >= 1 && ?t = ex:Person)"""
+    # group keys are lexical strings; IRI constant operand unsupported → rejected
+    with pytest.raises(SparqlError):
+        sparql_select(graph, q2)
+    q3 = 'SELECT ?t (COUNT(?s) AS ?n) WHERE { ?s a ?t } GROUP BY ?t HAVING (?n >= 1 && ?t = "http://ex.org/Person")'
+    got3 = [(r.t, r.n) for r in sparql_select(graph, q3).collect()]
+    assert got3 == [(EX + "Person", 2)]
+    with pytest.raises(SparqlError):  # unprojected variable in HAVING
+        sparql_select(graph, "SELECT ?t (COUNT(?s) AS ?n) WHERE { ?s a ?t } GROUP BY ?t HAVING (?zz > 1)")
