@@ -30,8 +30,14 @@ property paths in predicate position (sequence ``p1/p2`` and inverse
 ``^p`` over IRIs, in any combination and inside groups too —
 desugared per SPARQL 1.1 §9.3 into joined triple patterns through
 internal variables that are projected away, preserving path
-multiplicity; transitive ``+``/``*``/``?`` and alternation ``|``
-are rejected, not approximated),
+multiplicity), closure paths ``p+`` / ``p*`` / ``p?`` on a single
+(possibly inverse) predicate (SPARQL 1.1 §18.4 reachability SET
+semantics; evaluated eagerly by path-doubling joins with
+localCheckpoint lineage truncation — log₂(diameter) rounds; ``*``
+and ``?`` include the zero-length identity over every graph node per
+spec; a closure inside a sequence is rejected — bind the
+intermediate explicitly; alternation ``|`` is rejected, not
+approximated),
 OPTIONAL { t1 . t2 ... } groups (compiled to left joins; must share at
 least one variable with the required patterns, and that variable must
 come from the REQUIRED part — a join variable another OPTIONAL may
@@ -241,7 +247,7 @@ _TOKEN = re.compile(
       | (?P<lit>"(?:[^"\\]|\\.)*")(?:@(?P<lang>[A-Za-z][A-Za-z0-9\-]*)
                                    |\^\^(?P<dtiri><[^>]*>|[A-Za-z_][\w\-]*:[\w\-]+))?
       | (?P<num>-?\d+\.\d+|-?\d+)
-      | (?P<punct>[{}.;()/^])
+      | (?P<punct>[{}.;()/^+?])
       | (?P<op><=|>=|!=|=|<|>|,|\|\||&&|!)
       | (?P<kw>[A-Za-z_][\w\-]*:?[\w\-]*|\*|\d+)
     )""",
@@ -351,6 +357,15 @@ class _Parser:
                     "property path elements must be IRIs, not variables"
                 )
             return t
+        mod = self._path_mod()
+        if mod:
+            if self._peek() == ("punct", "/"):
+                raise SparqlError(
+                    "a closure path (+/*/?) inside a sequence is not "
+                    "supported — bind the intermediate with a separate "
+                    "pattern"
+                )
+            return ("cpath", inv, t, mod)
         elts = [(inv, t)]
         while self._peek() == ("punct", "/"):
             self._next()
@@ -363,10 +378,27 @@ class _Parser:
                 raise SparqlError(
                     "property path elements must be IRIs, not variables"
                 )
+            if self._path_mod():
+                raise SparqlError(
+                    "a closure path (+/*/?) inside a sequence is not "
+                    "supported — bind the intermediate with a separate "
+                    "pattern"
+                )
             elts.append((inv2, t2))
         if len(elts) == 1 and not inv:
             return t
         return ("path", elts)
+
+    def _path_mod(self) -> str | None:
+        """Consume a path closure modifier if present: + * ?"""
+        k, v = self._peek()
+        if k == "punct" and v in ("+", "?"):
+            self._next()
+            return str(v)
+        if k == "kw" and v == "*":
+            self._next()
+            return "*"
+        return None
 
     def _expand_path(self, s, elts, o) -> list[tuple]:
         """SPARQL 1.1 §9.3 translation of a fixed-length path: chain
@@ -590,6 +622,10 @@ class _Parser:
             o = self._term("obj")
             if isinstance(p, tuple) and p[0] == "path":
                 expanded = self._expand_path(s, p[1], o)
+            elif isinstance(p, tuple) and p[0] == "cpath":
+                _, inv, pred, mod = p
+                cl = ("closure", pred, mod)
+                expanded = [(o, cl, s) if inv else (s, cl, o)]
             else:
                 expanded = [(s, p, o)]
             _guard_after_optional(
@@ -795,6 +831,10 @@ class _Parser:
             o = self._term("obj")
             if isinstance(p, tuple) and p[0] == "path":
                 group.extend(self._expand_path(s, p[1], o))
+            elif isinstance(p, tuple) and p[0] == "cpath":
+                _, inv, pred, mod = p
+                cl = ("closure", pred, mod)
+                group.append((o, cl, s) if inv else (s, cl, o))
             else:
                 group.append((s, p, o))
             if self._peek() == ("punct", "."):
@@ -1140,13 +1180,160 @@ def _pattern_df(triples: DataFrame, s, p, o) -> tuple[DataFrame, list[str]]:
     return out, variables
 
 
+_CLOSURE_MAX_ITERS = 24  # path-doubling: covers diameter 2^24
+
+
+def _closure_pairs(triples: DataFrame, pred: "Iri", mod: str) -> DataFrame:
+    """Arbitrary-length path relation for one predicate: the set of
+    (start, end) term pairs connected by ``mod`` repetitions of pred.
+
+    SPARQL 1.1 §18.4 defines +/*/? over REACHABILITY — the result is a
+    SET of term pairs (no duplicate-path multiplicity), which is what
+    the per-round ``distinct`` implements. ``*`` and ``?`` add the
+    zero-length identity over every node of the graph (all subjects
+    and objects, per spec — not just pred's endpoints).
+
+    Spark-first iteration: path DOUBLING (closure ⋈ closure), so
+    rounds grow reachable path length 2^i — a 1M-link chain converges
+    in 20 rounds where edge-at-a-time frontier iteration needs 1M.
+    Each round is one shuffle join + anti-join dedup against the
+    accumulated set; ``localCheckpoint(eager=True)`` truncates the
+    exponentially-growing lineage exactly like the connected-components
+    operator (operators/components.py) does. Runs eagerly at query
+    compile time (the fixpoint needs actions); the returned relation
+    is checkpointed, so downstream reuse is scan-cheap."""
+    e = F.coalesce
+    empty = F.lit("")
+    edges = (
+        triples.where((F.col("pred") == pred.value))
+        .select(
+            F.col("subj").alias("_sv"), F.col("subj_kind").alias("_sk"),
+            empty.alias("_sl"), empty.alias("_sd"),
+            F.col("obj").alias("_dv"), F.col("obj_kind").alias("_dk"),
+            e(F.col("lang"), empty).alias("_dl"),
+            e(F.col("dtype"), empty).alias("_dd"),
+        )
+        .distinct()
+    )
+    cols = ["_sv", "_sk", "_sl", "_sd", "_dv", "_dk", "_dl", "_dd"]
+    if mod in ("+", "*"):
+        closure = edges.localCheckpoint(eager=True)
+        for _ in range(_CLOSURE_MAX_ITERS):
+            left = closure.select(
+                F.col("_sv"), F.col("_sk"), F.col("_sl"), F.col("_sd"),
+                F.col("_dv").alias("_jv"), F.col("_dk").alias("_jk"),
+                F.col("_dl").alias("_jl"), F.col("_dd").alias("_jd"),
+            )
+            right = closure.select(
+                F.col("_sv").alias("_jv"), F.col("_sk").alias("_jk"),
+                F.col("_sl").alias("_jl"), F.col("_sd").alias("_jd"),
+                F.col("_dv"), F.col("_dk"), F.col("_dl"), F.col("_dd"),
+            )
+            grown = (
+                left.join(right, on=["_jv", "_jk", "_jl", "_jd"], how="inner")
+                .select(*cols)
+                .distinct()
+            )
+            new = grown.join(closure, on=cols, how="left_anti").localCheckpoint(
+                eager=True
+            )
+            if new.isEmpty():
+                break
+            # disjoint union of two distinct sets stays a set
+            closure = closure.unionByName(new).localCheckpoint(eager=True)
+        else:
+            raise SparqlError(
+                f"property-path closure did not converge within "
+                f"{_CLOSURE_MAX_ITERS} doubling rounds"
+            )
+        pairs = closure
+    else:  # "?": zero or one step
+        pairs = edges
+    if mod in ("*", "?"):
+        nodes = (
+            triples.select(
+                F.col("subj").alias("_v"), F.col("subj_kind").alias("_k"),
+                empty.alias("_l"), empty.alias("_d"),
+            )
+            .unionByName(
+                triples.select(
+                    F.col("obj").alias("_v"), F.col("obj_kind").alias("_k"),
+                    e(F.col("lang"), empty).alias("_l"),
+                    e(F.col("dtype"), empty).alias("_d"),
+                )
+            )
+            .distinct()
+        )
+        identity = nodes.select(
+            F.col("_v").alias("_sv"), F.col("_k").alias("_sk"),
+            F.col("_l").alias("_sl"), F.col("_d").alias("_sd"),
+            F.col("_v").alias("_dv"), F.col("_k").alias("_dk"),
+            F.col("_l").alias("_dl"), F.col("_d").alias("_dd"),
+        )
+        # identity ∪ pairs, deduplicated (a 1-step self-loop is the
+        # same SOLUTION as its zero-length pair under set semantics)
+        pairs = pairs.unionByName(identity).distinct()
+    return pairs
+
+
+def _closure_pattern_df(
+    triples: DataFrame, s, pred: "Iri", mod: str, o
+) -> tuple[DataFrame, list[str]]:
+    """A closure pattern → (projection with shadow columns, bound
+    vars), mirroring ``_pattern_df``'s output contract so it joins
+    into a BGP like any triple pattern."""
+    d = _closure_pairs(triples, pred, mod)
+    cols: dict[str, tuple] = {}
+    variables: list[str] = []
+
+    def bind(term, vv, kk, ll, dd):
+        nonlocal d
+        if isinstance(term, Var):
+            if term.name in cols:
+                pv, pk, pl, pd = cols[term.name]
+                d = d.where(
+                    (F.col(vv) == pv) & (F.col(kk) == pk)
+                    & (F.col(ll) == pl) & (F.col(dd) == pd)
+                )
+            else:
+                cols[term.name] = (F.col(vv), F.col(kk), F.col(ll), F.col(dd))
+                variables.append(term.name)
+        elif isinstance(term, Iri):
+            d = d.where((F.col(vv) == term.value) & (F.col(kk) == "iri"))
+        else:
+            assert isinstance(term, Lit)
+            d = d.where(
+                (F.col(vv) == term.lexical) & (F.col(kk) == "literal")
+                & (F.col(ll) == (term.lang or "")) & (F.col(dd) == (term.dtype or ""))
+            )
+
+    bind(o, "_dv", "_dk", "_dl", "_dd")
+    bind(s, "_sv", "_sk", "_sl", "_sd")
+    out = d.select(
+        *[
+            expr
+            for v in variables
+            for expr in (
+                cols[v][0].alias(v),
+                cols[v][1].alias(f"__{v}_kind"),
+                cols[v][2].alias(f"__{v}_lang"),
+                cols[v][3].alias(f"__{v}_dtype"),
+            )
+        ]
+    )
+    return out, variables
+
+
 def _join_patterns(triples: DataFrame, patterns: list[tuple]) -> tuple[DataFrame, set[str]]:
     """Inner-join a pattern group on its shared variables (full-term
     keys); unshared patterns cross-join (SPARQL product)."""
     df: DataFrame | None = None
     bound: set[str] = set()
     for s, p, o in patterns:
-        pat_df, variables = _pattern_df(triples, s, p, o)
+        if isinstance(p, tuple) and p[0] == "closure":
+            pat_df, variables = _closure_pattern_df(triples, s, p[1], p[2], o)
+        else:
+            pat_df, variables = _pattern_df(triples, s, p, o)
         if df is None:
             df, bound = pat_df, set(variables)
             continue

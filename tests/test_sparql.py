@@ -1028,8 +1028,6 @@ def test_property_path_in_groups(graph):
 def test_property_path_rejections(graph):
     with pytest.raises(SparqlError):  # variable path element
         sparql_select(graph, "SELECT ?s WHERE { ?s ?p/?q ?o }")
-    with pytest.raises(SparqlError):  # transitive closure unsupported
-        sparql_select(graph, "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:knows* ?o }")
     with pytest.raises(SparqlError):  # alternation unsupported
         sparql_select(graph, "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:a|ex:b ?o }")
 
@@ -1121,3 +1119,70 @@ def test_having(graph):
     assert got3 == [(EX + "Person", 2)]
     with pytest.raises(SparqlError):  # unprojected variable in HAVING
         sparql_select(graph, "SELECT ?t (COUNT(?s) AS ?n) WHERE { ?s a ?t } GROUP BY ?t HAVING (?zz > 1)")
+
+
+@pytest.fixture(scope="module")
+def chain_graph(spark):
+    # a -> b -> c -> d chain, plus a disjoint x -> y and a literal leaf
+    rows = [
+        (EX + "a", "iri", EX + "next", EX + "b", "iri", None, None),
+        (EX + "b", "iri", EX + "next", EX + "c", "iri", None, None),
+        (EX + "c", "iri", EX + "next", EX + "d", "iri", None, None),
+        (EX + "x", "iri", EX + "next", EX + "y", "iri", None, None),
+        (EX + "d", "iri", EX + "label", "leaf", "literal", None, None),
+    ]
+    return spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+
+
+def test_closure_plus(chain_graph):
+    # a next+ ?o reaches b, c, d (not itself, not x/y)
+    q = "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ex:a ex:next+ ?o }"
+    got = {r.o for r in sparql_select(chain_graph, q).collect()}
+    assert got == {EX + "b", EX + "c", EX + "d"}
+    # full pair set: 3+2+1 chain pairs + the x->y pair
+    q2 = "PREFIX ex: <http://ex.org/> SELECT ?s ?o WHERE { ?s ex:next+ ?o }"
+    assert sparql_select(chain_graph, q2).count() == 7
+
+
+def test_closure_star_and_opt(chain_graph):
+    # zero-or-more from a fixed start includes the start itself
+    q = "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ex:a ex:next* ?o }"
+    got = {r.o for r in sparql_select(chain_graph, q).collect()}
+    assert got == {EX + "a", EX + "b", EX + "c", EX + "d"}
+    # zero-length identity covers every graph node, even the literal
+    q2 = 'PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:next* "leaf" }'
+    assert [r.s for r in sparql_select(chain_graph, q2).collect()] == ["leaf"]
+    # zero-or-one
+    q3 = "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ex:a ex:next? ?o }"
+    got3 = {r.o for r in sparql_select(chain_graph, q3).collect()}
+    assert got3 == {EX + "a", EX + "b"}
+
+
+def test_closure_inverse_and_join(chain_graph):
+    # ^next+ from d walks back to c, b, a
+    q = "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ex:d ^ex:next+ ?s }"
+    got = {r.s for r in sparql_select(chain_graph, q).collect()}
+    assert got == {EX + "a", EX + "b", EX + "c"}
+    # closure result joins with an ordinary pattern
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT ?s ?l WHERE { ?s ex:next+ ?o . ?o ex:label ?l }"""
+    got2 = {(r.s, r.l) for r in sparql_select(chain_graph, q2).collect()}
+    assert got2 == {(EX + "a", "leaf"), (EX + "b", "leaf"), (EX + "c", "leaf")}
+
+
+def test_closure_cycle_terminates(spark):
+    rows = [
+        (EX + "a", "iri", EX + "p", EX + "b", "iri", None, None),
+        (EX + "b", "iri", EX + "p", EX + "a", "iri", None, None),
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    q = "PREFIX ex: <http://ex.org/> SELECT ?s ?o WHERE { ?s ex:p+ ?o }"
+    # cycle: a/b each reach both nodes — 4 pairs, no infinite loop
+    assert sparql_select(g, q).count() == 4
+
+
+def test_closure_rejections(graph):
+    with pytest.raises(SparqlError):  # closure inside a sequence
+        sparql_select(graph, "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ?s ex:a/ex:b+ ?o }")
+    with pytest.raises(SparqlError):
+        sparql_select(graph, "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ?s ex:a+/ex:b ?o }")
