@@ -93,7 +93,9 @@ FILTERs/projection/ORDER BY/CONSTRUCT templates; per SPARQL 1.1
 ?v in a later triple pattern or group is rejected via the
 already-bound/nullable checks, not re-ordered) — ASK { ... } via
 ``sparql_ask`` (compiles like SELECT *, returns a bool; probes one
-partition first via ``isEmpty``) — CONSTRUCT { tpl } WHERE { ... }
+partition first via ``isEmpty``) — DESCRIBE <iri>/?v via
+``sparql_describe`` (concise bounded description: outgoing triples
+with recursive bnode closure, the ARQ default; returns a triples DF) — CONSTRUCT { tpl } WHERE { ... }
 via ``sparql_construct`` (template fan-out as a bag union over one
 pass of the solutions; returns a new 7-column triples DF; invalid
 instantiations skipped per SPARQL 1.1 §16.2) — GROUP BY ?vars with
@@ -474,12 +476,54 @@ class _Parser:
             self.prefixes[str(pfx)[:-1]] = iri
         k, kw = self._next()
         form = str(kw).upper() if k == "kw" else ""
-        if form not in ("SELECT", "ASK", "CONSTRUCT"):
-            raise SparqlError("only SELECT, ASK, and CONSTRUCT queries are supported")
+        if form not in ("SELECT", "ASK", "CONSTRUCT", "DESCRIBE"):
+            raise SparqlError(
+                "only SELECT, ASK, CONSTRUCT, and DESCRIBE queries are supported"
+            )
         distinct = False
         items: list[tuple] | None = []
         template: list[tuple] = []
-        if form == "ASK":
+        describe: list = []
+        if form == "DESCRIBE":
+            items = None
+            while True:
+                kind, val = self._peek()
+                if kind == "var":
+                    self._next()
+                    describe.append(Var(str(val)))
+                elif kind == "iri":
+                    self._next()
+                    describe.append(Iri(str(val)))
+                elif kind == "kw" and str(val).upper() not in ("WHERE",) and ":" in str(val):
+                    self._next()
+                    describe.append(Iri(self._expand(str(val))))
+                else:
+                    break
+            if not describe:
+                raise SparqlError("DESCRIBE needs ?vars or IRIs")
+            has_where = False
+            if self._kw_is("WHERE"):
+                self._next()
+                if self._next() != ("punct", "{"):
+                    raise SparqlError("expected '{' after WHERE")
+                has_where = True
+            elif self._peek() == ("punct", "{"):
+                self._next()
+                has_where = True
+            if not has_where:
+                if any(isinstance(t, Var) for t in describe):
+                    raise SparqlError("DESCRIBE ?var needs a WHERE clause")
+                # constants only, no pattern: synthesize the trivial
+                # all-binding so the shared tail below can run
+                return SimpleNamespace(
+                    form=form, items=None, distinct=False, patterns=[],
+                    unions=[], optionals=[], filters=[], exists_blocks=[],
+                    values_blocks=[], minus_blocks=[], binds=[],
+                    group_by=[], having=None, order=[], limit=None,
+                    offset=None, template=[], describe=describe,
+                    no_where=True,
+                )
+        elif form == "ASK":
             items = None  # ASK compiles like SELECT *; the caller tests emptiness
             if self._kw_is("WHERE"):
                 self._next()  # WHERE is optional in ASK
@@ -708,6 +752,8 @@ class _Parser:
             raise SparqlError(f"unsupported trailing syntax: {self._peek()!r}")
         if form == "ASK" and (group_by or order or limit is not None or offset is not None):
             raise SparqlError("ASK takes no solution modifiers")
+        if form == "DESCRIBE" and (group_by or order or limit is not None or offset is not None):
+            raise SparqlError("DESCRIBE takes no solution modifiers here")
         if form == "CONSTRUCT" and group_by:
             raise SparqlError("CONSTRUCT does not take GROUP BY")
         if not patterns and not unions:
@@ -718,7 +764,7 @@ class _Parser:
             exists_blocks=exists_blocks, values_blocks=values_blocks,
             minus_blocks=minus_blocks, binds=binds, group_by=group_by,
             having=having, order=order, limit=limit, offset=offset,
-            template=template,
+            template=template, describe=describe, no_where=False,
         )
 
     def _template(self) -> list[tuple]:
@@ -1678,6 +1724,8 @@ def sparql_select(
         raise SparqlError("ASK queries return a boolean — use sparql_ask()")
     if parsed.form == "CONSTRUCT":
         raise SparqlError("CONSTRUCT queries return a graph — use sparql_construct()")
+    if parsed.form == "DESCRIBE":
+        raise SparqlError("DESCRIBE queries return a graph — use sparql_describe()")
     return _compile(triples, parsed)
 
 
@@ -1982,6 +2030,79 @@ def sparql_construct(
     for part in parts[1:]:
         out = out.unionByName(part)
     return out.dropDuplicates()
+
+
+def sparql_describe(
+    triples: DataFrame, query: str, prefixes: dict[str, str] | None = None
+) -> DataFrame:
+    """Run a DESCRIBE query: the concise bounded description of each
+    described term — its outgoing triples, recursively following
+    BLANK-node objects (the ARQ default the reference inherits via
+    Jena; UtilImpl.java:148-210 delegates every query form).
+
+    ``DESCRIBE <iri> [<iri>...]`` needs no WHERE clause;
+    ``DESCRIBE ?v ... WHERE { ... }`` describes every term ?v binds.
+    Returns a 7-column triples DataFrame. The described-term set is
+    broadcast into a semi-join against the graph (it is a resource
+    list, not a corpus); the bnode closure iterates with
+    localCheckpoint truncation like the closure-path operator and is
+    bounded by the bnode-chain depth."""
+    parsed = _Parser(query, prefixes).parse()
+    if parsed.form != "DESCRIBE":
+        raise SparqlError("sparql_describe() takes a DESCRIBE query")
+    spark = triples.sparkSession
+    seeds: DataFrame | None = None
+    consts = [t for t in parsed.describe if isinstance(t, Iri)]
+    if consts:
+        seeds = spark.createDataFrame(
+            sorted({(t.value, "iri") for t in consts}), "`_v` string, `_k` string"
+        )
+    var_names = [t.name for t in parsed.describe if isinstance(t, Var)]
+    if var_names:
+        df, bound, _nullable = _compile_where(triples, parsed)
+        missing = [v for v in var_names if v not in bound]
+        if missing:
+            raise SparqlError(f"DESCRIBE variables never bound: {missing}")
+        for v in var_names:
+            k, _, _ = _shadow_cols(v)
+            vdf = (
+                df.select(F.col(v).alias("_v"), F.col(k).alias("_k"))
+                .where(F.col("_v").isNotNull())
+                .distinct()
+            )
+            seeds = vdf if seeds is None else seeds.unionByName(vdf).distinct()
+    assert seeds is not None
+
+    def outgoing(s: DataFrame) -> DataFrame:
+        return triples.join(
+            F.broadcast(s),
+            (F.col("subj") == F.col("_v")) & (F.col("subj_kind") == F.col("_k")),
+            "left_semi",
+        )
+
+    result = outgoing(seeds).localCheckpoint(eager=True)
+    seen = seeds.localCheckpoint(eager=True)
+    for _ in range(_CLOSURE_MAX_ITERS):
+        bn = (
+            result.where(F.col("obj_kind") == "bnode")
+            .select(F.col("obj").alias("_v"), F.col("obj_kind").alias("_k"))
+            .distinct()
+        )
+        fresh = bn.join(seen, on=["_v", "_k"], how="left_anti").localCheckpoint(
+            eager=True
+        )
+        if fresh.isEmpty():
+            break
+        seen = seen.unionByName(fresh).localCheckpoint(eager=True)
+        result = (
+            result.unionByName(outgoing(fresh)).distinct().localCheckpoint(eager=True)
+        )
+    else:
+        raise SparqlError(
+            f"DESCRIBE bnode closure did not converge within "
+            f"{_CLOSURE_MAX_ITERS} rounds"
+        )
+    return result.dropDuplicates()
 
 
 def register_triples_view(triples: DataFrame, name: str = "triples") -> None:

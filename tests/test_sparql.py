@@ -1186,3 +1186,48 @@ def test_closure_rejections(graph):
         sparql_select(graph, "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ?s ex:a/ex:b+ ?o }")
     with pytest.raises(SparqlError):
         sparql_select(graph, "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ?s ex:a+/ex:b ?o }")
+
+
+def test_describe_constant_and_var(graph):
+    from r2rml_parser_spark.plans.sparql import sparql_describe
+
+    out = sparql_describe(graph, "DESCRIBE <http://ex.org/p1>")
+    got = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert got == {
+        (EX + "p1", RDF + "type", EX + "Person"),
+        (EX + "p1", EX + "name", "Ada"),
+        (EX + "p1", EX + "knows", EX + "p2"),
+        (EX + "p1", EX + "note", EX + "p2"),
+    }
+    # var form with WHERE; prefixed-name constants also accepted
+    out2 = sparql_describe(
+        graph,
+        'PREFIX ex: <http://ex.org/> DESCRIBE ?p WHERE { ?p ex:name ?n . FILTER (lang(?n) = "en") }',
+    )
+    assert {r.subj for r in out2.collect()} == {EX + "p2"}
+    with pytest.raises(SparqlError):  # var without WHERE
+        sparql_describe(graph, "DESCRIBE ?x")
+    with pytest.raises(SparqlError):  # DESCRIBE through sparql_select
+        sparql_select(graph, "DESCRIBE <http://ex.org/p1>")
+
+
+def test_describe_bnode_closure(spark):
+    from r2rml_parser_spark.plans.sparql import sparql_describe
+
+    rows = [
+        (EX + "s", "iri", EX + "addr", "b0", "bnode", None, None),
+        ("b0", "bnode", EX + "city", "b1", "bnode", None, None),
+        ("b1", "bnode", EX + "name", "Springfield", "literal", None, None),
+        # not reachable: an IRI object's own triples are NOT pulled in
+        (EX + "s", "iri", EX + "friend", EX + "t", "iri", None, None),
+        (EX + "t", "iri", EX + "name", "other", "literal", None, None),
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    out = sparql_describe(g, "DESCRIBE <http://ex.org/s>")
+    got = {(r.subj, r.pred) for r in out.collect()}
+    assert got == {
+        (EX + "s", EX + "addr"),
+        (EX + "s", EX + "friend"),
+        ("b0", EX + "city"),
+        ("b1", EX + "name"),
+    }
