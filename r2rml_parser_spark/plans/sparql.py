@@ -1991,7 +1991,13 @@ def sparql_construct(
         k, lg, dt = _shadow_cols(v.name)
         return F.col(v.name), F.col(k), F.col(lg), F.col(dt)
 
-    parts = []
+    # ONE pass over the solution relation regardless of template size:
+    # each template triple becomes a conditionally-NULL struct, the
+    # array explodes to rows, invalid instantiations filter out — the
+    # same struct-explode emission idiom as the mapping engine
+    # (plans/engine.py), instead of a K-way self-union that would
+    # recompute the WHERE join K times
+    structs = []
     for s, p, o in parsed.template:
         cond = F.lit(True)
         if isinstance(s, Var):
@@ -2015,21 +2021,26 @@ def sparql_construct(
             olang, odt = F.lit(o.lang or ""), F.lit(o.dtype or "")
         # shadow lang/dtype are ''-coalesced; the triples schema uses
         # NULL for "absent", so map '' back to NULL on the way out
-        parts.append(
-            df.where(cond).select(
-                sval.alias("subj"),
-                skind.alias("subj_kind"),
-                pval.alias("pred"),
-                oval.alias("obj"),
-                okind.alias("obj_kind"),
-                F.when(olang != "", olang).alias("lang"),
-                F.when(odt != "", odt).alias("dtype"),
+        structs.append(
+            F.when(
+                cond,
+                F.struct(
+                    sval.alias("subj"),
+                    skind.alias("subj_kind"),
+                    pval.alias("pred"),
+                    oval.alias("obj"),
+                    okind.alias("obj_kind"),
+                    F.when(olang != "", olang).alias("lang"),
+                    F.when(odt != "", odt).alias("dtype"),
+                ),
             )
         )
-    out = parts[0]
-    for part in parts[1:]:
-        out = out.unionByName(part)
-    return out.dropDuplicates()
+    return (
+        df.select(F.explode(F.array(*structs)).alias("_t"))
+        .where(F.col("_t").isNotNull())
+        .select("_t.*")
+        .dropDuplicates()
+    )
 
 
 def sparql_describe(
