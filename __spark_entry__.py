@@ -109,6 +109,22 @@ def q_sparql_path_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tpch_sparql_path(spark, sf_dir)
 
 
+def q_sparql_closure_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL closure path (partOf+) over a CONSTRUCT-derived
+    hierarchy — path-doubling reachability, recursive-CTE oracle."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_closure
+
+    return run_tpch_sparql_closure(spark, sf_dir)
+
+
+def q_sparql_describe_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL DESCRIBE (concise bounded description) of every Nation
+    in the generated KG."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_describe
+
+    return run_tpch_sparql_describe(spark, sf_dir)
+
+
 def q_span_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     from r2rml_parser_spark.sources.docs import span_view, synth_docs
 
@@ -283,6 +299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_exists_kg": q_sparql_exists_kg,
         "sparql_construct_kg": q_sparql_construct_kg,
         "sparql_path_kg": q_sparql_path_kg,
+        "sparql_closure_kg": q_sparql_closure_kg,
+        "sparql_describe_kg": q_sparql_describe_kg,
         "span_view": q_span_view,
         "mentions": q_mentions,
         "dedup_exact": q_dedup_exact,
@@ -316,7 +334,9 @@ def oracle_sql() -> dict[str, str]:
         TPCH_KG_ORACLE_SQL,
         TPCH_SPARQL_AGG_ORACLE_SQL,
         TPCH_SPARQL_ORACLE_SQL,
+        TPCH_SPARQL_CLOSURE_ORACLE_SQL,
         TPCH_SPARQL_CONSTRUCT_ORACLE_SQL,
+        TPCH_SPARQL_DESCRIBE_ORACLE_SQL,
         TPCH_SPARQL_EXISTS_ORACLE_SQL,
         TPCH_SPARQL_PATH_ORACLE_SQL,
         TPCH_SPARQL_STR_ORACLE_SQL,
@@ -350,6 +370,8 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "sparql_exists_kg": TPCH_SPARQL_EXISTS_ORACLE_SQL,
         "sparql_construct_kg": TPCH_SPARQL_CONSTRUCT_ORACLE_SQL,
         "sparql_path_kg": TPCH_SPARQL_PATH_ORACLE_SQL,
+        "sparql_closure_kg": TPCH_SPARQL_CLOSURE_ORACLE_SQL,
+        "sparql_describe_kg": TPCH_SPARQL_DESCRIBE_ORACLE_SQL,
         "span_view": span_sql,
         "mentions": mentions_oracle_sql(SPAN_VIEW_ORACLE_SQL),
         "dedup_exact": oracles.DEDUP_EXACT_SQL,

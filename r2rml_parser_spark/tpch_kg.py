@@ -352,3 +352,66 @@ WHERE t1.pred = '{RDF_TYPE}' AND t1.obj = '{ONT}Customer' AND t1.obj_kind = 'iri
   AND t2.pred = '{ONT}inNation' AND t2.obj_kind = 'iri'
   AND t3.pred = '{ONT}inRegion' AND t3.obj_kind = 'iri'
 """
+
+# Closure-path SPARQL (r3): derive a two-level partOf hierarchy with
+# CONSTRUCT, then walk it with p+ — pinned against a DuckDB RECURSIVE
+# CTE (the same oracle pattern as connected_components).
+TPCH_SPARQL_CLOSURE_CONSTRUCT = """
+PREFIX ex: <http://kg.example/ontology#>
+CONSTRUCT { ?c ex:partOf ?n . ?n ex:partOf ?r }
+WHERE { ?c ex:inNation ?n . ?n ex:inRegion ?r }
+"""
+
+TPCH_SPARQL_CLOSURE_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?s ?t WHERE { ?s ex:partOf+ ?t }
+"""
+
+
+def run_tpch_sparql_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_construct, sparql_select
+
+    kg = build_tpch_kg(spark, sf_dir)
+    hier = sparql_construct(kg, TPCH_SPARQL_CLOSURE_CONSTRUCT)
+    return sparql_select(hier, TPCH_SPARQL_CLOSURE_QUERY)
+
+
+TPCH_SPARQL_CLOSURE_ORACLE_SQL = f"""
+WITH RECURSIVE edges AS (
+  SELECT '{KG}/customer/' || c.c_custkey AS src,
+         '{KG}/nation/' || n.n_nationkey AS dst
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  UNION
+  SELECT '{KG}/nation/' || n_nationkey, '{KG}/region/' || n_regionkey
+  FROM nation
+), reach AS (
+  SELECT src AS s, dst AS t FROM edges
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN edges e ON e.src = r.t
+)
+SELECT DISTINCT s, t FROM reach
+"""
+
+# DESCRIBE SPARQL (r3): concise bounded description of every Nation —
+# pinned against a subject-filter over the same triples CTE (the KG has
+# no blank nodes, so CBD here is exactly the outgoing-triples set).
+TPCH_SPARQL_DESCRIBE_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+DESCRIBE ?n WHERE { ?n a ex:Nation }
+"""
+
+
+def run_tpch_sparql_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_describe
+
+    return sparql_describe(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_DESCRIBE_QUERY)
+
+
+TPCH_SPARQL_DESCRIBE_ORACLE_SQL = f"""
+WITH triples AS ({TPCH_KG_ORACLE_SQL})
+SELECT subj, subj_kind, pred, obj, obj_kind, lang, dtype FROM triples
+WHERE subj IN (
+  SELECT subj FROM triples
+  WHERE pred = '{RDF_TYPE}' AND obj = '{ONT}Nation' AND obj_kind = 'iri'
+)
+"""
