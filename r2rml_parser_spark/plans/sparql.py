@@ -36,8 +36,10 @@ semantics; evaluated eagerly by path-doubling joins with
 localCheckpoint lineage truncation — log₂(diameter) rounds; ``*``
 and ``?`` include the zero-length identity over every graph node per
 spec; a closure inside a sequence is rejected — bind the
-intermediate explicitly; alternation ``|`` is rejected, not
-approximated),
+intermediate explicitly), and alternation ``p1|p2`` of single
+(possibly inverse) elements in the main WHERE patterns (desugared to
+a same-endpoints UNION; alternation inside braced groups, or mixed
+with sequences/closures, is rejected),
 OPTIONAL { t1 . t2 ... } groups (compiled to left joins; must share at
 least one variable with the required patterns, and that variable must
 come from the REQUIRED part — a join variable another OPTIONAL may
@@ -250,7 +252,7 @@ _TOKEN = re.compile(
                                    |\^\^(?P<dtiri><[^>]*>|[A-Za-z_][\w\-]*:[\w\-]+))?
       | (?P<num>-?\d+\.\d+|-?\d+)
       | (?P<punct>[{}.;()/^+?])
-      | (?P<op><=|>=|!=|=|<|>|,|\|\||&&|!)
+      | (?P<op><=|>=|!=|=|<|>|,|\|\||\||&&|!)
       | (?P<kw>[A-Za-z_][\w\-]*:?[\w\-]*|\*|\d+)
     )""",
     re.VERBOSE,
@@ -361,13 +363,35 @@ class _Parser:
             return t
         mod = self._path_mod()
         if mod:
-            if self._peek() == ("punct", "/"):
+            if self._peek() == ("punct", "/") or self._peek() == ("op", "|"):
                 raise SparqlError(
-                    "a closure path (+/*/?) inside a sequence is not "
-                    "supported — bind the intermediate with a separate "
-                    "pattern"
+                    "a closure path (+/*/?) inside a sequence or "
+                    "alternation is not supported — bind the intermediate "
+                    "with a separate pattern"
                 )
             return ("cpath", inv, t, mod)
+        if self._peek() == ("op", "|"):
+            # alternation of single (possibly inverse) elements:
+            # p1|p2|... — desugars to a UNION over the same endpoints
+            alts = [(inv, t)]
+            while self._peek() == ("op", "|"):
+                self._next()
+                inv2 = False
+                if self._peek() == ("punct", "^"):
+                    self._next()
+                    inv2 = True
+                t2 = self._term("pred")
+                if isinstance(t2, Var):
+                    raise SparqlError(
+                        "property path elements must be IRIs, not variables"
+                    )
+                if self._path_mod() or self._peek() == ("punct", "/"):
+                    raise SparqlError(
+                        "sequences or closures inside a path alternation "
+                        "are not supported"
+                    )
+                alts.append((inv2, t2))
+            return ("apath", alts)
         elts = [(inv, t)]
         while self._peek() == ("punct", "/"):
             self._next()
@@ -670,6 +694,23 @@ class _Parser:
                 _, inv, pred, mod = p
                 cl = ("closure", pred, mod)
                 expanded = [(o, cl, s) if inv else (s, cl, o)]
+            elif isinstance(p, tuple) and p[0] == "apath":
+                # p1|p2 over the same endpoints: a UNION whose branches
+                # bind identical variables, so the existing same-vars
+                # machinery applies unchanged (bag union preserves the
+                # spec's per-alternative multiplicity)
+                branches = [
+                    ([(o, pe, s) if inv_e else (s, pe, o)], [])
+                    for inv_e, pe in p[1]
+                ]
+                _guard_after_optional(
+                    {t.name for t in (s, o) if isinstance(t, Var)},
+                    "a path-alternation pattern",
+                )
+                unions.append(branches)
+                if self._peek() == ("punct", "."):
+                    self._next()
+                continue
             else:
                 expanded = [(s, p, o)]
             _guard_after_optional(
@@ -875,6 +916,11 @@ class _Parser:
             s = self._term("subj")
             p = self._path_pred()
             o = self._term("obj")
+            if isinstance(p, tuple) and p[0] == "apath":
+                raise SparqlError(
+                    "a path alternation inside a braced group is not "
+                    "supported — use it in the main WHERE patterns"
+                )
             if isinstance(p, tuple) and p[0] == "path":
                 group.extend(self._expand_path(s, p[1], o))
             elif isinstance(p, tuple) and p[0] == "cpath":

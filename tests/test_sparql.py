@@ -1028,8 +1028,8 @@ def test_property_path_in_groups(graph):
 def test_property_path_rejections(graph):
     with pytest.raises(SparqlError):  # variable path element
         sparql_select(graph, "SELECT ?s WHERE { ?s ?p/?q ?o }")
-    with pytest.raises(SparqlError):  # alternation unsupported
-        sparql_select(graph, "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:a|ex:b ?o }")
+    with pytest.raises(SparqlError):  # variable inside an alternation
+        sparql_select(graph, "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:a|?p ?o }")
 
 
 def test_bind_basic(graph):
@@ -1231,3 +1231,32 @@ def test_describe_bnode_closure(spark):
         ("b0", EX + "city"),
         ("b1", EX + "name"),
     }
+
+
+def test_path_alternation(graph):
+    # knows|note from p1 reaches p2 twice (two predicates, bag union)
+    q = "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ?p ex:knows|ex:note ?o }"
+    got = [r.o for r in sparql_select(graph, q).collect()]
+    assert sorted(got) == [EX + "p2", EX + "p2"]
+    # the two alternatives bind different TERM kinds (iri vs literal) —
+    # both kept; DISTINCT still sees them as separate output rows only
+    # if lexically distinct (they are not here)
+    q2 = "PREFIX ex: <http://ex.org/> SELECT DISTINCT ?o WHERE { ?p ex:knows|ex:note ?o }"
+    assert sparql_select(graph, q2).count() == 1
+    # alternation with inverse element + join with another pattern
+    q3 = """PREFIX ex: <http://ex.org/>
+    SELECT ?x ?n WHERE { ?x ex:knows|^ex:knows ?y . ?y ex:name ?n }"""
+    got3 = {(r.x, r.n) for r in sparql_select(graph, q3).collect()}
+    assert got3 == {(EX + "p1", "Grace"), (EX + "p2", "Ada")}
+
+
+def test_path_alternation_rejections(graph):
+    with pytest.raises(SparqlError):  # mixed with sequence
+        sparql_select(graph, "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ?s ex:a|ex:b/ex:c ?o }")
+    with pytest.raises(SparqlError):  # mixed with closure
+        sparql_select(graph, "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ?s ex:a|ex:b+ ?o }")
+    with pytest.raises(SparqlError):  # inside an OPTIONAL group
+        sparql_select(
+            graph,
+            "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . OPTIONAL { ?p ex:knows|ex:note ?o } }",
+        )
