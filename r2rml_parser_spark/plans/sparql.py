@@ -36,10 +36,12 @@ semantics; evaluated eagerly by path-doubling joins with
 localCheckpoint lineage truncation — log₂(diameter) rounds; ``*``
 and ``?`` include the zero-length identity over every graph node per
 spec; a closure inside a sequence is rejected — bind the
-intermediate explicitly), and alternation ``p1|p2`` of single
+intermediate explicitly), alternation ``p1|p2`` of single
 (possibly inverse) elements in the main WHERE patterns (desugared to
 a same-endpoints UNION; alternation inside braced groups, or mixed
-with sequences/closures, is rejected),
+with sequences/closures, is rejected), and negated property sets
+``!p`` / ``!(p1|p2)`` (a per-triple predicate exclusion filter;
+forward elements only),
 OPTIONAL { t1 . t2 ... } groups (compiled to left joins; must share at
 least one variable with the required patterns, and that variable must
 come from the REQUIRED part — a join variable another OPTIONAL may
@@ -350,6 +352,9 @@ class _Parser:
         """Predicate position: a plain term, or an IRI property path of
         sequence (``/``) and inverse (``^``) elements. Returns the term
         itself, or ("path", [(inverse, Iri), ...])."""
+        if self._peek() == ("op", "!"):
+            self._next()
+            return self._negated_set()
         inv = False
         if self._peek() == ("punct", "^"):
             self._next()
@@ -414,6 +419,43 @@ class _Parser:
         if len(elts) == 1 and not inv:
             return t
         return ("path", elts)
+
+    def _negated_set(self):
+        """``!iri`` or ``!(iri1|iri2|...)`` — a negated property set
+        (forward-only elements; inverse members are rejected)."""
+        iris = []
+        if self._peek() == ("punct", "("):
+            self._next()
+            while True:
+                if self._peek() == ("punct", "^"):
+                    raise SparqlError(
+                        "inverse elements in a negated property set are "
+                        "not supported"
+                    )
+                t = self._term("pred")
+                if not isinstance(t, Iri):
+                    raise SparqlError("negated property sets contain IRIs only")
+                iris.append(t.value)
+                k, v = self._next()
+                if (k, v) == ("punct", ")"):
+                    break
+                if (k, v) != ("op", "|"):
+                    raise SparqlError("negated property set needs '|' or ')'")
+        else:
+            if self._peek() == ("punct", "^"):
+                raise SparqlError(
+                    "inverse elements in a negated property set are not supported"
+                )
+            t = self._term("pred")
+            if not isinstance(t, Iri):
+                raise SparqlError("negated property sets contain IRIs only")
+            iris.append(t.value)
+        if self._path_mod() or self._peek() in (("punct", "/"), ("op", "|")):
+            raise SparqlError(
+                "a negated property set cannot combine with sequences, "
+                "alternation, or closures"
+            )
+        return ("negset", iris)
 
     def _path_mod(self) -> str | None:
         """Consume a path closure modifier if present: + * ?"""
@@ -694,6 +736,8 @@ class _Parser:
                 _, inv, pred, mod = p
                 cl = ("closure", pred, mod)
                 expanded = [(o, cl, s) if inv else (s, cl, o)]
+            elif isinstance(p, tuple) and p[0] == "negset":
+                expanded = [(s, p, o)]
             elif isinstance(p, tuple) and p[0] == "apath":
                 # p1|p2 over the same endpoints: a UNION whose branches
                 # bind identical variables, so the existing same-vars
@@ -928,7 +972,7 @@ class _Parser:
                 cl = ("closure", pred, mod)
                 group.append((o, cl, s) if inv else (s, cl, o))
             else:
-                group.append((s, p, o))
+                group.append((s, p, o))  # incl. negset — plain pattern
             if self._peek() == ("punct", "."):
                 self._next()
         self._next()  # }
@@ -1424,6 +1468,13 @@ def _join_patterns(triples: DataFrame, patterns: list[tuple]) -> tuple[DataFrame
     for s, p, o in patterns:
         if isinstance(p, tuple) and p[0] == "closure":
             pat_df, variables = _closure_pattern_df(triples, s, p[1], p[2], o)
+        elif isinstance(p, tuple) and p[0] == "negset":
+            pat_df, variables = _pattern_df(
+                triples.where(~F.col("pred").isin(*p[1])), s, Var("__np"), o
+            )
+            # the placeholder predicate variable is internal-only
+            variables = [v for v in variables if v != "__np"]
+            pat_df = pat_df.drop("__np", "____np_kind", "____np_lang", "____np_dtype")
         else:
             pat_df, variables = _pattern_df(triples, s, p, o)
         if df is None:

@@ -1260,3 +1260,18 @@ def test_path_alternation_rejections(graph):
             graph,
             "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . OPTIONAL { ?p ex:knows|ex:note ?o } }",
         )
+
+
+def test_negated_property_set(graph):
+    # everything p1 relates to EXCEPT via knows/note: type + name
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?o WHERE { <http://ex.org/p1> !(ex:knows|ex:note) ?o }"""
+    got = {r.o for r in sparql_select(graph, q).collect()}
+    assert got == {EX + "Person", "Ada"}
+    # single-IRI form; per-triple multiplicity (2 non-name triples of p1)
+    q2 = "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s !ex:name ?o . ?s ex:note ?n }"
+    assert sparql_select(graph, q2).count() == 3  # type, knows, note triples of p1
+    with pytest.raises(SparqlError):  # inverse member
+        sparql_select(graph, "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ?s !(^ex:knows) ?o }")
+    with pytest.raises(SparqlError):  # combined with closure
+        sparql_select(graph, "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ?s !ex:a+ ?o }")
