@@ -1412,13 +1412,108 @@ def _closure_pairs(triples: DataFrame, pred: "Iri", mod: str) -> DataFrame:
     return pairs
 
 
+_SEEDED_MAX_ITERS = 256  # frontier rounds = seed eccentricity
+
+
+def _seeded_closure_pairs(
+    triples: DataFrame, pred: "Iri", mod: str, seed, forward: bool
+) -> DataFrame:
+    """Closure pairs when one endpoint is a CONSTANT: breadth-first
+    frontier iteration from the seed instead of the full-relation
+    doubling — work scales with the REACHABLE subgraph, not with the
+    whole predicate slice (the dominant case at 100 TB: hierarchy
+    walks from a handful of roots). ``forward=False`` walks the edges
+    backwards for a constant OBJECT; the returned relation is always
+    in (src..., dst...) orientation.
+
+    Per SPARQL 1.1 §18.4 (the ALP procedure), the zero-length pair for
+    ``*``/``?`` is the seed itself, INCLUDED even when the seed term
+    does not occur in the graph."""
+    e = F.coalesce
+    empty = F.lit("")
+    spark = triples.sparkSession
+    sv, sk = ("subj", "subj_kind") if forward else ("obj", "obj_kind")
+    dv, dk = ("obj", "obj_kind") if forward else ("subj", "subj_kind")
+    if forward:
+        dl, dd = e(F.col("lang"), empty), e(F.col("dtype"), empty)
+    else:
+        dl, dd = empty, empty
+    edges = (
+        triples.where(F.col("pred") == pred.value)
+        .select(
+            F.col(sv).alias("_fv"), F.col(sk).alias("_fk"),
+            F.col(dv).alias("_tv"), F.col(dk).alias("_tk"),
+            dl.alias("_tl"), dd.alias("_td"),
+        )
+        .distinct()
+    )
+    if isinstance(seed, Iri):
+        seed_row = (seed.value, "iri", "", "")
+    else:  # Lit seed (matches nothing forward, but ?/* include identity)
+        seed_row = (seed.lexical, "literal", seed.lang or "", seed.dtype or "")
+    tcols = ["_tv", "_tk", "_tl", "_td"]
+    start = spark.createDataFrame([seed_row], ", ".join(f"`{c}` string" for c in tcols))
+    def step(fr: DataFrame) -> DataFrame:
+        return (
+            fr.select(F.col("_tv").alias("_fv"), F.col("_tk").alias("_fk"))
+            .join(edges, on=["_fv", "_fk"], how="inner")
+            .select(*tcols)
+            .distinct()
+        )
+
+    if mod == "?":
+        reached = step(start).unionByName(start).distinct()
+    else:
+        # '+' starts the accumulation at the 1-step set (so the seed is
+        # a member only if some cycle returns to it); '*' starts at the
+        # seed itself (the zero-length pair)
+        reached = (step(start) if mod == "+" else start).localCheckpoint(eager=True)
+        frontier = reached
+        for _ in range(_SEEDED_MAX_ITERS):
+            fresh = step(frontier).join(
+                reached, on=tcols, how="left_anti"
+            ).localCheckpoint(eager=True)
+            if fresh.isEmpty():
+                break
+            reached = reached.unionByName(fresh).localCheckpoint(eager=True)
+            frontier = fresh
+        else:
+            raise SparqlError(
+                f"seeded property-path closure exceeded {_SEEDED_MAX_ITERS} "
+                "rounds"
+            )
+    src_side = [
+        F.lit(seed_row[0]).alias("_sv"), F.lit(seed_row[1]).alias("_sk"),
+        F.lit(seed_row[2]).alias("_sl"), F.lit(seed_row[3]).alias("_sd"),
+    ]
+    pairs = reached.select(
+        *src_side,
+        F.col("_tv").alias("_dv"), F.col("_tk").alias("_dk"),
+        F.col("_tl").alias("_dl"), F.col("_td").alias("_dd"),
+    )
+    if not forward:  # restore (src, dst) = (walked-to, seed) orientation
+        pairs = pairs.select(
+            F.col("_dv").alias("_sv"), F.col("_dk").alias("_sk"),
+            F.col("_dl").alias("_sl"), F.col("_dd").alias("_sd"),
+            F.col("_sv").alias("_dv"), F.col("_sk").alias("_dk"),
+            F.col("_sl").alias("_dl"), F.col("_sd").alias("_dd"),
+        )
+    return pairs
+
+
 def _closure_pattern_df(
     triples: DataFrame, s, pred: "Iri", mod: str, o
 ) -> tuple[DataFrame, list[str]]:
     """A closure pattern → (projection with shadow columns, bound
     vars), mirroring ``_pattern_df``'s output contract so it joins
-    into a BGP like any triple pattern."""
-    d = _closure_pairs(triples, pred, mod)
+    into a BGP like any triple pattern. A constant endpoint switches
+    to seeded frontier iteration (see ``_seeded_closure_pairs``)."""
+    if not isinstance(s, Var):
+        d = _seeded_closure_pairs(triples, pred, mod, s, forward=True)
+    elif not isinstance(o, Var):
+        d = _seeded_closure_pairs(triples, pred, mod, o, forward=False)
+    else:
+        d = _closure_pairs(triples, pred, mod)
     cols: dict[str, tuple] = {}
     variables: list[str] = []
 

@@ -1275,3 +1275,21 @@ def test_negated_property_set(graph):
         sparql_select(graph, "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ?s !(^ex:knows) ?o }")
     with pytest.raises(SparqlError):  # combined with closure
         sparql_select(graph, "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ?s !ex:a+ ?o }")
+
+
+def test_seeded_closure_alp_semantics(spark, chain_graph):
+    # seed not occurring in the graph: p* still yields the zero-length
+    # pair (SPARQL ALP starts by marking the seed visited)
+    q = "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ex:ghost ex:next* ?o }"
+    assert [r.o for r in sparql_select(chain_graph, q).collect()] == [EX + "ghost"]
+    # ...but p+ from the same seed is empty
+    q2 = "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ex:ghost ex:next+ ?o }"
+    assert sparql_select(chain_graph, q2).count() == 0
+    # seeded + through a cycle reaches the seed itself
+    rows = [
+        (EX + "a", "iri", EX + "p", EX + "b", "iri", None, None),
+        (EX + "b", "iri", EX + "p", EX + "a", "iri", None, None),
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    q3 = "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ex:a ex:p+ ?o }"
+    assert {r.o for r in sparql_select(g, q3).collect()} == {EX + "a", EX + "b"}
