@@ -69,7 +69,13 @@ a non-literal ?v is a type error → dropped; only the ``lang(?v)``
 first-argument form is accepted), ``sameTerm(a, b)`` (RDF term
 identity — all four components), and ``expr [NOT] IN (t1, ...)``
 (desugared per SPARQL 1.1 §17.4.1.9 into the =/!= chain, inheriting
-numeric-vs-term equality dispatch). All of these compose inside one FILTER
+numeric-vs-term equality dispatch), and arithmetic ``+ - * /`` chains
+over operands in comparisons and BIND (standard precedence, decimal
+evaluation; an arithmetic operand pins the numeric branch; non-castable
+or non-literal operands and division by zero are type errors —
+parenthesized arithmetic is rejected since parentheses group boolean
+expressions; ``-5`` adjacent to the sign is a negative literal, spaced
+``- 5`` is subtraction). All of these compose inside one FILTER
 with ``!``, ``&&``, ``||`` and parentheses (SPARQL Expression
 grammar, standard precedence); Spark's Kleene three-valued booleans
 reproduce SPARQL's error propagation exactly (TRUE || error = TRUE,
@@ -253,7 +259,7 @@ _TOKEN = re.compile(
       | (?P<lit>"(?:[^"\\]|\\.)*")(?:@(?P<lang>[A-Za-z][A-Za-z0-9\-]*)
                                    |\^\^(?P<dtiri><[^>]*>|[A-Za-z_][\w\-]*:[\w\-]+))?
       | (?P<num>-?\d+\.\d+|-?\d+)
-      | (?P<punct>[{}.;()/^+?])
+      | (?P<punct>[{}.;()/^+?-])
       | (?P<op><=|>=|!=|=|<|>|,|\|\||\||&&|!)
       | (?P<kw>[A-Za-z_][\w\-]*:?[\w\-]*|\*|\d+)
     )""",
@@ -980,6 +986,27 @@ class _Parser:
             raise SparqlError("empty braced group (OPTIONAL/UNION/EXISTS)")
         return group, gfilters
 
+    def _maybe_arith(self, first):
+        """Extend an operand with +,-,*,/ chains (standard precedence;
+        parenthesized arithmetic is not supported — parentheses group
+        boolean expressions). ``-5`` adjacent to the sign is a negative
+        numeric literal; a spaced ``- 5`` is subtraction."""
+        node = self._arith_term(first)
+        while self._peek() in (("punct", "+"), ("punct", "-")):
+            op = str(self._next()[1])
+            rhs = self._arith_term(self._operand())
+            node = ("arith", op, node, rhs)
+        return node
+
+    def _arith_term(self, first):
+        node = first
+        while self._peek() in (("kw", "*"), ("punct", "/")):
+            op = "*" if self._peek() == ("kw", "*") else "/"
+            self._next()
+            rhs = self._operand()
+            node = ("arith", op, node, rhs)
+        return node
+
     def _bind_expr(self):
         """BIND expression subset: a term/accessor operand, or
         CONCAT(e1, e2, ...) / IRI(e) (URI is an alias) over them,
@@ -1004,7 +1031,7 @@ class _Parser:
                     raise SparqlError("IRI() takes exactly one argument")
                 return ("iri_fn", args[0])
             return ("concat", args)
-        return self._operand()
+        return self._maybe_arith(self._operand())
 
     def _operand(self):
         kind, val = self._peek()
@@ -1176,13 +1203,13 @@ class _Parser:
         ):
             self._next()
             return self._call_of(str(v))
-        left = self._operand()
+        left = self._maybe_arith(self._operand())
         if self._peek()[0] == "kw" and str(self._peek()[1]).upper() in ("IN", "NOT"):
             return self._in_list(left)
         kop, op = self._next()
         if kop != "op" or str(op) in (",", "!", "&&", "||"):
             raise SparqlError(f"unsupported FILTER operator {op!r}")
-        right = self._operand()
+        right = self._maybe_arith(self._operand())
         return ("cmp", left, str(op), right)
 
     def _in_list(self, left) -> tuple:
@@ -1590,6 +1617,31 @@ def _numeric_const(term) -> bool:
     return isinstance(term, Lit) and term.dtype in XSD_NUMERIC
 
 
+def _is_arith(node) -> bool:
+    return isinstance(node, tuple) and bool(node) and node[0] == "arith"
+
+
+def _arith_value(node, bound: set[str], scope: str = "the query") -> "F.Column":
+    """Arithmetic expression → decimal Column. Non-literal or
+    non-castable operands yield NULL (SPARQL type error); division by
+    zero is NULL under Spark's non-ANSI decimal division — also an
+    error per spec."""
+    if _is_arith(node):
+        _, op, a, b = node
+        av = _arith_value(a, bound, scope)
+        bv = _arith_value(b, bound, scope)
+        return {"+": av + bv, "-": av - bv, "*": av * bv, "/": av / bv}[op]
+    v, k, _, _ = _term_parts(node, bound, scope)
+    return F.when(k == F.lit("literal"), v).try_cast(_DECIMAL)
+
+
+def _decimal_lexical(val: "F.Column") -> "F.Column":
+    """Canonical lexical form of a decimal result: strip the fixed
+    scale's trailing zeros (11.000000000000 → 11, 11.500000 → 11.5)."""
+    s = val.cast("string")
+    return F.regexp_replace(F.regexp_replace(s, r"(\.\d*?)0+$", r"$1"), r"\.$", "")
+
+
 _ORD_OPS = {
     "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
     ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
@@ -1662,6 +1714,13 @@ def _eval_bind_expr(node, bound: set[str], scope: str = "BIND"):
             pieces.append(F.when(is_str, v))
         # concat propagates NULL: any errored argument → unbound result
         return F.concat(*pieces), F.lit("literal"), F.lit(""), F.lit("")
+    if _is_arith(node):
+        val = _arith_value(node, bound, scope)
+        # derived numeric literal, canonical lexical form
+        return (
+            _decimal_lexical(val), F.lit("literal"),
+            F.lit(""), F.lit(_XSD + "decimal"),
+        )
     if isinstance(node, tuple) and node and node[0] == "iri_fn":
         v, k, lg, dt = _eval_bind_expr(node[1], bound, scope)
         is_str = (
@@ -1770,10 +1829,24 @@ def _apply_filters(
             return base
         assert tag == "cmp"
         _, left, op, right = node
-        lv, lk, ll, ld = term_parts(left)
-        rv, rk, rl, rd = term_parts(right)
+
+        def side(t):
+            if _is_arith(t):
+                # an arithmetic operand is a derived numeric literal
+                return (
+                    _arith_value(t, bound, scope), F.lit("literal"),
+                    F.lit(""), F.lit(_XSD + "decimal"),
+                )
+            return term_parts(t)
+
+        lv, lk, ll, ld = side(left)
+        rv, rk, rl, rd = side(right)
+        numeric_pinned = (
+            _numeric_const(left) or _numeric_const(right)
+            or _is_arith(left) or _is_arith(right)
+        )
         if op in ("=", "!="):
-            if _numeric_const(left) or _numeric_const(right):
+            if numeric_pinned:
                 # SPARQL numeric VALUE equality (10 = "10.0"^^xsd:decimal);
                 # an uncastable or non-literal side is a type error —
                 # the condition is NULL and the row drops for BOTH = and
@@ -1790,7 +1863,7 @@ def _apply_filters(
             return (lv != rv) | (lk != rk) | (ll != rl) | (ld != rd)
         ln, rn = lv.try_cast(_DECIMAL), rv.try_cast(_DECIMAL)
         both_literal = (lk == "literal") & (rk == "literal")
-        if _numeric_const(left) or _numeric_const(right):
+        if numeric_pinned:
             # numeric comparison; an uncastable other side is a
             # SPARQL type error (NULL condition → row dropped)
             cond = _ORD_OPS[op](ln, rn)

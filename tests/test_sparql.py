@@ -1293,3 +1293,30 @@ def test_seeded_closure_alp_semantics(spark, chain_graph):
     g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
     q3 = "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ex:a ex:p+ ?o }"
     assert {r.o for r in sparql_select(g, q3).collect()} == {EX + "a", EX + "b"}
+
+
+def test_filter_arithmetic(numeric_graph):
+    q = "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:age ?n . FILTER (?n + 1 > 10) }"
+    assert {r.s for r in sparql_select(numeric_graph, q).collect()} == {EX + "b", EX + "c"}
+    # precedence: 9 + 9*2 = 27
+    q2 = "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:age ?n . FILTER (?n + ?n * 2 = 27) }"
+    assert [r.s for r in sparql_select(numeric_graph, q2).collect()] == [EX + "a"]
+    # spaced '-' is subtraction; non-numeric and IRI rows are type
+    # errors → dropped (scores: "9", "11", "lots", an IRI)
+    q3 = "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:score ?n . FILTER (?n - 1 >= 8) }"
+    assert {r.s for r in sparql_select(numeric_graph, q3).collect()} == {EX + "d", EX + "e"}
+    # division
+    q4 = "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:age ?n . FILTER (?n / 2 = 4.5) }"
+    assert [r.s for r in sparql_select(numeric_graph, q4).collect()] == [EX + "a"]
+
+
+def test_bind_arithmetic(numeric_graph):
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    q = f"""PREFIX ex: <http://ex.org/>
+    SELECT ?s ?d WHERE {{ ?s ex:age ?n . BIND(?n * 2 AS ?d)
+      FILTER (datatype(?d) = <{XSD}decimal>) }}"""
+    got = {(r.s, r.d) for r in sparql_select(numeric_graph, q).collect()}
+    # canonical lexical: no trailing zeros from the decimal scale
+    assert got == {(EX + "a", "18"), (EX + "b", "20"), (EX + "c", "22")}
+    q2 = "PREFIX ex: <http://ex.org/> SELECT ?d WHERE { ?s ex:age ?n . BIND(?n / 2 AS ?d) FILTER (?n = 9) }"
+    assert [r.d for r in sparql_select(numeric_graph, q2).collect()] == ["4.5"]
