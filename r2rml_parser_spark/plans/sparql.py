@@ -54,7 +54,11 @@ unbound-is-compatible join semantics, which is rejected, not
 approximated), FILTER (x op y) for op ∈ {=, !=, <, <=, >, >=} where
 x/y are variables, terms, bare numbers, or the accessors ``lang(?v)``
 / ``datatype(?v)`` / ``STR(?v)`` (STR yields the lexical form / IRI
-string as a simple literal and never errors on bound terms), FILTER
+string as a simple literal and never errors on bound terms), the
+string-valued functions ``UCASE/LCASE/SUBSTR/REPLACE`` (language tags
+preserved per spec; arguments must be simple/lang/xsd:string literals
+or STR(); nestable) and numeric ``STRLEN`` (pins the numeric branch,
+composes with arithmetic), FILTER
 regex(?v, "pattern"), the boolean tests ``[!]bound(?v)`` / ``isIRI``
 / ``isURI`` / ``isLiteral`` / ``isBlank`` (``!bound`` is SPARQL's
 standard left-join negation idiom; ``!isIRI(?v)`` on an unbound ?v is
@@ -109,7 +113,11 @@ with recursive bnode closure, the ARQ default; returns a triples DF) — CONSTRU
 via ``sparql_construct`` (template fan-out as a bag union over one
 pass of the solutions; returns a new 7-column triples DF; invalid
 instantiations skipped per SPARQL 1.1 §16.2) — GROUP BY ?vars with
-aggregates COUNT([DISTINCT] ?v|*), SUM/AVG/MIN/MAX(?v) (grouping is
+aggregates COUNT([DISTINCT] ?v|*), SUM/AVG/MIN/MAX(?v),
+SAMPLE(?v) (deterministic: the min lexical form), and
+GROUP_CONCAT([DISTINCT] ?v [; SEPARATOR="s"]) (values in canonical
+codepoint order — SPARQL imposes no order, sorting makes it
+deterministic; DISTINCT dedups by full term) (grouping is
 by TERM; aggregates without GROUP BY form one global group; every
 non-aggregated projected variable must be a group key; DISTINCT
 inside SUM/AVG/MIN/MAX is rejected), VALUES ?x { ... } / VALUES
@@ -187,7 +195,9 @@ XSD_NUMERIC = frozenset(
 # numerics in mapping output are xsd:integer/decimal renderings
 _DECIMAL = "decimal(38,12)"
 
-_AGG_FUNCS = frozenset({"COUNT", "SUM", "AVG", "MIN", "MAX"})
+_AGG_FUNCS = frozenset(
+    {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
+)
 _BOOL_FUNCS = frozenset({"bound", "isiri", "isuri", "isliteral", "isblank"})
 _STR_FUNCS = frozenset({"contains", "strstarts", "strends"})
 
@@ -509,11 +519,13 @@ class _Parser:
         if self._kw_is("DISTINCT"):
             self._next()
             distinct = True
-        if distinct and func != "COUNT":
-            # COUNT(DISTINCT ?v) counts distinct TERMS exactly;
+        if distinct and func not in ("COUNT", "GROUP_CONCAT"):
+            # COUNT/GROUP_CONCAT(DISTINCT ?v) dedup by full TERM;
             # DISTINCT under the value aggregates would need value-level
             # dedup ("1" vs "1.0") — reject rather than approximate
-            raise SparqlError(f"DISTINCT is only supported inside COUNT, not {func}")
+            raise SparqlError(
+                f"DISTINCT is only supported inside COUNT/GROUP_CONCAT, not {func}"
+            )
         var: str | None
         if func == "COUNT" and self._peek() == ("kw", "*"):
             self._next()
@@ -523,6 +535,20 @@ class _Parser:
             if k2 != "var":
                 raise SparqlError(f"{func} takes a ?variable" + (" or *" if func == "COUNT" else ""))
             var = str(v2)
+        sep = " "
+        if self._peek() == ("punct", ";"):
+            if func != "GROUP_CONCAT":
+                raise SparqlError(f"{func} takes no ';' options")
+            self._next()
+            if not self._kw_is("SEPARATOR"):
+                raise SparqlError("expected SEPARATOR after ';'")
+            self._next()
+            if self._next() != ("op", "="):
+                raise SparqlError("SEPARATOR needs '='")
+            k4, litv = self._next()
+            if k4 != "lit":
+                raise SparqlError("SEPARATOR must be a string literal")
+            sep = litv[0]
         if self._next() != ("punct", ")"):
             raise SparqlError(f"{func} needs ')'")
         if not self._kw_is("AS"):
@@ -533,7 +559,7 @@ class _Parser:
             raise SparqlError("AS takes a ?alias variable")
         if self._next() != ("punct", ")"):
             raise SparqlError("aggregate item needs a closing ')'")
-        return ("agg", func, distinct, var, str(alias))
+        return ("agg", func, distinct, var, str(alias), sep)
 
     def parse(self):
         # PREFIX decls
@@ -1033,8 +1059,63 @@ class _Parser:
             return ("concat", args)
         return self._maybe_arith(self._operand())
 
+    _VALUE_FUNCS = ("ucase", "lcase", "strlen", "substr", "replace")
+
     def _operand(self):
         kind, val = self._peek()
+        if (
+            kind == "kw"
+            and str(val).lower() in self._VALUE_FUNCS
+            and self._peek2() == ("punct", "(")
+        ):
+            fn = str(val).lower()
+            self._next()
+            self._next()  # (
+            arg = self._operand()
+            if not isinstance(arg, (Var, StrOf, Lit)) and not (
+                isinstance(arg, tuple)
+                and arg and arg[0] in ("sfn", "sfn_len", "substr", "sfn_replace")
+            ):
+                raise SparqlError(
+                    f"{fn}() takes a ?var, STR(?var), string literal, or "
+                    "nested string function"
+                )
+            if fn in ("ucase", "lcase"):
+                if self._next() != ("punct", ")"):
+                    raise SparqlError(f"{fn}() needs ')'")
+                return ("sfn", fn, arg)
+            if fn == "strlen":
+                if self._next() != ("punct", ")"):
+                    raise SparqlError("strlen() needs ')'")
+                return ("sfn_len", arg)
+            if fn == "substr":
+                if self._next() != ("op", ","):
+                    raise SparqlError("substr() needs a start position")
+                k2, start = self._next()
+                if k2 != "num":
+                    raise SparqlError("substr() start must be a number")
+                length = None
+                if self._peek() == ("op", ","):
+                    self._next()
+                    k3, ln = self._next()
+                    if k3 != "num":
+                        raise SparqlError("substr() length must be a number")
+                    length = int(str(ln))
+                if self._next() != ("punct", ")"):
+                    raise SparqlError("substr() needs ')'")
+                return ("substr", arg, int(str(start)), length)
+            # replace
+            pats = []
+            for what in ("pattern", "replacement"):
+                if self._next() != ("op", ","):
+                    raise SparqlError(f"replace() needs a {what}")
+                k2, litv = self._next()
+                if k2 != "lit":
+                    raise SparqlError(f"replace() {what} must be a string literal")
+                pats.append(litv[0])
+            if self._next() != ("punct", ")"):
+                raise SparqlError("replace() needs ')'")
+            return ("sfn_replace", arg, pats[0], pats[1])
         if (
             kind == "kw"
             and str(val).lower() in ("lang", "datatype", "str")
@@ -1621,6 +1702,15 @@ def _is_arith(node) -> bool:
     return isinstance(node, tuple) and bool(node) and node[0] == "arith"
 
 
+def _is_numeric_node(node) -> bool:
+    """Nodes whose value is intrinsically numeric: arithmetic chains
+    and STRLEN — they pin the numeric comparison branch like a numeric
+    constant does."""
+    return _is_arith(node) or (
+        isinstance(node, tuple) and bool(node) and node[0] == "sfn_len"
+    )
+
+
 def _arith_value(node, bound: set[str], scope: str = "the query") -> "F.Column":
     """Arithmetic expression → decimal Column. Non-literal or
     non-castable operands yield NULL (SPARQL type error); division by
@@ -1656,6 +1746,43 @@ def _term_parts(term, bound: set[str], scope: str = "the query"):
         if name not in bound:
             raise SparqlError(f"{what} variable ?{name} is not bound in {scope}")
 
+    if isinstance(term, tuple):
+        tag = term[0]
+        _, *rest = term
+
+        def string_arg(arg):
+            v, k, lg, dt = _term_parts(arg, bound, scope)
+            # a string function argument must be a simple/lang/xsd:string
+            # literal (STR() coerces any term); others → error → NULL
+            ok = F.when(
+                (k == F.lit("literal"))
+                & F.coalesce(dt, F.lit("?")).isin("", XSD_STRING),
+                v,
+            )
+            return ok, lg, dt
+
+        if tag == "sfn":  # ucase/lcase preserve the language tag
+            fn, arg = rest
+            ok, lg, dt = string_arg(arg)
+            out = F.upper(ok) if fn == "ucase" else F.lower(ok)
+            return out, F.lit("literal"), lg, dt
+        if tag == "sfn_len":  # numeric result
+            (arg,) = rest
+            ok, _, _ = string_arg(arg)
+            return (
+                F.length(ok).cast(_DECIMAL), F.lit("literal"),
+                F.lit(""), F.lit(_XSD + "integer"),
+            )
+        if tag == "substr":  # 1-based, per SPARQL/XPath
+            arg, start, length = rest
+            ok, lg, dt = string_arg(arg)
+            ln = F.lit(length) if length is not None else F.length(ok)
+            return ok.substr(F.lit(start), ln), F.lit("literal"), lg, dt
+        if tag == "sfn_replace":
+            arg, pat, rep = rest
+            ok, lg, dt = string_arg(arg)
+            return F.regexp_replace(ok, pat, rep), F.lit("literal"), lg, dt
+        raise SparqlError(f"unsupported operand form {tag!r} in {scope}")
     if isinstance(term, Var):
         _check(term.name, "FILTER/BIND")
         k, lg, dt = _shadow_cols(term.name)
@@ -1721,6 +1848,9 @@ def _eval_bind_expr(node, bound: set[str], scope: str = "BIND"):
             _decimal_lexical(val), F.lit("literal"),
             F.lit(""), F.lit(_XSD + "decimal"),
         )
+    if isinstance(node, tuple) and node and node[0] == "sfn_len":
+        v, k, lg, dt = _term_parts(node, bound, scope)
+        return _decimal_lexical(v), k, lg, dt
     if isinstance(node, tuple) and node and node[0] == "iri_fn":
         v, k, lg, dt = _eval_bind_expr(node[1], bound, scope)
         is_str = (
@@ -1843,7 +1973,7 @@ def _apply_filters(
         rv, rk, rl, rd = side(right)
         numeric_pinned = (
             _numeric_const(left) or _numeric_const(right)
-            or _is_arith(left) or _is_arith(right)
+            or _is_numeric_node(left) or _is_numeric_node(right)
         )
         if op in ("=", "!="):
             if numeric_pinned:
@@ -1941,14 +2071,38 @@ def _aggregate(
             f"non-aggregated SELECT variable(s) {stray} must appear in GROUP BY"
         )
     seen: set[str] = set()
-    for _, func, _, var, alias in aggs:
+    for _, func, _, var, alias, _sep in aggs:
         if var is not None and var not in bound:
             raise SparqlError(f"{func} variable ?{var} is never bound")
         if alias in bound or alias in seen:
             raise SparqlError(f"aggregate alias ?{alias} collides with another name")
         seen.add(alias)
 
-    def agg_expr(func: str, distinct: bool, var: str | None):
+    def agg_expr(func: str, distinct: bool, var: str | None, sep: str):
+        if func == "SAMPLE":
+            # any value from the group; min of the lexical form keeps it
+            # deterministic (and DuckDB-oracle-able as MIN)
+            return F.min(F.col(var))
+        if func == "GROUP_CONCAT":
+            if distinct:
+                # distinct by full TERM, then canonical codepoint order
+                # of the lexical forms (SPARQL imposes no order; sorting
+                # makes the result deterministic). Two DISTINCT terms
+                # with equal lexical forms still contribute twice, as
+                # the spec requires, because the set is term-keyed.
+                arr = F.sort_array(
+                    F.collect_set(
+                        F.struct(
+                            F.col(var).alias("v"),
+                            *[
+                                F.col(c).alias(n)
+                                for c, n in zip(_shadow_cols(var), ("k", "l", "d"))
+                            ],
+                        )
+                    )
+                )
+                return F.array_join(F.transform(arr, lambda x: x["v"]), sep)
+            return F.array_join(F.sort_array(F.collect_list(F.col(var))), sep)
         if func == "COUNT":
             if var is None:
                 return F.count(F.lit(1))
@@ -1963,7 +2117,10 @@ def _aggregate(
             return F.sum(col) if func == "SUM" else F.avg(col)
         return F.min(F.col(var)) if func == "MIN" else F.max(F.col(var))
 
-    exprs = [agg_expr(func, d, var).alias(alias) for _, func, d, var, alias in aggs]
+    exprs = [
+        agg_expr(func, d, var, sep).alias(alias)
+        for _, func, d, var, alias, sep in aggs
+    ]
     keys = [c for v in group_by for c in _term_key(v)]
     if exprs:
         out = df.groupBy(*keys).agg(*exprs) if keys else df.agg(*exprs)

@@ -1320,3 +1320,71 @@ def test_bind_arithmetic(numeric_graph):
     assert got == {(EX + "a", "18"), (EX + "b", "20"), (EX + "c", "22")}
     q2 = "PREFIX ex: <http://ex.org/> SELECT ?d WHERE { ?s ex:age ?n . BIND(?n / 2 AS ?d) FILTER (?n = 9) }"
     assert [r.d for r in sparql_select(numeric_graph, q2).collect()] == ["4.5"]
+
+
+def test_sample_and_group_concat(graph, spark):
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?t (SAMPLE(?s) AS ?one) WHERE { ?s a ?t } GROUP BY ?t"""
+    got = dict((r.t, r.one) for r in sparql_select(graph, q).collect())
+    assert got[EX + "Person"] == EX + "p1"  # min lexical form
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT (GROUP_CONCAT(?n; SEPARATOR=", ") AS ?names)
+    WHERE { ?p ex:name ?n }"""
+    assert [r.names for r in sparql_select(graph, q2).collect()] == ["Ada, Grace"]
+    # DISTINCT dedups by TERM: "x" and "x"@en both contribute, equal
+    # terms collapse
+    rows = [
+        (EX + "1", "iri", EX + "v", "x", "literal", None, None),
+        (EX + "2", "iri", EX + "v", "x", "literal", "en", None),
+        (EX + "3", "iri", EX + "v", "x", "literal", None, None),
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    q3 = 'PREFIX ex: <http://ex.org/> SELECT (GROUP_CONCAT(DISTINCT ?v) AS ?c) WHERE { ?s ex:v ?v }'
+    assert [r.c for r in sparql_select(g, q3).collect()] == ["x x"]
+    # plain form keeps all three
+    q4 = 'PREFIX ex: <http://ex.org/> SELECT (GROUP_CONCAT(?v) AS ?c) WHERE { ?s ex:v ?v }'
+    assert [r.c for r in sparql_select(g, q4).collect()] == ["x x x"]
+    with pytest.raises(SparqlError):  # SEPARATOR on other aggregates
+        sparql_select(graph, 'SELECT (COUNT(?s; SEPARATOR=",") AS ?n) WHERE { ?s ?p ?o }')
+    with pytest.raises(SparqlError):  # DISTINCT under SAMPLE
+        sparql_select(graph, "SELECT (SAMPLE(DISTINCT ?s) AS ?x) WHERE { ?s ?p ?o }")
+
+
+def test_string_functions(graph, numeric_graph):
+    # UCASE/LCASE in equality; lang tag preserved per spec
+    q = 'PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p ex:name ?n . FILTER (UCASE(?n) = "ADA") }'
+    assert [r.p for r in sparql_select(graph, q).collect()] == [EX + "p1"]
+    q1b = 'PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p ex:name ?n . FILTER (LCASE(?n) = "grace"@en) }'
+    assert [r.p for r in sparql_select(graph, q1b).collect()] == [EX + "p2"]
+    # STRLEN is numeric: composes with comparison and arithmetic
+    q2 = "PREFIX ex: <http://ex.org/> SELECT ?n WHERE { ?p ex:name ?n . FILTER (STRLEN(?n) > 3) }"
+    assert [r.n for r in sparql_select(graph, q2).collect()] == ["Grace"]
+    q3 = "PREFIX ex: <http://ex.org/> SELECT ?n WHERE { ?p ex:name ?n . FILTER (STRLEN(?n) + 2 = 5) }"
+    assert [r.n for r in sparql_select(graph, q3).collect()] == ["Ada"]
+    # SUBSTR (1-based) preserves the language tag per spec:
+    # SUBSTR("Grace"@en,1,2) is "Gr"@en, not simple "Gr"
+    q4 = 'PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p ex:name ?n . FILTER (SUBSTR(?n, 1, 2) = "Gr"@en) }'
+    assert [r.p for r in sparql_select(graph, q4).collect()] == [EX + "p2"]
+    q4b = 'PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p ex:name ?n . FILTER (SUBSTR(?n, 1, 2) = "Gr") }'
+    assert sparql_select(graph, q4b).count() == 0
+    q4c = 'PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p ex:name ?n . FILTER (SUBSTR(STR(?n), 1, 2) = "Gr") }'
+    assert [r.p for r in sparql_select(graph, q4c).collect()] == [EX + "p2"]
+    q5 = 'PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p ex:name ?n . FILTER (REPLACE(STR(?n), "a(d)a", "$1") = "A") }'
+    # "Ada" → replace "da"? pattern ada lowercase doesn't match "Ada" — use case pattern
+    assert sparql_select(graph, q5).count() == 0
+    q6 = 'PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p ex:name ?n . FILTER (REPLACE(?n, "d", "td") = "Atda") }'
+    assert [r.p for r in sparql_select(graph, q6).collect()] == [EX + "p1"]
+    # nesting: STRLEN(REPLACE(...))
+    q7 = 'PREFIX ex: <http://ex.org/> SELECT ?n WHERE { ?p ex:name ?n . FILTER (STRLEN(REPLACE(?n, "a", "")) = 2) }'
+    assert [r.n for r in sparql_select(graph, q7).collect()] == ["Ada"]
+    # an IRI argument is a type error → dropped (scores has an IRI obj)
+    q8 = 'PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:score ?v . FILTER (STRLEN(?v) >= 0) }'
+    assert {r.s for r in sparql_select(numeric_graph, q8).collect()} == {EX + "d", EX + "e", EX + "f"}
+
+
+def test_string_functions_in_bind(graph):
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?u ?l WHERE { ?p ex:name ?n .
+      BIND(UCASE(STR(?n)) AS ?u) BIND(STRLEN(?n) AS ?l) }"""
+    got = {(r.p, r.u, r.l) for r in sparql_select(graph, q).collect()}
+    assert got == {(EX + "p1", "ADA", "3"), (EX + "p2", "GRACE", "5")}
