@@ -100,8 +100,11 @@ the rest of the query removes nothing and compiles away, and
 OPTIONAL-nullable shared variables are rejected like EXISTS's) —
 BIND(expr AS ?v) at the top
 level of WHERE (expr: any FILTER operand — terms, variables,
-lang()/datatype()/STR() — plus CONCAT(...) and IRI()/URI() over
-them, nested; evaluated after patterns/OPTIONALs and visible to
+lang()/datatype()/STR(), string functions, arithmetic — plus
+CONCAT(...), IRI()/URI(), COALESCE(e1, e2, ...) (first non-error
+value, term components follow the winning argument), and
+IF(boolexpr, then, else) (any FILTER boolean as the condition; a
+condition ERROR makes the IF an error → unbound) over them, nested; evaluated after patterns/OPTIONALs and visible to
 FILTERs/projection/ORDER BY/CONSTRUCT templates; per SPARQL 1.1
 §10.1 an evaluation error leaves ?v unbound with the row KEPT; using
 ?v in a later triple pattern or group is rejected via the
@@ -1038,6 +1041,29 @@ class _Parser:
         CONCAT(e1, e2, ...) / IRI(e) (URI is an alias) over them,
         arbitrarily nested."""
         k, v = self._peek()
+        if k == "kw" and str(v).lower() == "coalesce" and self._peek2() == ("punct", "("):
+            self._next()
+            self._next()  # (
+            args = [self._bind_expr()]
+            while self._peek() == ("op", ","):
+                self._next()
+                args.append(self._bind_expr())
+            if self._next() != ("punct", ")"):
+                raise SparqlError("COALESCE needs ')'")
+            return ("coalesce", args)
+        if k == "kw" and str(v).lower() == "if" and self._peek2() == ("punct", "("):
+            self._next()
+            self._next()  # (
+            cond = self._bool_expr()
+            if self._next() != ("op", ","):
+                raise SparqlError("IF needs a then-expression")
+            then = self._bind_expr()
+            if self._next() != ("op", ","):
+                raise SparqlError("IF needs an else-expression")
+            els = self._bind_expr()
+            if self._next() != ("punct", ")"):
+                raise SparqlError("IF needs ')'")
+            return ("if", cond, then, els)
         if (
             k == "kw"
             and str(v).lower() in ("concat", "iri", "uri")
@@ -1851,6 +1877,30 @@ def _eval_bind_expr(node, bound: set[str], scope: str = "BIND"):
     if isinstance(node, tuple) and node and node[0] == "sfn_len":
         v, k, lg, dt = _term_parts(node, bound, scope)
         return _decimal_lexical(v), k, lg, dt
+    if isinstance(node, tuple) and node and node[0] == "coalesce":
+        parts = [_eval_bind_expr(a, bound, scope) for a in node[1]]
+        val = F.coalesce(*[p[0] for p in parts])
+        # the term COMPONENTS follow whichever argument supplied the
+        # value — a per-argument when-chain keyed on value presence
+        def chain(i: int) -> "F.Column":
+            expr = F.when(parts[0][0].isNotNull(), parts[0][i])
+            for p in parts[1:]:
+                expr = expr.when(p[0].isNotNull(), p[i])
+            return expr
+        return val, chain(1), chain(2), chain(3)
+    if isinstance(node, tuple) and node and node[0] == "if":
+        _, cond_ast, then_ast, else_ast = node
+        cond = _compile_bool(cond_ast, bound, scope)
+        tv, tk, tl, td = _eval_bind_expr(then_ast, bound, scope)
+        ev, ek, el, ed = _eval_bind_expr(else_ast, bound, scope)
+        # a cond ERROR (NULL) makes IF itself an error → unbound, per
+        # SPARQL; when/when with no otherwise yields exactly that
+        return (
+            F.when(cond, tv).when(~cond, ev),
+            F.when(cond, tk).when(~cond, ek),
+            F.when(cond, tl).when(~cond, el),
+            F.when(cond, td).when(~cond, ed),
+        )
     if isinstance(node, tuple) and node and node[0] == "iri_fn":
         v, k, lg, dt = _eval_bind_expr(node[1], bound, scope)
         is_str = (
@@ -1879,6 +1929,18 @@ def _apply_filters(
     ``lang(?v)``/``datatype(?v)`` evaluate per SPARQL 1.1 on literal
     bindings and are a type error (row dropped) on IRIs/bnodes."""
 
+    for f in filters:
+        df = df.where(_compile_bool(f, bound, scope))
+    return df
+
+
+def _compile_bool(node, bound: set[str], scope: str = "the query") -> "F.Column":
+    """FILTER AST → boolean Column. Spark's booleans are Kleene
+    three-valued like SPARQL's, so NULL (= SPARQL error)
+    propagation through not/and/or matches the spec; a top-level
+    NULL drops the row (FILTER-error-is-false). Module-level so the
+    BIND IF() evaluator can reuse it."""
+
     def _check_bound(name: str, what: str):
         if name not in bound:
             raise SparqlError(f"{what} variable ?{name} is not bound in {scope}")
@@ -1887,10 +1949,6 @@ def _apply_filters(
         return _term_parts(term, bound, scope)
 
     def compile_node(node) -> "F.Column":
-        """FILTER AST → boolean Column. Spark's booleans are Kleene
-        three-valued like SPARQL's, so NULL (= SPARQL error)
-        propagation through not/and/or matches the spec; a top-level
-        NULL drops the row (FILTER-error-is-false)."""
         tag = node[0]
         if tag == "or":
             return compile_node(node[1]) | compile_node(node[2])
@@ -2006,9 +2064,7 @@ def _apply_filters(
             ).when(ln.isNull() & rn.isNull(), _ORD_OPS[op](lv, rv))
         return F.when(both_literal, cond)
 
-    for f in filters:
-        df = df.where(compile_node(f))
-    return df
+    return compile_node(node)
 
 
 def _compile_having(node, proj: list[str]) -> "F.Column":

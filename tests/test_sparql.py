@@ -1388,3 +1388,32 @@ def test_string_functions_in_bind(graph):
       BIND(UCASE(STR(?n)) AS ?u) BIND(STRLEN(?n) AS ?l) }"""
     got = {(r.p, r.u, r.l) for r in sparql_select(graph, q).collect()}
     assert got == {(EX + "p1", "ADA", "3"), (EX + "p2", "GRACE", "5")}
+
+
+def test_bind_coalesce_and_if(graph):
+    # COALESCE falls through an OPTIONAL-unbound var to the default
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?who WHERE { ?p a ex:Person .
+      OPTIONAL { ?p ex:knows ?q }
+      BIND(COALESCE(?q, "nobody") AS ?who) }"""
+    got = {(r.p, r.who) for r in sparql_select(graph, q).collect()}
+    assert got == {(EX + "p1", EX + "p2"), (EX + "p2", "nobody")}
+    # the winning argument's KIND carries: isIRI holds only for p1's row
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE { ?p a ex:Person .
+      OPTIONAL { ?p ex:knows ?q }
+      BIND(COALESCE(?q, "nobody") AS ?who) FILTER isIRI(?who) }"""
+    assert [r.p for r in sparql_select(graph, q2).collect()] == [EX + "p1"]
+    # IF with a comparison condition
+    q3 = """PREFIX ex: <http://ex.org/>
+    SELECT ?n ?size WHERE { ?p ex:name ?n .
+      BIND(IF(STRLEN(?n) > 3, "long", "short") AS ?size) }"""
+    got3 = {(r.n, r.size) for r in sparql_select(graph, q3).collect()}
+    assert got3 == {("Ada", "short"), ("Grace", "long")}
+    # IF condition error (unbound var in comparison) → ?x unbound
+    q4 = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?x WHERE { ?p a ex:Person .
+      OPTIONAL { ?p ex:knows ?q }
+      BIND(IF(?q = ex:p2, "knows-grace", "other") AS ?x) }"""
+    got4 = {(r.p, r.x) for r in sparql_select(graph, q4).collect()}
+    assert got4 == {(EX + "p1", "knows-grace"), (EX + "p2", None)}
