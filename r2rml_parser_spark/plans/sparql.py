@@ -108,7 +108,14 @@ condition ERROR makes the IF an error → unbound) over them, nested; evaluated 
 FILTERs/projection/ORDER BY/CONSTRUCT templates; per SPARQL 1.1
 §10.1 an evaluation error leaves ?v unbound with the row KEPT; using
 ?v in a later triple pattern or group is rejected via the
-already-bound/nullable checks, not re-ordered) — ASK { ... } via
+already-bound/nullable checks, not re-ordered) — { SELECT ... } subqueries
+in the main WHERE (evaluated bottom-up and joined on their plain
+projected variables with FULL term keys; COUNT/SUM/AVG aliases join
+the outer query as typed xsd:integer/xsd:decimal derived literals
+with canonical lexical forms, MIN/MAX/SAMPLE/GROUP_CONCAT aliases
+carry unknown term components — term-sensitive tests on them are
+type errors; an alias colliding with an outer variable is rejected;
+subquery DISTINCT dedups by full term) — ASK { ... } via
 ``sparql_ask`` (compiles like SELECT *, returns a bool; probes one
 partition first via ``isEmpty``) — DESCRIBE <iri>/?v via
 ``sparql_describe`` (concise bounded description: outgoing triples
@@ -619,10 +626,10 @@ class _Parser:
                 return SimpleNamespace(
                     form=form, items=None, distinct=False, patterns=[],
                     unions=[], optionals=[], filters=[], exists_blocks=[],
-                    values_blocks=[], minus_blocks=[], binds=[],
-                    group_by=[], having=None, order=[], limit=None,
-                    offset=None, template=[], describe=describe,
-                    no_where=True,
+                    values_blocks=[], minus_blocks=[], subselects=[],
+                    binds=[], group_by=[], having=None, order=[],
+                    limit=None, offset=None, template=[],
+                    describe=describe, no_where=True,
                 )
         elif form == "ASK":
             items = None  # ASK compiles like SELECT *; the caller tests emptiness
@@ -669,6 +676,7 @@ class _Parser:
         exists_blocks: list[tuple[bool, tuple[list[tuple], list[tuple]]]] = []
         values_blocks: list[tuple[list[str], list[list]]] = []
         minus_blocks: list[tuple[list[tuple], list[tuple]]] = []
+        subselects: list[SimpleNamespace] = []
         binds: list[tuple[object, str]] = []  # (expr AST, target var)
         # variables already claimed by a textually-earlier OPTIONAL: a
         # required pattern or UNION that follows and shares one would be
@@ -744,6 +752,30 @@ class _Parser:
                 block = self._values()
                 _guard_after_optional(set(block[0]), "a VALUES block")
                 values_blocks.append(block)
+                if self._peek() == ("punct", "."):
+                    self._next()
+                continue
+            if (
+                self._peek() == ("punct", "{")
+                and self._peek2()[0] == "kw"
+                and str(self._peek2()[1]).upper() == "SELECT"
+            ):
+                sub = self._subselect()
+                sub_vars = {
+                    v
+                    for v in (
+                        [it[1] for it in sub.items if it[0] == "var"]
+                        if sub.items is not None
+                        else [
+                            t.name
+                            for pat in sub.patterns
+                            for t in pat
+                            if isinstance(t, Var) and not _is_internal(t.name)
+                        ]
+                    )
+                }
+                _guard_after_optional(sub_vars, "a subquery")
+                subselects.append(sub)
                 if self._peek() == ("punct", "."):
                     self._next()
                 continue
@@ -876,16 +908,41 @@ class _Parser:
             raise SparqlError("DESCRIBE takes no solution modifiers here")
         if form == "CONSTRUCT" and group_by:
             raise SparqlError("CONSTRUCT does not take GROUP BY")
-        if not patterns and not unions:
+        if not patterns and not unions and not subselects:
             raise SparqlError("empty graph pattern (OPTIONAL needs a required part)")
         return SimpleNamespace(
             form=form, items=items, distinct=distinct, patterns=patterns,
             unions=unions, optionals=optionals, filters=filters,
             exists_blocks=exists_blocks, values_blocks=values_blocks,
-            minus_blocks=minus_blocks, binds=binds, group_by=group_by,
-            having=having, order=order, limit=limit, offset=offset,
-            template=template, describe=describe, no_where=False,
+            minus_blocks=minus_blocks, subselects=subselects, binds=binds,
+            group_by=group_by, having=having, order=order, limit=limit,
+            offset=offset, template=template, describe=describe,
+            no_where=False,
         )
+
+    def _subselect(self) -> SimpleNamespace:
+        """``{ SELECT ... }`` — slice the brace-balanced token span and
+        parse it as a full query sharing the outer PREFIX map."""
+        assert self._next() == ("punct", "{")
+        depth = 1
+        start = self.i
+        while depth:
+            k, v = self._next()
+            if k == "eof":
+                raise SparqlError("unterminated subquery '{'")
+            if (k, v) == ("punct", "{"):
+                depth += 1
+            elif (k, v) == ("punct", "}"):
+                depth -= 1
+        sub = _Parser.__new__(_Parser)
+        sub.toks = self.toks[start : self.i - 1]
+        sub.i = 0
+        sub.prefixes = dict(self.prefixes)
+        sub._path_n = 0
+        parsed = sub.parse()
+        if parsed.form != "SELECT":
+            raise SparqlError("only SELECT subqueries are supported")
+        return parsed
 
     def _template(self) -> list[tuple]:
         """CONSTRUCT template: ``{ t1 . t2 ... }`` of plain triple
@@ -2109,7 +2166,8 @@ def _compile_having(node, proj: list[str]) -> "F.Column":
 
 
 def _aggregate(
-    df: DataFrame, items: list[tuple], group_by: list[str], bound: set[str]
+    df: DataFrame, items: list[tuple], group_by: list[str], bound: set[str],
+    keep_term_keys: bool = False,
 ) -> tuple[DataFrame, list[str]]:
     """Compile SELECT aggregate items + GROUP BY into a groupBy().agg().
 
@@ -2184,6 +2242,15 @@ def _aggregate(
         # GROUP BY with no aggregate ≡ DISTINCT over the group TERMS
         out = df.select(*keys).dropDuplicates()
     order = [it[1] if it[0] == "var" else it[4] for it in items]
+    if keep_term_keys:
+        # subquery path: plain vars keep their full term keys so the
+        # outer join stays term-sound
+        sel = [
+            c
+            for it in items
+            for c in (_term_key(it[1]) if it[0] == "var" else [it[4]])
+        ]
+        return out.select(*sel), order
     return out.select(*order), order
 
 
@@ -2264,6 +2331,25 @@ def _compile_where(
             else:
                 df = df.crossJoin(u)
             bound |= varset
+    for sub in parsed.subselects:
+        sdf, svars, alias_names = _compile_subselect(triples, sub)
+        clash = sorted(alias_names & bound)
+        if clash:
+            raise SparqlError(
+                f"subquery aggregate alias(es) {clash} collide with outer "
+                "variables — aliases cannot be outer join keys (their term "
+                "components are derived); rename the alias"
+            )
+        shared = sorted(v for v in svars if v in bound)
+        if df is None:
+            df, bound = sdf, set(svars) | alias_names
+        elif shared:
+            join_keys = [x for v in shared for x in _term_key(v)]
+            df = df.join(sdf, on=join_keys, how="inner")
+            bound |= svars | alias_names
+        else:
+            df = df.crossJoin(sdf)
+            bound |= svars | alias_names
     assert df is not None
     for vars_, rows in values_blocks:
         # inline constant bindings as a tiny broadcast relation carrying
@@ -2384,6 +2470,76 @@ def _compile_where(
         join_keys = [x for v in shared for x in _term_key(v)]
         df = df.join(gdf.select(*join_keys), on=join_keys, how="left_anti")
     return df, bound, nullable
+
+
+_SUB_NUMERIC_DTYPE = {"COUNT": "integer", "SUM": "decimal", "AVG": "decimal"}
+
+
+def _compile_subselect(
+    triples: DataFrame, sub: SimpleNamespace
+) -> tuple[DataFrame, set[str], set[str]]:
+    """``{ SELECT ... }`` → (relation, plain vars, alias vars).
+
+    Plain projected variables carry their FULL term keys (value + kind
+    + lang + dtype shadows), so the outer join matches terms exactly.
+    Aggregate aliases become DERIVED literals: COUNT/SUM/AVG are typed
+    xsd:integer/xsd:decimal with canonical lexical forms (and thus
+    compare numerically outside); MIN/MAX/SAMPLE/GROUP_CONCAT aliases
+    expose only a lexical value with NULL (unknown) term components —
+    term-sensitive tests on them are type errors, the documented
+    conservative behavior. Subquery DISTINCT dedups by full term."""
+    df, bound, _nullable = _compile_where(triples, sub)
+    items = sub.items
+    if items is None:
+        plain = sorted(v for v in bound if not _is_internal(v))
+        aliases: list[tuple] = []
+        out = df.select(*[c for v in plain for c in _term_key(v)])
+        proj = plain
+    else:
+        plain = [it[1] for it in items if it[0] == "var"]
+        aliases = [it for it in items if it[0] == "agg"]
+        if aliases or sub.group_by:
+            out, proj = _aggregate(df, items, sub.group_by, bound, keep_term_keys=True)
+            if sub.having is not None:
+                out = out.where(_compile_having(sub.having, proj))
+        else:
+            missing = [v for v in plain if v not in bound]
+            if missing:
+                raise SparqlError(f"projected variables never bound: {missing}")
+            out = df.select(*[c for v in plain for c in _term_key(v)])
+            proj = plain
+    if sub.distinct:
+        out = out.dropDuplicates()
+    if sub.order:
+        missing_order = [v for v, _ in sub.order if v not in proj]
+        if missing_order:
+            raise SparqlError(f"ORDER BY variables must be projected: {missing_order}")
+        out = out.orderBy(
+            *[F.col(v).desc() if desc else F.col(v).asc() for v, desc in sub.order]
+        )
+    if sub.offset is not None:
+        out = out.offset(sub.offset)
+    if sub.limit is not None:
+        out = out.limit(sub.limit)
+    alias_names: set[str] = set()
+    for _, func, _d, _v, alias, _sep in aliases:
+        alias_names.add(alias)
+        dt = _SUB_NUMERIC_DTYPE.get(func)
+        if dt == "integer":
+            val = F.col(alias).cast("string")
+        elif dt == "decimal":
+            val = _decimal_lexical(F.col(alias).cast(_DECIMAL))
+        else:
+            val = F.col(alias).cast("string")
+        k, l, d = _shadow_cols(alias)
+        nil = F.lit(None).cast("string")
+        out = (
+            out.withColumn(alias, val)
+            .withColumn(k, F.lit("literal") if dt else nil)
+            .withColumn(l, F.lit("") if dt else nil)
+            .withColumn(d, F.lit(_XSD + dt) if dt else nil)
+        )
+    return out, set(plain), alias_names
 
 
 def _compile(triples: DataFrame, parsed: SimpleNamespace) -> DataFrame:

@@ -1417,3 +1417,71 @@ def test_bind_coalesce_and_if(graph):
       BIND(IF(?q = ex:p2, "knows-grace", "other") AS ?x) }"""
     got4 = {(r.p, r.x) for r in sparql_select(graph, q4).collect()}
     assert got4 == {(EX + "p1", "knows-grace"), (EX + "p2", None)}
+
+
+def test_subquery_aggregate_join(graph):
+    # aggregate in a subquery, then join the outer pattern on the
+    # plain projected var; filter on the derived numeric alias
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?t ?cnt ?s WHERE {
+      { SELECT ?t (COUNT(?x) AS ?cnt) WHERE { ?x a ?t } GROUP BY ?t }
+      ?s a ?t .
+      FILTER (?cnt > 1)
+    }"""
+    got = {(r.t, r.cnt, r.s) for r in sparql_select(graph, q).collect()}
+    assert got == {
+        (EX + "Person", "2", EX + "p1"),
+        (EX + "Person", "2", EX + "p2"),
+    }
+    # the alias is a typed xsd:integer literal outside
+    q2 = """PREFIX ex: <http://ex.org/>
+    PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+    SELECT ?t WHERE {
+      { SELECT ?t (COUNT(?x) AS ?cnt) WHERE { ?x a ?t } GROUP BY ?t }
+      FILTER (datatype(?cnt) = xsd:integer && ?cnt = 2)
+    }"""
+    assert [r.t for r in sparql_select(graph, q2).collect()] == [EX + "Person"]
+
+
+def test_subquery_limit_and_star(graph):
+    # ORDER/LIMIT inside the subquery: top-1 name, then outer join
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?n WHERE {
+      { SELECT ?n WHERE { ?x ex:name ?n } ORDER BY DESC(?n) LIMIT 1 }
+      ?p ex:name ?n .
+    }"""
+    got = {(r.p, r.n) for r in sparql_select(graph, q).collect()}
+    assert got == {(EX + "p2", "Grace")}
+    # SELECT * subquery joins like an ordinary group
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?q WHERE { { SELECT * WHERE { ?p ex:knows ?q } } ?q a ex:Person }"""
+    assert [(r.p, r.q) for r in sparql_select(graph, q2).collect()] == [
+        (EX + "p1", EX + "p2")
+    ]
+
+
+def test_subquery_term_soundness(spark):
+    # the subquery's plain var carries full term identity: "hello" and
+    # "hello"@en must not join
+    rows = [
+        (EX + "x", "iri", EX + "p", "hello", "literal", None, None),
+        (EX + "y", "iri", EX + "q", "hello", "literal", "en", None),
+        (EX + "z", "iri", EX + "q", "hello", "literal", None, None),
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?a ?b WHERE { { SELECT ?v ?a WHERE { ?a ex:p ?v } } ?b ex:q ?v }"""
+    assert {(r.a, r.b) for r in sparql_select(g, q).collect()} == {(EX + "x", EX + "z")}
+
+
+def test_subquery_rejections(graph):
+    with pytest.raises(SparqlError):  # alias collides with outer var
+        sparql_select(
+            graph,
+            """PREFIX ex: <http://ex.org/>
+            SELECT ?n WHERE {
+              { SELECT ?t (COUNT(?x) AS ?n) WHERE { ?x a ?t } GROUP BY ?t }
+              ?p ex:name ?n }""",
+        )
+    with pytest.raises(SparqlError):  # only SELECT subqueries
+        sparql_select(graph, "SELECT ?s WHERE { { ASK { ?s ?p ?o } } }")
