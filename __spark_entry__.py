@@ -125,6 +125,20 @@ def q_sparql_describe_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tpch_sparql_describe(spark, sf_dir)
 
 
+def q_sparql_subquery_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL subquery (aggregate-then-join) over the generated KG."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_subquery
+
+    return run_tpch_sparql_subquery(spark, sf_dir)
+
+
+def q_sparql_groupconcat_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GROUP_CONCAT(DISTINCT)/SAMPLE aggregates over the KG."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_groupconcat
+
+    return run_tpch_sparql_groupconcat(spark, sf_dir)
+
+
 def q_span_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     from r2rml_parser_spark.sources.docs import span_view, synth_docs
 
@@ -301,6 +315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_path_kg": q_sparql_path_kg,
         "sparql_closure_kg": q_sparql_closure_kg,
         "sparql_describe_kg": q_sparql_describe_kg,
+        "sparql_subquery_kg": q_sparql_subquery_kg,
+        "sparql_groupconcat_kg": q_sparql_groupconcat_kg,
         "span_view": q_span_view,
         "mentions": q_mentions,
         "dedup_exact": q_dedup_exact,
@@ -338,6 +354,8 @@ def oracle_sql() -> dict[str, str]:
         TPCH_SPARQL_CONSTRUCT_ORACLE_SQL,
         TPCH_SPARQL_DESCRIBE_ORACLE_SQL,
         TPCH_SPARQL_EXISTS_ORACLE_SQL,
+        TPCH_SPARQL_GROUPCONCAT_ORACLE_SQL,
+        TPCH_SPARQL_SUBQUERY_ORACLE_SQL,
         TPCH_SPARQL_PATH_ORACLE_SQL,
         TPCH_SPARQL_STR_ORACLE_SQL,
         TPCH_SPARQL_TYPED_ORACLE_SQL,
@@ -372,6 +390,8 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "sparql_path_kg": TPCH_SPARQL_PATH_ORACLE_SQL,
         "sparql_closure_kg": TPCH_SPARQL_CLOSURE_ORACLE_SQL,
         "sparql_describe_kg": TPCH_SPARQL_DESCRIBE_ORACLE_SQL,
+        "sparql_subquery_kg": TPCH_SPARQL_SUBQUERY_ORACLE_SQL,
+        "sparql_groupconcat_kg": TPCH_SPARQL_GROUPCONCAT_ORACLE_SQL,
         "span_view": span_sql,
         "mentions": mentions_oracle_sql(SPAN_VIEW_ORACLE_SQL),
         "dedup_exact": oracles.DEDUP_EXACT_SQL,

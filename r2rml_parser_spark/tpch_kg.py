@@ -415,3 +415,65 @@ WHERE subj IN (
   WHERE pred = '{RDF_TYPE}' AND obj = '{ONT}Nation' AND obj_kind = 'iri'
 )
 """
+
+# Subquery SPARQL (r3): aggregate-then-join — per-nation customer
+# counts in a subquery, joined to the nation name, filtered on the
+# derived numeric alias, ordered and sliced.
+TPCH_SPARQL_SUBQUERY_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?nation_name ?cnt WHERE {
+  { SELECT ?nat (COUNT(?c) AS ?cnt) WHERE { ?c ex:inNation ?nat } GROUP BY ?nat }
+  ?nat ex:name ?nation_name .
+  FILTER (?cnt >= 5)
+} ORDER BY DESC(?cnt) ?nation_name LIMIT 10
+"""
+
+
+def run_tpch_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_SUBQUERY_QUERY)
+
+
+TPCH_SPARQL_SUBQUERY_ORACLE_SQL = f"""
+WITH counts AS (
+  SELECT '{KG}/nation/' || c.c_nationkey AS nat,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer c GROUP BY c.c_nationkey
+)
+SELECT n.n_name AS nation_name, CAST(counts.n AS VARCHAR) AS cnt
+FROM counts JOIN nation n ON counts.nat = '{KG}/nation/' || n.n_nationkey
+WHERE counts.n >= 5
+ORDER BY counts.n DESC, nation_name
+LIMIT 10
+"""
+
+# GROUP_CONCAT/SAMPLE SPARQL (r3): canonical sorted concatenation of
+# the distinct segments per nation + a deterministic SAMPLE, pinned
+# against DuckDB string_agg(DISTINCT ... ORDER BY ...).
+TPCH_SPARQL_GROUPCONCAT_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?nation_name (GROUP_CONCAT(DISTINCT ?seg; SEPARATOR="|") AS ?segs)
+       (SAMPLE(?cname) AS ?first_customer) WHERE {
+  ?c ex:inNation ?nat .
+  ?c ex:marketSegment ?seg .
+  ?c ex:name ?cname .
+  ?nat ex:name ?nation_name .
+} GROUP BY ?nation_name ORDER BY ?nation_name
+"""
+
+
+def run_tpch_sparql_groupconcat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_GROUPCONCAT_QUERY)
+
+
+TPCH_SPARQL_GROUPCONCAT_ORACLE_SQL = """
+SELECT n.n_name AS nation_name,
+       string_agg(DISTINCT c.c_mktsegment, '|' ORDER BY c.c_mktsegment) AS segs,
+       MIN(c.c_name) AS first_customer
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY nation_name
+"""
