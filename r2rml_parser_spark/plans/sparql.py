@@ -110,9 +110,9 @@ FILTERs/projection/ORDER BY/CONSTRUCT templates; per SPARQL 1.1
 ?v in a later triple pattern or group is rejected via the
 already-bound/nullable checks, not re-ordered) — { SELECT ... } subqueries
 in the main WHERE (evaluated bottom-up and joined on their plain
-projected variables with FULL term keys; COUNT/SUM/AVG aliases join
-the outer query as typed xsd:integer/xsd:decimal derived literals
-with canonical lexical forms, MIN/MAX/SAMPLE/GROUP_CONCAT aliases
+projected variables with FULL term keys; COUNT/SUM/AVG aliases reach
+the outer query as typed xsd:integer/xsd:decimal derived literals in
+their natural numeric Spark types (numeric ORDER BY/comparisons), MIN/MAX/SAMPLE/GROUP_CONCAT aliases
 carry unknown term components — term-sensitive tests on them are
 type errors; an alias colliding with an outer variable is rejected;
 subquery DISTINCT dedups by full term) — ASK { ... } via
@@ -2482,9 +2482,10 @@ def _compile_subselect(
 
     Plain projected variables carry their FULL term keys (value + kind
     + lang + dtype shadows), so the outer join matches terms exactly.
-    Aggregate aliases become DERIVED literals: COUNT/SUM/AVG are typed
-    xsd:integer/xsd:decimal with canonical lexical forms (and thus
-    compare numerically outside); MIN/MAX/SAMPLE/GROUP_CONCAT aliases
+    Aggregate aliases become DERIVED literals: COUNT/SUM/AVG keep
+    their natural numeric Spark types (like main-query aggregate
+    projections) shadowed as xsd:integer/xsd:decimal, so outer
+    comparisons and ORDER BY are numeric; MIN/MAX/SAMPLE/GROUP_CONCAT aliases
     expose only a lexical value with NULL (unknown) term components —
     term-sensitive tests on them are type errors, the documented
     conservative behavior. Subquery DISTINCT dedups by full term."""
@@ -2524,18 +2525,15 @@ def _compile_subselect(
     alias_names: set[str] = set()
     for _, func, _d, _v, alias, _sep in aliases:
         alias_names.add(alias)
+        # numeric aliases KEEP their natural Spark types (long/decimal),
+        # exactly like main-query aggregate projections — so outer
+        # ORDER BY and comparisons are numeric, not lexical ("9" must
+        # sort above "13" descending)
         dt = _SUB_NUMERIC_DTYPE.get(func)
-        if dt == "integer":
-            val = F.col(alias).cast("string")
-        elif dt == "decimal":
-            val = _decimal_lexical(F.col(alias).cast(_DECIMAL))
-        else:
-            val = F.col(alias).cast("string")
         k, l, d = _shadow_cols(alias)
         nil = F.lit(None).cast("string")
         out = (
-            out.withColumn(alias, val)
-            .withColumn(k, F.lit("literal") if dt else nil)
+            out.withColumn(k, F.lit("literal") if dt else nil)
             .withColumn(l, F.lit("") if dt else nil)
             .withColumn(d, F.lit(_XSD + dt) if dt else nil)
         )

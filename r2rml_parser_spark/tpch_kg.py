@@ -441,7 +441,7 @@ WITH counts AS (
          CAST(COUNT(*) AS BIGINT) AS n
   FROM customer c GROUP BY c.c_nationkey
 )
-SELECT n.n_name AS nation_name, CAST(counts.n AS VARCHAR) AS cnt
+SELECT n.n_name AS nation_name, counts.n AS cnt
 FROM counts JOIN nation n ON counts.nat = '{KG}/nation/' || n.n_nationkey
 WHERE counts.n >= 5
 ORDER BY counts.n DESC, nation_name

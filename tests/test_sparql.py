@@ -1430,8 +1430,8 @@ def test_subquery_aggregate_join(graph):
     }"""
     got = {(r.t, r.cnt, r.s) for r in sparql_select(graph, q).collect()}
     assert got == {
-        (EX + "Person", "2", EX + "p1"),
-        (EX + "Person", "2", EX + "p2"),
+        (EX + "Person", 2, EX + "p1"),
+        (EX + "Person", 2, EX + "p2"),
     }
     # the alias is a typed xsd:integer literal outside
     q2 = """PREFIX ex: <http://ex.org/>
