@@ -1,0 +1,192 @@
+"""Differential testing of the SPARQL engine.
+
+Random small graphs × random BGP+FILTER queries, evaluated two ways:
+the Spark engine (``sparql_select``) vs an independent naive
+solution-set evaluator written directly from SPARQL 1.1 §18.3's
+definitions (pattern matching by full-term unification). Any
+divergence in the result MULTISET is a bug in one of them — the naive
+evaluator shares no code with the engine, so agreement pins the BGP
+join/term semantics the way the reference's Jena results would.
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections import Counter
+
+import pytest
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+from r2rml_parser_spark.plans.sparql import sparql_select
+
+COLS = "subj subj_kind pred obj obj_kind lang dtype".split()
+EX = "http://ex.org/"
+
+# term = (value, kind, lang, dtype) — lang/dtype normalized to ''
+SUBJECTS = [(EX + f"s{i}", "iri", "", "") for i in range(4)] + [
+    (f"b{i}", "bnode", "", "") for i in range(2)
+]
+PREDS = [EX + f"p{i}" for i in range(3)]
+OBJECTS = (
+    SUBJECTS[:3]
+    + [
+        ("alpha", "literal", "", ""),
+        ("alpha", "literal", "en", ""),
+        ("5", "literal", "", "http://www.w3.org/2001/XMLSchema#integer"),
+        ("5", "literal", "", ""),
+        (EX + "s0", "literal", "", ""),  # literal spoofing an IRI
+    ]
+)
+
+if HAVE_HYP:
+    triple_st = st.tuples(
+        st.sampled_from(SUBJECTS), st.sampled_from(PREDS), st.sampled_from(OBJECTS)
+    )
+    graph_st = st.lists(triple_st, min_size=1, max_size=12, unique=True)
+    VARS = ["a", "b", "c"]
+    s_term_st = st.one_of(
+        st.sampled_from([("var", v) for v in VARS]),
+        st.sampled_from([("const", t) for t in SUBJECTS]),
+    )
+    p_term_st = st.one_of(
+        st.sampled_from([("var", v) for v in VARS]),
+        st.sampled_from([("const", (p, "iri", "", "")) for p in PREDS]),
+    )
+    o_term_st = st.one_of(
+        st.sampled_from([("var", v) for v in VARS]),
+        st.sampled_from([("const", t) for t in OBJECTS]),
+    )
+    pattern_st = st.tuples(s_term_st, p_term_st, o_term_st)
+    query_st = st.lists(pattern_st, min_size=1, max_size=3)
+
+
+def term_sparql(t):
+    val, kind, lang, dtype = t
+    if kind == "iri":
+        return f"<{val}>"
+    if kind == "bnode":
+        # query syntax has no stable bnode ref; use a variable-free
+        # query only via subjects — skip by mapping to a fresh IRI is
+        # wrong, so bnode constants never appear in queries (filtered
+        # in term strategies: SUBJECTS includes bnodes — handle here)
+        return None
+    esc = val.replace("\\", "\\\\").replace('"', '\\"')
+    if lang:
+        return f'"{esc}"@{lang}'
+    if dtype:
+        return f'"{esc}"^^<{dtype}>'
+    return f'"{esc}"'
+
+
+def naive_eval(graph, patterns):
+    """All solution mappings for the BGP, full-term unification."""
+    sols = [dict()]
+    for s, p, o in patterns:
+        nxt = []
+        for binding in sols:
+            for subj, pred, obj in graph:
+                b = dict(binding)
+                ok = True
+                for term, actual in ((s, subj), (p, (pred, "iri", "", "")), (o, obj)):
+                    mode, v = term
+                    if mode == "const":
+                        if v != actual:
+                            ok = False
+                            break
+                    else:
+                        if v in b and b[v] != actual:
+                            ok = False
+                            break
+                        b[v] = actual
+                if ok:
+                    nxt.append(b)
+        sols = nxt
+    return sols
+
+
+def used_vars(patterns):
+    return sorted({v for pat in patterns for mode, v in pat if mode == "var"})
+
+
+@pytest.mark.skipif(not HAVE_HYP, reason="hypothesis not installed")
+@settings(max_examples=12, deadline=None)
+@given(graph=graph_st, patterns=query_st)
+def test_bgp_differential(spark, graph, patterns):
+    # reject queries that would need bnode constants in syntax
+    for pat in patterns:
+        for mode, v in pat:
+            if mode == "const" and v[1] == "bnode":
+                return
+    vars_ = used_vars(patterns)
+    if not vars_:
+        return  # SELECT needs at least one variable
+    rows = [
+        (s[0], s[1], p, o[0], o[1], o[2] or None, o[3] or None)
+        for s, p, o in graph
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    parts = []
+    for s, p, o in patterns:
+        def fmt(term):
+            mode, v = term
+            return f"?{v}" if mode == "var" else term_sparql(v)
+        parts.append(f"{fmt(s)} {fmt(p)} {fmt(o)} .")
+    q = f"SELECT {' '.join('?' + v for v in vars_)} WHERE {{ {' '.join(parts)} }}"
+    got = Counter(tuple(r[v] for v in vars_) for r in sparql_select(g, q).collect())
+    want = Counter(
+        tuple(b[v][0] for v in vars_) for b in naive_eval(graph, patterns)
+    )
+    assert got == want, f"query {q!r} diverged"
+
+
+if HAVE_HYP:
+    # =/!= constants: exclude the numeric-TYPED term (it pins SPARQL's
+    # numeric value equality, which the naive term-equality evaluator
+    # deliberately does not model)
+    FILTER_CONSTS = [t for t in OBJECTS if not t[3]]
+    filter_st = st.tuples(
+        st.sampled_from(VARS), st.sampled_from(["=", "!="]),
+        st.sampled_from(FILTER_CONSTS),
+    )
+
+
+@pytest.mark.skipif(not HAVE_HYP, reason="hypothesis not installed")
+@settings(max_examples=12, deadline=None)
+@given(graph=graph_st, patterns=query_st, flt=filter_st if HAVE_HYP else st.none())
+def test_bgp_filter_differential(spark, graph, patterns, flt):
+    for pat in patterns:
+        for mode, v in pat:
+            if mode == "const" and v[1] == "bnode":
+                return
+    vars_ = used_vars(patterns)
+    fvar, fop, fconst = flt
+    if fvar not in vars_:
+        return  # FILTER on an unbound var is (correctly) rejected
+    rows = [
+        (s[0], s[1], p, o[0], o[1], o[2] or None, o[3] or None)
+        for s, p, o in graph
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    parts = []
+    for s, p, o in patterns:
+        def fmt(term):
+            mode, v = term
+            return f"?{v}" if mode == "var" else term_sparql(v)
+        parts.append(f"{fmt(s)} {fmt(p)} {fmt(o)} .")
+    q = (
+        f"SELECT {' '.join('?' + v for v in vars_)} WHERE "
+        f"{{ {' '.join(parts)} FILTER (?{fvar} {fop} {term_sparql(fconst)}) }}"
+    )
+    got = Counter(tuple(r[v] for v in vars_) for r in sparql_select(g, q).collect())
+    want = Counter(
+        tuple(b[v][0] for v in vars_)
+        for b in naive_eval(graph, patterns)
+        if (b[fvar] == fconst) == (fop == "=")
+    )
+    assert got == want, f"query {q!r} diverged"
