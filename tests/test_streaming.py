@@ -86,3 +86,30 @@ def test_stream_dedup_docs_drops_in_horizon_duplicates(spark, tmp_path):
     # static frame: same operator, batch semantics
     static = stream_dedup_docs(df)
     assert static.count() == 2
+
+
+def test_streamed_kg_is_sparql_queryable(spark, tmp_path):
+    """Composition: continuous construction → the accumulated triples
+    relation answers the full r3 SPARQL surface (EXISTS, aggregates) —
+    one engine for both arrival and query, the Kappa-style loop."""
+    from r2rml_parser_spark.plans.sparql import sparql_ask, sparql_select
+
+    inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    spark.createDataFrame(
+        [("d1", "en", "s1", "x"), ("d2", "es", "s1", "y"), ("d3", "en", "s2", "z")],
+        "doc_id string, lang string, source string, text string",
+    ).write.mode("append").parquet(inp)
+    stream_docs_to_triples(spark, inp, out, ckpt).awaitTermination(120)
+    kg = spark.read.parquet(out).select(
+        "subj", "subj_kind", "pred", "obj", "obj_kind", "lang", "dtype"
+    )
+    q = """PREFIX ex: <http://kg.example/ontology#>
+    SELECT ?l (COUNT(?d) AS ?n) WHERE {
+      ?d a ex:Document . ?d ex:lang ?l .
+      FILTER EXISTS { ?d ex:source ?s }
+    } GROUP BY ?l ORDER BY ?l"""
+    got = [(r.l, r.n) for r in sparql_select(kg, q).collect()]
+    assert got == [("en", 2), ("es", 1)]
+    assert sparql_ask(
+        kg, 'PREFIX ex: <http://kg.example/ontology#> ASK { ?d ex:lang "en" }'
+    )
