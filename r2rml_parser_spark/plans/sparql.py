@@ -44,7 +44,12 @@ with sequences/closures, is rejected), and negated property sets
 forward elements only),
 OPTIONAL { t1 . t2 ... } groups (compiled to left joins; must share at
 least one variable with the required patterns, and that variable must
-come from the REQUIRED part — a join variable another OPTIONAL may
+come from the REQUIRED part; ONE level of nested OPTIONAL inside an
+OPTIONAL group is compiled as LeftJoin(A, B) within the group — the
+nested part must join on variables the group's required part binds,
+outer joins must not key on nested-only variables, and a pattern
+following the nested OPTIONAL inside the group must not share its
+variables (textual-order rule) — deeper nesting is rejected — a join variable another OPTIONAL may
 have left unbound would need SPARQL's unbound-is-compatible join,
 which an equi-join cannot express, so it is rejected), { A } UNION
 { B } blocks (both branches must bind the same variables — then the
@@ -712,9 +717,11 @@ class _Parser:
                 continue
             if self._kw_is("OPTIONAL"):
                 self._next()
-                group = self._group()
+                group = self._group(allow_nested_optional=True)
                 optionals.append(group)
                 opt_vars |= _pattern_vars(group[0])
+                for npats, _nf in group[2]:
+                    opt_vars |= _pattern_vars(npats)
                 if self._peek() == ("punct", "."):
                     self._next()
                 continue
@@ -737,7 +744,8 @@ class _Parser:
                 continue
             if self._kw_is("MINUS"):
                 self._next()
-                group = self._group()
+                mp, mf, _ = self._group()
+                group = (mp, mf)
                 minus_blocks.append(group)
                 # like OPTIONAL, MINUS is hoisted after the required
                 # patterns; a later pattern sharing its variables would
@@ -780,10 +788,10 @@ class _Parser:
                     self._next()
                 continue
             if self._peek() == ("punct", "{"):
-                branches = [self._group()]
+                branches = [self._group()[:2]]
                 while self._kw_is("UNION"):
                     self._next()
-                    branches.append(self._group())
+                    branches.append(self._group()[:2])
                 if len(branches) < 2:
                     raise SparqlError("a braced group must be a UNION branch")
                 _guard_after_optional(
@@ -1020,22 +1028,39 @@ class _Parser:
             raise SparqlError("VALUES block has no rows")
         return vars_, rows
 
-    def _group(self) -> tuple[list[tuple], list[tuple]]:
-        """Parse ``{ t1 . t2 ... [FILTER ...] }`` (an OPTIONAL or UNION
-        block) → (patterns, filters). A FILTER here is applied to the
-        group BEFORE it joins the outer query — equivalent to SPARQL's
+    def _group(
+        self, allow_nested_optional: bool = False
+    ) -> tuple[list[tuple], list[tuple], list[tuple]]:
+        """Parse ``{ t1 . t2 ... [FILTER ...] [OPTIONAL {...}] }`` (an
+        OPTIONAL/UNION/EXISTS/MINUS block) → (patterns, filters,
+        nested-optionals). A FILTER here is applied to the group BEFORE
+        it joins the outer query — equivalent to SPARQL's
         LeftJoin(A, G, F) / branch-local filter when every filter
         variable is bound inside the group (validated at compile; a
-        filter needing outer variables is rejected). Nested OPTIONAL is
-        not supported."""
+        filter needing outer variables is rejected). One level of
+        nested OPTIONAL is accepted inside an OPTIONAL group
+        (``allow_nested_optional``); everywhere else it is rejected."""
         if self._next() != ("punct", "{"):
             raise SparqlError("a group needs '{'")
         group: list[tuple] = []
         gfilters: list[tuple] = []
+        nested: list[tuple] = []
+        nested_vars: set[str] = set()
         while self._peek() != ("punct", "}"):
+            if self._kw_is("OPTIONAL") and allow_nested_optional:
+                self._next()
+                npats, nfilters, _ = self._group()
+                nested.append((npats, nfilters))
+                nested_vars |= {
+                    t.name for pat in npats for t in pat if isinstance(t, Var)
+                }
+                if self._peek() == ("punct", "."):
+                    self._next()
+                continue
             if self._kw_is("OPTIONAL") or self._kw_is("MINUS") or self._kw_is("BIND"):
                 raise SparqlError(
-                    "OPTIONAL/MINUS/BIND nested inside a braced group is not supported"
+                    "OPTIONAL/MINUS/BIND nested inside this braced group is "
+                    "not supported"
                 )
             if self._kw_is("FILTER"):
                 self._next()
@@ -1058,19 +1083,30 @@ class _Parser:
                     "supported — use it in the main WHERE patterns"
                 )
             if isinstance(p, tuple) and p[0] == "path":
-                group.extend(self._expand_path(s, p[1], o))
+                expanded = self._expand_path(s, p[1], o)
             elif isinstance(p, tuple) and p[0] == "cpath":
                 _, inv, pred, mod = p
                 cl = ("closure", pred, mod)
-                group.append((o, cl, s) if inv else (s, cl, o))
+                expanded = [(o, cl, s) if inv else (s, cl, o)]
             else:
-                group.append((s, p, o))  # incl. negset — plain pattern
+                expanded = [(s, p, o)]  # incl. negset — plain pattern
+            clash = sorted(
+                {t.name for pat in expanded for t in pat if isinstance(t, Var)}
+                & nested_vars
+            )
+            if clash:
+                raise SparqlError(
+                    f"a pattern follows a nested OPTIONAL and shares its "
+                    f"variable(s) {clash}: SPARQL evaluates groups in "
+                    "textual order — move the pattern before the OPTIONAL"
+                )
+            group.extend(expanded)
             if self._peek() == ("punct", "."):
                 self._next()
         self._next()  # }
         if not group:
             raise SparqlError("empty braced group (OPTIONAL/UNION/EXISTS)")
-        return group, gfilters
+        return group, gfilters, nested
 
     def _maybe_arith(self, first):
         """Extend an operand with +,-,*,/ chains (standard precedence;
@@ -1420,7 +1456,7 @@ class _Parser:
                 k2, v2 = self._next()
                 if k2 != "kw" or str(v2).upper() != "EXISTS":
                     raise SparqlError("expected EXISTS after NOT in FILTER")
-            return ("exists", positive, self._group())
+            return ("exists", positive, self._group()[:2])
         if k == "kw":
             self._next()
             call = self._call_of(str(v))
@@ -2376,13 +2412,42 @@ def _compile_where(
             df = df.crossJoin(vdf)
         bound |= set(vars_)
     nullable: set[str] = set()  # vars introduced by OPTIONAL (may be NULL)
-    for gpats, gfilters in optionals:
+    for gpats, gfilters, nested in optionals:
         gdf, gvars = _join_patterns(triples, gpats)
-        # pre-join filter == LeftJoin(A, G, F) when F's vars are all
-        # bound in G (shared vars are equated by the join, so filtering
-        # G's binding is filtering the merged binding)
+        g_nullable: set[str] = set()
+        for npats, nfilters in nested:
+            # one level of nesting: LeftJoin(A, B) inside the group —
+            # B joins A on variables A itself binds
+            ndf, nvars = _join_patterns(triples, npats)
+            ndf = _apply_filters(ndf, nfilters, nvars, "this nested OPTIONAL group")
+            nshared = sorted(v for v in nvars if v in gvars)
+            if not nshared:
+                raise SparqlError(
+                    "a nested OPTIONAL shares no variable with its group"
+                )
+            bad = sorted(v for v in nshared if v in g_nullable)
+            if bad:
+                raise SparqlError(
+                    "nested OPTIONAL join variable(s) may be unbound by an "
+                    f"earlier nested OPTIONAL ({bad}) — not expressible as "
+                    "an equi-join"
+                )
+            gdf = gdf.join(
+                ndf, on=[x for v in nshared for x in _term_key(v)], how="left"
+            )
+            g_nullable |= nvars - gvars
+            gvars |= nvars
+        # group filter == LeftJoin(A, G, F): applied over the whole
+        # group result (incl. nested-OPTIONAL bindings)
         gdf = _apply_filters(gdf, gfilters, gvars, "this OPTIONAL group")
         shared = sorted(v for v in gvars if v in bound)
+        bad_outer = sorted(v for v in shared if v in g_nullable)
+        if bad_outer:
+            raise SparqlError(
+                "OPTIONAL join variable(s) bound only inside a nested "
+                f"OPTIONAL ({bad_outer}); SPARQL's unbound-is-compatible "
+                "join is not expressible as an equi-join"
+            )
         if not shared:
             raise SparqlError(
                 "OPTIONAL group shares no variable with the required patterns"

@@ -116,11 +116,8 @@ def test_optional_errors(graph):
         )
     with pytest.raises(SparqlError):  # OPTIONAL with no required part
         sparql_select(graph, "SELECT ?p WHERE { OPTIONAL { ?p ?x ?z } }")
-    with pytest.raises(SparqlError):  # nested OPTIONAL unsupported
-        sparql_select(
-            graph,
-            "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . OPTIONAL { ?p ex:name ?n . OPTIONAL { ?p ex:knows ?q } } }",
-        )
+    # (one level of nested OPTIONAL is supported since r3 —
+    # see test_nested_optional; depth-2 rejection is tested there)
 
 
 def test_filter_inside_optional_group(graph):
@@ -1485,3 +1482,47 @@ def test_subquery_rejections(graph):
         )
     with pytest.raises(SparqlError):  # only SELECT subqueries
         sparql_select(graph, "SELECT ?s WHERE { { ASK { ?s ?p ?o } } }")
+
+
+def test_nested_optional(graph, spark):
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?q ?n WHERE {
+      ?p a ex:Person .
+      OPTIONAL { ?p ex:knows ?q OPTIONAL { ?q ex:name ?n } }
+    }"""
+    got = {(r.p, r.q, r.n) for r in sparql_select(graph, q).collect()}
+    assert got == {
+        (EX + "p1", EX + "p2", "Grace"),
+        (EX + "p2", None, None),
+    }
+    # inner miss keeps the middle binding: q bound, n null
+    rows = [
+        (EX + "a", "iri", RDF + "type", EX + "T", "iri", None, None),
+        (EX + "a", "iri", EX + "knows", EX + "x", "iri", None, None),
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    got2 = {(r.p, r.q, r.n) for r in sparql_select(g, q.replace("ex:Person", "ex:T")).collect()}
+    assert got2 == {(EX + "a", EX + "x", None)}
+
+
+def test_nested_optional_rejections(graph):
+    with pytest.raises(SparqlError):  # nested shares no var with group
+        sparql_select(
+            graph,
+            "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . OPTIONAL { ?p ex:knows ?q OPTIONAL { ?x ex:name ?n } } }",
+        )
+    with pytest.raises(SparqlError):  # outer var bound only in nested
+        sparql_select(
+            graph,
+            "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . ?z ex:name ?n . OPTIONAL { ?p ex:knows ?q OPTIONAL { ?q ex:name ?n } } }",
+        )
+    with pytest.raises(SparqlError):  # nesting depth 2
+        sparql_select(
+            graph,
+            "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . OPTIONAL { ?p ex:knows ?q OPTIONAL { ?q ex:name ?n OPTIONAL { ?q a ?t } } } }",
+        )
+    with pytest.raises(SparqlError):  # still rejected inside UNION
+        sparql_select(
+            graph,
+            "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { { ?p a ex:Person . OPTIONAL { ?p ex:knows ?q } } UNION { ?p ex:name ?x } }",
+        )
