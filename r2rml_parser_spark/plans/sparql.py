@@ -61,9 +61,12 @@ x/y are variables, terms, bare numbers, or the accessors ``lang(?v)``
 / ``datatype(?v)`` / ``STR(?v)`` (STR yields the lexical form / IRI
 string as a simple literal and never errors on bound terms), the
 string-valued functions ``UCASE/LCASE/SUBSTR/REPLACE`` (language tags
-preserved per spec; arguments must be simple/lang/xsd:string literals
-or STR(); nestable) and numeric ``STRLEN`` (pins the numeric branch,
-composes with arithmetic), FILTER
+preserved per spec), ``STRBEFORE/STRAFTER`` (first-occurrence split;
+lang carries only on a match, the no-match result is the simple empty
+literal), ``ENCODE_FOR_URI`` (the engine's RFC 3986 encoder; simple
+result) (arguments must be simple/lang/xsd:string literals
+or STR(); all nestable) and numeric ``STRLEN`` (pins the numeric
+branch, composes with arithmetic), FILTER
 regex(?v, "pattern"), the boolean tests ``[!]bound(?v)`` / ``isIRI``
 / ``isURI`` / ``isLiteral`` / ``isBlank`` (``!bound`` is SPARQL's
 standard left-join negation idiom; ``!isIRI(?v)`` on an unbound ?v is
@@ -1178,7 +1181,10 @@ class _Parser:
             return ("concat", args)
         return self._maybe_arith(self._operand())
 
-    _VALUE_FUNCS = ("ucase", "lcase", "strlen", "substr", "replace")
+    _VALUE_FUNCS = (
+        "ucase", "lcase", "strlen", "substr", "replace",
+        "strbefore", "strafter", "encode_for_uri",
+    )
 
     def _operand(self):
         kind, val = self._peek()
@@ -1199,10 +1205,19 @@ class _Parser:
                     f"{fn}() takes a ?var, STR(?var), string literal, or "
                     "nested string function"
                 )
-            if fn in ("ucase", "lcase"):
+            if fn in ("ucase", "lcase", "encode_for_uri"):
                 if self._next() != ("punct", ")"):
                     raise SparqlError(f"{fn}() needs ')'")
                 return ("sfn", fn, arg)
+            if fn in ("strbefore", "strafter"):
+                if self._next() != ("op", ","):
+                    raise SparqlError(f"{fn}() needs a separator")
+                k2, litv = self._next()
+                if k2 != "lit":
+                    raise SparqlError(f"{fn}() separator must be a string literal")
+                if self._next() != ("punct", ")"):
+                    raise SparqlError(f"{fn}() needs ')'")
+                return ("sfn2", fn, arg, litv[0])
             if fn == "strlen":
                 if self._next() != ("punct", ")"):
                     raise SparqlError("strlen() needs ')'")
@@ -1883,8 +1898,37 @@ def _term_parts(term, bound: set[str], scope: str = "the query"):
         if tag == "sfn":  # ucase/lcase preserve the language tag
             fn, arg = rest
             ok, lg, dt = string_arg(arg)
+            if fn == "encode_for_uri":
+                # the engine's own RFC 3986 encoder (functions/encoding);
+                # spec: result is a SIMPLE literal regardless of arg tag
+                from r2rml_parser_spark.functions.encoding import iri_safe_encode
+
+                return iri_safe_encode(ok), F.lit("literal"), F.lit(""), F.lit("")
             out = F.upper(ok) if fn == "ucase" else F.lower(ok)
             return out, F.lit("literal"), lg, dt
+        if tag == "sfn2":  # strbefore/strafter, first-occurrence split
+            fn, arg, sep = rest
+            ok, lg, dt = string_arg(arg)
+            if sep == "":
+                # spec: STRBEFORE(x,"") is "" simple; STRAFTER(x,"") is x
+                if fn == "strbefore":
+                    return F.when(ok.isNotNull(), F.lit("")), F.lit("literal"), F.lit(""), F.lit("")
+                return ok, F.lit("literal"), lg, dt
+            pos = F.instr(ok, sep)
+            if fn == "strbefore":
+                val = F.when(pos > 0, ok.substr(F.lit(1), pos - 1)).when(
+                    pos == 0, F.lit("")
+                )
+            else:
+                val = F.when(
+                    pos > 0,
+                    ok.substr(pos + len(sep), F.length(ok)),
+                ).when(pos == 0, F.lit(""))
+            # lang/dtype carry only when a match was found (spec: the
+            # no-match result is the SIMPLE empty literal)
+            out_lg = F.when(pos > 0, lg).otherwise(F.lit(""))
+            out_dt = F.when(pos > 0, dt).otherwise(F.lit(""))
+            return val, F.lit("literal"), out_lg, out_dt
         if tag == "sfn_len":  # numeric result
             (arg,) = rest
             ok, _, _ = string_arg(arg)

@@ -1526,3 +1526,25 @@ def test_nested_optional_rejections(graph):
             graph,
             "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { { ?p a ex:Person . OPTIONAL { ?p ex:knows ?q } } UNION { ?p ex:name ?x } }",
         )
+
+
+def test_strbefore_strafter_encode(graph, spark):
+    # STRAFTER to strip a namespace — the classic localname idiom
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?local WHERE { ?p a ex:Person .
+      BIND(STRAFTER(STR(?p), "http://ex.org/") AS ?local) }"""
+    got = {(r.p, r.local) for r in sparql_select(graph, q).collect()}
+    assert got == {(EX + "p1", "p1"), (EX + "p2", "p2")}
+    # STRBEFORE; no-match yields the SIMPLE empty literal
+    q2 = 'PREFIX ex: <http://ex.org/> SELECT ?n WHERE { ?p ex:name ?n . FILTER (STRBEFORE(?n, "d") = "A") }'
+    assert [r.n for r in sparql_select(graph, q2).collect()] == ["Ada"]
+    q3 = 'PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p ex:name ?n . FILTER (STRBEFORE(STR(?n), "zz") = "") }'
+    assert sparql_select(graph, q3).count() == 2
+    # lang carries only on a match: STRBEFORE("Grace"@en, "r") = "G"@en
+    q4 = 'PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p ex:name ?n . FILTER (STRBEFORE(?n, "r") = "G"@en) }'
+    assert [r.p for r in sparql_select(graph, q4).collect()] == [EX + "p2"]
+    # ENCODE_FOR_URI: RFC 3986, result is simple even for lang args
+    rows = [(EX + "d", "iri", EX + "t", "a b~c/d", "literal", "en", None)]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    q5 = 'PREFIX ex: <http://ex.org/> SELECT ?e WHERE { ?s ex:t ?v . BIND(ENCODE_FOR_URI(?v) AS ?e) FILTER (lang(?e) = "") }'
+    assert [r.e for r in sparql_select(g, q5).collect()] == ["a%20b~c%2Fd"]
