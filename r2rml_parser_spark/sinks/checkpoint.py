@@ -377,6 +377,24 @@ class GraphStore:
         df = self.spark.read.parquet(*dirs).select(*TRIPLE_COLUMNS)
         return df.dropDuplicates(TRIPLE_COLUMNS)
 
+    def query(self, sparql: str, prefixes: dict[str, str] | None = None) -> DataFrame:
+        """SPARQL SELECT straight over the persisted store.
+
+        BGP patterns with constant subjects/predicates compile to
+        equality filters that reach the parquet scan (PushedFilters),
+        where the range-clustering on (subj, pred, obj) prunes whole
+        files on min/max stats — the store-native query path the class
+        docstring describes."""
+        from r2rml_parser_spark.plans.sparql import sparql_select
+
+        return sparql_select(self.read(), sparql, prefixes)
+
+    def ask(self, sparql: str, prefixes: dict[str, str] | None = None) -> bool:
+        """SPARQL ASK over the persisted store."""
+        from r2rml_parser_spark.plans.sparql import sparql_ask
+
+        return sparql_ask(self.read(), sparql, prefixes)
+
 
 class IncrementalRunner:
     """Per-mapping incremental execution with skip + resume.

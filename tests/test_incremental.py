@@ -284,3 +284,18 @@ def test_store_is_range_clustered(spark, tmp_path):
 
     # the read path still returns the plain triple set
     assert store.read().count() == 400
+
+
+def test_store_query_and_ask(spark, engine, tmp_path):
+    """SPARQL directly over the persisted store (GraphStore.query):
+    constant-pred BGP reaches the clustered parquet scan as a pushed
+    filter; ASK probes emptiness."""
+    store = GraphStore(spark, str(tmp_path / "g"))
+    IncrementalRunner(engine, store).run()
+    out = store.query(
+        'PREFIX ex: <http://ex.org/> SELECT ?s ?v WHERE { ?s ex:v ?v . FILTER (?v != "z") }'
+    )
+    got = {(r.s, r.v) for r in out.collect()}
+    assert got == {("http://x/a/1", "x"), ("http://x/a/2", "y")}
+    assert store.ask('PREFIX ex: <http://ex.org/> ASK { ?s ex:v "z" }') is True
+    assert store.ask('PREFIX ex: <http://ex.org/> ASK { ?s ex:v "nope" }') is False
