@@ -68,7 +68,8 @@ result) (arguments must be simple/lang/xsd:string literals
 or STR(); all nestable) and numeric ``STRLEN`` (pins the numeric
 branch, composes with arithmetic), FILTER
 regex(?v, "pattern"), the boolean tests ``[!]bound(?v)`` / ``isIRI``
-/ ``isURI`` / ``isLiteral`` / ``isBlank`` (``!bound`` is SPARQL's
+/ ``isURI`` / ``isLiteral`` / ``isBlank`` / ``isNumeric``
+(numeric-typed literal with a valid lexical form) (``!bound`` is SPARQL's
 standard left-join negation idiom; ``!isIRI(?v)`` on an unbound ?v is
 a type error → row dropped, while ``!bound`` is true there), and the
 string tests ``CONTAINS/STRSTARTS/STRENDS(?v|STR(?v), "s")`` (a
@@ -216,7 +217,9 @@ _DECIMAL = "decimal(38,12)"
 _AGG_FUNCS = frozenset(
     {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
 )
-_BOOL_FUNCS = frozenset({"bound", "isiri", "isuri", "isliteral", "isblank"})
+_BOOL_FUNCS = frozenset(
+    {"bound", "isiri", "isuri", "isliteral", "isblank", "isnumeric"}
+)
 _STR_FUNCS = frozenset({"contains", "strstarts", "strends"})
 
 
@@ -2109,6 +2112,16 @@ def _compile_bool(node, bound: set[str], scope: str = "the query") -> "F.Column"
             _check_bound(name, f"{fn}()")
             if fn == "bound":
                 return F.col(name).isNotNull()
+            if fn == "isnumeric":
+                # SPARQL 1.1: true iff a literal with a NUMERIC datatype
+                # and a VALID lexical form; unbound → error → dropped
+                k, _, dt = _shadow_cols(name)
+                return F.when(
+                    F.col(k).isNotNull(),
+                    (F.col(k) == "literal")
+                    & F.col(dt).isin(*sorted(XSD_NUMERIC))
+                    & F.col(name).try_cast(_DECIMAL).isNotNull(),
+                )
             kind = {"isiri": "iri", "isuri": "iri",
                     "isliteral": "literal", "isblank": "bnode"}[fn]
             # an OPTIONAL-unbound operand is a type error for the is*

@@ -1548,3 +1548,18 @@ def test_strbefore_strafter_encode(graph, spark):
     g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
     q5 = 'PREFIX ex: <http://ex.org/> SELECT ?e WHERE { ?s ex:t ?v . BIND(ENCODE_FOR_URI(?v) AS ?e) FILTER (lang(?e) = "") }'
     assert [r.e for r in sparql_select(g, q5).collect()] == ["a%20b~c%2Fd"]
+
+
+def test_isnumeric(numeric_graph, graph):
+    # typed integers pass; plain numeric strings are xsd:string → false
+    q = "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:age ?n . FILTER isNumeric(?n) }"
+    assert sparql_select(numeric_graph, q).count() == 3
+    q2 = "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:score ?n . FILTER isNumeric(?n) }"
+    assert sparql_select(numeric_graph, q2).count() == 0
+    # negated form: plain strings and the IRI object pass !isNumeric
+    q3 = "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:score ?n . FILTER (!isNumeric(?n)) }"
+    assert sparql_select(numeric_graph, q3).count() == 4
+    # OPTIONAL-unbound is an error → dropped under both forms
+    q4 = """PREFIX ex: <http://ex.org/> SELECT ?p WHERE {
+      ?p a ex:Person . OPTIONAL { ?p ex:none ?x } FILTER (!isNumeric(?x)) }"""
+    assert sparql_select(graph, q4).count() == 0
