@@ -23,7 +23,9 @@ the lexical form, matching the reference's
 ``getLiteralLexicalForm``/resource-URI behavior.
 
 Supported subset (documented): PREFIX decls, SELECT [DISTINCT] with
-``?var`` and ``(AGG([DISTINCT] ?v|*) AS ?alias)`` items or ``*``,
+``?var``, ``(AGG([DISTINCT] ?v|*) AS ?alias)``, and non-aggregate
+``(expr AS ?alias)`` projection-expression items (sugar for a
+trailing BIND, so any BIND expression works) or ``*``,
 WHERE { t1 . t2 ... } with IRIs (<...> or pfx:local or ``a``),
 plain/lang/typed literals, variables in any position, fixed-length
 property paths in predicate position (sequence ``p1/p2`` and inverse
@@ -603,6 +605,7 @@ class _Parser:
         items: list[tuple] | None = []
         template: list[tuple] = []
         describe: list = []
+        select_binds: list[tuple[object, str]] = []
         if form == "DESCRIBE":
             items = None
             while True:
@@ -669,7 +672,26 @@ class _Parser:
                     if self._peek()[0] == "var":
                         items.append(("var", str(self._next()[1])))
                     elif self._peek() == ("punct", "("):
-                        items.append(self._agg_item())
+                        nk, nv = self._peek2()
+                        if nk == "kw" and str(nv).upper() in _AGG_FUNCS:
+                            items.append(self._agg_item())
+                        else:
+                            # (expr AS ?alias) projection — sugar for a
+                            # trailing BIND (SPARQL 1.1 §18.2.4.4)
+                            self._next()  # (
+                            expr = self._bind_expr()
+                            if not self._kw_is("AS"):
+                                raise SparqlError(
+                                    "projection expressions need AS: (expr AS ?alias)"
+                                )
+                            self._next()
+                            ka, va = self._next()
+                            if ka != "var":
+                                raise SparqlError("AS takes a ?alias variable")
+                            if self._next() != ("punct", ")"):
+                                raise SparqlError("projection expression needs ')'")
+                            items.append(("var", str(va)))
+                            select_binds.append((expr, str(va)))
                     else:
                         break
                 if not items:
@@ -924,6 +946,7 @@ class _Parser:
             raise SparqlError("CONSTRUCT does not take GROUP BY")
         if not patterns and not unions and not subselects:
             raise SparqlError("empty graph pattern (OPTIONAL needs a required part)")
+        binds.extend(select_binds)  # SELECT exprs evaluate after WHERE BINDs
         return SimpleNamespace(
             form=form, items=items, distinct=distinct, patterns=patterns,
             unions=unions, optionals=optionals, filters=filters,

@@ -1563,3 +1563,24 @@ def test_isnumeric(numeric_graph, graph):
     q4 = """PREFIX ex: <http://ex.org/> SELECT ?p WHERE {
       ?p a ex:Person . OPTIONAL { ?p ex:none ?x } FILTER (!isNumeric(?x)) }"""
     assert sparql_select(graph, q4).count() == 0
+
+
+def test_select_projection_expressions(graph, numeric_graph):
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p (UCASE(STR(?n)) AS ?up) WHERE { ?p ex:name ?n }"""
+    got = {(r.p, r.up) for r in sparql_select(graph, q).collect()}
+    assert got == {(EX + "p1", "ADA"), (EX + "p2", "GRACE")}
+    # arithmetic projection + ORDER BY the alias
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT ?s (?n * 2 AS ?dbl) WHERE { ?s ex:age ?n } ORDER BY DESC(?dbl) LIMIT 1"""
+    assert [(r.s, r.dbl) for r in sparql_select(numeric_graph, q2).collect()] == [
+        (EX + "c", "22")
+    ]
+    # projection expr may reference a WHERE BIND var
+    q3 = """PREFIX ex: <http://ex.org/>
+    SELECT (CONCAT(?g, "!") AS ?loud) WHERE {
+      ?p ex:name ?n . BIND(CONCAT("hi ", STR(?n)) AS ?g) }"""
+    got3 = {r.loud for r in sparql_select(graph, q3).collect()}
+    assert got3 == {"hi Ada!", "hi Grace!"}
+    with pytest.raises(SparqlError):  # alias collides with bound var
+        sparql_select(graph, 'PREFIX ex: <http://ex.org/> SELECT (STR(?n) AS ?n) WHERE { ?p ex:name ?n }')
