@@ -1584,3 +1584,48 @@ def test_select_projection_expressions(graph, numeric_graph):
     assert got3 == {"hi Ada!", "hi Grace!"}
     with pytest.raises(SparqlError):  # alias collides with bound var
         sparql_select(graph, 'PREFIX ex: <http://ex.org/> SELECT (STR(?n) AS ?n) WHERE { ?p ex:name ?n }')
+
+
+MALFORMED = [
+    "",
+    "SELECT",
+    "SELECT ?x",
+    "SELECT ?x WHERE",
+    "SELECT ?x WHERE {",
+    "SELECT ?x WHERE { ?s ?p }",
+    "SELECT ?x WHERE { ?s ?p ?o",
+    "SELECT ?x WHERE { ?s ?p ?o } LIMIT",
+    "SELECT ?x WHERE { ?s ?p ?o } LIMIT -1",
+    "SELECT ?x WHERE { ?s ?p ?o } GROUP",
+    "SELECT ?x WHERE { ?s ?p ?o . FILTER }",
+    "SELECT ?x WHERE { ?s ?p ?o . FILTER ( }",
+    "SELECT ?x WHERE { ?s ?p ?o . FILTER (?x = ) }",
+    "SELECT ?x WHERE { ?s ?p ?o . FILTER (?x IN ?y) }",
+    "SELECT ?x WHERE { ?s ?p ?o . FILTER regex(?x) }",
+    "SELECT ?x WHERE { ?s ?p ?o . BIND(?x) }",
+    "SELECT ?x WHERE { ?s ?p ?o . BIND( AS ?y) }",
+    "SELECT (COUNT(?x AS ?n) WHERE { ?s ?p ?o }",
+    "SELECT ?x WHERE { ?s ?p ?o . VALUES }",
+    "SELECT ?x WHERE { ?s ?p ?o . OPTIONAL }",
+    "SELECT ?x WHERE { { ?s ?p ?o } UNION }",
+    "SELECT ?x WHERE { ?s ?p ?o } ORDER BY",
+    "SELECT ?x WHERE { ?s unknownpfx:p ?o }",
+    "PREFIX ex <http://x> SELECT ?x WHERE { ?s ?p ?o }",
+    "SELECT ?x WHERE { ?s ex:p/ ?o }",
+    "SELECT ?x WHERE { ?s ^ ?o }",
+    "SELECT ?x WHERE { ?s !( ?o }",
+    "CONSTRUCT WHERE { ?s ?p ?o }",
+    "DESCRIBE",
+    "ASK",
+    'SELECT ?x WHERE { ?s ?p "unterminated }',
+    "SELECT ?x WHERE { ?s ?p ?o } HAVING (?x > 1)",
+    "SELECT ?x WHERE { { SELECT } }",
+]
+
+
+def test_malformed_queries_raise_cleanly(graph):
+    """Every malformed query fails with SparqlError — never an
+    IndexError/KeyError/Py4J traceback (reject, don't crash)."""
+    for q in MALFORMED:
+        with pytest.raises(SparqlError):
+            sparql_select(graph, q)
