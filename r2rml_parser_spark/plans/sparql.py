@@ -2860,10 +2860,15 @@ def sparql_describe(
             )
             seeds = vdf if seeds is None else seeds.unionByName(vdf).distinct()
     assert seeds is not None
+    # broadcast only when the described set is actually small — a forced
+    # broadcast cannot be demoted by AQE, and DESCRIBE ?v WHERE {...}
+    # can bind corpus-sized sets; the count is free here (DESCRIBE is
+    # eager anyway for the bnode-closure loop)
+    small_seeds = seeds.count() <= 1_000_000
 
     def outgoing(s: DataFrame) -> DataFrame:
         return triples.join(
-            F.broadcast(s),
+            F.broadcast(s) if small_seeds else s,
             (F.col("subj") == F.col("_v")) & (F.col("subj_kind") == F.col("_k")),
             "left_semi",
         )
