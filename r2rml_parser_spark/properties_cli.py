@@ -23,8 +23,9 @@ engine behavior):
                                      the TDB re-imagination, SURVEY §2.4)
   jena.cleanTdbOnStartup             wipe the store dir first
   jena.destinationFileName /         sorted N-Triples dump for N3 /
-    jena.destinationFileSyntax       N-TRIPLE / NT (output is the NT
-                                     subset of N3); RDF/XML and
+    jena.destinationFileSyntax       N-TRIPLE / NT, TURTLE / TTL / N3
+                                     (sinks.turtle — every Turtle doc
+                                     is valid N3), RDF/XML and
                                      RDF/XML-ABBREV via sinks.rdfxml
   jena.showXmlDeclaration            leading <?xml ...?> on RDF/XML
                                      dumps (Generator.java:653-660)
@@ -264,6 +265,11 @@ def run_properties(
                 xml_declaration=_flag(props, "jena.showXmlDeclaration"),
                 abbrev="ABBREV" in syntax,
             )
+        elif _FORMATS.get(syntax) == "turtle":
+            from r2rml_parser_spark.sinks.turtle import dump_string as ttl_dump
+
+            with open(p(dest), "w", encoding="utf-8") as f:
+                f.write(ttl_dump(triples.select(*TRIPLE_COLUMNS)))
         else:
             write_sorted(triples.select(*TRIPLE_COLUMNS), p(dest))
         summary["dump"] = dest

@@ -179,6 +179,12 @@ class _Parser:
             return IRI(_resolve(self.base, unescape_literal(v[1:-1])))
         if kind == "pname":
             prefix, _, local = v.partition(":")
+            if prefix == "_":
+                # labeled blank node (Turtle BLANK_NODE_LABEL) — used by
+                # the engine's own dump sink, not by mapping documents
+                if position == "predicate":
+                    raise TurtleParseError("a blank node cannot be a predicate")
+                return BNode(local)
             if prefix not in self.prefixes:
                 raise TurtleParseError(f"undeclared prefix {prefix!r} in {v!r}")
             return IRI(self.prefixes[prefix] + local)

@@ -202,3 +202,41 @@ def test_triples_df_from_rdf_turtle(spark):
     assert (row.subj, row.pred, row.obj, row.obj_kind, row.lang) == (
         "http://e/s", "http://e/p", "v", "literal", "en",
     )
+
+
+def test_run_properties_turtle_dump(spark, tmp_path):
+    """jena.destinationFileSyntax=TURTLE writes a Turtle document that
+    parses back isomorphic to the generated graph (reference syntax
+    list: r2rml.properties — TURTLE/TTL/N3 are valid values)."""
+    from r2rml_parser_spark.rdf.isomorphism import isomorphic
+    from r2rml_parser_spark.rdf.turtle import parse_ntriples, parse_turtle
+    from r2rml_parser_spark.sinks.ntriples import dump_string as nt_dump
+
+    (tmp_path / "mapping.ttl").write_text(MAPPING_TTL)
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    src.write.parquet(str(tables / "nation.parquet"))
+    props = load_properties(
+        "mapping.file=mapping.ttl\n"
+        "mapping.file.type=TURTLE\n"
+        "default.namespace=http://example.com/base#\n"
+        "spark.tables.dir=tables\n"
+        "jena.destinationFileName=dump.ttl\n"
+        "jena.destinationFileSyntax=TURTLE\n"
+    )
+    summary = run_properties(spark, props, base_dir=str(tmp_path))
+    doc = (tmp_path / "dump.ttl").read_text()
+    got, _p, _b = parse_turtle(doc)
+    assert len(got) == summary["triples"]
+    # regenerate the same triples for the NT twin
+    from r2rml_parser_spark.mapping.parse import parse_mapping_document
+    from r2rml_parser_spark.plans.engine import MappingEngine
+
+    doc2 = parse_mapping_document(MAPPING_TTL)
+    eng = MappingEngine(spark, doc2, sources={"nation": src},
+                        base_ns="http://example.com/base#")
+    eng.register_sources()
+    want = parse_ntriples(nt_dump(eng.triples()))
+    assert isomorphic(got, want)
+    assert doc.startswith("@prefix")
