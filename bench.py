@@ -43,6 +43,10 @@ HEADLINE = [
     "text_quality",
     "ann_cosine_topk",
     "connected_components",
+    # r3 addition (new key; r1/r2 names unchanged): the SPARQL engine's
+    # aggregate-subquery-join over the freshly built TPC-H KG — build +
+    # query, timing the query surface itself
+    "sparql_subquery_kg",
 ]
 
 
