@@ -139,6 +139,23 @@ def q_sparql_groupconcat_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tpch_sparql_groupconcat(spark, sf_dir)
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language quota sample (training-data curation
+    op): ≤20 docs per lang by md5(doc_id) order."""
+    from r2rml_parser_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    return stratified_sample(docs, "lang", 20)
+
+
+def q_proportional_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~25% corpus sample via the md5 hex-prefix cut."""
+    from r2rml_parser_spark.operators.sampling import proportional_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return proportional_sample(docs, 0.25)
+
+
 def q_span_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     from r2rml_parser_spark.sources.docs import span_view, synth_docs
 
@@ -319,6 +336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_groupconcat_kg": q_sparql_groupconcat_kg,
         "span_view": q_span_view,
         "mentions": q_mentions,
+        "stratified_sample": q_stratified_sample,
+        "proportional_sample": q_proportional_sample,
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
         "neardup_pairs": q_neardup_pairs,
@@ -394,6 +413,8 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "sparql_groupconcat_kg": TPCH_SPARQL_GROUPCONCAT_ORACLE_SQL,
         "span_view": span_sql,
         "mentions": mentions_oracle_sql(SPAN_VIEW_ORACLE_SQL),
+        "stratified_sample": oracles.stratified_sample_sql(20),
+        "proportional_sample": oracles.proportional_sample_sql(0.25),
         "dedup_exact": oracles.DEDUP_EXACT_SQL,
         "minhash_bands": oracles.minhash_bands_sql(),
         "neardup_pairs": oracles.neardup_pairs_sql(0.8),

@@ -1,0 +1,73 @@
+"""Deterministic sampling for training-data pipelines.
+
+Web-scale corpora are curated by QUOTA, not by uniform rate: "k
+documents per language", "n examples per source domain", "cap every
+near-dup cluster at one representative plus m alternates". The
+operators here implement that as Spark window functions with a
+DETERMINISTIC pseudo-random order — ``md5(id)`` — so a run is exactly
+reproducible across engines (DuckDB's md5 agrees byte-for-byte, which
+is what lets the driver oracle replay the sample), across retries, and
+across cluster sizes.
+
+Scale notes: one shuffle on the group key (the window partition);
+within-group ordering sorts that partition only, and Spark's window
+rank spills rather than OOMs. A single pathologically hot group (one
+language dominating a web crawl) serializes into one task; the
+mitigation is the standard salt-the-key pattern — call
+``stratified_sample`` on ``concat(group, salt)`` with a per-salt quota
+of k/s (exact when k is a multiple of s), the same recipe the dedup
+operators document for hot keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sample_rank(id_col: Column) -> Column:
+    """The deterministic shuffle key: md5 of the stringified id."""
+    return F.md5(id_col.cast("string"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """At most ``k`` rows per ``group_col`` value, chosen by the
+    deterministic md5 order of ``id_col`` — a reproducible per-stratum
+    quota sample (selection probability is uniform within each group
+    because md5 is uniform over distinct ids)."""
+    w = Window.partitionBy(group_col).orderBy(
+        sample_rank(F.col(id_col)), F.col(id_col).cast("string")
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def proportional_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """A deterministic ~``fraction`` sample: keep ids whose md5 falls
+    below the fraction of the hex space. Exactly reproducible (same
+    ids survive every run and engine), no shuffle at all — the
+    predicate pushes into the scan."""
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if fraction >= 1.0:
+        return df
+    # fixed-width lowercase hex compares LEXICOGRAPHICALLY exactly like
+    # the number it encodes, so the cut is a plain string predicate —
+    # pushdown-friendly in Spark and byte-identical in the DuckDB
+    # oracle (15 hex digits = 60 bits of the md5)
+    bound_hex = format(int(fraction * (1 << 60)), "015x")
+    return df.where(
+        F.substring(sample_rank(F.col(id_col)), 1, 15) < F.lit(bound_hex)
+    )

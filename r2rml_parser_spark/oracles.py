@@ -316,3 +316,29 @@ SELECT doc_id,
   round(CASE WHEN {n_alpha} > 0 THEN CAST({sum_alpha} AS DOUBLE) / {n_alpha} ELSE 0.0 END, 6) AS mean_word_len
 FROM documents
 """
+
+
+def stratified_sample_sql(k: int = 20) -> str:
+    """DuckDB twin of operators.sampling.stratified_sample over the
+    documents table: row_number per lang in md5(doc_id) order (DuckDB
+    md5 agrees with Spark's byte-for-byte on the same string)."""
+    return f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)
+         ) AS rn
+  FROM documents
+) WHERE rn <= {k}
+"""
+
+
+def proportional_sample_sql(fraction: float = 0.25) -> str:
+    """DuckDB twin of operators.sampling.proportional_sample: the same
+    15-hex-digit md5 prefix cut as a string comparison."""
+    bound_hex = format(int(fraction * (1 << 60)), "015x")
+    return f"""
+SELECT doc_id FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) < '{bound_hex}'
+"""

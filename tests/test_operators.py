@@ -468,3 +468,40 @@ def test_synth_span_rows_equals_array_form(spark):
     assert a.schema == b.schema
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_stratified_sample_deterministic_quota(spark):
+    from r2rml_parser_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = stratified_sample(df, "lang", 5)
+    got = {(r.lang) for r in out.collect()}
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 5, "de": 5}
+    # deterministic: same ids under repartition/reordering
+    ids1 = sorted(r.doc_id for r in out.collect())
+    out2 = stratified_sample(df.repartition(7).sort(F.desc("doc_id")), "lang", 5)
+    assert sorted(r.doc_id for r in out2.collect()) == ids1
+    # a group smaller than k survives whole
+    small = stratified_sample(df.where("doc_id < 4"), "lang", 10)
+    assert small.count() == 4
+
+
+def test_proportional_sample_deterministic(spark):
+    from r2rml_parser_spark.operators.sampling import proportional_sample
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["doc_id"])
+    out = proportional_sample(df, 0.25)
+    n = out.count()
+    assert 400 < n < 600  # ~500 expected, md5-uniform
+    ids = sorted(r.doc_id for r in out.collect())
+    assert sorted(r.doc_id for r in proportional_sample(df.repartition(5), 0.25).collect()) == ids
+    # nested fractions: a 0.1 sample is a subset of the 0.25 sample
+    sub = sorted(r.doc_id for r in proportional_sample(df, 0.1).collect())
+    assert set(sub) <= set(ids)
+    assert proportional_sample(df, 0.0).count() == 0
+    assert proportional_sample(df, 1.0).count() == 2000
+    with _pytest.raises(ValueError):
+        proportional_sample(df, 1.5)
