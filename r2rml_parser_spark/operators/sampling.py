@@ -71,3 +71,33 @@ def proportional_sample(
     return df.where(
         F.substring(sample_rank(F.col(id_col)), 1, 15) < F.lit(bound_hex)
     )
+
+
+def cap_clusters(
+    df: DataFrame,
+    edges: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cap every near-dup CLUSTER at ``k`` deterministic survivors.
+
+    The standard web-curation recipe: near-dup edges (from
+    ``neardup_edges``) → connected components → at most ``k`` rows per
+    component, md5-ordered. Rows that appear in no edge are their own
+    singleton cluster and always survive (k ≥ 1). Composition of the
+    existing operators — components assignment broadcasts when small,
+    the quota is one window over the component key."""
+    if k < 1:
+        raise ValueError(f"k must be ≥ 1, got {k}")
+    from r2rml_parser_spark.operators.components import connected_components
+
+    assign = connected_components(edges)  # (node, component)
+    joined = df.join(
+        assign.withColumnRenamed("node", id_col),
+        on=id_col,
+        how="left",
+    ).withColumn(
+        "_cluster",
+        F.coalesce(F.col("component"), F.col(id_col).cast("string")),
+    ).drop("component")
+    return stratified_sample(joined, "_cluster", k, id_col=id_col).drop("_cluster")

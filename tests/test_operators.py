@@ -505,3 +505,24 @@ def test_proportional_sample_deterministic(spark):
     assert proportional_sample(df, 1.0).count() == 2000
     with _pytest.raises(ValueError):
         proportional_sample(df, 1.5)
+
+
+def test_cap_clusters(spark):
+    from r2rml_parser_spark.operators.sampling import cap_clusters
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(10)], ["doc_id", "text"])
+    # {0,1,2} and {5,6} are near-dup clusters; the rest are singletons
+    edges = spark.createDataFrame([(0, 1), (1, 2), (5, 6)], ["u", "v"])
+    out = cap_clusters(docs, edges, 1)
+    kept = sorted(r.doc_id for r in out.collect())
+    # one survivor per cluster + all 5 singletons = 7
+    assert len(kept) == 7
+    assert len(set(kept) & {0, 1, 2}) == 1 and len(set(kept) & {5, 6}) == 1
+    assert {3, 4, 7, 8, 9} <= set(kept)
+    # deterministic under reordering
+    out2 = cap_clusters(docs.repartition(5), edges, 1)
+    assert sorted(r.doc_id for r in out2.collect()) == kept
+    # k=2 keeps both of the pair cluster
+    out3 = cap_clusters(docs, edges, 2)
+    kept3 = set(r.doc_id for r in out3.collect())
+    assert {5, 6} <= kept3 and len(kept3 & {0, 1, 2}) == 2
