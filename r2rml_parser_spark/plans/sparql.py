@@ -18,7 +18,10 @@ datatype IRI — the latter two coalesced to '' so they stay
 equi-joinable) through the joins, so two distinct RDF TERMS never
 conflate: an IRI and a literal with equal lexical forms, or ``"x"@en``
 vs ``"x"@fr``, or ``"5"`` vs ``"5"^^xsd:int``, are all kept apart in
-joins, DISTINCT, GROUP BY, and =/!= FILTERs. The projected binding is
+joins, DISTINCT (which dedups SOLUTIONS on full term keys before the
+lexical projection, so two distinct terms with equal lexical forms
+yield two identical output rows, per spec), GROUP BY, and =/!=
+FILTERs. The projected binding is
 the lexical form, matching the reference's
 ``getLiteralLexicalForm``/resource-URI behavior.
 
@@ -2708,8 +2711,15 @@ def _compile(triples: DataFrame, parsed: SimpleNamespace) -> DataFrame:
         missing = [v for v in proj if v not in bound]
         if missing:
             raise SparqlError(f"projected variables never bound: {missing}")
+        if distinct:
+            # SPARQL DISTINCT eliminates duplicate SOLUTIONS — distinct
+            # TERM bindings, not distinct output strings: "x" and
+            # "x"@en are different solutions and both project (as two
+            # identical lexical rows), so dedup on the full term keys
+            # BEFORE the lexical projection
+            df = df.dropDuplicates([x for v in proj for x in _term_key(v)])
         out = df.select(*proj)
-    if distinct:
+    if distinct and (has_aggs or group_by):
         out = out.dropDuplicates()
     if order:
         missing_order = [v for v, _ in order if v not in proj]

@@ -1235,11 +1235,11 @@ def test_path_alternation(graph):
     q = "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ?p ex:knows|ex:note ?o }"
     got = [r.o for r in sparql_select(graph, q).collect()]
     assert sorted(got) == [EX + "p2", EX + "p2"]
-    # the two alternatives bind different TERM kinds (iri vs literal) —
-    # both kept; DISTINCT still sees them as separate output rows only
-    # if lexically distinct (they are not here)
+    # the two alternatives bind different TERMS (IRI p2 vs literal
+    # "p2") — DISTINCT dedups SOLUTIONS on full term keys, so both
+    # survive as two (lexically identical) rows, per SPARQL §18.5
     q2 = "PREFIX ex: <http://ex.org/> SELECT DISTINCT ?o WHERE { ?p ex:knows|ex:note ?o }"
-    assert sparql_select(graph, q2).count() == 1
+    assert sparql_select(graph, q2).count() == 2
     # alternation with inverse element + join with another pattern
     q3 = """PREFIX ex: <http://ex.org/>
     SELECT ?x ?n WHERE { ?x ex:knows|^ex:knows ?y . ?y ex:name ?n }"""
@@ -1629,3 +1629,19 @@ def test_malformed_queries_raise_cleanly(graph):
     for q in MALFORMED:
         with pytest.raises(SparqlError):
             sparql_select(graph, q)
+
+
+def test_distinct_is_term_level(spark):
+    # "x" and "x"@en are DIFFERENT solutions: DISTINCT keeps both
+    # (projecting to two identical lexical rows), per SPARQL §18.5
+    rows = [
+        (EX + "1", "iri", EX + "v", "x", "literal", None, None),
+        (EX + "2", "iri", EX + "v", "x", "literal", "en", None),
+        (EX + "3", "iri", EX + "v", "x", "literal", None, None),
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    q = "PREFIX ex: <http://ex.org/> SELECT DISTINCT ?v WHERE { ?s ex:v ?v }"
+    assert sparql_select(g, q).count() == 2
+    # truly equal terms still collapse
+    q2 = "PREFIX ex: <http://ex.org/> SELECT DISTINCT ?s ?v WHERE { ?s ex:v ?v }"
+    assert sparql_select(g, q2).count() == 3
