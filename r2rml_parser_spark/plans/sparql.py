@@ -147,7 +147,9 @@ non-aggregated projected variable must be a group key; DISTINCT
 inside SUM/AVG/MIN/MAX is rejected), VALUES ?x { ... } / VALUES
 (?x ?y) { (...) ... } inline constant bindings (bag semantics,
 compiled to a broadcast join; UNDEF rejected), ORDER BY
-[ASC()|DESC()] over projected variables/aliases, and LIMIT/OFFSET in
+[ASC()|DESC()] over projected variables/aliases (value-aware: rows
+parsing as numbers order by VALUE before non-numeric rows, the rest
+by codepoint; DESC is the exact reverse), and LIMIT/OFFSET in
 either order, and HAVING (expr) over projected aliases/group keys
 (compiled as a post-aggregation filter on the naturally-typed output
 columns; composes with !/&&/||).
@@ -2663,9 +2665,7 @@ def _compile_subselect(
         missing_order = [v for v, _ in sub.order if v not in proj]
         if missing_order:
             raise SparqlError(f"ORDER BY variables must be projected: {missing_order}")
-        out = out.orderBy(
-            *[F.col(v).desc() if desc else F.col(v).asc() for v, desc in sub.order]
-        )
+        out = out.orderBy(*_order_keys(sub.order))
     if sub.offset is not None:
         out = out.offset(sub.offset)
     if sub.limit is not None:
@@ -2727,14 +2727,30 @@ def _compile(triples: DataFrame, parsed: SimpleNamespace) -> DataFrame:
             raise SparqlError(
                 f"ORDER BY variables must be projected: {missing_order}"
             )
-        out = out.orderBy(
-            *[F.col(v).desc() if desc else F.col(v).asc() for v, desc in order]
-        )
+        out = out.orderBy(*_order_keys(order))
     if offset is not None:
         out = out.offset(offset)  # SPARQL slice: skip OFFSET, then take LIMIT
     if limit is not None:
         out = out.limit(limit)
     return out
+
+
+def _order_keys(order: list[tuple[str, bool]]) -> list["F.Column"]:
+    """ORDER BY sort keys, value-aware: rows whose binding parses as a
+    number order BY VALUE and come before non-numeric rows; the rest
+    order by codepoint on the lexical form (SPARQL's total order
+    within each comparable class; DESC is the exact reverse). Columns
+    that are already numeric (aggregate aliases) try_cast to
+    themselves, so they keep plain numeric ordering."""
+    keys: list[F.Column] = []
+    for v, desc in order:
+        num = F.col(v).try_cast(_DECIMAL)
+        flag = num.isNull()
+        if desc:
+            keys += [flag.desc(), num.desc(), F.col(v).desc()]
+        else:
+            keys += [flag.asc(), num.asc(), F.col(v).asc()]
+    return keys
 
 
 def sparql_construct(
@@ -2764,9 +2780,7 @@ def sparql_construct(
         missing_order = [v for v, _ in order if v not in bound]
         if missing_order:
             raise SparqlError(f"ORDER BY variables never bound: {missing_order}")
-        df = df.orderBy(
-            *[F.col(v).desc() if desc else F.col(v).asc() for v, desc in order]
-        )
+        df = df.orderBy(*_order_keys(order))
     if offset is not None:
         df = df.offset(offset)
     if limit is not None:

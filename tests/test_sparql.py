@@ -445,7 +445,8 @@ def test_aggregate_order_by_alias_and_limit(numeric_graph):
     SELECT ?n (COUNT(?s) AS ?c) WHERE { ?s ex:age ?n }
     GROUP BY ?n ORDER BY DESC(?c) ?n LIMIT 2"""
     got = [(r.n, r.c) for r in sparql_select(numeric_graph, q).collect()]
-    assert got == [("10", 1), ("11", 1)]
+    # tiebreak on ?n is VALUE-aware (r3): 9 < 10, not "10" < "9"
+    assert got == [("9", 1), ("10", 1)]
 
 
 def test_group_by_without_aggregates_is_distinct_terms(graph):
@@ -1645,3 +1646,18 @@ def test_distinct_is_term_level(spark):
     # truly equal terms still collapse
     q2 = "PREFIX ex: <http://ex.org/> SELECT DISTINCT ?s ?v WHERE { ?s ex:v ?v }"
     assert sparql_select(g, q2).count() == 3
+
+
+def test_order_by_is_value_aware(numeric_graph, spark):
+    # typed integers order numerically: 9 < 10 < 11 (not "10" < "11" < "9")
+    q = "PREFIX ex: <http://ex.org/> SELECT ?n WHERE { ?s ex:age ?n } ORDER BY ?n"
+    assert [r.n for r in sparql_select(numeric_graph, q).collect()] == ["9", "10", "11"]
+    q2 = "PREFIX ex: <http://ex.org/> SELECT ?n WHERE { ?s ex:age ?n } ORDER BY DESC(?n)"
+    assert [r.n for r in sparql_select(numeric_graph, q2).collect()] == ["11", "10", "9"]
+    # mixed: numbers by value first, then non-numerics by codepoint
+    q3 = "PREFIX ex: <http://ex.org/> SELECT ?n WHERE { ?s ex:score ?n } ORDER BY ?n"
+    got = [r.n for r in sparql_select(numeric_graph, q3).collect()]
+    assert got == ["9", "11", "http://ex.org/big", "lots"]
+    # DESC is the exact reverse
+    q4 = "PREFIX ex: <http://ex.org/> SELECT ?n WHERE { ?s ex:score ?n } ORDER BY DESC(?n)"
+    assert [r.n for r in sparql_select(numeric_graph, q4).collect()] == list(reversed(got))
