@@ -69,7 +69,7 @@ string-valued functions ``UCASE/LCASE/SUBSTR/REPLACE`` (language tags
 preserved per spec), ``STRBEFORE/STRAFTER`` (first-occurrence split;
 lang carries only on a match, the no-match result is the simple empty
 literal), ``ENCODE_FOR_URI`` (the engine's RFC 3986 encoder; simple
-result) (arguments must be simple/lang/xsd:string literals
+result), ``MD5/SHA1/SHA256`` (lowercase-hex simple literals) (arguments must be simple/lang/xsd:string literals
 or STR(); all nestable) and numeric ``STRLEN`` (pins the numeric
 branch, composes with arithmetic), FILTER
 regex(?v, "pattern"), the boolean tests ``[!]bound(?v)`` / ``isIRI``
@@ -1215,6 +1215,7 @@ class _Parser:
     _VALUE_FUNCS = (
         "ucase", "lcase", "strlen", "substr", "replace",
         "strbefore", "strafter", "encode_for_uri",
+        "md5", "sha1", "sha256",
     )
 
     def _operand(self):
@@ -1236,7 +1237,7 @@ class _Parser:
                     f"{fn}() takes a ?var, STR(?var), string literal, or "
                     "nested string function"
                 )
-            if fn in ("ucase", "lcase", "encode_for_uri"):
+            if fn in ("ucase", "lcase", "encode_for_uri", "md5", "sha1", "sha256"):
                 if self._next() != ("punct", ")"):
                     raise SparqlError(f"{fn}() needs ')'")
                 return ("sfn", fn, arg)
@@ -1935,6 +1936,16 @@ def _term_parts(term, bound: set[str], scope: str = "the query"):
                 from r2rml_parser_spark.functions.encoding import iri_safe_encode
 
                 return iri_safe_encode(ok), F.lit("literal"), F.lit(""), F.lit("")
+            if fn in ("md5", "sha1", "sha256"):
+                # SPARQL 1.1 hash functions (the reference's own MD5
+                # lives in UtilImpl.md5 — here it is the same JVM
+                # digest, as a lowercase-hex simple literal)
+                hashed = {
+                    "md5": F.md5(ok),
+                    "sha1": F.sha1(ok),
+                    "sha256": F.sha2(ok, 256),
+                }[fn]
+                return hashed, F.lit("literal"), F.lit(""), F.lit("")
             out = F.upper(ok) if fn == "ucase" else F.lower(ok)
             return out, F.lit("literal"), lg, dt
         if tag == "sfn2":  # strbefore/strafter, first-occurrence split

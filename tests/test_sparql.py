@@ -1661,3 +1661,23 @@ def test_order_by_is_value_aware(numeric_graph, spark):
     # DESC is the exact reverse
     q4 = "PREFIX ex: <http://ex.org/> SELECT ?n WHERE { ?s ex:score ?n } ORDER BY DESC(?n)"
     assert [r.n for r in sparql_select(numeric_graph, q4).collect()] == list(reversed(got))
+
+
+def test_hash_functions(graph):
+    import hashlib
+
+    ada_md5 = hashlib.md5(b"Ada").hexdigest()
+    q = f'PREFIX ex: <http://ex.org/> SELECT ?p WHERE {{ ?p ex:name ?n . FILTER (MD5(?n) = "{ada_md5}") }}'
+    assert [r.p for r in sparql_select(graph, q).collect()] == [EX + "p1"]
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT ?h WHERE { ?p ex:name ?n . FILTER (?n = "Ada") . BIND(SHA256(?n) AS ?h) }"""
+    assert [r.h for r in sparql_select(graph, q2).collect()] == [
+        hashlib.sha256(b"Ada").hexdigest()
+    ]
+    # composes: mint a hash-keyed IRI (the reference's MD5-template idiom)
+    q3 = """PREFIX ex: <http://ex.org/>
+    SELECT ?u WHERE { ?p ex:name ?n . FILTER (?n = "Ada")
+      BIND(IRI(CONCAT("http://ex.org/h/", MD5(STR(?n)))) AS ?u) }"""
+    assert [r.u for r in sparql_select(graph, q3).collect()] == [
+        EX + "h/" + ada_md5
+    ]
