@@ -69,7 +69,10 @@ string-valued functions ``UCASE/LCASE/SUBSTR/REPLACE`` (language tags
 preserved per spec), ``STRBEFORE/STRAFTER`` (first-occurrence split;
 lang carries only on a match, the no-match result is the simple empty
 literal), ``ENCODE_FOR_URI`` (the engine's RFC 3986 encoder; simple
-result), ``MD5/SHA1/SHA256`` (lowercase-hex simple literals) (arguments must be simple/lang/xsd:string literals
+result), ``MD5/SHA1/SHA256`` (lowercase-hex simple literals), and the
+numeric datetime accessors ``YEAR/MONTH/DAY/HOURS/MINUTES/SECONDS``
+over xsd:date/xsd:dateTime literals (fields of the ISO lexical form,
+no timezone conversion; non-date arguments are type errors) (arguments must be simple/lang/xsd:string literals
 or STR(); all nestable) and numeric ``STRLEN`` (pins the numeric
 branch, composes with arithmetic), FILTER
 regex(?v, "pattern"), the boolean tests ``[!]bound(?v)`` / ``isIRI``
@@ -1216,7 +1219,9 @@ class _Parser:
         "ucase", "lcase", "strlen", "substr", "replace",
         "strbefore", "strafter", "encode_for_uri",
         "md5", "sha1", "sha256",
+        "year", "month", "day", "hours", "minutes", "seconds",
     )
+    _DT_FUNCS = ("year", "month", "day", "hours", "minutes", "seconds")
 
     def _operand(self):
         kind, val = self._peek()
@@ -1241,6 +1246,10 @@ class _Parser:
                 if self._next() != ("punct", ")"):
                     raise SparqlError(f"{fn}() needs ')'")
                 return ("sfn", fn, arg)
+            if fn in self._DT_FUNCS:
+                if self._next() != ("punct", ")"):
+                    raise SparqlError(f"{fn}() needs ')'")
+                return ("dtfn", fn, arg)
             if fn in ("strbefore", "strafter"):
                 if self._next() != ("op", ","):
                     raise SparqlError(f"{fn}() needs a separator")
@@ -1873,7 +1882,7 @@ def _is_numeric_node(node) -> bool:
     and STRLEN — they pin the numeric comparison branch like a numeric
     constant does."""
     return _is_arith(node) or (
-        isinstance(node, tuple) and bool(node) and node[0] == "sfn_len"
+        isinstance(node, tuple) and bool(node) and node[0] in ("sfn_len", "dtfn")
     )
 
 
@@ -1978,6 +1987,29 @@ def _term_parts(term, bound: set[str], scope: str = "the query"):
                 F.length(ok).cast(_DECIMAL), F.lit("literal"),
                 F.lit(""), F.lit(_XSD + "integer"),
             )
+        if tag == "dtfn":  # YEAR/MONTH/... of xsd:date(Time) literals
+            fn, arg = rest
+            v, k, lg, dt = _term_parts(arg, bound, scope)
+            ok = F.when(
+                (k == F.lit("literal"))
+                & F.coalesce(dt, F.lit("?")).isin(
+                    _XSD + "date", _XSD + "dateTime"
+                ),
+                v,
+            )
+            # fields straight off the ISO 8601 lexical form — no
+            # timezone conversion (per spec these are accessors on the
+            # literal's own value, not on an instant)
+            pat = {
+                "year": r"^(-?\d{4,})-", "month": r"^-?\d{4,}-(\d{2})-",
+                "day": r"^-?\d{4,}-\d{2}-(\d{2})",
+                "hours": r"T(\d{2}):", "minutes": r"T\d{2}:(\d{2}):",
+                "seconds": r"T\d{2}:\d{2}:(\d{2}(?:\.\d+)?)",
+            }[fn]
+            field = F.regexp_extract(ok, pat, 1)
+            val = F.when(field != "", field).try_cast(_DECIMAL)
+            out_dt = "decimal" if fn == "seconds" else "integer"
+            return val, F.lit("literal"), F.lit(""), F.lit(_XSD + out_dt)
         if tag == "substr":  # 1-based, per SPARQL/XPath
             arg, start, length = rest
             ok, lg, dt = string_arg(arg)
@@ -2053,7 +2085,7 @@ def _eval_bind_expr(node, bound: set[str], scope: str = "BIND"):
             _decimal_lexical(val), F.lit("literal"),
             F.lit(""), F.lit(_XSD + "decimal"),
         )
-    if isinstance(node, tuple) and node and node[0] == "sfn_len":
+    if isinstance(node, tuple) and node and node[0] in ("sfn_len", "dtfn"):
         v, k, lg, dt = _term_parts(node, bound, scope)
         return _decimal_lexical(v), k, lg, dt
     if isinstance(node, tuple) and node and node[0] == "coalesce":

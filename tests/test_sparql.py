@@ -1681,3 +1681,28 @@ def test_hash_functions(graph):
     assert [r.u for r in sparql_select(graph, q3).collect()] == [
         EX + "h/" + ada_md5
     ]
+
+
+def test_datetime_accessors(spark):
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    rows = [
+        (EX + "e1", "iri", EX + "at", "2024-03-07T09:15:30.5Z", "literal", None, XSD + "dateTime"),
+        (EX + "e2", "iri", EX + "at", "2023-12-31T23:59:59Z", "literal", None, XSD + "dateTime"),
+        (EX + "e3", "iri", EX + "on", "2024-01-15", "literal", None, XSD + "date"),
+        # untyped string: type error inside accessors → dropped
+        (EX + "e4", "iri", EX + "at", "2024-03-07T09:15:30Z", "literal", None, None),
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    q = "PREFIX ex: <http://ex.org/> SELECT ?e WHERE { ?e ex:at ?t . FILTER (YEAR(?t) = 2024) }"
+    assert [r.e for r in sparql_select(g, q).collect()] == [EX + "e1"]
+    q2 = "PREFIX ex: <http://ex.org/> SELECT ?e WHERE { ?e ex:on ?t . FILTER (MONTH(?t) = 1 && DAY(?t) = 15) }"
+    assert [r.e for r in sparql_select(g, q2).collect()] == [EX + "e3"]
+    # numeric composition + BIND canonical forms (seconds keep fraction)
+    q3 = """PREFIX ex: <http://ex.org/>
+    SELECT ?e ?h ?s WHERE { ?e ex:at ?t . FILTER (MINUTES(?t) >= 15)
+      BIND(HOURS(?t) AS ?h) BIND(SECONDS(?t) AS ?s) } ORDER BY ?e"""
+    got = [(r.e, r.h, r.s) for r in sparql_select(g, q3).collect()]
+    assert got == [(EX + "e1", "9", "30.5"), (EX + "e2", "23", "59")]
+    # HOURS of a plain date: no time fields → error → dropped
+    q4 = "PREFIX ex: <http://ex.org/> SELECT ?e WHERE { ?e ex:on ?t . FILTER (HOURS(?t) >= 0) }"
+    assert sparql_select(g, q4).count() == 0
