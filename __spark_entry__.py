@@ -139,6 +139,14 @@ def q_sparql_groupconcat_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tpch_sparql_groupconcat(spark, sf_dir)
 
 
+def q_sparql_datetime_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL datetime accessors (YEAR/HOURS) over an events KG with
+    canonical xsd:dateTime literals."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_datetime
+
+    return run_tpch_sparql_datetime(spark, sf_dir)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language quota sample (training-data curation
     op): ≤20 docs per lang by md5(doc_id) order."""
@@ -334,6 +342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_describe_kg": q_sparql_describe_kg,
         "sparql_subquery_kg": q_sparql_subquery_kg,
         "sparql_groupconcat_kg": q_sparql_groupconcat_kg,
+        "sparql_datetime_kg": q_sparql_datetime_kg,
         "span_view": q_span_view,
         "mentions": q_mentions,
         "stratified_sample": q_stratified_sample,
@@ -371,6 +380,7 @@ def oracle_sql() -> dict[str, str]:
         TPCH_SPARQL_ORACLE_SQL,
         TPCH_SPARQL_CLOSURE_ORACLE_SQL,
         TPCH_SPARQL_CONSTRUCT_ORACLE_SQL,
+        TPCH_SPARQL_DATETIME_ORACLE_SQL,
         TPCH_SPARQL_DESCRIBE_ORACLE_SQL,
         TPCH_SPARQL_EXISTS_ORACLE_SQL,
         TPCH_SPARQL_GROUPCONCAT_ORACLE_SQL,
@@ -411,6 +421,7 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "sparql_describe_kg": TPCH_SPARQL_DESCRIBE_ORACLE_SQL,
         "sparql_subquery_kg": TPCH_SPARQL_SUBQUERY_ORACLE_SQL,
         "sparql_groupconcat_kg": TPCH_SPARQL_GROUPCONCAT_ORACLE_SQL,
+        "sparql_datetime_kg": TPCH_SPARQL_DATETIME_ORACLE_SQL,
         "span_view": span_sql,
         "mentions": mentions_oracle_sql(SPAN_VIEW_ORACLE_SQL),
         "stratified_sample": oracles.stratified_sample_sql(20),

@@ -1902,8 +1902,15 @@ def _arith_value(node, bound: set[str], scope: str = "the query") -> "F.Column":
 
 def _decimal_lexical(val: "F.Column") -> "F.Column":
     """Canonical lexical form of a decimal result: strip the fixed
-    scale's trailing zeros (11.000000000000 → 11, 11.500000 → 11.5)."""
-    s = val.cast("string")
+    scale's trailing zeros (11.000000000000 → 11, 11.500000 → 11.5).
+    BigDecimal renders magnitudes below 1e-6 (including zero, "0E-12")
+    in scientific notation — re-expand those through %.12f first (safe:
+    any value small enough to trigger the notation is far inside
+    double precision at 12 fraction digits)."""
+    raw = val.cast("string")
+    s = F.when(
+        raw.contains("E"), F.format_string("%.12f", val.cast("double"))
+    ).otherwise(raw)
     return F.regexp_replace(F.regexp_replace(s, r"(\.\d*?)0+$", r"$1"), r"\.$", "")
 
 

@@ -477,3 +477,46 @@ FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
 ORDER BY nation_name
 """
+
+# Datetime-accessor SPARQL (r3): map the events table into a KG whose
+# ex:at literals are canonical xsd:dateTime (SQL timestamp → XSD
+# inference, D016 path), then filter with YEAR/HOURS and project the
+# hour via BIND — pinned against plain DuckDB date-part SQL.
+EVENTS_MAPPING_TTL = f"""
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix ex: <{KG}/ontology#> .
+<#EventMap> a rr:TriplesMap;
+  rr:logicalTable [ rr:tableName "events" ];
+  rr:subjectMap [ rr:template "{KG}/event/{{event_id}}"; rr:class ex:Event ];
+  rr:predicateObjectMap [ rr:predicate ex:at;   rr:objectMap [ rr:column "ts" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:kind; rr:objectMap [ rr:column "event_type" ] ] .
+"""
+
+TPCH_SPARQL_DATETIME_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?e ?h WHERE {
+  ?e a ex:Event .
+  ?e ex:at ?t .
+  ?e ex:kind "purchase" .
+  FILTER (YEAR(?t) = 2024 && HOURS(?t) < 6)
+  BIND(HOURS(?t) AS ?h)
+}
+"""
+
+
+def run_tpch_sparql_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    sources = {"events": spark.read.parquet(f"{sf_dir}/events.parquet")}
+    doc = parse_mapping_document(EVENTS_MAPPING_TTL)
+    engine = MappingEngine(spark, doc, sources=sources, base_ns=KG)
+    engine.register_sources()
+    return sparql_select(engine.triples(), TPCH_SPARQL_DATETIME_QUERY)
+
+
+TPCH_SPARQL_DATETIME_ORACLE_SQL = f"""
+SELECT '{KG}/event/' || event_id AS e,
+       CAST(hour(ts) AS VARCHAR) AS h
+FROM events
+WHERE event_type = 'purchase' AND year(ts) = 2024 AND hour(ts) < 6
+"""
