@@ -1715,18 +1715,26 @@ def _seeded_closure_pairs(
     e = F.coalesce
     empty = F.lit("")
     spark = triples.sparkSession
-    sv, sk = ("subj", "subj_kind") if forward else ("obj", "obj_kind")
-    dv, dk = ("obj", "obj_kind") if forward else ("subj", "subj_kind")
+    # the walk-FROM side carries all four term components: walking
+    # backward starts from OBJECT terms, whose lang/dtype distinguish
+    # "leaf" from "leaf"@en — matching on value+kind alone would
+    # conflate those terms (subjects have no lang/dtype, so forward
+    # from-components are constant '')
     if forward:
-        dl, dd = e(F.col("lang"), empty), e(F.col("dtype"), empty)
+        fv, fk = F.col("subj"), F.col("subj_kind")
+        fl, fd = empty, empty
+        tv, tk = F.col("obj"), F.col("obj_kind")
+        tl, td = e(F.col("lang"), empty), e(F.col("dtype"), empty)
     else:
-        dl, dd = empty, empty
+        fv, fk = F.col("obj"), F.col("obj_kind")
+        fl, fd = e(F.col("lang"), empty), e(F.col("dtype"), empty)
+        tv, tk = F.col("subj"), F.col("subj_kind")
+        tl, td = empty, empty
     edges = (
         triples.where(F.col("pred") == pred.value)
         .select(
-            F.col(sv).alias("_fv"), F.col(sk).alias("_fk"),
-            F.col(dv).alias("_tv"), F.col(dk).alias("_tk"),
-            dl.alias("_tl"), dd.alias("_td"),
+            fv.alias("_fv"), fk.alias("_fk"), fl.alias("_fl"), fd.alias("_fd"),
+            tv.alias("_tv"), tk.alias("_tk"), tl.alias("_tl"), td.alias("_td"),
         )
         .distinct()
     )
@@ -1738,8 +1746,11 @@ def _seeded_closure_pairs(
     start = spark.createDataFrame([seed_row], ", ".join(f"`{c}` string" for c in tcols))
     def step(fr: DataFrame) -> DataFrame:
         return (
-            fr.select(F.col("_tv").alias("_fv"), F.col("_tk").alias("_fk"))
-            .join(edges, on=["_fv", "_fk"], how="inner")
+            fr.select(
+                F.col("_tv").alias("_fv"), F.col("_tk").alias("_fk"),
+                F.col("_tl").alias("_fl"), F.col("_td").alias("_fd"),
+            )
+            .join(edges, on=["_fv", "_fk", "_fl", "_fd"], how="inner")
             .select(*tcols)
             .distinct()
         )

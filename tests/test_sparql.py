@@ -1706,3 +1706,19 @@ def test_datetime_accessors(spark):
     # HOURS of a plain date: no time fields → error → dropped
     q4 = "PREFIX ex: <http://ex.org/> SELECT ?e WHERE { ?e ex:on ?t . FILTER (HOURS(?t) >= 0) }"
     assert sparql_select(g, q4).count() == 0
+
+
+def test_seeded_backward_closure_is_term_exact(spark):
+    # backward walk from the literal "leaf" must NOT traverse the edge
+    # ending at "leaf"@en — full-term matching, not value+kind
+    rows = [
+        (EX + "a", "iri", EX + "p", "leaf", "literal", None, None),
+        (EX + "b", "iri", EX + "p", "leaf", "literal", "en", None),
+        (EX + "x", "iri", EX + "p", EX + "a", "iri", None, None),
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    q = 'PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:p+ "leaf" }'
+    got = {r.s for r in sparql_select(g, q).collect()}
+    assert got == {EX + "a", EX + "x"}  # b reaches "leaf"@en, not "leaf"
+    q2 = 'PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:p+ "leaf"@en }'
+    assert {r.s for r in sparql_select(g, q2).collect()} == {EX + "b"}
