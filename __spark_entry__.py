@@ -147,6 +147,21 @@ def q_sparql_datetime_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tpch_sparql_datetime(spark, sf_dir)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (batch construction) over the
+    documents table; char counts stand in for tokens so the DuckDB
+    oracle replays the packing exactly."""
+    from pyspark.sql import functions as FF
+
+    from r2rml_parser_spark.operators.sampling import pack_sequences
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", FF.length("text").cast("bigint").alias("n_tokens"))
+    )
+    return pack_sequences(docs, budget=5000)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language quota sample (training-data curation
     op): ≤20 docs per lang by md5(doc_id) order."""
@@ -345,6 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_datetime_kg": q_sparql_datetime_kg,
         "span_view": q_span_view,
         "mentions": q_mentions,
+        "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
         "proportional_sample": q_proportional_sample,
         "dedup_exact": q_dedup_exact,
@@ -424,6 +440,7 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "sparql_datetime_kg": TPCH_SPARQL_DATETIME_ORACLE_SQL,
         "span_view": span_sql,
         "mentions": mentions_oracle_sql(SPAN_VIEW_ORACLE_SQL),
+        "pack_sequences": oracles.pack_sequences_sql(5000),
         "stratified_sample": oracles.stratified_sample_sql(20),
         "proportional_sample": oracles.proportional_sample_sql(0.25),
         "dedup_exact": oracles.DEDUP_EXACT_SQL,

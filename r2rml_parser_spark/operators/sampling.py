@@ -101,3 +101,50 @@ def cap_clusters(
         F.coalesce(F.col("component"), F.col(id_col).cast("string")),
     ).drop("component")
     return stratified_sample(joined, "_cluster", k, id_col=id_col).drop("_cluster")
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    bucket_hex_len: int = 1,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences.
+
+    The batch-construction step of an LLM data pipeline: documents are
+    packed, in a DETERMINISTIC pseudo-random order (md5 of the id),
+    into sequences of ~``budget`` tokens. The packing rule is the
+    prefix-sum split — ``seq_id = floor((cumsum − n_tokens) /
+    budget)`` — a document joins the sequence its START offset
+    falls in, so every closed sequence lands within one document
+    of the budget on either side (the standard concat-then-chunk
+    approximation; exact greedy reset-packing needs
+    a stateful scan that neither SQL window semantics nor a shuffle-
+    friendly plan expresses).
+
+    Scale: packing runs independently inside 16^``bucket_hex_len``
+    hash buckets (the first hex chars of the id's md5), so the window
+    is per-bucket, not global — one shuffle, no single-partition
+    bottleneck; raise ``bucket_hex_len`` until buckets fit an
+    executor. Output adds (bucket, seq_id, seq_tokens_before): the
+    sequence key is (bucket, seq_id)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    bucket = F.substring(sample_rank(F.col(id_col)), 1, bucket_hex_len)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(sample_rank(F.col(id_col)), F.col(id_col).cast("string"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("bucket", bucket).withColumn(
+        "_cum", F.sum(F.col(token_col)).over(w)
+    )
+    return (
+        out.withColumn(
+            "seq_id",
+            F.floor((F.col("_cum") - F.col(token_col)) / F.lit(budget)).cast("bigint"),
+        )
+        .withColumn("seq_tokens_before", (F.col("_cum") - F.col(token_col)).cast("bigint"))
+        .drop("_cum")
+    )

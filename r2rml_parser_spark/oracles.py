@@ -342,3 +342,28 @@ def proportional_sample_sql(fraction: float = 0.25) -> str:
 SELECT doc_id FROM documents
 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) < '{bound_hex}'
 """
+
+
+def pack_sequences_sql(budget: int = 5000) -> str:
+    """DuckDB twin of operators.sampling.pack_sequences over the
+    documents table with char-count tokens: same md5 bucket/order,
+    same prefix-sum split."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_tokens,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
+  FROM documents
+), w AS (
+  SELECT doc_id, n_tokens, bucket,
+         sum(n_tokens) OVER (
+           PARTITION BY bucket
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)
+           ROWS UNBOUNDED PRECEDING
+         ) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens, bucket,
+       CAST(floor((cum - n_tokens) / {budget}) AS BIGINT) AS seq_id,
+       CAST(cum - n_tokens AS BIGINT) AS seq_tokens_before
+FROM w
+"""

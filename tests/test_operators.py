@@ -526,3 +526,37 @@ def test_cap_clusters(spark):
     out3 = cap_clusters(docs, edges, 2)
     kept3 = set(r.doc_id for r in out3.collect())
     assert {5, 6} <= kept3 and len(kept3 & {0, 1, 2}) == 2
+
+
+def test_pack_sequences(spark):
+    from r2rml_parser_spark.operators.sampling import pack_sequences
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(i, 100 + (i % 5) * 37) for i in range(200)], ["doc_id", "n_tokens"]
+    )
+    out = pack_sequences(docs, budget=1000)
+    rows = out.collect()
+    assert len(rows) == 200  # every doc assigned exactly once
+    # per-sequence totals: every CLOSED sequence reaches the budget and
+    # overruns by less than one max-doc
+    import collections
+    seqs = collections.defaultdict(int)
+    for r in rows:
+        seqs[(r.bucket, r.seq_id)] += r.n_tokens
+    max_doc = 100 + 4 * 37
+    per_bucket_last = {}
+    for (b, s), tot in seqs.items():
+        per_bucket_last[b] = max(per_bucket_last.get(b, -1), s)
+    for (b, s), tot in seqs.items():
+        if s < per_bucket_last[b]:  # closed sequence
+            # prefix-sum split: a closed sequence lands within one
+            # max-document of the budget on either side
+            assert 1000 - max_doc < tot < 1000 + max_doc, (b, s, tot)
+    # deterministic under repartition
+    out2 = pack_sequences(docs.repartition(7), budget=1000)
+    a = sorted((r.doc_id, r.bucket, r.seq_id) for r in rows)
+    b2 = sorted((r.doc_id, r.bucket, r.seq_id) for r in out2.collect())
+    assert a == b2
+    with _pytest.raises(ValueError):
+        pack_sequences(docs, budget=0)
