@@ -19,9 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from r2rml_parser_spark.functions.encoding import iri_safe_encode
+from r2rml_parser_spark.mapping.model import Template
 from r2rml_parser_spark.mapping.parse import parse_mapping_document
 from r2rml_parser_spark.operators.components import canonical_mapping, rewrite_subjects
 from r2rml_parser_spark.operators.dedup import neardup_edges
+from r2rml_parser_spark.plans.rewrite import analyze_part, rewrite_triple_parts
 from r2rml_parser_spark.operators.mentions import (
     detect_mentions,
     entity_dictionary,
@@ -77,6 +80,11 @@ DOCS_MAPPING_TTL = f"""
 """
 
 
+#: value space of the canonical-rewrite keys — the DocMap subject
+#: template (edges render their endpoints from exactly this template)
+KEY_TEMPLATE = Template.parse(f"{KG}/doc/{{doc_id}}")
+
+
 def register_kg_sources(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # the span view feeds all 5 triples maps (union branches would
     # otherwise re-run synthesis + explode once per branch): persist it —
@@ -113,16 +121,21 @@ def build_kg(
     doc = parse_mapping_document(DOCS_MAPPING_TTL)
     engine = MappingEngine(spark, doc, sources=sources, base_ns=KG)
     # canonicalize + no lineage: defer set-dedup to after subject
-    # rewriting — rewrite_subjects ends in a full-row dropDuplicates, and
-    # raw emissions are duplicate-free by construction here, so the
-    # engine-side dedup would only add a second full-graph shuffle (the
+    # rewriting — raw emissions are duplicate-free by construction here,
+    # so the engine-side dedup would only add a full-graph shuffle (the
     # worst-scaling stage: 17.9M wide string rows through the exchange)
     defer_dedup = canonicalize and not lineage
-    triples = engine.triples(lineage=lineage, dedup=not defer_dedup)
+    triples = None
+    if not defer_dedup:
+        triples = engine.triples(lineage=lineage, dedup=True)
 
     if canonicalize:
         # near-duplicate docs → sameAs edges between doc IRIs → merge
-        # co-referent subjects via large-star/small-star CC
+        # co-referent subjects via large-star/small-star CC. doc_id is
+        # IRI-encoded exactly like the DocMap subject template renders
+        # it, so every edge endpoint (and thus every canonical target)
+        # is a rendering of KEY_TEMPLATE — the precondition for the
+        # template-pruned rewrite below.
         raw_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             F.col("doc_id").cast("string").alias("doc_id"), "text"
         ).repartition(spark.sparkContext.defaultParallelism)  # small-file read arrives as 1 split; the md5-heavy MinHash stage needs all cores
@@ -135,22 +148,39 @@ def build_kg(
         edges = neardup_edges(
             raw_docs, threshold=0.8, hash_family="xxhash64", collapse_exact=True
         ).select(
-            F.concat(F.lit(f"{KG}/doc/"), F.col("a")).alias("u"),
-            F.concat(F.lit(f"{KG}/doc/"), F.col("b")).alias("v"),
+            F.concat(F.lit(f"{KG}/doc/"), iri_safe_encode(F.col("a"))).alias("u"),
+            F.concat(F.lit(f"{KG}/doc/"), iri_safe_encode(F.col("b"))).alias("v"),
         ).localCheckpoint(eager=True)  # tiny; stops MinHash re-execution
-        if edges.limit(1).count() > 0:
-            # the input is distinct either way (engine dedup ran, or raw
-            # emissions are duplicate-free per the defer_dedup comment), so
-            # only the rewritten slice needs the dedup shuffle. The
-            # touched/untouched split scans the emission pipeline twice;
-            # persisting `triples` first measured SLOWER (84s vs 82s,
-            # 35.8M rows at 8 cores) — wide-row cache write+read costs
-            # more than recomputing codegen'd string emissions.
+        has_edges = edges.limit(1).count() > 0
+        if defer_dedup:
+            if has_edges:
+                # template-pruned rewrite (plans/rewrite.py): branches
+                # whose term maps provably can't render a doc IRI —
+                # the mention/span-literal bulk of the graph — stream
+                # through with NO join, NO dedup shuffle, and ONE scan;
+                # only the doc-IRI-bearing branches join the broadcast
+                # mapping, and only their union is set-deduplicated.
+                # Replaces the touched/untouched split that re-executed
+                # the whole emission pipeline twice (r3 phase profile:
+                # rewrite scaled 0.45 at local[2]→local[8]).
+                parts = engine.triple_parts()
+                flagged = [
+                    (
+                        p.df,
+                        analyze_part(
+                            p.subj_map, p.obj_maps, KEY_TEMPLATE,
+                            base_ns=KG, encode_iris=True,
+                        ),
+                    )
+                    for p in parts
+                ]
+                triples = rewrite_triple_parts(flagged, canonical_mapping(edges))
+            else:
+                triples = engine.triples(lineage=False, dedup=False).dropDuplicates()
+        elif has_edges:
             triples = rewrite_subjects(
                 triples, canonical_mapping(edges), assume_distinct=True
             )
-        elif defer_dedup:
-            triples = triples.dropDuplicates()
     return triples
 
 

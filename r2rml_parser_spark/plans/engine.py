@@ -23,6 +23,8 @@ Execution strategy (Spark-first, see SURVEY.md §3/§5):
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -31,6 +33,7 @@ from r2rml_parser_spark.mapping.model import (
     MappingDocument,
     PredicateObjectMap,
     RefObjectMap,
+    TermMap,
     TriplesMap,
 )
 from r2rml_parser_spark.mapping.parse import MappingError
@@ -44,6 +47,20 @@ from r2rml_parser_spark.plans.compile import (
 from r2rml_parser_spark.rdf.terms import RDF_TYPE
 
 LINEAGE_COLUMN = "source_map"
+
+
+@dataclass
+class TriplePart:
+    """One emission branch of one triples map: its rows plus the term
+    maps that generated them — enough metadata for static plan pruning
+    (plans/rewrite.py decides from ``subj_map``/``obj_maps`` whether a
+    canonical-rewrite join can ever hit this branch). Ref-object maps
+    appear with the PARENT's subject map as the object term (that is
+    the value space their objects render in)."""
+
+    df: DataFrame
+    subj_map: TermMap
+    obj_maps: tuple[TermMap, ...]
 
 
 def rewrite_sql_quotes(sql: str) -> str:
@@ -249,19 +266,41 @@ class MappingEngine:
             out = out.unionByName(p)
         return out
 
-    def triples_for(self, tm: TriplesMap) -> DataFrame:
-        """All triples of one map, with a lineage column (the Spark-side
-        replacement for reified dc:source provenance, Generator.java:311)."""
+    def parts_for(self, tm: TriplesMap) -> list[TriplePart]:
+        """One map's emission branches with term-map metadata (the
+        exploded single-scan branch + one branch per ref-object map)."""
         df = self.source_df(tm.logical_table)
         subj = self._compiler(df).compile(tm.subject_map)
 
-        parts: list[DataFrame] = []
+        parts: list[TriplePart] = []
         exploded = self._exploded_emissions(df, subj, tm)
         if exploded is not None:
-            parts.append(exploded)
+            obj_terms = tuple(
+                [TermMap(constant_iri=cls) for cls in tm.classes]
+                + [om for pom in tm.predicate_object_maps for om in pom.objects]
+            )
+            parts.append(TriplePart(exploded, tm.subject_map, obj_terms))
         for pom in tm.predicate_object_maps:
             for ro in pom.ref_objects:
-                parts.append(self._ref_object_triples(df, subj, tm, pom, ro))
+                parent_subj_map = self.doc.by_uri(ro.parent_triples_map).subject_map
+                parts.append(
+                    TriplePart(
+                        self._ref_object_triples(df, subj, tm, pom, ro),
+                        tm.subject_map,
+                        (parent_subj_map,),
+                    )
+                )
+        return parts
+
+    def triple_parts(self) -> list[TriplePart]:
+        """All emission branches, parent-first topo order — the input to
+        the template-pruned canonical rewrite (plans/rewrite.py)."""
+        return [p for tm in self.doc.topo_sorted() for p in self.parts_for(tm)]
+
+    def triples_for(self, tm: TriplesMap) -> DataFrame:
+        """All triples of one map, with a lineage column (the Spark-side
+        replacement for reified dc:source provenance, Generator.java:311)."""
+        parts = [p.df for p in self.parts_for(tm)]
         if not parts:
             # subject/class-less map contributes nothing
             return self.spark.createDataFrame([], self._schema())
