@@ -117,6 +117,24 @@ def q_sparql_closure_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tpch_sparql_closure(spark, sf_dir)
 
 
+def q_sparql_closure_seeded_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL closure with VARIABLE endpoints seeded by sibling
+    patterns (multi-source frontier walk, not full reachability);
+    recursive-CTE oracle replays the seeded expansion."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_closure_seeded
+
+    return run_tpch_sparql_closure_seeded(spark, sf_dir)
+
+
+def q_sparql_pathx_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL path grammar: alternation over a sequence
+    ((p1/p2)|p3 → UNION branches) + closure over a parenthesized
+    group ((p1/p2)+ → fixpoint over a derived edge relation)."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_pathx
+
+    return run_tpch_sparql_pathx(spark, sf_dir)
+
+
 def q_sparql_describe_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL DESCRIBE (concise bounded description) of every Nation
     in the generated KG."""
@@ -354,6 +372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_construct_kg": q_sparql_construct_kg,
         "sparql_path_kg": q_sparql_path_kg,
         "sparql_closure_kg": q_sparql_closure_kg,
+        "sparql_closure_seeded_kg": q_sparql_closure_seeded_kg,
+        "sparql_pathx_kg": q_sparql_pathx_kg,
         "sparql_describe_kg": q_sparql_describe_kg,
         "sparql_subquery_kg": q_sparql_subquery_kg,
         "sparql_groupconcat_kg": q_sparql_groupconcat_kg,
@@ -395,6 +415,8 @@ def oracle_sql() -> dict[str, str]:
         TPCH_SPARQL_AGG_ORACLE_SQL,
         TPCH_SPARQL_ORACLE_SQL,
         TPCH_SPARQL_CLOSURE_ORACLE_SQL,
+        TPCH_SPARQL_CLOSURE_SEEDED_ORACLE_SQL,
+        TPCH_SPARQL_PATHX_ORACLE_SQL,
         TPCH_SPARQL_CONSTRUCT_ORACLE_SQL,
         TPCH_SPARQL_DATETIME_ORACLE_SQL,
         TPCH_SPARQL_DESCRIBE_ORACLE_SQL,
@@ -434,6 +456,8 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "sparql_construct_kg": TPCH_SPARQL_CONSTRUCT_ORACLE_SQL,
         "sparql_path_kg": TPCH_SPARQL_PATH_ORACLE_SQL,
         "sparql_closure_kg": TPCH_SPARQL_CLOSURE_ORACLE_SQL,
+        "sparql_closure_seeded_kg": TPCH_SPARQL_CLOSURE_SEEDED_ORACLE_SQL,
+        "sparql_pathx_kg": TPCH_SPARQL_PATHX_ORACLE_SQL,
         "sparql_describe_kg": TPCH_SPARQL_DESCRIBE_ORACLE_SQL,
         "sparql_subquery_kg": TPCH_SPARQL_SUBQUERY_ORACLE_SQL,
         "sparql_groupconcat_kg": TPCH_SPARQL_GROUPCONCAT_ORACLE_SQL,

@@ -1179,11 +1179,62 @@ def test_closure_cycle_terminates(spark):
     assert sparql_select(g, q).count() == 4
 
 
-def test_closure_rejections(graph):
-    with pytest.raises(SparqlError):  # closure inside a sequence
-        sparql_select(graph, "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ?s ex:a/ex:b+ ?o }")
-    with pytest.raises(SparqlError):
-        sparql_select(graph, "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ?s ex:a+/ex:b ?o }")
+def test_closure_inside_sequence(chain_graph):
+    # p/p+ = path length ≥ 2 (r4: closure elements compile inside
+    # sequences — the closure SET joins the fixed part per §9.1)
+    q = "PREFIX ex: <http://ex.org/> SELECT ?s ?o WHERE { ?s ex:next/ex:next+ ?o }"
+    got = {(r.s, r.o) for r in sparql_select(chain_graph, q).collect()}
+    assert got == {(EX + "a", EX + "c"), (EX + "a", EX + "d"), (EX + "b", EX + "d")}
+    # closure first, then a fixed hop
+    q2 = "PREFIX ex: <http://ex.org/> SELECT ?s ?l WHERE { ?s ex:next+/ex:label ?l }"
+    got2 = {(r.s, r.l) for r in sparql_select(chain_graph, q2).collect()}
+    assert got2 == {(EX + "a", "leaf"), (EX + "b", "leaf"), (EX + "c", "leaf")}
+    # constant start seeds the walk
+    q3 = "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ex:a ex:next/ex:next+ ?o }"
+    assert {r.o for r in sparql_select(chain_graph, q3).collect()} == {EX + "c", EX + "d"}
+
+
+def test_closed_path_groups(chain_graph):
+    # (next/next)+ = even path lengths over the derived edge relation
+    q = "PREFIX ex: <http://ex.org/> SELECT ?s ?o WHERE { ?s (ex:next/ex:next)+ ?o }"
+    got = {(r.s, r.o) for r in sparql_select(chain_graph, q).collect()}
+    assert got == {(EX + "a", EX + "c"), (EX + "b", EX + "d")}
+    # zero-or-more over a group, constant seed: zero-length + one hop
+    q2 = "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ex:a (ex:next/ex:next)* ?o }"
+    assert {r.o for r in sparql_select(chain_graph, q2).collect()} == {EX + "a", EX + "c"}
+    # alternation inside a closed group (derived edge union)
+    q3 = "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ex:a (ex:next|ex:label)+ ?o }"
+    got3 = {r.o for r in sparql_select(chain_graph, q3).collect()}
+    assert got3 == {EX + "b", EX + "c", EX + "d", "leaf"}
+    # inverse group closure
+    q4 = "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ex:d (^ex:next)+ ?s }"
+    assert {r.s for r in sparql_select(chain_graph, q4).collect()} == {
+        EX + "a", EX + "b", EX + "c"
+    }
+    with pytest.raises(SparqlError):  # closure nested inside a closed group
+        sparql_select(
+            chain_graph,
+            "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ?s (ex:next+/ex:label)* ?o }",
+        )
+
+
+def test_sibling_seeded_variable_closure(chain_graph):
+    # ?o restricted by a sibling pattern: the closure walk is seeded
+    # from its distinct terms (multi-source frontier), results equal
+    # the unseeded full-closure evaluation
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?s ?o WHERE { ?o ex:label ?l . ?s ex:next+ ?o }"""
+    got = {(r.s, r.o) for r in sparql_select(chain_graph, q).collect()}
+    assert got == {(EX + "a", EX + "d"), (EX + "b", EX + "d"), (EX + "c", EX + "d")}
+    # forward seeding: ?s bound first; d has no outgoing next → empty
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT ?s ?o WHERE { ?s ex:label ?l . ?s ex:next+ ?o }"""
+    assert sparql_select(chain_graph, q2).count() == 0
+    # multi-seed zero-length semantics: * pairs every seed with itself
+    q3 = """PREFIX ex: <http://ex.org/>
+    SELECT ?s ?o WHERE { ?s ex:label ?l . ?s ex:next* ?o }"""
+    got3 = {(r.s, r.o) for r in sparql_select(chain_graph, q3).collect()}
+    assert got3 == {(EX + "d", EX + "d")}
 
 
 def test_describe_constant_and_var(graph):
@@ -1248,12 +1299,21 @@ def test_path_alternation(graph):
     assert got3 == {(EX + "p1", "Grace"), (EX + "p2", "Ada")}
 
 
+def test_path_alternation_of_sequences_and_closures(chain_graph):
+    # '|' binds looser than '/': label | next/label (r4: alternation
+    # distributes over sequences into UNION branches)
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?s ?v WHERE { ?s ex:label|ex:next/ex:label ?v }"""
+    got = {(r.s, r.v) for r in sparql_select(chain_graph, q).collect()}
+    assert got == {(EX + "d", "leaf"), (EX + "c", "leaf")}
+    # alternation with a closed alternative
+    q2 = "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ex:a ex:next+|ex:label ?o }"
+    got2 = {r.o for r in sparql_select(chain_graph, q2).collect()}
+    assert got2 == {EX + "b", EX + "c", EX + "d"}
+
+
 def test_path_alternation_rejections(graph):
-    with pytest.raises(SparqlError):  # mixed with sequence
-        sparql_select(graph, "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ?s ex:a|ex:b/ex:c ?o }")
-    with pytest.raises(SparqlError):  # mixed with closure
-        sparql_select(graph, "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ?s ex:a|ex:b+ ?o }")
-    with pytest.raises(SparqlError):  # inside an OPTIONAL group
+    with pytest.raises(SparqlError):  # multi-branch path inside an OPTIONAL group
         sparql_select(
             graph,
             "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . OPTIONAL { ?p ex:knows|ex:note ?o } }",
@@ -1517,11 +1577,8 @@ def test_nested_optional_rejections(graph):
             graph,
             "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . ?z ex:name ?n . OPTIONAL { ?p ex:knows ?q OPTIONAL { ?q ex:name ?n } } }",
         )
-    with pytest.raises(SparqlError):  # nesting depth 2
-        sparql_select(
-            graph,
-            "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . OPTIONAL { ?p ex:knows ?q OPTIONAL { ?q ex:name ?n OPTIONAL { ?q a ?t } } } }",
-        )
+    # depth-2 nesting is accepted since r4 (recursive LeftJoin) —
+    # covered by test_nested_optional_arbitrary_depth
     with pytest.raises(SparqlError):  # still rejected inside UNION
         sparql_select(
             graph,
@@ -1722,3 +1779,78 @@ def test_seeded_backward_closure_is_term_exact(spark):
     assert got == {EX + "a", EX + "x"}  # b reaches "leaf"@en, not "leaf"
     q2 = 'PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:p+ "leaf"@en }'
     assert {r.s for r in sparql_select(g, q2).collect()} == {EX + "b"}
+
+
+def test_nested_optional_arbitrary_depth(graph):
+    # depth-3 OPTIONAL chain (r4: LeftJoin compiles recursively): p1
+    # knows p2 whose name fills ?kn; p2 knows nobody → ?k/?kn unbound
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?n ?k ?kn WHERE {
+      ?p a ex:Person .
+      OPTIONAL { ?p ex:name ?n
+        OPTIONAL { ?p ex:knows ?k
+          OPTIONAL { ?k ex:name ?kn } } }
+    }"""
+    got = {(r.p, r.n, r.k, r.kn) for r in sparql_select(graph, q).collect()}
+    assert got == {
+        (EX + "p1", "Ada", EX + "p2", "Grace"),
+        (EX + "p2", "Grace", None, None),
+    }
+
+
+def test_nested_optional_textual_order_guard(graph):
+    # a pattern following a deeper nested OPTIONAL that shares its
+    # variable is still rejected (textual-order rule at every level)
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE {
+      ?p a ex:Person .
+      OPTIONAL { ?p ex:name ?n
+        OPTIONAL { ?p ex:knows ?k OPTIONAL { ?k ex:name ?kn } . ?kn ex:note ?z } }
+    }"""
+    with pytest.raises(SparqlError):
+        sparql_select(graph, q)
+
+
+def test_bind_textual_order_guard(graph):
+    # BIND referencing a variable first bound by a LATER pattern is
+    # rejected (ADVICE r3: the engine would otherwise hoist the BIND
+    # past the pattern and silently see the later binding)
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?y WHERE { ?p a ex:Person . BIND(STRLEN(?n) AS ?y) . ?p ex:name ?n }"""
+    with pytest.raises(SparqlError, match="textually later"):
+        sparql_select(graph, q)
+    # ...bound by a later OPTIONAL: same rejection
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT ?y WHERE { ?p a ex:Person . BIND(STRLEN(?n) AS ?y)
+                      OPTIONAL { ?p ex:name ?n } }"""
+    with pytest.raises(SparqlError, match="textually later"):
+        sparql_select(graph, q2)
+    # ...bound by a later BIND: same rejection
+    q3 = """PREFIX ex: <http://ex.org/>
+    SELECT ?y WHERE { ?p ex:name ?n . BIND(STRLEN(?m) AS ?y) . BIND(UCASE(?n) AS ?m) }"""
+    with pytest.raises(SparqlError, match="textually later"):
+        sparql_select(graph, q3)
+    # the legal orders still work: pattern → BIND → BIND-on-BIND
+    q4 = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?y WHERE { ?p ex:name ?n . BIND(UCASE(?n) AS ?m) . BIND(STRLEN(?m) AS ?y) }"""
+    got = {(r.p, r.y) for r in sparql_select(graph, q4).collect()}
+    assert got == {(EX + "p1", "3"), (EX + "p2", "5")}
+
+
+def test_arithmetic_survives_ansi_mode(graph):
+    # sparql_select runs on the CALLER's session; under Spark 4's
+    # default ansi.enabled=true a zero divisor must be a SPARQL type
+    # error (row dropped / unbound), not a DIVIDE_BY_ZERO job failure
+    spark = graph.sparkSession
+    old = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        q = """PREFIX ex: <http://ex.org/>
+        SELECT ?p WHERE { ?p ex:name ?n . FILTER (STRLEN(?n) / 0 = 1) }"""
+        assert sparql_select(graph, q).count() == 0
+        q2 = """PREFIX ex: <http://ex.org/>
+        SELECT ?p ?v WHERE { ?p ex:name ?n . BIND(STRLEN(?n) / 0 AS ?v) }"""
+        rows = sparql_select(graph, q2).collect()
+        assert len(rows) == 2 and all(r.v is None for r in rows)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
