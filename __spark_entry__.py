@@ -117,6 +117,15 @@ def q_sparql_closure_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tpch_sparql_closure(spark, sf_dir)
 
 
+def q_sparql_store_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL answered from the persisted range-clustered GraphStore
+    (sync -> parquet partitions sorted on (subj, pred, obj) -> BGP over
+    the store read path with scan-level pruning)."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_store
+
+    return run_tpch_sparql_store(spark, sf_dir)
+
+
 def q_sparql_closure_seeded_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL closure with VARIABLE endpoints seeded by sibling
     patterns (multi-source frontier walk, not full reachability);
@@ -365,6 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_docs_triples": q_kg_docs_triples,
         "kg_tpch_triples": q_kg_tpch_triples,
         "sparql_kg": q_sparql_kg,
+        "sparql_store_kg": q_sparql_store_kg,
         "sparql_agg_kg": q_sparql_agg_kg,
         "sparql_typed_kg": q_sparql_typed_kg,
         "sparql_str_kg": q_sparql_str_kg,
@@ -449,6 +459,8 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "kg_docs_triples": kg_oracle_sql(),
         "kg_tpch_triples": TPCH_KG_ORACLE_SQL,
         "sparql_kg": TPCH_SPARQL_ORACLE_SQL,
+        # same result set as sparql_kg, read back from the store
+        "sparql_store_kg": TPCH_SPARQL_ORACLE_SQL,
         "sparql_agg_kg": TPCH_SPARQL_AGG_ORACLE_SQL,
         "sparql_typed_kg": TPCH_SPARQL_TYPED_ORACLE_SQL,
         "sparql_str_kg": TPCH_SPARQL_STR_ORACLE_SQL,

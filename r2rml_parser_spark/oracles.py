@@ -347,11 +347,21 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) < '{bound_hex}'
 def pack_sequences_sql(budget: int = 5000) -> str:
     """DuckDB twin of operators.sampling.pack_sequences over the
     documents table with char-count tokens: same md5 bucket/order,
-    same prefix-sum split."""
+    same prefix-sum split, same ADAPTIVE bucket-prefix length (the
+    integer ladder of sampling.bucket_hex_len_for, replayed as exact
+    integer comparisons on the row count)."""
+    from r2rml_parser_spark.operators.sampling import ROWS_PER_BUCKET
+
+    ladder = " ".join(
+        f"WHEN c <= {ROWS_PER_BUCKET * 16 ** ln} THEN {ln}" for ln in range(1, 8)
+    )
     return f"""
-WITH t AS (
+WITH params AS (
+  SELECT CASE {ladder} ELSE 8 END AS hexlen
+  FROM (SELECT count(*) AS c FROM documents)
+), t AS (
   SELECT doc_id, CAST(length(text) AS BIGINT) AS n_tokens,
-         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, (SELECT hexlen FROM params)) AS bucket
   FROM documents
 ), w AS (
   SELECT doc_id, n_tokens, bucket,

@@ -87,13 +87,21 @@ def namespace_table(triples: DataFrame) -> tuple[dict[str, str], dict[str, str]]
 
 
 def _build_tables(
-    triples: DataFrame, include_classes: bool
+    triples: DataFrame, include_classes: bool,
+    *, pred_fallback: bool = False, local_ok=None,
 ) -> tuple[dict[str, str], dict[str, str], dict[str, str]]:
     """(prefix→namespace, predicate→QName, class-IRI→QName). Predicates
     and (for ABBREV) rdf:type objects both come from the mapping
     document's predicates/classes, so both distinct passes are
     mapping-sized, not data-sized. Predicate prefixes are assigned
-    first, so plain and ABBREV dumps agree on them."""
+    first, so plain and ABBREV dumps agree on them.
+
+    ``pred_fallback=True`` (the Turtle sink) SKIPS predicates that
+    can't produce a QName instead of raising — the caller renders the
+    full ``<iri>`` form (RDF/XML has no such fallback for property
+    elements, so there the unsplittable predicate stays fatal, like
+    Jena). ``local_ok`` adds a syntax check on the local part beyond
+    NCName (Turtle PN_LOCAL is stricter: no trailing '.')."""
     preds = [r.pred for r in triples.select("pred").distinct().collect()]
     ns_to_prefix: dict[str, str] = {RDF_NS: "rdf"}
     counter = 0
@@ -101,12 +109,21 @@ def _build_tables(
     def assign(iri: str) -> str:
         nonlocal counter
         ns, local = split_iri(iri)
+        if local_ok is not None and not local_ok(local):
+            raise RdfXmlDumpError(f"local part not serializable as a QName: {iri!r}")
         if ns not in ns_to_prefix:
             counter += 1
             ns_to_prefix[ns] = f"ns{counter}"
         return f"{ns_to_prefix[ns]}:{local}"
 
-    qnames = {p: assign(p) for p in sorted(preds)}  # deterministic prefixes
+    qnames: dict[str, str] = {}
+    for p in sorted(preds):  # deterministic prefixes
+        try:
+            qnames[p] = assign(p)
+        except RdfXmlDumpError:
+            if not pred_fallback:
+                raise
+            # Turtle: the block renderer coalesces to the <full-iri> form
     class_qnames: dict[str, str] = {}
     if include_classes:
         classes = [
@@ -123,13 +140,33 @@ def _build_tables(
     return {v: k for k, v in ns_to_prefix.items()}, qnames, class_qnames
 
 
+def _fold_buckets(df: DataFrame, key, payload: str, chunk_size: int) -> DataFrame:
+    """Add a deterministic chunk column ``_b`` so no per-key fold group
+    exceeds ~chunk_size rows (VERDICT r3 #4: one hot subject with
+    millions of objects must not build a single multi-GB collect_list
+    row). Bucket count derives from the key's row count (one map-side-
+    partial count + one join), bucket id from the payload hash — both
+    deterministic, so small groups (count ≤ chunk_size) land in one
+    bucket and the output is byte-identical to the unchunked fold.
+    Multiple blocks per subject are valid Turtle/RDF-XML continuation
+    syntax parsing to the same graph."""
+    keys = [key] if isinstance(key, str) else list(key)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    nb = F.greatest(F.ceil(F.col("_n") / chunk_size), F.lit(1)).cast("bigint")
+    return df.join(counts, keys).withColumn(
+        "_b", F.pmod(F.xxhash64(F.col(payload)), nb)
+    ).drop("_n")
+
+
 def description_blocks(
     triples: DataFrame, qnames: dict[str, str], sort: bool = True,
-    class_qnames: dict[str, str] | None = None,
+    class_qnames: dict[str, str] | None = None, chunk_size: int = 10_000,
 ) -> DataFrame:
     """Triples → one-column DF of sorted ``<rdf:Description>`` blocks.
     Fully distributed: per-triple property XML is a codegen'd concat,
-    the per-subject fold is one groupBy (map-side partial collect).
+    the per-subject fold is one groupBy (map-side partial collect),
+    chunked at ``chunk_size`` property lines per block (hot subjects
+    emit continuation blocks — same graph, bounded row size).
     ``sort=False`` skips the global sort for callers that impose their
     own ordered partitioning (write_rdfxml_parts). A non-empty
     ``class_qnames`` switches to ABBREV typed-node form: per subject,
@@ -176,13 +213,14 @@ def description_blocks(
             & (F.col("obj_kind") == "iri")
             & F.col("obj").isin(*class_qnames)
         )
+        rows = triples.select(
+            subj_attr.alias("sa"),
+            F.when(is_abbrev_type, F.col("obj")).alias("cand"),
+            F.col("pred"), F.col("obj"), prop.alias("p"),
+        )
         per_subject = (
-            triples.select(
-                subj_attr.alias("sa"),
-                F.when(is_abbrev_type, F.col("obj")).alias("cand"),
-                F.col("pred"), F.col("obj"), prop.alias("p"),
-            )
-            .groupBy("sa")
+            _fold_buckets(rows, "sa", "p", chunk_size)
+            .groupBy("sa", "_b")
             .agg(
                 F.min("cand").alias("chosen"),
                 F.collect_list(F.struct("pred", "obj", "p")).alias("props"),
@@ -214,8 +252,10 @@ def description_blocks(
         )
         return blocks.sort("value") if sort else blocks
     per_subject = (
-        triples.select(subj_attr.alias("sa"), prop.alias("p"))
-        .groupBy("sa")
+        _fold_buckets(
+            triples.select(subj_attr.alias("sa"), prop.alias("p")), "sa", "p", chunk_size
+        )
+        .groupBy("sa", "_b")
         .agg(F.array_join(F.array_sort(F.collect_list("p")), "\n").alias("body"))
     )
     blocks = per_subject.select(

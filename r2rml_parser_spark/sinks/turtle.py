@@ -31,21 +31,40 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 PREFIX_FILE = "_00_prefixes.ttl"
 
 
+def _pn_local_ok(local: str) -> bool:
+    """Is an NCName local part also a valid Turtle PN_LOCAL? NCName is
+    almost a subset, except a trailing '.' (valid XML, invalid Turtle —
+    PN_LOCAL may contain dots only in the middle, ADVICE r3)."""
+    return not local.endswith(".")
+
+
 def turtle_tables(
     triples: DataFrame,
 ) -> tuple[dict[str, str], dict[str, str], dict[str, str]]:
     """(prefix→namespace, predicate→QName, class-IRI→QName), derived
     from the distinct predicates and rdf:type objects — mapping-sized,
     never corpus-sized (same tables as the RDF/XML-ABBREV sink, so the
-    dumps agree on prefixes)."""
-    return _build_tables(triples, include_classes=True)
+    dumps agree on prefixes). Unlike RDF/XML — where a property element
+    NEEDS a QName and an unsplittable predicate is fatal — Turtle can
+    always write the full ``<iri>`` form, so predicates whose IRI has
+    no QName-safe local part (ends in '/', '#', all-digit local,
+    trailing-dot local) are simply skipped here and the block renderer
+    coalesces to ``<iri>`` (ADVICE r3); locals are validated against
+    Turtle PN_LOCAL rules, not just NCName."""
+    return _build_tables(
+        triples, include_classes=True, pred_fallback=True, local_ok=_pn_local_ok
+    )
 
 
 def turtle_blocks(
     triples: DataFrame, qnames: dict[str, str], sort: bool = True,
-    class_qnames: dict[str, str] | None = None,
+    class_qnames: dict[str, str] | None = None, chunk_size: int = 10_000,
 ) -> DataFrame:
-    """Triples → one-column DF of per-subject Turtle blocks."""
+    """Triples → one-column DF of per-subject Turtle blocks, chunked at
+    ``chunk_size`` objects per (subject, predicate) and predicate lines
+    per subject — a hot subject emits continuation blocks (valid
+    Turtle, same graph) instead of one unbounded collect_list row
+    (VERDICT r3 #4)."""
     if qnames:
         qmap = F.create_map(*[F.lit(x) for kv in qnames.items() for x in kv])
         pred_abbrev = qmap[F.col("pred")]
@@ -63,17 +82,29 @@ def turtle_blocks(
             & cmap[F.col("obj")].isNotNull(),
             cmap[F.col("obj")],
         ).otherwise(obj_txt)
+    from r2rml_parser_spark.sinks.rdfxml import _fold_buckets
+
     po = triples.select(
         subj_term(triples).alias("s"),
         pred_txt.alias("p"),
         obj_txt.alias("o"),
     )
-    by_pred = po.groupBy("s", "p").agg(
-        F.array_join(F.sort_array(F.collect_list("o")), ", ").alias("objs")
+    by_pred = (
+        _fold_buckets(po, ["s", "p"], "o", chunk_size)
+        .groupBy("s", "p", "_b")
+        .agg(F.array_join(F.sort_array(F.collect_list("o")), ", ").alias("objs"))
+    )
+    # the object-level chunk key flows into the subject fold: each
+    # object chunk is its own continuation block (otherwise the subject
+    # fold would re-merge all chunks into one unbounded row); a second
+    # bucket level bounds subjects hot in predicate-LINE count too
+    lines = by_pred.select(
+        "s", F.col("_b").alias("_bo"),
+        F.concat(F.col("p"), F.lit(" "), F.col("objs")).alias("po"),
     )
     by_subj = (
-        by_pred.select("s", F.concat(F.col("p"), F.lit(" "), F.col("objs")).alias("po"))
-        .groupBy("s")
+        _fold_buckets(lines, ["s", "_bo"], "po", chunk_size)
+        .groupBy("s", "_bo", "_b")
         .agg(
             F.array_join(F.sort_array(F.collect_list("po")), " ;\n    ").alias("body")
         )

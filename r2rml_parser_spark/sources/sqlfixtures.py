@@ -95,6 +95,8 @@ def _ident(tok: str) -> str:
     tok = tok.strip()
     if tok.startswith('"') and tok.endswith('"'):
         return tok[1:-1]
+    if tok.startswith("`") and tok.endswith("`"):  # MySQL quoting
+        return tok[1:-1]
     return tok
 
 
@@ -130,10 +132,12 @@ def _split_top_level(s: str, sep: str = ",") -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
-_CREATE_RE = re.compile(r"^\s*CREATE\s+TABLE\s+(?P<name>\"[^\"]+\"|\S+)\s*\((?P<body>.*)\)\s*$",
-                        re.IGNORECASE | re.DOTALL)
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<name>\"[^\"]+\"|`[^`]+`|\S+)\s*\((?P<body>.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _INSERT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+(?P<name>\"[^\"]+\"|\S+)\s*"
+    r"^\s*INSERT\s+INTO\s+(?P<name>\"[^\"]+\"|`[^`]+`|\S+)\s*"
     r"(?:\((?P<cols>[^)]*)\)\s*)?VALUES\s*\((?P<vals>.*)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -192,11 +196,11 @@ def load_sql_fixture(spark: SparkSession, script: str) -> dict[str, DataFrame]:
                 head = item.split()[0].upper().rstrip("(")
                 if head in ("PRIMARY", "FOREIGN", "UNIQUE", "CONSTRAINT", "CHECK", "KEY"):
                     continue
-                cm = re.match(r'^("([^"]+)"|\S+)\s+(.*)$', item, re.DOTALL)
+                cm = re.match(r'^("([^"]+)"|`([^`]+)`|\S+)\s+(.*)$', item, re.DOTALL)
                 colname = _ident(cm.group(1))
                 typestr = re.sub(
                     r"\b(PRIMARY\s+KEY|NOT\s+NULL|NULL|UNIQUE|DEFAULT\s+\S+|REFERENCES.*)$",
-                    "", cm.group(3), flags=re.IGNORECASE | re.DOTALL,
+                    "", cm.group(4), flags=re.IGNORECASE | re.DOTALL,
                 ).strip()
                 stype, pad = _parse_type(typestr)
                 cols.append(_Column(colname, stype, pad))

@@ -392,6 +392,35 @@ WITH RECURSIVE edges AS (
 SELECT DISTINCT s, t FROM reach
 """
 
+# Store-native SPARQL (r4, VERDICT r3 #7): the KG is synced into a
+# range-clustered GraphStore (per-mapping parquet partitions sorted on
+# (subj, pred, obj) — min/max file stats prune constant-subject/
+# predicate BGP branches at the scan) and the query is answered FROM
+# the store, pinning the persisted read path end-to-end against the
+# same DuckDB oracle shape as sparql_kg.
+TPCH_SPARQL_STORE_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?customer ?cname ?nation_name WHERE {
+  ?customer a ex:Customer .
+  ?customer ex:name ?cname .
+  ?customer ex:marketSegment "BUILDING" .
+  ?customer ex:inNation ?nation .
+  ?nation ex:name ?nation_name .
+  FILTER regex(?cname, "1$")
+}
+"""
+
+
+def run_tpch_sparql_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from r2rml_parser_spark.sinks.checkpoint import GraphStore
+
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="r2rml_store_q_"))
+    store.sync(build_tpch_kg(spark, sf_dir, lineage=True))
+    return store.query(TPCH_SPARQL_STORE_QUERY)
+
+
 # Seeded variable-endpoint closure (r4, VERDICT r3 #2): both closure
 # endpoints are variables, but sibling patterns restrict ?s to the
 # MACHINERY customers — the engine defers the closure and runs a

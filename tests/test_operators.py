@@ -560,3 +560,50 @@ def test_pack_sequences(spark):
     assert a == b2
     with _pytest.raises(ValueError):
         pack_sequences(docs, budget=0)
+
+
+def test_pack_sequences_adaptive_bucket_default(spark):
+    from r2rml_parser_spark.operators.sampling import (
+        bucket_hex_len_for,
+        pack_sequences,
+    )
+
+    # integer ladder: bucket count grows with input size
+    assert bucket_hex_len_for(1_000) == 1
+    assert bucket_hex_len_for(32_000_000) == 1
+    assert bucket_hex_len_for(33_000_000) == 2
+    assert bucket_hex_len_for(2_000_000 * 16**2) == 2
+    assert bucket_hex_len_for(2_000_000 * 16**2 + 1) == 3
+    assert bucket_hex_len_for(10**18) == 8  # capped
+    # end-to-end: a small rows_per_bucket forces multi-hex buckets on a
+    # tiny input — the default derives the length, not the caller
+    docs = spark.createDataFrame(
+        [(str(i), 10) for i in range(600)], "doc_id string, n_tokens long"
+    )
+    out = pack_sequences(docs, budget=50, rows_per_bucket=20)
+    lens = {len(r.bucket) for r in out.select("bucket").distinct().collect()}
+    assert lens == {2}  # 600 rows / 20-per-bucket → 2 hex chars
+    assert out.count() == 600
+    # explicit bucket_hex_len still honored (oracle-pinned driver query)
+    out1 = pack_sequences(docs, budget=50, bucket_hex_len=1)
+    assert {len(r.bucket) for r in out1.select("bucket").distinct().collect()} == {1}
+
+
+def test_cap_clusters_accepts_neardup_edge_columns(spark):
+    from r2rml_parser_spark.operators.sampling import cap_clusters
+
+    docs = spark.createDataFrame(
+        [(f"d{i}",) for i in range(6)], "doc_id string"
+    )
+    # neardup_edges-shaped output: (a, b, jaccard) — must compose
+    # directly (ADVICE r3)
+    edges = spark.createDataFrame(
+        [("d0", "d1", 0.9), ("d1", "d2", 0.85)], "a string, b string, jaccard double"
+    )
+    out = cap_clusters(docs, edges, k=1)
+    ids = {r.doc_id for r in out.collect()}
+    assert len(ids & {"d0", "d1", "d2"}) == 1  # cluster capped at 1
+    assert {"d3", "d4", "d5"} <= ids  # singletons survive
+    # explicit column names work too
+    out2 = cap_clusters(docs, edges.withColumnRenamed("a", "x"), k=1, u_col="x", v_col="b")
+    assert out2.count() == 4

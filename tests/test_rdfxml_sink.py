@@ -250,3 +250,28 @@ def test_abbrev_multipart_matches_single_writer(spark, tmp_path):
     xml = assemble_rdfxml_parts(str(out))
     assert xml == dump_rdfxml_string(triples, abbrev=True)
     assert isomorphic(parse_rdfxml(xml), parse_ntriples(dump_string(triples)))
+
+
+def test_rdfxml_hot_subject_chunked_fold(spark):
+    # continuation <rdf:Description> blocks for a hot subject: bounded
+    # fold rows, identical parsed graph (VERDICT r3 #4)
+    from r2rml_parser_spark.sinks.rdfxml import description_blocks, namespace_table
+
+    rows = [
+        ("http://x/hot", "iri", "http://p/v", f"o{i:04d}", "literal", None, None)
+        for i in range(500)
+    ]
+    triples = spark.createDataFrame(
+        rows, ", ".join(f"{c} string" for c in COLS)
+    )
+    _prefixes, qnames = namespace_table(triples)
+    vals = [r.value for r in description_blocks(triples, qnames, chunk_size=50).collect()]
+    assert len(vals) >= 5  # chunked into continuation blocks
+    assert all(v.count("<ns1:v>") <= 150 for v in vals)
+    import re as _re
+
+    got = set()
+    for v in vals:
+        assert v.startswith('  <rdf:Description rdf:about="http://x/hot">')
+        got |= set(_re.findall(r"<ns1:v>(o\d+)</ns1:v>", v))
+    assert got == {f"o{i:04d}" for i in range(500)}
