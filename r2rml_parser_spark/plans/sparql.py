@@ -65,12 +65,25 @@ some deeper OPTIONAL), and a pattern following a nested OPTIONAL
 inside the group must not share its variables (textual-order rule) —
 a join variable another OPTIONAL may
 have left unbound would need SPARQL's unbound-is-compatible join,
-which an equi-join cannot express, so it is rejected), { A } UNION
-{ B } blocks (both branches must bind the same variables — then the
-union is a plain bag union and joins against the rest of the query
-stay sound; branches binding different variables would need SPARQL's
-unbound-is-compatible join semantics, which is rejected, not
-approximated), FILTER (x op y) for op ∈ {=, !=, <, <=, >, >=} where
+which an equi-join cannot express, so it is rejected; a group FILTER
+may reference variables of the immediately enclosing group/query —
+SPARQL's LeftJoin(A, G, F) with a cross-group F — compiled INTO the
+left-join condition (equi-keys ∧ F), which reproduces both the
+Filter(F, Join) and the Diff(A, G, F) halves including error→false;
+filters reaching TWO levels out are rejected, since SPARQL scopes F
+at its own LeftJoin where those variables are unbound), { A } UNION
+{ B } blocks (branches may bind DIFFERENT variables per SPARQL 1.1 —
+a variable missing from a branch is unbound there, padded as NULL and
+tracked; the union is a bag union, and any later join on a
+possibly-unbound variable takes an EXACT compatible-join
+decomposition: the nullable side is partitioned by which nullable
+keys are bound — 2^k slices, k ≤ 4 — each slice equi-joins on its
+bound keys and takes the clean side's values for the rest, which is
+precisely §18.5 Join compatibility; a variable nullable on BOTH sides
+of a join is rejected, not approximated — the same decomposition and
+rejection rules apply when a { SELECT } subquery projects a variable
+its inner OPTIONAL/UNION may leave unbound, and to VALUES blocks
+joining a mixed-variable union), FILTER (x op y) for op ∈ {=, !=, <, <=, >, >=} where
 x/y are variables, terms, bare numbers, or the accessors ``lang(?v)``
 / ``datatype(?v)`` / ``STR(?v)`` (STR yields the lexical form / IRI
 string as a simple literal and never errors on bound terms), the
@@ -118,8 +131,13 @@ EXISTS { t1 . t2 ... [FILTER ...] } at the top level of WHERE,
 compiled to a semi/anti join on the shared term keys (the group must
 share ≥1 variable with the rest of the query, none of them
 OPTIONAL-nullable — SPARQL's unbound-is-compatible semantics cannot
-be a semi-join, so those are rejected; nesting EXISTS inside boolean
-expressions or other groups is rejected too) — MINUS { t1 ... }
+be a semi-join, so those are rejected); [NOT] EXISTS also composes
+INSIDE boolean FILTER expressions (``FILTER (EXISTS {…} || ?x > 5)``)
+at the top level of WHERE — compiled to a per-row boolean flag via a
+left join against the group's distinct shared term keys (never
+multiplies rows; an EXISTS sharing no variable is evaluated once as a
+constant; EXISTS nested inside braced groups or BIND expressions is
+still rejected) — MINUS { t1 ... }
 (SPARQL 1.1 §8.3: an anti join on the shared term keys when every
 shared variable is required-bound; a MINUS sharing no variable with
 the rest of the query removes nothing and compiles away, and
@@ -315,6 +333,28 @@ def _expr_vars(node) -> set[str]:
 
     walk(node)
     return out
+
+
+def _rename_expr_vars(node, mapping: dict[str, str]):
+    """Rewrite variable names inside a FILTER/BIND expression AST (pure
+    structural copy; names absent from ``mapping`` pass through). Used
+    by the LeftJoin(A, G, F) compiler to point a deferred OPTIONAL
+    filter at the renamed group-side columns of the join."""
+    if isinstance(node, Var):
+        return Var(mapping.get(node.name, node.name))
+    if isinstance(node, LangOf):
+        return LangOf(mapping.get(node.name, node.name))
+    if isinstance(node, DtypeOf):
+        return DtypeOf(mapping.get(node.name, node.name))
+    if isinstance(node, StrOf):
+        return StrOf(mapping.get(node.name, node.name))
+    if isinstance(node, tuple):
+        if len(node) == 3 and node[0] == "bool":
+            return (node[0], node[1], mapping.get(node[2], node[2]))
+        return tuple(_rename_expr_vars(x, mapping) for x in node)
+    if isinstance(node, list):
+        return [_rename_expr_vars(x, mapping) for x in node]
+    return node
 
 
 def _shadow_cols(v: str) -> tuple[str, str, str]:
@@ -1167,9 +1207,11 @@ class _Parser:
         OPTIONAL/UNION/EXISTS/MINUS block) → (patterns, filters,
         nested-optionals). A FILTER here is applied to the group BEFORE
         it joins the outer query — equivalent to SPARQL's
-        LeftJoin(A, G, F) / branch-local filter when every filter
-        variable is bound inside the group (validated at compile; a
-        filter needing outer variables is rejected). Nested OPTIONAL
+        LeftJoin(A, G, F) / branch-local filter — when every filter
+        variable is bound inside the group; an OPTIONAL filter that
+        also needs variables of the immediately enclosing group
+        compiles into the left-join CONDITION (LeftJoin(A, G, F) with
+        cross-group F; see _left_join_group). Nested OPTIONAL
         groups are accepted to ARBITRARY depth inside an OPTIONAL group
         (``allow_nested_optional``; each nested entry is recursively
         (patterns, filters, its-own-nested)); inside UNION/EXISTS/MINUS
@@ -1549,11 +1591,21 @@ class _Parser:
                 raise SparqlError("FILTER expression needs ')'")
             return node
         if k == "kw" and str(v).upper() in ("EXISTS", "NOT"):
-            raise SparqlError(
-                "EXISTS/NOT EXISTS must be the entire FILTER constraint "
-                "(FILTER [NOT] EXISTS { ... }); it cannot compose inside "
-                "a boolean expression"
-            )
+            # [NOT] EXISTS { ... } composing inside a boolean expression
+            # (SPARQL 1.1 ExistsFunc/NotExistsFunc): compiled to a
+            # per-row existence FLAG (left join against the group's
+            # distinct shared keys) rather than the semi/anti-join fast
+            # path the standalone FILTER [NOT] EXISTS form takes
+            positive = str(v).upper() == "EXISTS"
+            self._next()
+            if not positive:
+                k2, v2 = self._next()
+                if k2 != "kw" or str(v2).upper() != "EXISTS":
+                    raise SparqlError(
+                        "expected EXISTS after NOT in a boolean expression"
+                    )
+            node = ("exists_e", self._group()[:2])
+            return node if positive else ("not", node)
         if (
             k == "kw"
             and str(v).lower()
@@ -2471,6 +2523,14 @@ def _compile_bool(node, bound: set[str], scope: str = "the query") -> "F.Column"
             return ~compile_node(node[1])
         if tag == "const":
             return F.lit(bool(node[1]))
+        if tag == "flag":
+            # precomputed EXISTS flag column (never NULL: true/false)
+            return F.col(node[1])
+        if tag == "exists_e":
+            raise SparqlError(
+                f"EXISTS inside a boolean expression is only supported in "
+                f"FILTER clauses at the top level of WHERE, not in {scope}"
+            )
         if tag == "same":
             # RDF term identity: all four components equal; an unbound
             # variable yields NULL components → error → row dropped
@@ -2756,6 +2816,120 @@ def sparql_ask(
     return not _compile(triples, parsed).isEmpty()
 
 
+#: rename suffix for group-side columns in a conditional left join
+_GSUF = "__lj"
+
+#: decomposition cap: 2^k equi-join slices per compatible join
+_COMPAT_MAX_NULLABLE = 4
+
+
+def _compat_join(
+    left: DataFrame,
+    left_nullable: set[str],
+    right: DataFrame,
+    right_nullable: set[str],
+    shared: list[str],
+    what: str = "this join",
+) -> DataFrame:
+    """SPARQL-compatible inner join (§18.5 Join) when some shared
+    variables may be UNBOUND (NULL) on one side: an unbound variable is
+    compatible with any binding and takes the other side's value — an
+    equi-join on the raw columns would silently drop those solutions.
+
+    Decomposed exactly: the nullable side is partitioned by which of
+    its nullable shared variables are bound (2^k slices, k capped at
+    ``_COMPAT_MAX_NULLABLE``); each slice equi-joins on its bound keys,
+    with the unbound columns dropped so the clean side's binding wins.
+    Slices partition the input, so bag multiplicity is preserved; every
+    slice projects the same column set, so the union is by name.
+
+    One side must be clean on the shared variables (both-side-nullable
+    compatibility needs full unification — rejected, use SQL over
+    register_triples_view)."""
+    l_null = sorted(v for v in shared if v in left_nullable)
+    r_null = sorted(v for v in shared if v in right_nullable)
+    if l_null and r_null:
+        raise SparqlError(
+            f"join variable(s) of {what} may be unbound on BOTH sides "
+            f"({sorted(set(l_null) | set(r_null))}); two-sided "
+            "unbound-compatible joins are not supported — restructure "
+            "the query or use SQL over register_triples_view"
+        )
+    if r_null:
+        dirty, dirty_null, clean = right, r_null, left
+    else:
+        dirty, dirty_null, clean = left, l_null, right
+    if not dirty_null:  # both clean: plain equi-join
+        keys = [c for v in shared for c in _term_key(v)]
+        return left.join(right, on=keys, how="inner")
+    if len(dirty_null) > _COMPAT_MAX_NULLABLE:
+        raise SparqlError(
+            f"{what} joins on {len(dirty_null)} possibly-unbound "
+            f"variables ({dirty_null}); the compatible-join decomposition "
+            f"is capped at {_COMPAT_MAX_NULLABLE}"
+        )
+    req = [v for v in shared if v not in dirty_null]
+    out: DataFrame | None = None
+    for mask in range(1 << len(dirty_null)):
+        bound_vs = [v for i, v in enumerate(dirty_null) if mask >> i & 1]
+        unbound_vs = [v for i, v in enumerate(dirty_null) if not mask >> i & 1]
+        sl = dirty
+        for v in bound_vs:
+            sl = sl.where(F.col(v).isNotNull())
+        for v in unbound_vs:
+            sl = sl.where(F.col(v).isNull())
+        sl = sl.drop(*[c for v in unbound_vs for c in _term_key(v)])
+        keys = [c for v in (req + bound_vs) for c in _term_key(v)]
+        piece = clean.join(sl, on=keys, how="inner") if keys else clean.crossJoin(sl)
+        out = piece if out is None else out.unionByName(piece)
+    return out
+
+
+def _left_join_group(
+    df: DataFrame,
+    gdf: DataFrame,
+    gvars: set[str],
+    shared: list[str],
+    join_filters: list[tuple],
+    bound: set[str],
+    scope: str = "this OPTIONAL group",
+) -> DataFrame:
+    """LeftJoin(A, G, F) where F references variables of A: compile the
+    deferred group filters INTO the left-join condition. SPARQL 1.1
+    defines LeftJoin(Ω1, Ω2, F) = Filter(F, Join(Ω1, Ω2)) ∪
+    Diff(Ω1, Ω2, F) — a left outer join whose ON clause is
+    (equi-keys ∧ F) is exactly that, including error→false (a NULL
+    condition is a non-match, and Diff keeps μ1 when F is false OR
+    errors). Group columns are renamed with ``_GSUF`` so the condition
+    can reference both sides; group-only variables are renamed back
+    afterwards."""
+    ren = {v: v + _GSUF for v in sorted(gvars)}
+    sel = []
+    for v in sorted(gvars):
+        sel.append(F.col(v).alias(ren[v]))
+        for c_old, c_new in zip(_shadow_cols(v), _shadow_cols(ren[v])):
+            sel.append(F.col(c_old).alias(c_new))
+    g = gdf.select(*sel)
+    cond = F.lit(True)
+    for v in shared:
+        for c_old, c_new in zip(_term_key(v), _term_key(ren[v])):
+            cond = cond & (F.col(c_old) == F.col(c_new))
+    ext_bound = set(bound) | set(ren.values())
+    for f in join_filters:
+        cond = cond & _compile_bool(
+            _rename_expr_vars(f, ren), ext_bound, f"{scope} (join filter)"
+        )
+    joined = df.join(g, cond, "left")
+    keep = [F.col(c) for c in df.columns]
+    for v in sorted(gvars):
+        if v in shared:
+            continue
+        keep.append(F.col(ren[v]).alias(v))
+        for c_new, c_old in zip(_shadow_cols(ren[v]), _shadow_cols(v)):
+            keep.append(F.col(c_new).alias(c_old))
+    return joined.select(*keep)
+
+
 def _compile_where(
     triples: DataFrame, parsed: SimpleNamespace
 ) -> tuple[DataFrame, set[str], set[str]]:
@@ -2767,6 +2941,9 @@ def _compile_where(
     values_blocks = parsed.values_blocks
     df: DataFrame | None = None
     bound: set[str] = set()
+    # vars that may be NULL (= SPARQL unbound): introduced by OPTIONAL,
+    # by UNION branches that don't all bind them, and by BIND errors
+    nullable: set[str] = set()
     if patterns:
         df, bound = _join_patterns(triples, patterns)
     for branches in unions:
@@ -2774,31 +2951,44 @@ def _compile_where(
         for pats, gfilters in branches:
             bdf, bvars = _join_patterns(triples, pats)
             bdf = _apply_filters(bdf, gfilters, bvars, "this UNION branch")
-            compiled.append((bdf, bvars))
-        # path-expansion internals are branch-local: project them away
-        # before the union (bag semantics keep path multiplicity)
-        varset = {v for v in compiled[0][1] if not _is_internal(v)}
-        if any({v for v in vs if not _is_internal(v)} != varset for _, vs in compiled):
-            raise SparqlError(
-                "UNION branches must bind the same variables "
-                f"(got {sorted(v for _, vs in compiled for v in vs if not _is_internal(v))})"
-            )
+            # path-expansion internals are branch-local: project them
+            # away before the union (bag semantics keep multiplicity)
+            compiled.append((bdf, {v for v in bvars if not _is_internal(v)}))
+        # branches may bind DIFFERENT variables (SPARQL 1.1 UNION):
+        # a variable missing from a branch is unbound there — padded
+        # with NULL term columns, and tracked as nullable so every
+        # later join either decomposes (compatible join) or rejects
+        varset = set().union(*(vs for _, vs in compiled))
+        common = set.intersection(*(vs for _, vs in compiled))
         cols = [x for v in sorted(varset) for x in _term_key(v)]
-        u = compiled[0][0].select(*cols)
-        for bdf, _ in compiled[1:]:
-            u = u.unionByName(bdf.select(*cols))  # bag union (SPARQL UNION)
+        padded = []
+        for bdf, vs in compiled:
+            for v in sorted(varset - vs):
+                for c in _term_key(v):
+                    bdf = bdf.withColumn(c, F.lit(None).cast("string"))
+            padded.append(bdf.select(*cols))
+        u = padded[0]
+        for bdf in padded[1:]:
+            u = u.unionByName(bdf)  # bag union (SPARQL UNION)
+        u_nullable = varset - common
         if df is None:
             df, bound = u, set(varset)
+            nullable |= u_nullable
         else:
             shared = [v for v in sorted(varset) if v in bound]
             if shared:
-                join_keys = [x for v in shared for x in _term_key(v)]
-                df = df.join(u, on=join_keys, how="inner")
+                df = _compat_join(
+                    df, nullable, u, u_nullable, shared, "this UNION block"
+                )
             else:
                 df = df.crossJoin(u)
             bound |= varset
+            # shared vars are bound from the clean side after the join;
+            # unshared branch-local vars stay nullable
+            nullable -= set(shared)
+            nullable |= {v for v in u_nullable if v not in shared}
     for sub in parsed.subselects:
-        sdf, svars, alias_names = _compile_subselect(triples, sub)
+        sdf, svars, alias_names, s_nullable = _compile_subselect(triples, sub)
         clash = sorted(alias_names & bound)
         if clash:
             raise SparqlError(
@@ -2810,12 +3000,19 @@ def _compile_where(
         if df is None:
             df, bound = sdf, set(svars) | alias_names
         elif shared:
-            join_keys = [x for v in shared for x in _term_key(v)]
-            df = df.join(sdf, on=join_keys, how="inner")
+            # a projected variable the subquery may leave unbound (inner
+            # OPTIONAL / mixed-variable UNION) takes the compatible-join
+            # decomposition, not a raw equi-join that would drop the row
+            df = _compat_join(df, nullable, sdf, s_nullable, shared, "this subquery")
             bound |= svars | alias_names
         else:
             df = df.crossJoin(sdf)
             bound |= svars | alias_names
+        # after the join every shared var is bound from the clean side
+        # (_compat_join requires one side clean); unshared nullable
+        # subquery vars stay nullable
+        nullable -= set(shared)
+        nullable |= {v for v in s_nullable if v not in shared}
     assert df is not None
     for vars_, rows in values_blocks:
         # inline constant bindings as a tiny broadcast relation carrying
@@ -2837,28 +3034,40 @@ def _compile_where(
         )
         shared = [v for v in vars_ if v in bound]
         if shared:
-            df = df.join(vdf, on=[x for v in shared for x in _term_key(v)], how="inner")
+            # the VALUES side is never nullable (UNDEF is rejected), but
+            # df may be (mixed-variable UNION): compatible join
+            df = _compat_join(df, nullable, vdf, set(), shared, "this VALUES block")
+            nullable -= set(shared)
         else:
             df = df.crossJoin(vdf)
         bound |= set(vars_)
-    nullable: set[str] = set()  # vars introduced by OPTIONAL (may be NULL)
 
     def _compile_optional_group(
-        gpats: list[tuple], gfilters: list[tuple], nested: list[tuple]
-    ) -> tuple[DataFrame, set[str], set[str]]:
+        gpats: list[tuple], gfilters: list[tuple], nested: list[tuple],
+        outer_vars: set[str],
+    ) -> tuple[DataFrame, set[str], set[str], list[tuple]]:
         """One OPTIONAL group with arbitrarily deep nested OPTIONALs →
-        (solutions, bound vars, nullable vars). Each nested group
-        compiles recursively and left-joins its parent in textual
-        order — LeftJoin(A, B) at every level, the well-designed-
-        pattern evaluation. Join keys that may be NULL on either side
-        (bound only inside some deeper OPTIONAL) are rejected: an
-        equi-join cannot express SPARQL's unbound-is-compatible
-        join."""
+        (solutions, bound vars, nullable vars, deferred filters). Each
+        nested group compiles recursively and left-joins its parent in
+        textual order — LeftJoin(A, B) at every level, the
+        well-designed-pattern evaluation. Join keys that may be NULL on
+        either side (bound only inside some deeper OPTIONAL) are
+        rejected: an equi-join cannot express SPARQL's
+        unbound-is-compatible join.
+
+        A group filter referencing variables the group itself never
+        binds — but its immediate LEFT side does (``outer_vars``) — is
+        SPARQL's LeftJoin(A, G, F) with a cross-group F: it cannot be
+        applied inside the group, so it is RETURNED and the caller
+        compiles it into the left-join condition (_left_join_group).
+        Filters reaching past the immediate left side (two levels up)
+        are rejected: SPARQL scopes F at its own LeftJoin, where such
+        variables are unbound."""
         gdf, gvars = _join_patterns(triples, gpats)
         g_nullable: set[str] = set()
         for npats, nfilters, nnested in nested:
-            ndf, nvars, n_nullable = _compile_optional_group(
-                npats, nfilters, nnested
+            ndf, nvars, n_nullable, ndeferred = _compile_optional_group(
+                npats, nfilters, nnested, gvars | outer_vars
             )
             nshared = sorted(v for v in nvars if v in gvars)
             if not nshared:
@@ -2872,18 +3081,50 @@ def _compile_where(
                     f"side ({bad}) — SPARQL's unbound-is-compatible join is "
                     "not expressible as an equi-join"
                 )
-            gdf = gdf.join(
-                ndf, on=[x for v in nshared for x in _term_key(v)], how="left"
-            )
+            if ndeferred:
+                deep = sorted(
+                    v
+                    for f in ndeferred
+                    for v in _expr_vars(f)
+                    if not _is_internal(v) and v not in nvars and v not in gvars
+                )
+                if deep:
+                    raise SparqlError(
+                        f"a nested OPTIONAL filter references variable(s) "
+                        f"{deep} bound neither in its group nor in the "
+                        "immediately enclosing group — SPARQL scopes the "
+                        "filter at its own LeftJoin, where they are unbound"
+                    )
+                gdf = _left_join_group(
+                    gdf, ndf, nvars, nshared, ndeferred, gvars,
+                    "this nested OPTIONAL group",
+                )
+            else:
+                gdf = gdf.join(
+                    ndf, on=[x for v in nshared for x in _term_key(v)], how="left"
+                )
             g_nullable |= (nvars - gvars) | n_nullable
             gvars |= nvars
-        # group filter == LeftJoin(A, G, F): applied over the whole
-        # group result (incl. nested-OPTIONAL bindings)
-        gdf = _apply_filters(gdf, gfilters, gvars, "this OPTIONAL group")
-        return gdf, gvars, g_nullable
+        # group filter == LeftJoin(A, G, F): filters bound entirely
+        # inside the group apply over the whole group result (incl.
+        # nested-OPTIONAL bindings) — equivalent to putting them in F;
+        # filters that also need the LEFT side's variables defer to the
+        # caller's join condition
+        local: list[tuple] = []
+        deferred: list[tuple] = []
+        for f in gfilters:
+            fv = {v for v in _expr_vars(f) if not _is_internal(v)}
+            if fv <= gvars:
+                local.append(f)
+            else:
+                deferred.append(f)
+        gdf = _apply_filters(gdf, local, gvars, "this OPTIONAL group")
+        return gdf, gvars, g_nullable, deferred
 
     for gpats, gfilters, nested in optionals:
-        gdf, gvars, g_nullable = _compile_optional_group(gpats, gfilters, nested)
+        gdf, gvars, g_nullable, deferred = _compile_optional_group(
+            gpats, gfilters, nested, bound
+        )
         shared = sorted(v for v in gvars if v in bound)
         bad_outer = sorted(v for v in shared if v in g_nullable)
         if bad_outer:
@@ -2907,8 +3148,21 @@ def _compile_where(
                 "join is not expressible as an equi-join — restructure the "
                 "query or use SQL over register_triples_view"
             )
-        join_keys = [x for v in shared for x in _term_key(v)]
-        df = df.join(gdf, on=join_keys, how="left")
+        if deferred:
+            deep = sorted(
+                v
+                for f in deferred
+                for v in _expr_vars(f)
+                if not _is_internal(v) and v not in gvars and v not in bound
+            )
+            if deep:
+                raise SparqlError(
+                    f"an OPTIONAL filter references unbound variable(s) {deep}"
+                )
+            df = _left_join_group(df, gdf, gvars, shared, deferred, bound)
+        else:
+            join_keys = [x for v in shared for x in _term_key(v)]
+            df = df.join(gdf, on=join_keys, how="left")
         nullable |= gvars - bound
         bound |= gvars
 
@@ -2931,7 +3185,51 @@ def _compile_where(
         )
         bound.add(name)
         nullable.add(name)  # may be NULL on evaluation error
+
+    flag_n = 0
+
+    def _attach_exists_flag(node):
+        """Replace every ``("exists_e", (pats, filters))`` node in a
+        FILTER AST with a ``("flag", col)`` reference to a precomputed
+        boolean column: the group compiles to its distinct shared term
+        keys and LEFT-joins the solutions (never multiplying rows), so
+        EXISTS composes inside any boolean expression. An EXISTS group
+        sharing no variable is a constant — evaluated once here."""
+        nonlocal df, flag_n
+        if isinstance(node, tuple):
+            if node and node[0] == "exists_e":
+                gpats, gfilters = node[1]
+                gdf, gvars = _join_patterns(triples, gpats)
+                gdf = _apply_filters(gdf, gfilters, gvars, "this EXISTS group")
+                shared = sorted(v for v in gvars if v in bound)
+                if not shared:
+                    return ("const", not gdf.isEmpty())
+                maybe_null = sorted(v for v in shared if v in nullable)
+                if maybe_null:
+                    raise SparqlError(
+                        "EXISTS join variable(s) may be unbound by an earlier "
+                        f"OPTIONAL ({maybe_null}); SPARQL's unbound-is-"
+                        "compatible semantics are not expressible as a key "
+                        "join — restructure the query or use SQL over "
+                        "register_triples_view"
+                    )
+                flag_n += 1
+                flag = f"__exists_flag{flag_n}"
+                keys = [x for v in shared for x in _term_key(v)]
+                marker = gdf.select(*keys).dropDuplicates().withColumn(
+                    flag, F.lit(True)
+                )
+                df = df.join(marker, on=keys, how="left").withColumn(
+                    flag, F.coalesce(F.col(flag), F.lit(False))
+                )
+                return ("flag", flag)
+            return tuple(_attach_exists_flag(x) for x in node)
+        return node
+
+    filters = [_attach_exists_flag(f) for f in filters]
     df = _apply_filters(df, filters, bound)
+    if flag_n:
+        df = df.drop(*[f"__exists_flag{i}" for i in range(1, flag_n + 1)])
     for positive, (gpats, gfilters) in exists_blocks:
         # FILTER [NOT] EXISTS → semi/anti join on the shared term keys:
         # per-row existence test, never multiplies outer rows, and the
@@ -2986,8 +3284,12 @@ _SUB_NUMERIC_DTYPE = {"COUNT": "integer", "SUM": "decimal", "AVG": "decimal"}
 
 def _compile_subselect(
     triples: DataFrame, sub: SimpleNamespace
-) -> tuple[DataFrame, set[str], set[str]]:
-    """``{ SELECT ... }`` → (relation, plain vars, alias vars).
+) -> tuple[DataFrame, set[str], set[str], set[str]]:
+    """``{ SELECT ... }`` → (relation, plain vars, alias vars,
+    nullable plain vars — projected variables the subquery may leave
+    UNBOUND, from inner OPTIONALs / mixed-variable UNIONs / BINDs; the
+    outer join must treat those as compatible-with-anything, so the
+    caller routes them through ``_compat_join``).
 
     Plain projected variables carry their FULL term keys (value + kind
     + lang + dtype shadows), so the outer join matches terms exactly.
@@ -2998,7 +3300,7 @@ def _compile_subselect(
     expose only a lexical value with NULL (unknown) term components —
     term-sensitive tests on them are type errors, the documented
     conservative behavior. Subquery DISTINCT dedups by full term."""
-    df, bound, _nullable = _compile_where(triples, sub)
+    df, bound, sub_nullable = _compile_where(triples, sub)
     items = sub.items
     if items is None:
         plain = sorted(v for v in bound if not _is_internal(v))
@@ -3044,7 +3346,7 @@ def _compile_subselect(
             .withColumn(l, F.lit("") if dt else nil)
             .withColumn(d, F.lit(_XSD + dt) if dt else nil)
         )
-    return out, set(plain), alias_names
+    return out, set(plain), alias_names, {v for v in plain if v in sub_nullable}
 
 
 def _compile(triples: DataFrame, parsed: SimpleNamespace) -> DataFrame:

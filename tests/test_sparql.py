@@ -133,13 +133,16 @@ def test_filter_inside_optional_group(graph):
     """
     got = {(r.p, r.n) for r in sparql_select(graph, q).collect()}
     assert got == {(EX + "p1", "Ada"), (EX + "p2", None)}
-    # a group filter needing a variable from OUTSIDE the group is the
-    # non-compositional case — rejected, not approximated
-    with pytest.raises(SparqlError):
-        sparql_select(
-            graph,
-            "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p ex:name ?o . OPTIONAL { ?p ex:knows ?q . FILTER (?o = \"Ada\") } }",
-        )
+    # a group filter needing a variable from OUTSIDE the group is
+    # SPARQL's LeftJoin(A, G, F) with a cross-group F — compiled into
+    # the left-join condition (r4): p1 (name "Ada") keeps its knows
+    # edge, p2 fails the filter and keeps the row with ?q unbound
+    q2 = (
+        "PREFIX ex: <http://ex.org/> SELECT ?p ?q WHERE "
+        '{ ?p ex:name ?o . OPTIONAL { ?p ex:knows ?q . FILTER (?o = "Ada") } }'
+    )
+    got2 = {(r.p, r.q) for r in sparql_select(graph, q2).collect()}
+    assert got2 == {(EX + "p1", EX + "p2"), (EX + "p2", None)}
 
 
 def test_filter_inside_union_branch(graph):
@@ -350,12 +353,66 @@ def test_union_joins_with_required_patterns(graph):
     # survive the union (kind column carried through)
 
 
+def test_union_different_vars(graph):
+    # SPARQL 1.1: branches may bind different variables — a variable
+    # missing from a branch is unbound (NULL) in its solutions
+    q = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?s ?n ?q WHERE {
+      { ?s ex:name ?n } UNION { ?s ex:knows ?q }
+    }
+    """
+    got = {(r.s, r.n, r.q) for r in sparql_select(graph, q).collect()}
+    assert got == {
+        (EX + "p1", "Ada", None),
+        (EX + "p2", "Grace", None),
+        (EX + "p1", None, EX + "p2"),
+    }
+    # bound() separates the branches; !bound on the union-nullable var
+    q2 = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?s WHERE {
+      { ?s ex:name ?n } UNION { ?s ex:knows ?q }
+      FILTER (!bound(?n))
+    }
+    """
+    assert [r.s for r in sparql_select(graph, q2).collect()] == [EX + "p1"]
+
+
+def test_union_different_vars_compatible_join(graph):
+    # ?n is unbound in the knows-branch: joining the later pattern
+    # ?s ex:name ?n must treat unbound-?n rows as compatible (take the
+    # pattern's binding), not equi-join NULL away — §18.5 Join
+    q = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?s ?n ?q WHERE {
+      ?s ex:name ?n .
+      { ?s ex:name ?n } UNION { ?s ex:knows ?q }
+    }
+    """
+    got = {(r.s, r.n, r.q) for r in sparql_select(graph, q).collect()}
+    assert got == {
+        (EX + "p1", "Ada", None),
+        (EX + "p2", "Grace", None),
+        (EX + "p1", "Ada", EX + "p2"),  # unbound ?n takes "Ada"
+    }
+
+
+def test_union_both_sides_nullable_rejected(graph):
+    # ?n may be unbound in BOTH union blocks — two-sided compatibility
+    # needs unification, rejected not approximated
+    q = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?s WHERE {
+      { ?s ex:name ?n } UNION { ?s ex:knows ?q }
+      { ?s ex:name ?n } UNION { ?s dc:source ?z }
+    }
+    """
+    with pytest.raises(SparqlError):
+        sparql_select(graph, q, {"dc": DC})
+
+
 def test_union_errors(graph):
-    with pytest.raises(SparqlError):  # branches bind different variables
-        sparql_select(
-            graph,
-            "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { { ?s ex:name ?n } UNION { ?s ex:knows ?q } }",
-        )
     with pytest.raises(SparqlError):  # lone braced group is not a UNION
         sparql_select(graph, "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { { ?s ex:name ?n } }")
 
@@ -779,16 +836,55 @@ def test_exists_never_multiplies_rows(spark):
     assert [r.s for r in sparql_select(g, q).collect()] == [EX + "p"]
 
 
+def test_exists_in_boolean_expression(graph):
+    # SPARQL 1.1 ExistsFunc composes inside boolean expressions (r4):
+    # compiled to a per-row flag via a left join on the group's
+    # distinct shared keys — p1 knows someone, p2 has a lang-tagged
+    # name; the || admits both, && neither
+    q = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE {
+      ?p a ex:Person . ?p ex:name ?n .
+      FILTER (EXISTS { ?p ex:knows ?q } || lang(?n) = "en")
+    }
+    """
+    got = {r.p for r in sparql_select(graph, q).collect()}
+    assert got == {EX + "p1", EX + "p2"}
+    q2 = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE {
+      ?p a ex:Person . ?p ex:name ?n .
+      FILTER (EXISTS { ?p ex:knows ?q } && lang(?n) = "en")
+    }
+    """
+    assert sparql_select(graph, q2).count() == 0
+    # NOT EXISTS / !EXISTS inside the expression; flag never multiplies
+    # rows (p1 has two outgoing predicates on the probe pattern)
+    q3 = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE {
+      ?p a ex:Person .
+      FILTER (NOT EXISTS { ?p ex:knows ?q } || ?p = ex:p1)
+    }
+    """
+    got3 = [r.p for r in sparql_select(graph, q3).collect()]
+    assert sorted(got3) == [EX + "p1", EX + "p2"]
+    # uncorrelated EXISTS inside an expression = a constant test
+    q4 = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE {
+      ?p a ex:Person .
+      FILTER (EXISTS { ?x ex:nosuchpred ?y } || ?p = ex:p1)
+    }
+    """
+    assert [r.p for r in sparql_select(graph, q4).collect()] == [EX + "p1"]
+
+
 def test_exists_rejections(graph):
-    with pytest.raises(SparqlError):  # no shared variable
+    with pytest.raises(SparqlError):  # no shared variable (standalone)
         sparql_select(
             graph,
             "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . FILTER EXISTS { ?x ex:knows ?y } }",
-        )
-    with pytest.raises(SparqlError):  # inside a boolean expression
-        sparql_select(
-            graph,
-            'PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . FILTER (EXISTS { ?p ex:knows ?q } && bound(?p)) }',
         )
     with pytest.raises(SparqlError):  # inside an OPTIONAL group
         sparql_select(
@@ -800,6 +896,100 @@ def test_exists_rejections(graph):
             graph,
             "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . OPTIONAL { ?p ex:knows ?q } FILTER NOT EXISTS { ?q ex:name ?n } }",
         )
+
+
+def test_cross_group_optional_filter_semantics(spark):
+    # LeftJoin(A, G, F) with F referencing A: employees with optional
+    # bonus kept only when bonus > salary-dependent threshold — the
+    # textbook case where Filter(F, LeftJoin) ≠ LeftJoin(..., F)
+    rows = [
+        (EX + "e1", "iri", EX + "salary", "10", "literal", None, None),
+        (EX + "e2", "iri", EX + "salary", "50", "literal", None, None),
+        (EX + "e1", "iri", EX + "bonus", "20", "literal", None, None),
+        (EX + "e2", "iri", EX + "bonus", "20", "literal", None, None),
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    q = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?e ?b WHERE {
+      ?e ex:salary ?s .
+      OPTIONAL { ?e ex:bonus ?b . FILTER (?b > ?s) }
+    }
+    """
+    got = {(r.e, r.b) for r in sparql_select(g, q).collect()}
+    # e1: bonus 20 > salary 10 → joined; e2: 20 > 50 fails → row KEPT
+    # with ?b unbound (Diff half of LeftJoin), not dropped
+    assert got == {(EX + "e1", "20"), (EX + "e2", None)}
+    # two levels out is rejected: SPARQL scopes F at its own LeftJoin
+    q2 = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?e WHERE {
+      ?e ex:salary ?s .
+      OPTIONAL { ?e ex:bonus ?b . OPTIONAL { ?e ex:bonus ?c . FILTER (?c > ?s) } }
+    }
+    """
+    with pytest.raises(SparqlError):
+        sparql_select(g, q2)
+
+
+def test_nested_optional_cross_group_filter(spark):
+    # the nested OPTIONAL's filter references its PARENT group's var:
+    # compiled into the nested left-join condition
+    rows = [
+        (EX + "e1", "iri", EX + "salary", "10", "literal", None, None),
+        (EX + "e1", "iri", EX + "bonus", "20", "literal", None, None),
+        (EX + "e1", "iri", EX + "cap", "15", "literal", None, None),
+        (EX + "e2", "iri", EX + "salary", "50", "literal", None, None),
+        (EX + "e2", "iri", EX + "bonus", "20", "literal", None, None),
+        (EX + "e2", "iri", EX + "cap", "60", "literal", None, None),
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    q = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?e ?b ?c WHERE {
+      ?e ex:salary ?s .
+      OPTIONAL { ?e ex:bonus ?b . OPTIONAL { ?e ex:cap ?c . FILTER (?c > ?b) } }
+    }
+    """
+    got = {(r.e, r.b, r.c) for r in sparql_select(g, q).collect()}
+    # e1: cap 15 < bonus 20 → inner unbound; e2: cap 60 > 20 → bound
+    assert got == {(EX + "e1", "20", None), (EX + "e2", "20", "60")}
+
+
+def test_subquery_nullable_projection_compatible_join(spark):
+    # a subquery projecting a variable its inner OPTIONAL may leave
+    # unbound: the outer join must treat unbound as compatible (take
+    # the outer binding), not equi-join the NULL away
+    rows = [
+        (EX + "p1", "iri", RDF + "type", EX + "T", "iri", None, None),
+        (EX + "p2", "iri", RDF + "type", EX + "T", "iri", None, None),
+        (EX + "p1", "iri", EX + "name", "Ada", "literal", None, None),
+        (EX + "p2", "iri", EX + "name", "Grace", "literal", None, None),
+        (EX + "p1", "iri", EX + "nick", "A", "literal", None, None),
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    q = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?p ?n WHERE {
+      ?p ex:name ?n .
+      { SELECT ?p ?k WHERE { ?p a ex:T . OPTIONAL { ?p ex:nick ?k } } }
+    }
+    """
+    got = {(r.p, r.n) for r in sparql_select(g, q).collect()}
+    assert got == {(EX + "p1", "Ada"), (EX + "p2", "Grace")}
+    # and joining ON the nullable var itself: p2's ?k is unbound in the
+    # subquery → compatible with the outer ?k binding from ex:name
+    q2 = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?p ?k WHERE {
+      ?p ex:name ?k .
+      { SELECT ?p ?k WHERE { ?p a ex:T . OPTIONAL { ?p ex:nick ?k } } }
+    }
+    """
+    got2 = {(r.p, r.k) for r in sparql_select(g, q2).collect()}
+    # p1: subquery binds ?k="A" ≠ name "Ada" → incompatible, dropped;
+    # p2: subquery ?k unbound → compatible, takes "Grace"
+    assert got2 == {(EX + "p2", "Grace")}
 
 
 def test_sameterm(numeric_graph, spark):
