@@ -144,6 +144,33 @@ def q_sparql_pathx_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tpch_sparql_pathx(spark, sf_dir)
 
 
+def q_sparql_union_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-variable UNION (branches bind DIFFERENT vars) joined to a
+    required pattern via the exact compatible-join decomposition
+    (unbound ?cname takes the pattern's binding — SPARQL §18.5)."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_union
+
+    return run_tpch_sparql_union(spark, sf_dir)
+
+
+def q_sparql_optfilter_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-group OPTIONAL filter — LeftJoin(A, G, F) with F comparing
+    a group var against a required-side var, compiled into the
+    left-join condition (non-matching rows keep ?nname unbound)."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_optfilter
+
+    return run_tpch_sparql_optfilter(spark, sf_dir)
+
+
+def q_sparql_exists_expr_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS composing inside a boolean FILTER expression (|| with a
+    string test), compiled to a per-row flag via a key-distinct left
+    join rather than the standalone semi-join."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_exists_expr
+
+    return run_tpch_sparql_exists_expr(spark, sf_dir)
+
+
 def q_sparql_describe_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL DESCRIBE (concise bounded description) of every Nation
     in the generated KG."""
@@ -204,6 +231,19 @@ def q_proportional_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     return proportional_sample(docs, 0.25)
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-doc count of word 8-grams shared
+    with a deterministic md5-cut 'benchmark' subset of the corpus —
+    benchmark grams broadcast, corpus side never shuffles."""
+    from r2rml_parser_spark.operators.decontaminate import contaminated_ids
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "08"
+    )
+    return contaminated_ids(docs, bench, n=8)
 
 
 def q_span_view(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,6 +424,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_closure_kg": q_sparql_closure_kg,
         "sparql_closure_seeded_kg": q_sparql_closure_seeded_kg,
         "sparql_pathx_kg": q_sparql_pathx_kg,
+        "sparql_union_kg": q_sparql_union_kg,
+        "sparql_optfilter_kg": q_sparql_optfilter_kg,
+        "sparql_exists_expr_kg": q_sparql_exists_expr_kg,
         "sparql_describe_kg": q_sparql_describe_kg,
         "sparql_subquery_kg": q_sparql_subquery_kg,
         "sparql_groupconcat_kg": q_sparql_groupconcat_kg,
@@ -393,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
         "proportional_sample": q_proportional_sample,
+        "decontamination": q_decontamination,
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
         "neardup_pairs": q_neardup_pairs,
@@ -431,6 +475,9 @@ def oracle_sql() -> dict[str, str]:
         TPCH_SPARQL_DATETIME_ORACLE_SQL,
         TPCH_SPARQL_DESCRIBE_ORACLE_SQL,
         TPCH_SPARQL_EXISTS_ORACLE_SQL,
+        TPCH_SPARQL_EXISTS_EXPR_ORACLE_SQL,
+        TPCH_SPARQL_UNION_ORACLE_SQL,
+        TPCH_SPARQL_OPTFILTER_ORACLE_SQL,
         TPCH_SPARQL_GROUPCONCAT_ORACLE_SQL,
         TPCH_SPARQL_SUBQUERY_ORACLE_SQL,
         TPCH_SPARQL_PATH_ORACLE_SQL,
@@ -470,6 +517,9 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "sparql_closure_kg": TPCH_SPARQL_CLOSURE_ORACLE_SQL,
         "sparql_closure_seeded_kg": TPCH_SPARQL_CLOSURE_SEEDED_ORACLE_SQL,
         "sparql_pathx_kg": TPCH_SPARQL_PATHX_ORACLE_SQL,
+        "sparql_union_kg": TPCH_SPARQL_UNION_ORACLE_SQL,
+        "sparql_optfilter_kg": TPCH_SPARQL_OPTFILTER_ORACLE_SQL,
+        "sparql_exists_expr_kg": TPCH_SPARQL_EXISTS_EXPR_ORACLE_SQL,
         "sparql_describe_kg": TPCH_SPARQL_DESCRIBE_ORACLE_SQL,
         "sparql_subquery_kg": TPCH_SPARQL_SUBQUERY_ORACLE_SQL,
         "sparql_groupconcat_kg": TPCH_SPARQL_GROUPCONCAT_ORACLE_SQL,
@@ -479,6 +529,7 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "pack_sequences": oracles.pack_sequences_sql(5000),
         "stratified_sample": oracles.stratified_sample_sql(20),
         "proportional_sample": oracles.proportional_sample_sql(0.25),
+        "decontamination": oracles.decontamination_sql(8, "08"),
         "dedup_exact": oracles.DEDUP_EXACT_SQL,
         "minhash_bands": oracles.minhash_bands_sql(),
         "neardup_pairs": oracles.neardup_pairs_sql(0.8),

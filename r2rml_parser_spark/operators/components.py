@@ -76,9 +76,36 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     relative to the corpus (edges ≪ docs), so this is the CC analogue of
     a broadcast join — it removes O(log n) barrier rounds of small
     shuffle jobs whose fixed latency doesn't scale with executors."""
-    parent: dict = {}
+    # toPandas(): one job, Arrow-batched both ways — measured ~2× faster
+    # than Row-object collect + list createDataFrame at 10^5 edges; the
+    # threshold bounds driver memory. Node ids are then FACTORIZED to
+    # dense int codes (vectorized) and union-find runs over int arrays
+    # with ranks in VALUE order, so "union by min id" stays exact while
+    # the hot loop touches numpy ints, not string-keyed dicts — this
+    # whole function is driver-side FIXED cost in the build, so every
+    # ms here is a direct win on the N→4N scaling ratio (r4).
+    import numpy as np
+    import pandas as pd
 
-    def find(x):
+    pdf = edges.toPandas()
+    spark = edges.sparkSession
+    out_schema = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("component")
+    ).schema
+    if not len(pdf):
+        return spark.createDataFrame([], out_schema)
+    codes, uniques = pd.factorize(
+        pd.concat([pdf.iloc[:, 0], pdf.iloc[:, 1]], ignore_index=True), sort=False
+    )
+    n = len(uniques)
+    m = len(pdf)
+    # rank[c] = position of uniques[c] in sorted value order: union by
+    # min RANK ≡ union by min node id
+    rank = np.empty(n, dtype=np.int64)
+    rank[np.argsort(uniques)] = np.arange(n)
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(x: int) -> int:
         r = x
         while parent[r] != r:
             r = parent[r]
@@ -86,30 +113,16 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    # toPandas(): one job, Arrow-batched both ways — measured ~2× faster
-    # than Row-object collect + list createDataFrame at 10^5 edges; the
-    # threshold bounds driver memory
-    pdf = edges.toPandas()
-    for u, v in zip(pdf.iloc[:, 0].to_numpy(), pdf.iloc[:, 1].to_numpy()):
-        parent.setdefault(u, u)
-        parent.setdefault(v, v)
-        ru, rv = find(u), find(v)
+    us, vs = codes[:m], codes[m:]
+    for i in range(m):
+        ru, rv = find(us[i]), find(vs[i])
         if ru != rv:
-            # union by min: the smaller id stays root, so the final root
-            # IS the component minimum (ids are totally ordered)
-            lo, hi = (ru, rv) if ru < rv else (rv, ru)
-            parent[hi] = lo
-
-    spark = edges.sparkSession
-    out_schema = edges.select(
-        F.col("u").alias("node"), F.col("v").alias("component")
-    ).schema
-    if not len(parent):
-        return spark.createDataFrame([], out_schema)
-    import pandas as pd
-
-    nodes = list(parent)
-    out = pd.DataFrame({"node": nodes, "component": [find(n) for n in nodes]})
+            if rank[ru] <= rank[rv]:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    roots = np.array([find(i) for i in range(n)], dtype=np.int64)
+    out = pd.DataFrame({"node": uniques, "component": uniques[roots]})
     return spark.createDataFrame(out, out_schema)
 
 
@@ -138,9 +151,14 @@ def connected_components(
     cur = _cut_lineage(
         edges.select("u", "v")
         .where(F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v")))
-        .dropDuplicates()
         # materialize the input once: upstream edge derivations (e.g. the
-        # whole MinHash pipeline) must not re-execute per CC iteration
+        # whole MinHash pipeline) must not re-execute per CC iteration.
+        # NO input dropDuplicates: parallel edges are harmless to both
+        # paths (union-find is idempotent; the first large-star round
+        # ends in its own dropDuplicates), and skipping it removes a
+        # full shuffle + checkpoint — fixed cost that doesn't scale
+        # with executors (r4 phase profile: the rewrite phase's driver-
+        # side constants were ~40% of its wall at local[8])
     )
     if collect_threshold and cur.count() <= collect_threshold:
         return _driver_union_find(cur)

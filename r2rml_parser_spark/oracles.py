@@ -377,3 +377,32 @@ SELECT doc_id, n_tokens, bucket,
        CAST(cum - n_tokens AS BIGINT) AS seq_tokens_before
 FROM w
 """
+
+
+def decontamination_sql(n: int = 8, cut_hex: str = "08") -> str:
+    """DuckDB twin of operators.decontaminate.contaminated_ids, with the
+    benchmark defined as the md5-prefix-cut subset of documents (first
+    two hex chars of md5(doc_id) < ``cut_hex`` — the engine-reproducible
+    stand-in for an external eval set): per-doc count of distinct word
+    ``n``-grams shared with any benchmark doc."""
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {n}
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(t) - {n - 1}),
+                     i -> array_to_string(t[i:i+{n - 1}], ' ')))
+              ELSE [] END AS s
+  FROM toks
+),
+exploded AS (SELECT doc_id, unnest(s) AS g FROM grams),
+bgrams AS (
+  SELECT DISTINCT md5(g) AS gram_hash FROM exploded
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{cut_hex}'
+),
+dgrams AS (SELECT doc_id, md5(g) AS gram_hash FROM exploded)
+SELECT doc_id, count(*) AS n_hit_grams
+FROM dgrams JOIN bgrams USING (gram_hash)
+GROUP BY doc_id
+"""

@@ -130,6 +130,25 @@ def build_kg(
         triples = engine.triples(lineage=lineage, dedup=True)
 
     if canonicalize:
+        # Materialize the span/mention persists CONCURRENTLY with the
+        # LSH stage (independent DAGs: LSH reads only documents.parquet,
+        # spans/mentions only feed the emission that runs after the
+        # edges exist). Sequentially, the eager edge checkpoint runs
+        # first and these caches fill inside the final count — leaving
+        # every executor idle during the driver-side CC/union-find
+        # phase and LSH's barrier tails. The overlap soaks that idle
+        # capacity; it is pure scheduling, no semantic change. (r4:
+        # fixed/idle wall is what caps the N→4N scaling ratio.)
+        import threading
+
+        def _warm_caches():
+            try:
+                sources["doc_mentions"].count()  # materializes spans too
+            except Exception:  # surfaces on the main-path action instead
+                pass
+
+        warm = threading.Thread(target=_warm_caches, daemon=True)
+        warm.start()
         # near-duplicate docs → sameAs edges between doc IRIs → merge
         # co-referent subjects via large-star/small-star CC. doc_id is
         # IRI-encoded exactly like the DocMap subject template renders

@@ -625,3 +625,144 @@ SELECT '{KG}/event/' || event_id AS e,
 FROM events
 WHERE event_type = 'purchase' AND year(ts) = 2024 AND hour(ts) < 6
 """
+
+
+# ---------------------------------------------------------------------------
+# r4 SPARQL-surface driver queries (VERDICT r3 "what's missing" #1): the
+# three spec edges the engine used to REJECT — mixed-variable UNION with
+# an unbound-compatible join, a cross-group OPTIONAL filter
+# (LeftJoin(A, G, F) with F referencing A), and EXISTS composing inside
+# a boolean FILTER expression — each oracled against the literal
+# relational algebra it compiles to.
+
+# Mixed-variable UNION: branch 1 binds only ?s, branch 2 also binds
+# ?cname — joining the required ?s ex:name ?cname pattern must treat
+# branch-1 solutions (?cname unbound) as compatible-with-anything
+# (SPARQL 1.1 §18.5 Join), taking the pattern's binding.
+TPCH_SPARQL_UNION_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?s ?cname WHERE {
+  ?s ex:name ?cname .
+  { ?s ex:marketSegment "MACHINERY" } UNION { ?s a ex:Nation . ?s ex:name ?cname }
+}
+"""
+
+
+def run_tpch_sparql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_UNION_QUERY)
+
+
+# the compatible join in SQL: an unbound (NULL) union-side ?cname
+# matches any base ?cname and takes its value
+TPCH_SPARQL_UNION_ORACLE_SQL = f"""
+WITH triples AS ({TPCH_KG_ORACLE_SQL}),
+base AS (
+  SELECT subj AS s, subj_kind AS sk, obj AS cname FROM triples
+  WHERE pred = '{ONT}name' AND obj_kind = 'literal'
+),
+u AS (
+  SELECT subj AS s, subj_kind AS sk, CAST(NULL AS VARCHAR) AS cname
+  FROM triples
+  WHERE pred = '{ONT}marketSegment' AND obj = 'MACHINERY'
+    AND obj_kind = 'literal'
+  UNION ALL
+  SELECT t1.subj, t1.subj_kind, t2.obj
+  FROM triples t1
+  JOIN triples t2 ON t2.subj = t1.subj AND t2.subj_kind = t1.subj_kind
+  WHERE t1.pred = '{RDF_TYPE}' AND t1.obj = '{ONT}Nation' AND t1.obj_kind = 'iri'
+    AND t2.pred = '{ONT}name' AND t2.obj_kind = 'literal'
+)
+SELECT base.s AS s, base.cname AS cname
+FROM base JOIN u
+  ON base.s = u.s AND base.sk = u.sk
+ AND (u.cname IS NULL OR u.cname = base.cname)
+"""
+
+# Cross-group OPTIONAL filter — LeftJoin(A, G, F) where F compares the
+# group's ?nname against the REQUIRED side's ?cname: the customer
+# name's last digit must equal the nation name's 8th character
+# (NATION_4 → '4'), so ~10% of customers get ?nname bound and the rest
+# KEEP their row with ?nname unbound — the case where
+# Filter(F, LeftJoin(A, G)) would wrongly DROP the non-matching rows.
+TPCH_SPARQL_OPTFILTER_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?customer ?cname ?nname WHERE {
+  ?customer a ex:Customer .
+  ?customer ex:name ?cname .
+  OPTIONAL { ?customer ex:inNation ?nation . ?nation ex:name ?nname .
+             FILTER (SUBSTR(?nname, 8, 1) = SUBSTR(?cname, 18, 1)) }
+}
+"""
+
+
+def run_tpch_sparql_optfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_OPTFILTER_QUERY)
+
+
+TPCH_SPARQL_OPTFILTER_ORACLE_SQL = f"""
+WITH triples AS ({TPCH_KG_ORACLE_SQL}),
+cust AS (
+  SELECT t1.subj AS customer, t2.obj AS cname
+  FROM triples t1
+  JOIN triples t2 ON t2.subj = t1.subj AND t2.subj_kind = t1.subj_kind
+  WHERE t1.pred = '{RDF_TYPE}' AND t1.obj = '{ONT}Customer' AND t1.obj_kind = 'iri'
+    AND t2.pred = '{ONT}name' AND t2.obj_kind = 'literal'
+),
+grp AS (
+  SELECT g1.subj AS customer, g2.obj AS nname
+  FROM triples g1
+  JOIN triples g2 ON g2.subj = g1.obj AND g2.subj_kind = g1.obj_kind
+  WHERE g1.pred = '{ONT}inNation' AND g1.obj_kind = 'iri'
+    AND g2.pred = '{ONT}name' AND g2.obj_kind = 'literal'
+)
+SELECT cust.customer AS customer, cust.cname AS cname, grp.nname AS nname
+FROM cust LEFT JOIN grp
+  ON grp.customer = cust.customer
+ AND substr(grp.nname, 8, 1) = substr(cust.cname, 18, 1)
+"""
+
+# EXISTS inside a boolean expression: nations that either have an
+# AUTOMOBILE-segment customer OR whose name starts with "A" — the
+# ExistsFunc form (flag compiled via a key-distinct left join), not the
+# standalone FILTER EXISTS semi-join.
+TPCH_SPARQL_EXISTS_EXPR_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?nation ?nname WHERE {
+  ?nation a ex:Nation .
+  ?nation ex:name ?nname .
+  FILTER (EXISTS { ?c ex:inNation ?nation . ?c ex:marketSegment "AUTOMOBILE" }
+          || STRSTARTS(?nname, "A"))
+}
+"""
+
+
+def run_tpch_sparql_exists_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_EXISTS_EXPR_QUERY)
+
+
+TPCH_SPARQL_EXISTS_EXPR_ORACLE_SQL = f"""
+WITH triples AS ({TPCH_KG_ORACLE_SQL}),
+nat AS (
+  SELECT t1.subj AS nation, t1.subj_kind AS nk, t2.obj AS nname
+  FROM triples t1
+  JOIN triples t2 ON t2.subj = t1.subj AND t2.subj_kind = t1.subj_kind
+  WHERE t1.pred = '{RDF_TYPE}' AND t1.obj = '{ONT}Nation' AND t1.obj_kind = 'iri'
+    AND t2.pred = '{ONT}name' AND t2.obj_kind = 'literal'
+)
+SELECT nation, nname FROM nat
+WHERE EXISTS (
+    SELECT 1 FROM triples e1
+    JOIN triples e2 ON e2.subj = e1.subj AND e2.subj_kind = e1.subj_kind
+    WHERE e1.pred = '{ONT}inNation' AND e1.obj = nat.nation
+      AND e1.obj_kind = nat.nk
+      AND e2.pred = '{ONT}marketSegment' AND e2.obj = 'AUTOMOBILE'
+      AND e2.obj_kind = 'literal'
+  )
+   OR nname LIKE 'A%'
+"""

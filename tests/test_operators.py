@@ -607,3 +607,33 @@ def test_cap_clusters_accepts_neardup_edge_columns(spark):
     # explicit column names work too
     out2 = cap_clusters(docs, edges.withColumnRenamed("a", "x"), k=1, u_col="x", v_col="b")
     assert out2.count() == 4
+
+
+def test_decontamination(spark):
+    from r2rml_parser_spark.operators.decontaminate import (
+        contaminated_ids,
+        decontaminate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "alpha beta gamma delta epsilon"),
+            ("d2", "alpha beta gamma delta zeta"),   # shares 3-gram with d1
+            ("d3", "one two three four five"),
+            ("d4", "totally different words here now"),
+            ("d5", "too short"),                      # < n tokens: no grams
+        ],
+        "doc_id string, text string",
+    )
+    bench = spark.createDataFrame(
+        [("b1", "alpha beta gamma qqq"), ("b2", "one two three")],
+        "doc_id string, text string",
+    )
+    hits = {r.doc_id: r.n_hit_grams for r in contaminated_ids(docs, bench, n=3).collect()}
+    # d1/d2 share "alpha beta gamma" with b1; d3 shares "one two three"
+    assert hits == {"d1": 1, "d2": 1, "d3": 1}
+    clean = {r.doc_id for r in decontaminate(docs, bench, n=3).collect()}
+    assert clean == {"d4", "d5"}
+    # n wider than any benchmark doc: nothing collides
+    assert contaminated_ids(docs, bench, n=6).count() == 0
+    assert decontaminate(docs, bench, n=6).count() == 5

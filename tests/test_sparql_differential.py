@@ -190,3 +190,65 @@ def test_bgp_filter_differential(spark, graph, patterns, flt):
         if (b[fvar] == fconst) == (fop == "=")
     )
     assert got == want, f"query {q!r} diverged"
+
+
+def naive_union_join(graph, req_patterns, branch_a, branch_b):
+    """Join(BGP(req), Union(BGP(a), BGP(b))) per SPARQL 1.1 §18.5:
+    solution mappings with DIFFERENT domains; μ1 ~ μ2 iff they agree on
+    dom(μ1) ∩ dom(μ2); merge = μ1 ∪ μ2. Bag semantics throughout."""
+    left = naive_eval(graph, req_patterns) if req_patterns else [dict()]
+    right = naive_eval(graph, branch_a) + naive_eval(graph, branch_b)
+    out = []
+    for m1 in left:
+        for m2 in right:
+            if all(m1[v] == m2[v] for v in m1.keys() & m2.keys()):
+                out.append({**m1, **m2})
+    return out
+
+
+@pytest.mark.skipif(not HAVE_HYP, reason="hypothesis not installed")
+@settings(max_examples=10, deadline=None)
+@given(
+    graph=graph_st,
+    req=st.lists(pattern_st, min_size=0, max_size=2) if HAVE_HYP else st.none(),
+    br_a=st.lists(pattern_st, min_size=1, max_size=2) if HAVE_HYP else st.none(),
+    br_b=st.lists(pattern_st, min_size=1, max_size=2) if HAVE_HYP else st.none(),
+)
+def test_union_mixed_vars_differential(spark, graph, req, br_a, br_b):
+    # mixed-variable UNION + unbound-compatible join vs the naive §18.5
+    # evaluator: branches may bind different variable sets, and the
+    # required patterns join the union with compatibility semantics
+    for pats in (req, br_a, br_b):
+        for pat in pats:
+            for mode, v in pat:
+                if mode == "const" and v[1] == "bnode":
+                    return
+    all_vars = sorted(set(used_vars(req)) | set(used_vars(br_a)) | set(used_vars(br_b)))
+    if not all_vars:
+        return
+    rows = [
+        (s[0], s[1], p, o[0], o[1], o[2] or None, o[3] or None)
+        for s, p, o in graph
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+
+    def fmt_pats(pats):
+        parts = []
+        for s, p, o in pats:
+            def fmt(term):
+                mode, v = term
+                return f"?{v}" if mode == "var" else term_sparql(v)
+            parts.append(f"{fmt(s)} {fmt(p)} {fmt(o)} .")
+        return " ".join(parts)
+
+    q = (
+        f"SELECT {' '.join('?' + v for v in all_vars)} WHERE {{ "
+        f"{fmt_pats(req)} "
+        f"{{ {fmt_pats(br_a)} }} UNION {{ {fmt_pats(br_b)} }} }}"
+    )
+    got = Counter(tuple(r[v] for v in all_vars) for r in sparql_select(g, q).collect())
+    want = Counter(
+        tuple(b[v][0] if v in b else None for v in all_vars)
+        for b in naive_union_join(graph, req, br_a, br_b)
+    )
+    assert got == want, f"query {q!r} diverged"
