@@ -246,6 +246,23 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contaminated_ids(docs, bench, n=8)
 
 
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal over the interleaved span
+    sequence: text spans recurring verbatim in ≥3 distinct docs are
+    dropped via a broadcast anti join (the corpus never shuffles);
+    media spans pass through untouched."""
+    from r2rml_parser_spark.operators.boilerplate import strip_boilerplate
+    from r2rml_parser_spark.sources.docs import synth_span_rows
+
+    spans = synth_span_rows(spark, sf_dir)
+    return strip_boilerplate(spans, min_docs=3).select(
+        "doc_id",
+        F.col("offset").alias("span_offset"),
+        "kind",
+        F.md5(F.coalesce("text", "media_ref")).alias("content_md5"),
+    )
+
+
 def q_span_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     from r2rml_parser_spark.sources.docs import span_view, synth_docs
 
@@ -437,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "proportional_sample": q_proportional_sample,
         "decontamination": q_decontamination,
+        "strip_boilerplate": q_strip_boilerplate,
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
         "neardup_pairs": q_neardup_pairs,
@@ -530,6 +548,7 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "stratified_sample": oracles.stratified_sample_sql(20),
         "proportional_sample": oracles.proportional_sample_sql(0.25),
         "decontamination": oracles.decontamination_sql(8, "08"),
+        "strip_boilerplate": oracles.strip_boilerplate_sql(3),
         "dedup_exact": oracles.DEDUP_EXACT_SQL,
         "minhash_bands": oracles.minhash_bands_sql(),
         "neardup_pairs": oracles.neardup_pairs_sql(0.8),

@@ -144,8 +144,38 @@ def main() -> None:
                     help="interleaved (N,4N) pairs for --scaling (median kept)")
     ap.add_argument("--query-repeats", type=int, default=3,
                     help="driver-mode repeats per query/build (median kept)")
+    ap.add_argument("--no-isolate", action="store_true",
+                    help="scaling: reuse one JVM across cold runs (the r1-r3 "
+                         "methodology) instead of a fresh process per run")
+    ap.add_argument("--one-build", type=int, metavar="CORES",
+                    help="(worker) one isolated cold build at CORES on --sf-dir")
+    ap.add_argument("--one-envelope", type=int, metavar="CORES",
+                    help="(worker) one isolated envelope calibration at CORES")
     args = ap.parse_args()
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    if args.one_build is not None:
+        # Worker process for --scaling isolation: fresh JVM, JIT-warmed
+        # on sf0.001 (outside the timed region), one cold build.
+        spark = _session(args.one_build)
+        kg_throughput(spark, "/root/testdata/sf0.001")
+        spark.catalog.clearCache()
+        tps, n, dt = kg_throughput(spark, args.sf_dir)
+        print(json.dumps({"tps": tps, "n": n, "dt": dt}))
+        return
+
+    if args.one_envelope is not None:
+        from pyspark.sql import functions as F
+
+        cores = args.one_envelope
+        spark = _session(cores)
+        rng = spark.range(0, 60_000_000, 1, cores * 4)
+        expr = F.sum(F.xxhash64(F.md5(F.concat(F.col("id").cast("string"), F.lit("x")))))
+        rng.select(expr).collect()  # warm
+        t0 = time.monotonic()
+        rng.select(expr).collect()
+        print(json.dumps({"sec": time.monotonic() - t0}))
+        return
 
     if args.scaling:
         import tempfile
@@ -168,10 +198,21 @@ def main() -> None:
         #   * configs are INTERLEAVED per repeat — (N, 4N), (N, 4N)...
         #     so a host-slowness drift hits both sides of each pair
         #     instead of biasing whichever config ran last;
-        #   * every run gets a FRESH SparkContext in the same JVM: cold
-        #     by construction (new CacheManager — no operator-internal
-        #     persist reuse across runs) while JIT/codegen warmth from
-        #     the one warm-up build carries over (JVM survives);
+        #   * every run gets a FRESH PROCESS (fresh JVM + fresh
+        #     SparkContext), JIT-warmed inside the worker on sf0.001
+        #     before its one timed cold build. The r1-r3 methodology
+        #     (fresh context, SHARED JVM) systematically depressed the
+        #     measured ratio: a JVM that has executed previous full
+        #     builds carries an aged/fragmented heap + promoted-object
+        #     history, and that tax grows with allocation concurrency,
+        #     so it hits the 4N side harder than the N side (measured
+        #     r4: the spans phase ran 12s at local[2] but 24s at
+        #     local[8] when the local[8] session followed a full build
+        #     in the same JVM — vs 5s in a fresh process). Per-process
+        #     isolation is also the honest model of the north rule's
+        #     actual setting: cluster executors launch as fresh JVMs.
+        #     (--no-isolate keeps the old shared-JVM mode for
+        #     comparability with r1-r3 numbers.)
         #   * efficiency is computed per pair; the MEDIAN pair is the
         #     headline (ADVICE r2: max-of-N of noisy ratios is biased
         #     upward — an unusually slow small-core run inflates a pair
@@ -186,20 +227,35 @@ def main() -> None:
             spark, args.sf_dir, args.replicas,
             tempfile.mkdtemp(prefix="r2rml_bench_scale_"),
         )
-        kg_throughput(spark, "/root/testdata/sf0.001")  # warmup/JIT
+        if args.no_isolate:
+            kg_throughput(spark, "/root/testdata/sf0.001")  # warmup/JIT
         spark.stop()
+
+        import subprocess
+
+        me = os.path.abspath(__file__)
+
+        def _worker(flag: str, cores: int, sf_dir: str) -> dict:
+            out = subprocess.run(
+                [sys.executable, me, flag, str(cores), "--sf-dir", sf_dir],
+                capture_output=True, text=True, check=True,
+            ).stdout
+            return json.loads(out.strip().splitlines()[-1])
+
         # same-day machine envelope: memory-bandwidth-bound codegen job
-        # (one session at a time — local mode allows a single context)
         envelope = {}
         for cores in (small, big):
-            s2 = _fresh(cores)
-            rng = s2.range(0, 60_000_000, 1, cores * 4)
-            expr = F.sum(F.xxhash64(F.md5(F.concat(F.col("id").cast("string"), F.lit("x")))))
-            rng.select(expr).collect()  # warm
-            t0 = time.monotonic()
-            rng.select(expr).collect()
-            envelope[cores] = time.monotonic() - t0
-            s2.stop()
+            if args.no_isolate:
+                s2 = _fresh(cores)
+                rng = s2.range(0, 60_000_000, 1, cores * 4)
+                expr = F.sum(F.xxhash64(F.md5(F.concat(F.col("id").cast("string"), F.lit("x")))))
+                rng.select(expr).collect()  # warm
+                t0 = time.monotonic()
+                rng.select(expr).collect()
+                envelope[cores] = time.monotonic() - t0
+                s2.stop()
+            else:
+                envelope[cores] = _worker("--one-envelope", cores, args.sf_dir)["sec"]
         env_eff = (envelope[small] / envelope[big]) / (big / small)
 
         pairs = []
@@ -207,11 +263,15 @@ def main() -> None:
         for _ in range(args.repeats):
             pair = {}
             for cores in (small, big):
-                s2 = _fresh(cores)
-                tps, n, dt = kg_throughput(s2, scaled_dir)
+                if args.no_isolate:
+                    s2 = _fresh(cores)
+                    tps, n, dt = kg_throughput(s2, scaled_dir)
+                    s2.stop()
+                else:
+                    r = _worker("--one-build", cores, scaled_dir)
+                    tps, n, dt = r["tps"], r["n"], r["dt"]
                 pair[cores] = (tps, n, dt)
                 runs[cores].append((tps, n, dt))
-                s2.stop()
             pairs.append(round((pair[big][0] / pair[small][0]) / (big / small), 3))
         med = {c: sorted(rs, key=lambda r: r[0])[len(rs) // 2] for c, rs in runs.items()}
         print(json.dumps({
@@ -232,6 +292,7 @@ def main() -> None:
             "best_pair_efficiency": max(pairs),
             "pair_efficiencies": pairs,
             "machine_envelope_efficiency": round(env_eff, 3),
+            "isolation": "process-per-run" if not args.no_isolate else "shared-jvm",
         }))
         return
 

@@ -406,3 +406,22 @@ SELECT doc_id, count(*) AS n_hit_grams
 FROM dgrams JOIN bgrams USING (gram_hash)
 GROUP BY doc_id
 """
+
+
+def strip_boilerplate_sql(min_docs: int = 3) -> str:
+    """DuckDB twin of operators.boilerplate.strip_boilerplate over the
+    span view: text spans whose normalized content recurs in >=
+    ``min_docs`` distinct docs are removed; media spans pass through."""
+    from r2rml_parser_spark.sources.docs import SPAN_VIEW_ORACLE_SQL
+
+    return f"""
+WITH sv AS ({SPAN_VIEW_ORACLE_SQL}),
+hot AS (
+  SELECT md5({_NORM}) AS h FROM sv WHERE kind = 'text'
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= {min_docs}
+)
+SELECT doc_id, CAST("offset" AS INT) AS span_offset, kind,
+       md5(coalesce(text, media_ref)) AS content_md5
+FROM sv
+WHERE kind <> 'text' OR md5({_NORM}) NOT IN (SELECT h FROM hot)
+"""

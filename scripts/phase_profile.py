@@ -2,9 +2,11 @@
 """Per-phase scaling probe for the canonicalized KG build.
 
 Replicates BENCH/BASELINE.md §4.3: barrier-times each phase of
-``pipeline.build_kg`` at two parallelism levels (fresh SparkContext per
-config, JIT-warmed) on the deterministically ×replicated corpus, and
-prints per-phase pair efficiencies. Phases:
+``pipeline.build_kg`` at two parallelism levels (fresh PROCESS per
+config — shared-JVM heap history taxes the higher-parallelism config,
+see bench.py --scaling isolation note — JIT-warmed inside each worker)
+on the deterministically ×replicated corpus, and prints per-phase pair
+efficiencies. Phases:
 
   spans      span synthesis + persist + count
   mentions   mention detection + persist + count
@@ -126,22 +128,39 @@ def main() -> None:
     ap.add_argument("--small", type=int, default=2)
     ap.add_argument("--big", type=int, default=8)
     ap.add_argument("--replicas", type=int, default=48)
+    ap.add_argument("--one-config", type=int, metavar="CORES",
+                    help="(worker) profile one config; --sf-dir is the scaled dir")
     args = ap.parse_args()
 
-    spark = _fresh(args.big)
     from bench import _materialize_scaled_corpus, kg_throughput
 
+    if args.one_config is not None:
+        # Worker: fresh JVM per config (the r4 isolation finding — a JVM
+        # that has executed a prior full build carries heap history that
+        # taxes the higher-parallelism config harder; see bench.py
+        # --scaling). JIT-warm on sf0.001, then barrier-time the phases.
+        s = _fresh(args.one_config)
+        kg_throughput(s, "/root/testdata/sf0.001")
+        s.catalog.clearCache()
+        print(json.dumps(profile(s, args.sf_dir)))
+        return
+
+    spark = _fresh(args.big)
     scaled = _materialize_scaled_corpus(
         spark, args.sf_dir, args.replicas, tempfile.mkdtemp(prefix="r2rml_phase_")
     )
-    kg_throughput(spark, "/root/testdata/sf0.001")  # JIT warmup
     spark.stop()
 
-    out: dict[str, dict] = {}
+    import subprocess
+
+    me = os.path.abspath(__file__)
+    out: dict[int, dict] = {}
     for cores in (args.small, args.big):
-        s = _fresh(cores)
-        out[cores] = profile(s, scaled)
-        s.stop()
+        res = subprocess.run(
+            [sys.executable, me, "--one-config", str(cores), "--sf-dir", scaled],
+            capture_output=True, text=True, check=True,
+        ).stdout
+        out[cores] = json.loads(res.strip().splitlines()[-1])
     ratio = args.big / args.small
     effs = {
         k: round((out[args.small][k] / out[args.big][k]) / ratio, 3)
@@ -153,6 +172,7 @@ def main() -> None:
         "pair_efficiency": effs,
         "cores": [args.small, args.big],
         "replicas": args.replicas,
+        "isolation": "process-per-config",
     }))
 
 

@@ -637,3 +637,44 @@ def test_decontamination(spark):
     # n wider than any benchmark doc: nothing collides
     assert contaminated_ids(docs, bench, n=6).count() == 0
     assert decontaminate(docs, bench, n=6).count() == 5
+
+
+def test_strip_boilerplate(spark):
+    from pyspark.sql import functions as F
+
+    from r2rml_parser_spark.operators.boilerplate import (
+        boilerplate_span_texts,
+        strip_boilerplate,
+    )
+
+    rows = [
+        # "copyright footer" recurs in 3 docs (one with case/space noise)
+        ("d1", "text", "Copyright Footer", None, 0),
+        ("d2", "text", "copyright  footer", None, 0),
+        ("d3", "text", "COPYRIGHT FOOTER ", None, 0),
+        # recurs in only 2 docs: below min_docs=3, kept
+        ("d1", "text", "shared intro", None, 1),
+        ("d2", "text", "shared intro", None, 1),
+        # unique text + media spans: kept
+        ("d1", "text", "unique body one", None, 2),
+        ("d2", "image", None, "media://d2/1", 2),
+        # same text twice in ONE doc: 1 distinct doc, kept
+        ("d4", "text", "self repeat", None, 0),
+        ("d4", "text", "self repeat", None, 1),
+    ]
+    spans = spark.createDataFrame(
+        rows, "doc_id string, kind string, text string, media_ref string, offset int"
+    )
+    hot = boilerplate_span_texts(spans, min_docs=3).collect()
+    assert len(hot) == 1 and hot[0].n_docs == 3
+
+    out = strip_boilerplate(spans, min_docs=3)
+    assert out.columns == spans.columns  # schema preserved
+    kept = {(r.doc_id, r.offset) for r in out.collect()}
+    assert kept == {
+        ("d1", 1), ("d2", 1), ("d1", 2), ("d2", 2), ("d4", 0), ("d4", 1)
+    }
+    # media spans survive even when every text span is boilerplate
+    assert ("d2", 2) in kept
+    # min_docs high enough: identity
+    assert strip_boilerplate(spans, min_docs=99).count() == len(rows)
