@@ -344,6 +344,14 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules(_docs(spark, sf_dir))
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc duplicate/top word-bigram fractions (Gopher repetition
+    filters) — zero-shuffle in-row signals over one documents scan."""
+    from r2rml_parser_spark.operators.textstats import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir), n=2)
+
+
 # -- event analytics ---------------------------------------------------
 
 def q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -464,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
         "gopher_rules": q_gopher_rules,
+        "repetition_signals": q_repetition_signals,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "windowed_events": q_windowed_events,
@@ -558,6 +567,7 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "token_counts": oracles.token_counts_sql(),
         "fingerprints": oracles.fingerprints_sql(),
         "gopher_rules": oracles.gopher_rules_sql(),
+        "repetition_signals": oracles.repetition_signals_sql(2),
         "ann_cosine_topk": oracles.ann_cosine_topk_sql(5, 10),
         "ann_ivf_topk": oracles.ann_ivf_topk_sql(5, 2, 10),
         "embedding_neardup": oracles.embedding_neardup_sql(0.8),

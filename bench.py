@@ -151,6 +151,12 @@ def main() -> None:
                     help="(worker) one isolated cold build at CORES on --sf-dir")
     ap.add_argument("--one-envelope", type=int, metavar="CORES",
                     help="(worker) one isolated envelope calibration at CORES")
+    ap.add_argument("--scale-small", type=int, default=None,
+                    help="scaling: N cores (default cpus//16; the (1,4) pair "
+                         "keeps BOTH configs under 1/8 of a 32-core host so "
+                         "neither side saturates the shared memory bus)")
+    ap.add_argument("--scale-big", type=int, default=None,
+                    help="scaling: 4N cores (default cpus//4)")
     args = ap.parse_args()
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
@@ -221,7 +227,8 @@ def main() -> None:
         #   * the same-day machine envelope (pure-codegen calibration
         #     at both sizes) is measured and reported alongside, since
         #     host conditions move it by several points day to day.
-        small, big = max(args.cpus // 16, 1), max(args.cpus // 4, 2)
+        small = args.scale_small or max(args.cpus // 16, 1)
+        big = args.scale_big or (4 * small if args.scale_small else max(args.cpus // 4, 2))
         spark = _fresh(big)
         scaled_dir = _materialize_scaled_corpus(
             spark, args.sf_dir, args.replicas,

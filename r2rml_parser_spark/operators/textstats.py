@@ -143,3 +143,71 @@ def gopher_rules(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         r6(F.when(n_lines > 0, n_ellip / n_lines).otherwise(F.lit(0.0))).alias("ellipsis_line_frac"),
         r6(F.when(n_alpha > 0, sum_alpha / n_alpha).otherwise(F.lit(0.0))).alias("mean_word_len"),
     )
+
+
+def repetition_signals(
+    docs: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Intra-document n-gram repetition signals (the Gopher §A1.1
+    duplicate/top n-gram filters, Rae et al. 2021 — public paper):
+
+      * dup_gram_frac — fraction of word-n-gram INSTANCES that are
+        repeats of an earlier instance in the same doc
+        ((count − distinct) / count); high ⇒ loops, spam, boilerplate
+        paragraphs repeated inside one page
+      * top_gram_frac — fraction of gram instances taken by the single
+        most frequent n-gram (max run over the sorted gram array);
+        high ⇒ one phrase dominates the doc
+
+    Complements the corpus-level operators: exact/MinHash dedup and
+    ``strip_boilerplate`` act ACROSS documents, these act WITHIN one.
+
+    Scale shape: everything is in-row over one scan — zero shuffle.
+    The max-frequency count deliberately avoids explode + groupBy(doc,
+    gram) (a corpus-sized shuffle of every token window): the gram
+    array is sorted in-row and the longest equal-run is found by one
+    fold. The fold lambdas are CodegenFallback (higher-order
+    functions), but they stay JVM-side and the no-shuffle shape wins
+    at 100 TB — this is a per-doc quality signal, not the KG hot path.
+
+    Docs with fewer than ``n`` tokens have no gram and are dropped
+    (matching the oracle's ``len(t) >= n`` gate).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = _tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n_tok - n + 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    # longest equal-run over the sorted array = max gram frequency
+    sorted_g = F.array_sort(grams)
+    top = F.aggregate(
+        sorted_g,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda a: a["best"],
+    )
+    r6 = lambda c: F.round(c, 6)  # noqa: E731
+    return (
+        docs.where(n_tok >= n)
+        .select(
+            F.col(id_col),
+            r6((n_grams - n_distinct) / n_grams).alias("dup_gram_frac"),
+            r6(top / n_grams).alias("top_gram_frac"),
+        )
+    )

@@ -425,3 +425,28 @@ SELECT doc_id, CAST("offset" AS INT) AS span_offset, kind,
 FROM sv
 WHERE kind <> 'text' OR md5({_NORM}) NOT IN (SELECT h FROM hot)
 """
+
+
+def repetition_signals_sql(n: int = 2) -> str:
+    """DuckDB twin of operators.textstats.repetition_signals: per-doc
+    duplicate/top word-n-gram fractions, same tokenization as
+    textstats._tokens (plain split, not the dedup `_NORM` collapse),
+    same round(6), docs with < n tokens dropped on both sides."""
+    toks = "string_split(lower(trim(text)), ' ')"
+    return f"""
+WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(t) - {n} + 1),
+                        i -> array_to_string(t[i:i+{n}-1], ' ')) AS grams
+  FROM toks WHERE len(t) >= {n}
+),
+x AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+c AS (SELECT doc_id, gram, count(*) AS cnt FROM x GROUP BY 1, 2),
+s AS (SELECT doc_id, sum(cnt) AS n_grams, count(*) AS n_distinct, max(cnt) AS top
+      FROM c GROUP BY 1)
+SELECT doc_id,
+       round(CAST(n_grams - n_distinct AS DOUBLE) / n_grams, 6) AS dup_gram_frac,
+       round(CAST(top AS DOUBLE) / n_grams, 6) AS top_gram_frac
+FROM s
+"""

@@ -37,6 +37,20 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Throughput GC for the allocation-heavy emission path: the
+        # triple form is 7 fresh strings per row, and ParallelGC
+        # (bulk-parallel young-gen collection) measures ~5-9% faster
+        # whole-build than Java 17's default G1 at every core count
+        # probed (r4). Applied to both driver and executor JVMs — in
+        # local mode they are one process, on a cluster both matter.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            os.environ.get("SPARK_EXECUTOR_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

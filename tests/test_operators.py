@@ -678,3 +678,28 @@ def test_strip_boilerplate(spark):
     assert ("d2", 2) in kept
     # min_docs high enough: identity
     assert strip_boilerplate(spans, min_docs=99).count() == len(rows)
+
+
+def test_repetition_signals(spark):
+    from r2rml_parser_spark.operators.textstats import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "a b a b a"),   # grams: "a b","b a","a b","b a" → dup .5, top .5
+            ("d2", "x y z"),       # grams: "x y","y z" → dup 0, top .5
+            ("d3", "solo"),        # < n tokens → dropped
+            ("d4", "r r r r"),     # "r r"×3 → dup 2/3, top 1.0
+            ("d5", ""),            # one empty token → dropped
+        ],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in repetition_signals(docs, n=2).collect()}
+    assert set(out) == {"d1", "d2", "d4"}
+    assert out["d1"].dup_gram_frac == 0.5 and out["d1"].top_gram_frac == 0.5
+    assert out["d2"].dup_gram_frac == 0.0 and out["d2"].top_gram_frac == 0.5
+    assert out["d4"].dup_gram_frac == 0.666667 and out["d4"].top_gram_frac == 1.0
+
+    # n=1: unigram repetition; d3 now has a gram, d5 still one ('' counts)
+    uni = {r.doc_id: r for r in repetition_signals(docs, n=1).collect()}
+    assert uni["d1"].top_gram_frac == 0.6  # 'a' 3 of 5
+    assert uni["d3"].dup_gram_frac == 0.0
