@@ -41,9 +41,13 @@ element — a bare predicate (``p+``), an element inside a sequence
 into joined triple patterns through internal variables that are
 projected away (preserving path multiplicity); alternation
 distributes into a same-endpoints UNION of branches (bag semantics
-keep per-alternative multiplicity; a multi-branch alternation inside
-a braced graph-pattern group is rejected — single-branch paths and
-closures work there); closures follow §18.4 reachability SET
+keep per-alternative multiplicity), and a simple forward alternation
+``(p1|p2|...)`` over pairwise-distinct IRIs collapses to ONE
+``pred IN``-filtered scan (exact: each triple matches exactly one
+branch), which also makes it legal INSIDE braced graph-pattern
+groups — OPTIONAL/UNION/EXISTS/MINUS; alternation branches carrying
+sequences, inverses, or closures inside a braced group are still
+rejected; closures follow §18.4 reachability SET
 semantics, evaluated eagerly by path-doubling joins with
 localCheckpoint lineage truncation (log₂(diameter) rounds), where
 ``*`` / ``?`` include the zero-length identity over every graph node
@@ -596,6 +600,30 @@ class _Parser:
 
         return expand_alts(s, alts, o)
 
+    def _maybe_predset(self, s, branches, o):
+        """Collapse an alternation whose branches are each ONE forward
+        plain-IRI pattern over the same endpoints — ``(p1|p2|p3)`` —
+        into a single ("predset", iris) pattern: one scan with
+        ``pred IN (...)`` instead of a UNION of per-branch scans.
+        Exact bag semantics because the IRIs are pairwise DISTINCT
+        (each triple matches exactly one branch, so the scan's bag of
+        (s, o) bindings IS the union of the branches' bags); a
+        duplicated IRI in the alternation would owe duplicated
+        solutions, so that case returns None and takes the UNION path.
+        Returns the pattern tuple or None when the shape doesn't fit
+        (inverse/sequence/closure branches, duplicate IRIs)."""
+        iris: list[str] = []
+        for br in branches:
+            if len(br) != 1:
+                return None
+            a, prim, b = br[0]
+            if not (a is s and b is o and isinstance(prim, Iri)):
+                return None
+            iris.append(prim.value)
+        if len(set(iris)) != len(iris):
+            return None
+        return (s, ("predset", iris), o)
+
     def _negated_set(self):
         """``!iri`` or ``!(iri1|iri2|...)`` — a negated property set
         (forward-only elements; inverse members are rejected)."""
@@ -970,7 +998,16 @@ class _Parser:
             o = self._term("obj")
             if isinstance(p, tuple) and p[0] == "pathx":
                 branches = self._expand_pathx(s, p[1], o)
-                if len(branches) > 1:
+                predset = (
+                    self._maybe_predset(s, branches, o)
+                    if len(branches) > 1 else None
+                )
+                if predset is not None:
+                    # simple forward alternation → ONE pred-IN scan
+                    # (r4: plan-size win over the UNION distribution,
+                    # identical bag of solutions — _maybe_predset)
+                    expanded = [predset]
+                elif len(branches) > 1:
                     # alternation distributes into a UNION whose
                     # branches bind identical non-internal variables
                     # (the endpoints), so the existing same-vars union
@@ -983,7 +1020,8 @@ class _Parser:
                     if self._peek() == ("punct", "."):
                         self._next()
                     continue
-                expanded = branches[0]
+                else:
+                    expanded = branches[0]
             else:
                 expanded = [(s, p, o)]  # incl. negset — plain pattern
             pat_vars = {v for v in _pattern_vars(expanded) if not _is_internal(v)}
@@ -1263,13 +1301,21 @@ class _Parser:
             if isinstance(p, tuple) and p[0] == "pathx":
                 branches = self._expand_pathx(s, p[1], o)
                 if len(branches) > 1:
-                    raise SparqlError(
-                        "a path alternation inside a braced group is not "
-                        "supported — use it in the main WHERE patterns "
-                        "(or move the alternation inside a closed group: "
-                        "(p1|p2)+ compiles here)"
-                    )
-                expanded = branches[0]
+                    predset = self._maybe_predset(s, branches, o)
+                    if predset is None:
+                        raise SparqlError(
+                            "only a simple forward alternation (p1|p2|...) "
+                            "compiles inside a braced group — branches with "
+                            "sequences, inverses, or closures must move to "
+                            "the main WHERE patterns (or inside a closed "
+                            "group: (p1|p2)+ compiles here)"
+                        )
+                    # (r4) simple alternation in OPTIONAL/UNION/EXISTS/
+                    # MINUS groups: one pred-IN scan, exact bag semantics
+                    # (_maybe_predset)
+                    expanded = [predset]
+                else:
+                    expanded = branches[0]
             else:
                 expanded = [(s, p, o)]  # incl. negset — plain pattern
             clash = sorted(
@@ -2180,6 +2226,15 @@ def _join_patterns(triples: DataFrame, patterns: list[tuple]) -> tuple[DataFrame
                 triples.where(~F.col("pred").isin(*p[1])), s, Var("__np"), o
             )
             # the placeholder predicate variable is internal-only
+            variables = [v for v in variables if v != "__np"]
+            pat_df = pat_df.drop("__np", "____np_kind", "____np_lang", "____np_dtype")
+        elif isinstance(p, tuple) and p[0] == "predset":
+            # simple forward alternation (p1|p2|...): one scan, pred IN
+            # the (distinct) branch IRIs — each triple matches exactly
+            # one branch, so this is the branches' bag union
+            pat_df, variables = _pattern_df(
+                triples.where(F.col("pred").isin(*p[1])), s, Var("__np"), o
+            )
             variables = [v for v in variables if v != "__np"]
             pat_df = pat_df.drop("__np", "____np_kind", "____np_lang", "____np_dtype")
         else:

@@ -1502,12 +1502,15 @@ def test_path_alternation_of_sequences_and_closures(chain_graph):
     assert got2 == {EX + "b", EX + "c", EX + "d"}
 
 
-def test_path_alternation_rejections(graph):
-    with pytest.raises(SparqlError):  # multi-branch path inside an OPTIONAL group
-        sparql_select(
-            graph,
-            "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . OPTIONAL { ?p ex:knows|ex:note ?o } }",
-        )
+def test_path_alternation_in_optional_group(graph):
+    # r4: a simple forward alternation inside an OPTIONAL compiles (one
+    # pred-IN scan); rejection now applies only to complex branches
+    # (test_alternation_complex_branch_in_group_still_rejected)
+    out = sparql_select(
+        graph,
+        "PREFIX ex: <http://ex.org/> SELECT ?p ?o WHERE { ?p a ex:Person . OPTIONAL { ?p ex:knows|ex:note ?o } }",
+    )
+    assert out.count() == 3  # p1 extended by knows AND note, p2 null
 
 
 def test_negated_property_set(graph):
@@ -2044,3 +2047,77 @@ def test_arithmetic_survives_ansi_mode(graph):
         assert len(rows) == 2 and all(r.v is None for r in rows)
     finally:
         spark.conf.set("spark.sql.ansi.enabled", old)
+
+
+def test_alternation_predset_main_where(graph):
+    # simple forward alternation compiles to ONE pred-IN scan (predset)
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?v WHERE { ?p (ex:name|ex:knows) ?v }"""
+    got = {(r.p, r.v) for r in sparql_select(graph, q).collect()}
+    assert got == {
+        (EX + "p1", "Ada"), (EX + "p2", "Grace"), (EX + "p1", EX + "p2")
+    }
+    # duplicate IRI in the alternation: falls back to the UNION path
+    # and preserves SPARQL's per-branch multiplicity (2 rows per match)
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?v WHERE { ?p (ex:name|ex:name) ?v }"""
+    assert sparql_select(graph, q2).count() == 4
+
+
+def test_alternation_inside_optional(graph):
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?v WHERE {
+      ?p a ex:Person .
+      OPTIONAL { ?p (ex:knows|ex:note) ?v }
+    }"""
+    got = {(r.p, r.v) for r in sparql_select(graph, q).collect()}
+    # p1 has knows(IRI p2) and note(literal "…p2"); p2 has neither
+    assert got == {
+        (EX + "p1", EX + "p2"), (EX + "p2", None),
+    } or got == {
+        (EX + "p1", EX + "p2"), (EX + "p1", EX + "p2"), (EX + "p2", None),
+    }
+    # both note and knows match p1 — OPTIONAL extends p1 twice, p2 null
+    assert sparql_select(graph, q).count() == 3
+
+
+def test_alternation_inside_union_branch_and_exists(graph):
+    q = """PREFIX ex: <http://ex.org/>
+    PREFIX dc: <http://purl.org/dc/elements/1.1/>
+    SELECT ?s WHERE {
+      { ?s (ex:name|ex:nick) ?v } UNION { ?s dc:source ?m }
+    }"""
+    got = sorted(r.s for r in sparql_select(graph, q).collect())
+    assert got == sorted([EX + "p1", EX + "p2", EX + "m1", EX + "m2"])
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE {
+      ?p a ex:Person .
+      FILTER EXISTS { ?p (ex:knows|ex:nick) ?x }
+    }"""
+    assert [r.p for r in sparql_select(graph, q2).collect()] == [EX + "p1"]
+    q3 = """PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE {
+      ?p a ex:Person .
+      MINUS { ?p (ex:knows|ex:nick) ?x }
+    }"""
+    assert [r.p for r in sparql_select(graph, q3).collect()] == [EX + "p2"]
+
+
+def test_alternation_complex_branch_in_group_still_rejected(graph):
+    with pytest.raises(SparqlError, match="simple forward alternation"):
+        sparql_select(
+            graph,
+            """PREFIX ex: <http://ex.org/>
+            SELECT ?p ?v WHERE {
+              ?p a ex:Person .
+              OPTIONAL { ?p (ex:knows/ex:name|ex:name) ?v }
+            }""",
+        )
+    with pytest.raises(SparqlError, match="simple forward alternation"):
+        sparql_select(
+            graph,
+            """PREFIX ex: <http://ex.org/>
+            SELECT ?p ?v WHERE {
+              ?p a ex:Person . OPTIONAL { ?p (ex:knows|^ex:knows) ?v }
+            }""",
+        )
