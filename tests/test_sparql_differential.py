@@ -252,3 +252,163 @@ def test_union_mixed_vars_differential(spark, graph, req, br_a, br_b):
         for b in naive_union_join(graph, req, br_a, br_b)
     )
     assert got == want, f"query {q!r} diverged"
+
+
+def naive_alt_eval(graph, patterns):
+    """naive_eval extended with ("alt", [p1, p2, ...]) predicate terms:
+    the pattern matches when the triple's predicate is ANY alternative
+    (exact bag semantics for pairwise-distinct IRIs — each triple
+    matches exactly one branch of the §18.4 alternation union)."""
+    sols = [dict()]
+    for s, p, o in patterns:
+        nxt = []
+        for binding in sols:
+            for subj, pred, obj in graph:
+                if p[0] == "alt":
+                    if pred not in p[1]:
+                        continue
+                    terms = ((s, subj), (o, obj))
+                else:
+                    terms = ((s, subj), (p, (pred, "iri", "", "")), (o, obj))
+                b = dict(binding)
+                ok = True
+                for term, actual in terms:
+                    mode, v = term
+                    if mode == "const":
+                        if v != actual:
+                            ok = False
+                            break
+                    else:
+                        if v in b and b[v] != actual:
+                            ok = False
+                            break
+                        b[v] = actual
+                if ok:
+                    nxt.append(b)
+        sols = nxt
+    return sols
+
+
+if HAVE_HYP:
+    alt_preds_st = st.lists(
+        st.sampled_from(PREDS), min_size=2, max_size=3, unique=True
+    )
+
+
+def _fmt_alt_pattern(s, preds, o):
+    def fmt(term):
+        mode, v = term
+        return f"?{v}" if mode == "var" else term_sparql(v)
+
+    alt = "|".join(f"<{p}>" for p in preds)
+    return f"{fmt(s)} ({alt}) {fmt(o)} ."
+
+
+@pytest.mark.skipif(not HAVE_HYP, reason="hypothesis not installed")
+@settings(max_examples=12, deadline=None)
+@given(
+    graph=graph_st,
+    patterns=query_st,
+    alt_s=s_term_st if HAVE_HYP else st.none(),
+    alt_preds=alt_preds_st if HAVE_HYP else st.none(),
+    alt_o=o_term_st if HAVE_HYP else st.none(),
+)
+def test_alternation_predset_differential(spark, graph, patterns, alt_s, alt_preds, alt_o):
+    # one (p1|p2[|p3]) pattern joined with 1-3 plain patterns: the
+    # engine's pred-IN collapse vs the naive §18.4 branch union
+    all_pats = patterns + [(alt_s, ("alt", alt_preds), alt_o)]
+    for pat in all_pats:
+        for mode, v in pat:
+            if mode == "const" and isinstance(v, tuple) and v[1] == "bnode":
+                return
+    vars_ = sorted(
+        {v for pat in all_pats for mode, v in pat if mode == "var" and mode != "alt"}
+        - {None}
+    )
+    vars_ = [v for v in vars_ if isinstance(v, str) and len(v) == 1]
+    if not vars_:
+        return
+    rows = [
+        (s[0], s[1], p, o[0], o[1], o[2] or None, o[3] or None)
+        for s, p, o in graph
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    parts = []
+    for s, p, o in patterns:
+        def fmt(term):
+            mode, v = term
+            return f"?{v}" if mode == "var" else term_sparql(v)
+        parts.append(f"{fmt(s)} {fmt(p)} {fmt(o)} .")
+    parts.append(_fmt_alt_pattern(alt_s, alt_preds, alt_o))
+    q = f"SELECT {' '.join('?' + v for v in vars_)} WHERE {{ {' '.join(parts)} }}"
+    got = Counter(tuple(r[v] for v in vars_) for r in sparql_select(g, q).collect())
+    want = Counter(
+        tuple(b[v][0] for v in vars_) for b in naive_alt_eval(graph, all_pats)
+    )
+    assert got == want, f"query {q!r} diverged"
+
+
+def naive_left_join(req_sols, opt_sols):
+    """SPARQL LeftJoin(A, B): μ1 extended by every compatible μ2, else
+    μ1 alone (§18.5; compatibility = agreement on shared vars)."""
+    out = []
+    for m1 in req_sols:
+        merged = []
+        for m2 in opt_sols:
+            if all(m1[k] == v for k, v in m2.items() if k in m1):
+                mm = dict(m2)
+                mm.update(m1)
+                merged.append(mm)
+        out.extend(merged if merged else [m1])
+    return out
+
+
+@pytest.mark.skipif(not HAVE_HYP, reason="hypothesis not installed")
+@settings(max_examples=12, deadline=None)
+@given(
+    graph=graph_st,
+    patterns=query_st,
+    alt_preds=alt_preds_st if HAVE_HYP else st.none(),
+    alt_o=o_term_st if HAVE_HYP else st.none(),
+)
+def test_alternation_in_optional_differential(spark, graph, patterns, alt_preds, alt_o):
+    # OPTIONAL { ?shared (p1|p2) o }: engine left join over the predset
+    # scan vs naive §18.5 LeftJoin over the naive branch union
+    for pat in patterns:
+        for mode, v in pat:
+            if mode == "const" and v[1] == "bnode":
+                return
+    if alt_o[0] == "const" and alt_o[1][1] == "bnode":
+        return
+    req_vars = used_vars(patterns)
+    if not req_vars:
+        return
+    shared = req_vars[0]
+    if alt_o == ("var", shared):
+        return  # degenerate: both endpoints the same var
+    opt_pat = (("var", shared), ("alt", alt_preds), alt_o)
+    opt_vars = [v for mode, v in (opt_pat[0], opt_pat[2]) if mode == "var"]
+    vars_ = sorted(set(req_vars) | set(opt_vars))
+    rows = [
+        (s[0], s[1], p, o[0], o[1], o[2] or None, o[3] or None)
+        for s, p, o in graph
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    parts = []
+    for s, p, o in patterns:
+        def fmt(term):
+            mode, v = term
+            return f"?{v}" if mode == "var" else term_sparql(v)
+        parts.append(f"{fmt(s)} {fmt(p)} {fmt(o)} .")
+    q = (
+        f"SELECT {' '.join('?' + v for v in vars_)} WHERE "
+        f"{{ {' '.join(parts)} OPTIONAL {{ {_fmt_alt_pattern(opt_pat[0], alt_preds, alt_o)} }} }}"
+    )
+    got = Counter(tuple(r[v] for v in vars_) for r in sparql_select(g, q).collect())
+    want = Counter(
+        tuple(b[v][0] if v in b else None for v in vars_)
+        for b in naive_left_join(
+            naive_eval(graph, patterns), naive_alt_eval(graph, [opt_pat])
+        )
+    )
+    assert got == want, f"query {q!r} diverged"
