@@ -171,6 +171,15 @@ def q_sparql_exists_expr_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tpch_sparql_exists_expr(spark, sf_dir)
 
 
+def q_sparql_alt_opt_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple forward alternation inside an OPTIONAL group (r4 predset
+    collapse: one pred-IN scan, legal in braced groups) — customers
+    extend twice, nations take the left join's NULL row."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_alt_opt
+
+    return run_tpch_sparql_alt_opt(spark, sf_dir)
+
+
 def q_sparql_describe_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL DESCRIBE (concise bounded description) of every Nation
     in the generated KG."""
@@ -452,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_union_kg": q_sparql_union_kg,
         "sparql_optfilter_kg": q_sparql_optfilter_kg,
         "sparql_exists_expr_kg": q_sparql_exists_expr_kg,
+        "sparql_alt_opt_kg": q_sparql_alt_opt_kg,
         "sparql_describe_kg": q_sparql_describe_kg,
         "sparql_subquery_kg": q_sparql_subquery_kg,
         "sparql_groupconcat_kg": q_sparql_groupconcat_kg,
@@ -503,6 +513,7 @@ def oracle_sql() -> dict[str, str]:
         TPCH_SPARQL_DESCRIBE_ORACLE_SQL,
         TPCH_SPARQL_EXISTS_ORACLE_SQL,
         TPCH_SPARQL_EXISTS_EXPR_ORACLE_SQL,
+        TPCH_SPARQL_ALT_OPT_ORACLE_SQL,
         TPCH_SPARQL_UNION_ORACLE_SQL,
         TPCH_SPARQL_OPTFILTER_ORACLE_SQL,
         TPCH_SPARQL_GROUPCONCAT_ORACLE_SQL,
@@ -547,6 +558,7 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "sparql_union_kg": TPCH_SPARQL_UNION_ORACLE_SQL,
         "sparql_optfilter_kg": TPCH_SPARQL_OPTFILTER_ORACLE_SQL,
         "sparql_exists_expr_kg": TPCH_SPARQL_EXISTS_EXPR_ORACLE_SQL,
+        "sparql_alt_opt_kg": TPCH_SPARQL_ALT_OPT_ORACLE_SQL,
         "sparql_describe_kg": TPCH_SPARQL_DESCRIBE_ORACLE_SQL,
         "sparql_subquery_kg": TPCH_SPARQL_SUBQUERY_ORACLE_SQL,
         "sparql_groupconcat_kg": TPCH_SPARQL_GROUPCONCAT_ORACLE_SQL,

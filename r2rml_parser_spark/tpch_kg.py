@@ -766,3 +766,42 @@ WHERE EXISTS (
   )
    OR nname LIKE 'A%'
 """
+
+
+TPCH_SPARQL_ALT_OPT_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?x ?n ?v WHERE {
+  ?x ex:name ?n .
+  OPTIONAL { ?x (ex:segment|ex:marketSegment) ?v }
+}
+"""
+
+
+def run_tpch_sparql_alt_opt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple forward alternation INSIDE an OPTIONAL group (r4: the
+    predset collapse makes it legal there) over the generated KG:
+    customers extend twice (one row per matching predicate — the
+    alternation's bag multiplicity through one pred-IN scan), nations
+    match neither predicate and take the left join's NULL row."""
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_ALT_OPT_QUERY)
+
+
+# DuckDB twin: the pred-IN scan is literally `pred IN (segment,
+# marketSegment)`; the OPTIONAL is a LEFT JOIN on the full subject term
+# (subj, subj_kind — all subjects here are IRIs, and obj terms ride
+# along unshared).
+TPCH_SPARQL_ALT_OPT_ORACLE_SQL = f"""
+WITH triples AS ({TPCH_KG_ORACLE_SQL}),
+base AS (
+  SELECT subj, subj_kind, obj AS n FROM triples WHERE pred = '{ONT}name'
+),
+opt AS (
+  SELECT subj, subj_kind, obj AS v FROM triples
+  WHERE pred IN ('{ONT}segment', '{ONT}marketSegment')
+)
+SELECT b.subj AS x, b.n AS n, o.v AS v
+FROM base b LEFT JOIN opt o
+  ON b.subj = o.subj AND b.subj_kind = o.subj_kind
+"""
