@@ -140,8 +140,13 @@ INSIDE boolean FILTER expressions (``FILTER (EXISTS {…} || ?x > 5)``)
 at the top level of WHERE — compiled to a per-row boolean flag via a
 left join against the group's distinct shared term keys (never
 multiplies rows; an EXISTS sharing no variable is evaluated once as a
-constant; EXISTS nested inside braced groups or BIND expressions is
-still rejected) — MINUS { t1 ... }
+constant; r4: FILTER [NOT] EXISTS also compiles INSIDE OPTIONAL
+groups at any nesting depth — Filter(EXISTS(P), G) as a semi/anti
+join on the group's solutions, correlated through variables the
+group itself binds; an EXISTS correlating only with outer-bound
+variables, sharing nothing, or joining on nested-OPTIONAL-nullable
+variables is rejected, as is EXISTS inside UNION/EXISTS/MINUS
+groups or BIND expressions) — MINUS { t1 ... }
 (SPARQL 1.1 §8.3: an anti join on the shared term keys when every
 shared variable is required-bound; a MINUS sharing no variable with
 the rest of the query removes nothing and compiles away, and
@@ -898,12 +903,14 @@ class _Parser:
                 continue
             if self._kw_is("OPTIONAL"):
                 self._next()
-                group = self._group(allow_nested_optional=True)
+                group = self._group(
+                    allow_nested_optional=True, allow_exists=True
+                )
                 optionals.append(group)
 
                 def _deep(npats, nnested) -> set[str]:
                     out = _pattern_vars(npats)
-                    for mpats, _mf, mnested in nnested:
+                    for mpats, _mf, mnested, _me in nnested:
                         out |= _deep(mpats, mnested)
                     return out
 
@@ -934,7 +941,7 @@ class _Parser:
                 continue
             if self._kw_is("MINUS"):
                 self._next()
-                mp, mf, _ = self._group()
+                mp, mf, _, _ = self._group()
                 group = (mp, mf)
                 minus_blocks.append(group)
                 # like OPTIONAL, MINUS is hoisted after the required
@@ -1239,8 +1246,8 @@ class _Parser:
         return vars_, rows
 
     def _group(
-        self, allow_nested_optional: bool = False
-    ) -> tuple[list[tuple], list[tuple], list[tuple]]:
+        self, allow_nested_optional: bool = False, allow_exists: bool = False
+    ) -> tuple[list[tuple], list[tuple], list[tuple], list[tuple]]:
         """Parse ``{ t1 . t2 ... [FILTER ...] [OPTIONAL {...}] }`` (an
         OPTIONAL/UNION/EXISTS/MINUS block) → (patterns, filters,
         nested-optionals). A FILTER here is applied to the group BEFORE
@@ -1252,8 +1259,13 @@ class _Parser:
         cross-group F; see _left_join_group). Nested OPTIONAL
         groups are accepted to ARBITRARY depth inside an OPTIONAL group
         (``allow_nested_optional``; each nested entry is recursively
-        (patterns, filters, its-own-nested)); inside UNION/EXISTS/MINUS
-        groups they are rejected. The well-designed-pattern conditions
+        (patterns, filters, its-own-nested, its-own-exists)); inside
+        UNION/EXISTS/MINUS groups they are rejected. Returns a FOURTH
+        element: ``[NOT] EXISTS`` group filters, accepted only when
+        ``allow_exists`` (OPTIONAL groups, r4 — compiled as semi/anti
+        joins on the group solutions, Filter(EXISTS(P), G)); other
+        group kinds keep the rejection (the [:2]-slicing callers never
+        see the tail elements). The well-designed-pattern conditions
         are enforced at compile (nullable join keys rejected) and here
         (textual-order rule for patterns following a nested OPTIONAL)."""
         if self._next() != ("punct", "{"):
@@ -1262,17 +1274,20 @@ class _Parser:
         gfilters: list[tuple] = []
         nested: list[tuple] = []
         nested_vars: set[str] = set()
+        gexists: list[tuple] = []
 
         def _deep_vars(npats, nnested) -> set[str]:
             out = {t.name for pat in npats for t in pat if isinstance(t, Var)}
-            for mpats, _mf, mnested in nnested:
+            for mpats, _mf, mnested, _me in nnested:
                 out |= _deep_vars(mpats, mnested)
             return out
 
         while self._peek() != ("punct", "}"):
             if self._kw_is("OPTIONAL") and allow_nested_optional:
                 self._next()
-                sub = self._group(allow_nested_optional=True)
+                sub = self._group(
+                    allow_nested_optional=True, allow_exists=allow_exists
+                )
                 nested.append(sub)
                 nested_vars |= _deep_vars(sub[0], sub[2])
                 if self._peek() == ("punct", "."):
@@ -1287,10 +1302,16 @@ class _Parser:
                 self._next()
                 node = self._filter()
                 if node[0] == "exists":
-                    raise SparqlError(
-                        "EXISTS/NOT EXISTS nested inside a braced group is "
-                        "not supported (use it at the top level of WHERE)"
-                    )
+                    if not allow_exists:
+                        raise SparqlError(
+                            "EXISTS/NOT EXISTS nested inside this braced "
+                            "group is not supported (it compiles inside "
+                            "OPTIONAL groups and at the top level of WHERE)"
+                        )
+                    gexists.append((node[1], node[2]))
+                    if self._peek() == ("punct", "."):
+                        self._next()
+                    continue
                 gfilters.append(node)
                 if self._peek() == ("punct", "."):
                     self._next()
@@ -1334,7 +1355,7 @@ class _Parser:
         self._next()  # }
         if not group:
             raise SparqlError("empty braced group (OPTIONAL/UNION/EXISTS)")
-        return group, gfilters, nested
+        return group, gfilters, nested, gexists
 
     def _maybe_arith(self, first):
         """Extend an operand with +,-,*,/ chains (standard precedence;
@@ -3099,7 +3120,7 @@ def _compile_where(
 
     def _compile_optional_group(
         gpats: list[tuple], gfilters: list[tuple], nested: list[tuple],
-        outer_vars: set[str],
+        gexists: list[tuple], outer_vars: set[str],
     ) -> tuple[DataFrame, set[str], set[str], list[tuple]]:
         """One OPTIONAL group with arbitrarily deep nested OPTIONALs →
         (solutions, bound vars, nullable vars, deferred filters). Each
@@ -3120,9 +3141,9 @@ def _compile_where(
         variables are unbound."""
         gdf, gvars = _join_patterns(triples, gpats)
         g_nullable: set[str] = set()
-        for npats, nfilters, nnested in nested:
+        for npats, nfilters, nnested, nexists in nested:
             ndf, nvars, n_nullable, ndeferred = _compile_optional_group(
-                npats, nfilters, nnested, gvars | outer_vars
+                npats, nfilters, nnested, nexists, gvars | outer_vars
             )
             nshared = sorted(v for v in nvars if v in gvars)
             if not nshared:
@@ -3174,11 +3195,51 @@ def _compile_where(
             else:
                 deferred.append(f)
         gdf = _apply_filters(gdf, local, gvars, "this OPTIONAL group")
+        # [NOT] EXISTS group filters (r4): Filter(EXISTS(P), G) — the
+        # same semi/anti-join compilation as top-level EXISTS, applied
+        # to the GROUP's solutions. Correlation is through variables
+        # the group itself binds; an EXISTS pattern referencing an
+        # outer-only variable would need SPARQL's substitution
+        # semantics, which a semi-join on group keys cannot express.
+        for positive, (epats, efilters) in gexists:
+            edf, evars = _join_patterns(triples, epats)
+            edf = _apply_filters(edf, efilters, evars, "this EXISTS group")
+            eshared = sorted(v for v in evars if v in gvars)
+            if not eshared:
+                raise SparqlError(
+                    "an EXISTS group inside OPTIONAL shares no variable "
+                    "with its group (an uncorrelated existence test is "
+                    "not supported)"
+                )
+            outer_corr = sorted(
+                v for v in evars
+                if not _is_internal(v) and v in outer_vars and v not in gvars
+            )
+            if outer_corr:
+                raise SparqlError(
+                    f"an EXISTS inside OPTIONAL references variable(s) "
+                    f"{outer_corr} bound outside the OPTIONAL group — "
+                    "SPARQL's substitution semantics for that correlation "
+                    "are not expressible as a semi-join on group keys"
+                )
+            ebad = sorted(v for v in eshared if v in g_nullable)
+            if ebad:
+                raise SparqlError(
+                    f"EXISTS join variable(s) {ebad} may be unbound by a "
+                    "nested OPTIONAL — SPARQL's unbound-is-compatible "
+                    "semantics are not expressible as a semi-join"
+                )
+            ekeys = [x for v in eshared for x in _term_key(v)]
+            gdf = gdf.join(
+                edf.select(*ekeys),
+                on=ekeys,
+                how="left_semi" if positive else "left_anti",
+            )
         return gdf, gvars, g_nullable, deferred
 
-    for gpats, gfilters, nested in optionals:
+    for gpats, gfilters, nested, gexists in optionals:
         gdf, gvars, g_nullable, deferred = _compile_optional_group(
-            gpats, gfilters, nested, bound
+            gpats, gfilters, nested, gexists, bound
         )
         shared = sorted(v for v in gvars if v in bound)
         bad_outer = sorted(v for v in shared if v in g_nullable)

@@ -886,11 +886,12 @@ def test_exists_rejections(graph):
             graph,
             "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . FILTER EXISTS { ?x ex:knows ?y } }",
         )
-    with pytest.raises(SparqlError):  # inside an OPTIONAL group
-        sparql_select(
-            graph,
-            "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . OPTIONAL { ?p ex:knows ?q . FILTER EXISTS { ?q ex:name ?n } } }",
-        )
+    # EXISTS inside an OPTIONAL group compiles since r4
+    # (test_exists_inside_optional_group and friends)
+    assert sparql_select(
+        graph,
+        "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . OPTIONAL { ?p ex:knows ?q . FILTER EXISTS { ?q ex:name ?n } } }",
+    ).count() == 2
     with pytest.raises(SparqlError):  # join var nullable via OPTIONAL
         sparql_select(
             graph,
@@ -2121,3 +2122,79 @@ def test_alternation_complex_branch_in_group_still_rejected(graph):
               ?p a ex:Person . OPTIONAL { ?p (ex:knows|^ex:knows) ?v }
             }""",
         )
+
+
+def test_exists_inside_optional_group(graph):
+    # Filter(EXISTS(P), G) inside the OPTIONAL: group rows surviving
+    # the semi-join extend; others leave the left side unextended
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?n WHERE {
+      ?p a ex:Person .
+      OPTIONAL { ?p ex:name ?n . FILTER EXISTS { ?p ex:knows ?q } }
+    }"""
+    got = {(r.p, r.n) for r in sparql_select(graph, q).collect()}
+    assert got == {(EX + "p1", "Ada"), (EX + "p2", None)}
+    # NOT EXISTS flips which row extends
+    q2 = q.replace("FILTER EXISTS", "FILTER NOT EXISTS")
+    got2 = {(r.p, r.n) for r in sparql_select(graph, q2).collect()}
+    assert got2 == {(EX + "p1", None), (EX + "p2", "Grace")}
+
+
+def test_exists_in_optional_via_group_internal_var(graph):
+    # correlation through a variable the OPTIONAL group itself binds
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?q WHERE {
+      ?p a ex:Person .
+      OPTIONAL { ?p ex:knows ?q . FILTER EXISTS { ?q ex:name ?qn } }
+    }"""
+    got = {(r.p, r.q) for r in sparql_select(graph, q).collect()}
+    assert got == {(EX + "p1", EX + "p2"), (EX + "p2", None)}
+
+
+def test_exists_in_optional_rejections(graph):
+    # uncorrelated EXISTS inside OPTIONAL
+    with pytest.raises(SparqlError, match="shares no variable"):
+        sparql_select(
+            graph,
+            """PREFIX ex: <http://ex.org/>
+            SELECT ?p WHERE {
+              ?p a ex:Person .
+              OPTIONAL { ?p ex:name ?n . FILTER EXISTS { ?x ex:note ?z } }
+            }""",
+        )
+    # EXISTS referencing a variable bound only OUTSIDE the OPTIONAL
+    with pytest.raises(SparqlError, match="outside the OPTIONAL"):
+        sparql_select(
+            graph,
+            """PREFIX ex: <http://ex.org/>
+            SELECT ?p WHERE {
+              ?p ex:name ?n .
+              OPTIONAL { ?p ex:knows ?q . FILTER EXISTS { ?q ex:name ?n } }
+            }""",
+        )
+    # EXISTS inside a UNION branch: still rejected
+    with pytest.raises(SparqlError, match="nested inside this braced group"):
+        sparql_select(
+            graph,
+            """PREFIX ex: <http://ex.org/>
+            SELECT ?p WHERE {
+              { ?p ex:name ?n . FILTER EXISTS { ?p ex:knows ?q } }
+              UNION { ?p a ex:Person }
+            }""",
+        )
+
+
+def test_exists_inside_nested_optional(graph):
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?n ?q WHERE {
+      ?p a ex:Person .
+      OPTIONAL {
+        ?p ex:name ?n .
+        OPTIONAL { ?p ex:knows ?q . FILTER EXISTS { ?q a ex:Person } }
+      }
+    }"""
+    got = {(r.p, r.n, r.q) for r in sparql_select(graph, q).collect()}
+    assert got == {
+        (EX + "p1", "Ada", EX + "p2"),
+        (EX + "p2", "Grace", None),
+    }
