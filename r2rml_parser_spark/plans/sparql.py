@@ -44,10 +44,14 @@ distributes into a same-endpoints UNION of branches (bag semantics
 keep per-alternative multiplicity), and a simple forward alternation
 ``(p1|p2|...)`` over pairwise-distinct IRIs collapses to ONE
 ``pred IN``-filtered scan (exact: each triple matches exactly one
-branch), which also makes it legal INSIDE braced graph-pattern
-groups — OPTIONAL/UNION/EXISTS/MINUS; alternation branches carrying
-sequences, inverses, or closures inside a braced group are still
-rejected; closures follow §18.4 reachability SET
+branch); INSIDE braced graph-pattern groups —
+OPTIONAL/UNION/EXISTS/MINUS — a simple alternation takes that same
+one-scan form, and (r4) alternation branches carrying sequences,
+inverses, or closures compile to ONE derived-relation pattern
+(``_path_relation``: recursive union/join evaluation of the path's
+binary relation, bag semantics for sequences/alternation, set for
+closures) since alternation cannot distribute into a top-level UNION
+there; closures follow §18.4 reachability SET
 semantics, evaluated eagerly by path-doubling joins with
 localCheckpoint lineage truncation (log₂(diameter) rounds), where
 ``*`` / ``?`` include the zero-length identity over every graph node
@@ -55,10 +59,15 @@ per spec; a constant endpoint switches to a seeded breadth-first
 frontier walk, and a variable endpoint that sibling patterns in the
 same group already bind seeds a MULTI-source frontier walk from
 their distinct terms instead of materializing the full reachability
-relation (closures nested inside a closed group, ``(p+/q)*``, are
-rejected). Negated property sets ``!p`` / ``!(p1|p2)`` are a
-per-triple predicate exclusion filter (forward elements only, not
-combinable with other path operators),
+relation; (r4) closures nested inside a closed group — ``(p+/q)*``
+— compile too: the inner closure becomes a derived edge relation and
+the outer fixpoint runs over it. Negated property sets ``!p`` /
+``!(p1|^p2|...)`` are full path PRIMARIES per the §9.1 grammar:
+forward members compile to a per-triple predicate-exclusion filter,
+inverse members to its endpoint flip (``!(F|^I)`` ≡ ``!F | ^!I``,
+the spec's stated equivalence), and the set composes with
+sequences, alternation, inverses, and closures like any element
+(``!p/q``, ``!(a|b)+``),
 OPTIONAL { t1 . t2 ... } groups (compiled to left joins; must share at
 least one variable with the required patterns, and that variable must
 come from the REQUIRED part; nested OPTIONALs inside an OPTIONAL
@@ -480,17 +489,16 @@ class _Parser:
         raise SparqlError(f"unexpected token {val!r} in triple pattern")
 
     def _path_pred(self):
-        """Predicate position: a plain term/variable, a negated property
-        set, or a full SPARQL 1.1 path expression. Returns the term
-        itself, ("negset", iris), or ("pathx", alternatives) where
-        alternatives is a list of sequences and each sequence element is
-        ``(inverse, Iri | nested-alternatives, modifier)`` — i.e. the
-        Path grammar subset PathAlt > PathSeq > PathElt with ``^``
-        inverse, ``(...)`` groups, and ``+ * ?`` closures on any
-        element (IRI or group)."""
-        if self._peek() == ("op", "!"):
-            self._next()
-            return self._negated_set()
+        """Predicate position: a plain term/variable or a full SPARQL 1.1
+        path expression. Returns the term itself, ("negset", iris) for a
+        bare forward negated property set, or ("pathx", alternatives)
+        where alternatives is a list of sequences and each sequence
+        element is ``(inverse, primary, modifier)`` with primary an
+        ``Iri``, nested alternatives for a ``(...)`` group, or
+        ``("negset", iris)`` for a negated property set — i.e. the full
+        Path grammar PathAlt > PathSeq > PathEltOrInverse > PathPrimary
+        with ``^`` inverse, ``!`` negated sets (forward, inverse, and
+        mixed members), and ``+ * ?`` closures on any element."""
         if self._peek()[0] == "var":
             t = self._term("pred")
             if self._peek() in (("punct", "/"), ("op", "|"), ("punct", "^")) or self._path_mod():
@@ -503,6 +511,11 @@ class _Parser:
             inv, prim, mod = alts[0][0]
             if isinstance(prim, Iri) and not inv and mod is None:
                 return prim  # plain constant predicate
+            if (
+                isinstance(prim, tuple) and prim[0] == "negset"
+                and not inv and mod is None
+            ):
+                return prim  # bare forward negated set — plain pattern
         return ("pathx", alts)
 
     def _path_alt(self) -> list[list[tuple]]:
@@ -522,7 +535,8 @@ class _Parser:
         return seq
 
     def _path_elt(self) -> tuple:
-        """PathElt := '^'? (iri | '(' PathAlt ')') ('+'|'*'|'?')?"""
+        """PathElt := '^'? (iri | '!' NegatedSet | '(' PathAlt ')')
+        ('+'|'*'|'?')? — the PathEltOrInverse > PathPrimary grammar."""
         inv = False
         if self._peek() == ("punct", "^"):
             self._next()
@@ -532,6 +546,9 @@ class _Parser:
             prim: object = self._path_alt()
             if self._next() != ("punct", ")"):
                 raise SparqlError("a parenthesized path group needs ')'")
+        elif self._peek() == ("op", "!"):
+            self._next()
+            prim = self._negated_set()
         else:
             t = self._term("pred")
             if not isinstance(t, Iri):
@@ -543,16 +560,25 @@ class _Parser:
 
     def _normalize_rel(self, alts) -> list[list[tuple]]:
         """Flatten a closed path group into alternatives of sequences of
-        (inverse, Iri) — the edge-relation spec a closure fixpoint runs
-        over. Nested closures inside a closed group are rejected."""
+        (inverse, Iri) — the FAST edge-relation spec a closure fixpoint
+        runs over (pruned pattern joins, ``_edge_relation``). Groups
+        whose elements this spec cannot carry — nested closures
+        (``(p+/q)*``) or negated-set members — raise, and the caller
+        (``_expand_pathx``) falls back to the general ("closure_path",
+        ast, mod) spec evaluated by ``_path_relation``."""
         out: list[list[tuple]] = []
         for seq in alts:
             expanded: list[list[tuple]] = [[]]
             for inv, prim, mod in seq:
                 if mod:
                     raise SparqlError(
-                        "a closure nested inside a closed path group "
-                        "(e.g. (p+/q)*) is not supported"
+                        "closure nested inside a closed path group: "
+                        "general-relation fallback"
+                    )
+                if isinstance(prim, tuple):
+                    raise SparqlError(
+                        "negated set inside a closed path group: "
+                        "general-relation fallback"
                     )
                 if isinstance(prim, Iri):
                     expanded = [e + [(inv, prim)] for e in expanded]
@@ -588,9 +614,24 @@ class _Parser:
                 if isinstance(prim, Iri):
                     pat = (a, ("closure", prim, mod), b) if mod else (a, prim, b)
                     branches = [br + [pat] for br in branches]
-                elif mod:
-                    pat = (a, ("closure_rel", self._normalize_rel(prim), mod), b)
+                elif isinstance(prim, tuple) and prim[0] == "negset":
+                    # forward negated set as a sequence element; the
+                    # inverse flag is already consumed by the (a, b)
+                    # endpoint swap above (!^p parses as ^(negset))
+                    if mod:
+                        pat = (a, ("closure_path", [[(False, prim, None)]], mod), b)
+                    else:
+                        pat = (a, prim, b)
                     branches = [br + [pat] for br in branches]
+                elif mod:
+                    try:
+                        spec = ("closure_rel", self._normalize_rel(prim), mod)
+                    except SparqlError:
+                        # nested closures / negated sets inside the
+                        # closed group: evaluate the group's binary
+                        # relation recursively (_path_relation)
+                        spec = ("closure_path", prim, mod)
+                    branches = [br + [(a, spec, b)] for br in branches]
                 else:
                     sub = expand_alts(a, prim, b)
                     branches = [br + sb for br in branches for sb in sub]
@@ -630,41 +671,45 @@ class _Parser:
         return (s, ("predset", iris), o)
 
     def _negated_set(self):
-        """``!iri`` or ``!(iri1|iri2|...)`` — a negated property set
-        (forward-only elements; inverse members are rejected)."""
-        iris = []
+        """``!iri``, ``!^iri``, or ``!(iri1|^iri2|...)`` — a negated
+        property set, returned as a path PRIMARY so it composes with
+        sequences, alternation, and closures like any other element.
+
+        Forward and inverse members split per SPARQL 1.1 §9.1:
+        ``!(F1|..|^I1|..)`` ≡ ``!(F1|..) | ^!(I1|..)`` — so a
+        forward-only set returns ("negset", iris) directly, an
+        inverse-only set returns the nested-alternatives group
+        ``[[(True, ("negset", I), None)]]`` (the ^-flip of its forward
+        twin), and a mixed set returns the two-branch alternation of
+        both. Callers treat the result exactly like a parenthesized
+        path group."""
+        fwd: list[str] = []
+        inv: list[str] = []
+        def member() -> None:
+            flip = False
+            if self._peek() == ("punct", "^"):
+                self._next()
+                flip = True
+            t = self._term("pred")
+            if not isinstance(t, Iri):
+                raise SparqlError("negated property sets contain IRIs only")
+            (inv if flip else fwd).append(t.value)
         if self._peek() == ("punct", "("):
             self._next()
             while True:
-                if self._peek() == ("punct", "^"):
-                    raise SparqlError(
-                        "inverse elements in a negated property set are "
-                        "not supported"
-                    )
-                t = self._term("pred")
-                if not isinstance(t, Iri):
-                    raise SparqlError("negated property sets contain IRIs only")
-                iris.append(t.value)
+                member()
                 k, v = self._next()
                 if (k, v) == ("punct", ")"):
                     break
                 if (k, v) != ("op", "|"):
                     raise SparqlError("negated property set needs '|' or ')'")
         else:
-            if self._peek() == ("punct", "^"):
-                raise SparqlError(
-                    "inverse elements in a negated property set are not supported"
-                )
-            t = self._term("pred")
-            if not isinstance(t, Iri):
-                raise SparqlError("negated property sets contain IRIs only")
-            iris.append(t.value)
-        if self._path_mod() or self._peek() in (("punct", "/"), ("op", "|")):
-            raise SparqlError(
-                "a negated property set cannot combine with sequences, "
-                "alternation, or closures"
-            )
-        return ("negset", iris)
+            member()
+        if fwd and not inv:
+            return ("negset", fwd)
+        if inv and not fwd:
+            return [[(True, ("negset", inv), None)]]
+        return [[(False, ("negset", fwd), None)], [(True, ("negset", inv), None)]]
 
     def _path_mod(self) -> str | None:
         """Consume a path closure modifier if present: + * ?"""
@@ -1323,18 +1368,20 @@ class _Parser:
                 branches = self._expand_pathx(s, p[1], o)
                 if len(branches) > 1:
                     predset = self._maybe_predset(s, branches, o)
-                    if predset is None:
-                        raise SparqlError(
-                            "only a simple forward alternation (p1|p2|...) "
-                            "compiles inside a braced group — branches with "
-                            "sequences, inverses, or closures must move to "
-                            "the main WHERE patterns (or inside a closed "
-                            "group: (p1|p2)+ compiles here)"
-                        )
-                    # (r4) simple alternation in OPTIONAL/UNION/EXISTS/
-                    # MINUS groups: one pred-IN scan, exact bag semantics
-                    # (_maybe_predset)
-                    expanded = [predset]
+                    if predset is not None:
+                        # simple alternation in OPTIONAL/UNION/EXISTS/
+                        # MINUS groups: one pred-IN scan, exact bag
+                        # semantics (_maybe_predset)
+                        expanded = [predset]
+                    else:
+                        # (r4) general alternation — branches carrying
+                        # sequences, inverses, or closures — inside a
+                        # braced group: alternation cannot distribute
+                        # into a top-level UNION here, so the whole
+                        # path compiles to ONE derived-relation
+                        # pattern (_path_relation; bag semantics for
+                        # sequences/alternation, set for closures)
+                        expanded = [(s, ("pathrel", p[1], None), o)]
                 else:
                     expanded = branches[0]
             else:
@@ -1891,13 +1938,90 @@ def _edge_relation(triples: DataFrame, alts: list[list[tuple]]) -> DataFrame:
     return rel.distinct()
 
 
+def _slice_edges(triples: DataFrame, cond) -> DataFrame:
+    """Predicate-filtered triple slice in the canonical 8-column edge
+    layout, WITHOUT dedup — the bag-semantics building block of
+    ``_path_relation`` (the triples DF is a set, so a single-predicate
+    slice is already duplicate-free; a negated-set slice keeps its
+    per-predicate multiplicity on purpose, matching the plain
+    ("negset", iris) pattern evaluation)."""
+    e = F.coalesce
+    empty = F.lit("")
+    return triples.where(cond).select(
+        F.col("subj").alias("_sv"), F.col("subj_kind").alias("_sk"),
+        empty.alias("_sl"), empty.alias("_sd"),
+        F.col("obj").alias("_dv"), F.col("obj_kind").alias("_dk"),
+        e(F.col("lang"), empty).alias("_dl"),
+        e(F.col("dtype"), empty).alias("_dd"),
+    )
+
+
+def _path_relation(triples: DataFrame, alts: list[list[tuple]]) -> DataFrame:
+    """General path AST → canonical (src, dst) binary relation, fully
+    recursive: alternation is a bag union, a sequence is a chain of
+    endpoint joins (multiplicity = number of distinct intermediate
+    paths, exactly the §9.3 fresh-variable translation), ``^`` flips,
+    negated sets are predicate-exclusion slices, and a ``+ * ?``
+    modifier runs the reachability fixpoint over the element's own
+    relation (SET semantics per §18.4 — the only dedup points).
+
+    This is the fallback evaluator behind two surfaces the fast paths
+    cannot carry: closures over groups that THEMSELVES contain closures
+    or negated sets (``(p+/q)*`` — the "closure_path" spec), and full
+    path expressions inside braced OPTIONAL/UNION/EXISTS/MINUS groups
+    (the "pathrel" pattern), where alternation cannot distribute into
+    a top-level UNION. Plans stay join/union/aggregate-only — no UDFs,
+    no driver loops beyond the bounded fixpoint rounds."""
+    rel: DataFrame | None = None
+    for seq in alts:
+        seq_rel: DataFrame | None = None
+        for inv, prim, mod in seq:
+            if isinstance(prim, Iri):
+                r = _slice_edges(triples, F.col("pred") == prim.value)
+            elif isinstance(prim, tuple) and prim[0] == "negset":
+                r = _slice_edges(triples, ~F.col("pred").isin(*prim[1]))
+            else:  # nested alternatives group
+                r = _path_relation(triples, prim)
+            if inv:
+                r = _flip_edges(r)
+            if mod:
+                r = _closure_pairs(
+                    triples, r.distinct().localCheckpoint(eager=True), mod
+                )
+            if seq_rel is None:
+                seq_rel = r
+            else:
+                left = seq_rel.select(
+                    F.col("_sv"), F.col("_sk"), F.col("_sl"), F.col("_sd"),
+                    F.col("_dv").alias("_jv"), F.col("_dk").alias("_jk"),
+                    F.col("_dl").alias("_jl"), F.col("_dd").alias("_jd"),
+                )
+                right = r.select(
+                    F.col("_sv").alias("_jv"), F.col("_sk").alias("_jk"),
+                    F.col("_sl").alias("_jl"), F.col("_sd").alias("_jd"),
+                    F.col("_dv"), F.col("_dk"), F.col("_dl"), F.col("_dd"),
+                )
+                seq_rel = left.join(
+                    right, on=["_jv", "_jk", "_jl", "_jd"], how="inner"
+                ).select(*_EDGE_COLS)
+        assert seq_rel is not None
+        rel = seq_rel if rel is None else rel.unionByName(seq_rel)
+    assert rel is not None
+    return rel
+
+
 def _closure_edges(triples: DataFrame, spec: tuple) -> DataFrame:
     """Edge relation for a closure spec: ("closure", Iri, mod) → one
     predicate slice; ("closure_rel", alts, mod) → derived group
     relation (checkpointed — fixpoint rounds must not re-run its
-    joins)."""
+    joins); ("closure_path", ast, mod) → the general recursive
+    relation for groups carrying nested closures or negated sets."""
     if spec[0] == "closure":
         return _pred_edges(triples, spec[1])
+    if spec[0] == "closure_path":
+        return _path_relation(triples, spec[1]).distinct().localCheckpoint(
+            eager=True
+        )
     return _edge_relation(triples, spec[1]).localCheckpoint(eager=True)
 
 
@@ -2204,7 +2328,9 @@ def _closure_pattern_df(
 
 
 def _is_closure(p) -> bool:
-    return isinstance(p, tuple) and p[0] in ("closure", "closure_rel")
+    return isinstance(p, tuple) and p[0] in (
+        "closure", "closure_rel", "closure_path"
+    )
 
 
 def _join_patterns(triples: DataFrame, patterns: list[tuple]) -> tuple[DataFrame, set[str]]:
@@ -2258,6 +2384,14 @@ def _join_patterns(triples: DataFrame, patterns: list[tuple]) -> tuple[DataFrame
             )
             variables = [v for v in variables if v != "__np"]
             pat_df = pat_df.drop("__np", "____np_kind", "____np_lang", "____np_dtype")
+        elif isinstance(p, tuple) and p[0] == "pathrel":
+            # full path expression inside a braced group: evaluate the
+            # path's binary relation recursively and bind endpoints
+            # like any pattern (constant-endpoint filters push into
+            # the relation's joins via Catalyst)
+            pat_df, variables = _closure_pattern_df(
+                triples, s, p, o, pairs=_path_relation(triples, p[1])
+            )
         else:
             pat_df, variables = _pattern_df(triples, s, p, o)
         attach(pat_df, variables)

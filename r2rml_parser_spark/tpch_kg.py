@@ -805,3 +805,77 @@ SELECT b.subj AS x, b.n AS n, o.v AS v
 FROM base b LEFT JOIN opt o
   ON b.subj = o.subj AND b.subj_kind = o.subj_kind
 """
+
+# Full-path-grammar residue surface (r4): in ONE query —
+#   * a closure whose closed group ITSELF contains a closure
+#     ((inNation+/inRegion)* → the inner + becomes a derived edge
+#     relation, the outer fixpoint runs over it via the recursive
+#     "closure_path" evaluator; both endpoints are variables, so the
+#     sibling-bound ?c side seeds a multi-source frontier walk);
+#   * a negated property set with MIXED forward + inverse members
+#     (!(name|custkey|segment|marketSegment|^inNation) ≡ the §9.1
+#     split !F | ^!I — a UNION whose inverse half is empty here, since
+#     nothing but inNation ever points at a customer);
+#   * alternation branches carrying a SEQUENCE inside an OPTIONAL
+#     group ((segment|inNation/name) → one derived-relation "pathrel"
+#     pattern — alternation cannot distribute into UNION there).
+TPCH_SPARQL_NPSPATH_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?c ?dst ?via ?via2 WHERE {
+  ?c a ex:Customer .
+  ?c ex:custkey ?k .
+  FILTER (?k <= 40)
+  ?c (ex:inNation+/ex:inRegion)* ?dst .
+  ?c !(ex:name|ex:custkey|ex:segment|ex:marketSegment|^ex:inNation) ?via .
+  OPTIONAL { ?c (ex:segment|ex:inNation/ex:name) ?via2 }
+}
+"""
+
+
+def run_tpch_sparql_npspath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_NPSPATH_QUERY)
+
+
+# Oracle: R = inNation+ ∘ inRegion reaches exactly each customer's
+# region (nations have no outgoing inNation, so the inner closure is
+# the single customer→nation step); R* adds the zero-length identity.
+# ?via enumerates the three non-excluded forward edges (class IRI,
+# sourceSystem constant, nation IRI); the inverse NPS half is empty.
+# ?via2 is the bag union of the segment literal and the nation name.
+# The three relations join multiplicatively per customer — 2·3·2 rows.
+TPCH_SPARQL_NPSPATH_ORACLE_SQL = f"""
+WITH c40 AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment FROM customer
+  WHERE c_custkey <= 40
+),
+dst AS (
+  SELECT '{KG}/customer/' || c_custkey AS c,
+         '{KG}/customer/' || c_custkey AS dst
+  FROM c40
+  UNION ALL
+  SELECT '{KG}/customer/' || c.c_custkey,
+         '{KG}/region/' || n.n_regionkey
+  FROM c40 c JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+via AS (
+  SELECT '{KG}/customer/' || c_custkey AS c, '{ONT}Customer' AS via
+  FROM c40
+  UNION ALL
+  SELECT '{KG}/customer/' || c_custkey, '{KG}/system/tpch' FROM c40
+  UNION ALL
+  SELECT '{KG}/customer/' || c.c_custkey, '{KG}/nation/' || c.c_nationkey
+  FROM c40 c
+),
+via2 AS (
+  SELECT '{KG}/customer/' || c_custkey AS c, c_mktsegment AS via2 FROM c40
+  UNION ALL
+  SELECT '{KG}/customer/' || c.c_custkey, n.n_name
+  FROM c40 c JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT d.c AS c, d.dst AS dst, v.via AS via, v2.via2 AS via2
+FROM dst d
+JOIN via v ON v.c = d.c
+JOIN via2 v2 ON v2.c = d.c
+"""

@@ -1402,11 +1402,17 @@ def test_closed_path_groups(chain_graph):
     assert {r.s for r in sparql_select(chain_graph, q4).collect()} == {
         EX + "a", EX + "b", EX + "c"
     }
-    with pytest.raises(SparqlError):  # closure nested inside a closed group
-        sparql_select(
-            chain_graph,
-            "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ?s (ex:next+/ex:label)* ?o }",
-        )
+    # (r4) closure nested inside a closed group: (next+/label)* —
+    # the inner closure becomes a derived edge relation and the outer
+    # fixpoint runs over it (_path_relation / "closure_path")
+    q5 = (
+        "PREFIX ex: <http://ex.org/> SELECT ?o "
+        "WHERE { ex:a (ex:next+/ex:label)* ?o }"
+    )
+    got5 = {r.o for r in sparql_select(chain_graph, q5).collect()}
+    # R = next+ ∘ label = {(a,leaf),(b,leaf),(c,leaf)}; R* from a =
+    # the zero-length identity plus one R-step
+    assert got5 == {EX + "a", "leaf"}
 
 
 def test_sibling_seeded_variable_closure(chain_graph):
@@ -1523,10 +1529,42 @@ def test_negated_property_set(graph):
     # single-IRI form; per-triple multiplicity (2 non-name triples of p1)
     q2 = "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s !ex:name ?o . ?s ex:note ?n }"
     assert sparql_select(graph, q2).count() == 3  # type, knows, note triples of p1
-    with pytest.raises(SparqlError):  # inverse member
-        sparql_select(graph, "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ?s !(^ex:knows) ?o }")
-    with pytest.raises(SparqlError):  # combined with closure
-        sparql_select(graph, "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ?s !ex:a+ ?o }")
+    # (r4) inverse members: !(^knows) matches (x, y) where a triple
+    # (y, p, x) exists with p ≠ knows — every non-knows triple flipped
+    q3 = "PREFIX ex: <http://ex.org/> SELECT ?s ?o WHERE { ?s !(^ex:knows) ?o }"
+    got3 = {(r.s, r.o) for r in sparql_select(graph, q3).collect()}
+    assert (EX + "Person", EX + "p1") in got3          # flipped rdf:type
+    assert ("Ada", EX + "p1") in got3                  # flipped literal
+    # the knows triple is excluded; the (p2, p1) value-pair still
+    # appears — via the flipped note triple, whose LITERAL "…p2"
+    # shares the IRI's lexical form (kind-distinct, value-equal)
+    assert len(got3) == 7                              # 8 triples - 1 knows
+    # (r4) mixed members: !(name|^knows) ≡ !name | ^!knows (§9.1)
+    q4 = (
+        "PREFIX ex: <http://ex.org/> PREFIX dc: <http://purl.org/dc/elements/1.1/> "
+        "SELECT ?s ?o WHERE { ?s !(ex:name|^ex:knows) ?o }"
+    )
+    got4 = [(r.s, r.o) for r in sparql_select(graph, q4).collect()]
+    # forward half: 6 non-name triples; inverse half: 7 flipped
+    # non-knows triples — a bag union
+    assert len(got4) == 13
+    assert (EX + "p1", "Ada") not in got4              # name excluded forward
+    assert ("Ada", EX + "p1") in got4                  # ...but present flipped
+    # (r4) NPS composes with closures: !ex:name+ is a reachability
+    # fixpoint over every non-name edge
+    q5 = "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ex:p1 !ex:name+ ?o }"
+    got5 = {r.o for r in sparql_select(graph, q5).collect()}
+    # p1 -type-> Person, p1 -knows-> p2, p1 -note-> "p2"(literal),
+    # then p2 -type-> Person; the p2 IRI and "p2" literal solutions
+    # share a lexical value, so the value set has two members
+    assert got5 == {EX + "Person", EX + "p2"}
+    # ...and with sequences: ^knows/name = names of whoever knows ?s
+    q6 = "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ex:p2 (^ex:knows/ex:name) ?o }"
+    assert [r.o for r in sparql_select(graph, q6).collect()] == ["Ada"]
+    q7 = "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ex:p2 (!ex:note/ex:name) ?o }"
+    # p2's non-note edges reach Person and "Grace"@en, neither of
+    # which has a name — empty
+    assert sparql_select(graph, q7).count() == 0
 
 
 def test_seeded_closure_alp_semantics(spark, chain_graph):
@@ -2104,24 +2142,45 @@ def test_alternation_inside_union_branch_and_exists(graph):
     assert [r.p for r in sparql_select(graph, q3).collect()] == [EX + "p2"]
 
 
-def test_alternation_complex_branch_in_group_still_rejected(graph):
-    with pytest.raises(SparqlError, match="simple forward alternation"):
-        sparql_select(
-            graph,
-            """PREFIX ex: <http://ex.org/>
-            SELECT ?p ?v WHERE {
-              ?p a ex:Person .
-              OPTIONAL { ?p (ex:knows/ex:name|ex:name) ?v }
-            }""",
-        )
-    with pytest.raises(SparqlError, match="simple forward alternation"):
-        sparql_select(
-            graph,
-            """PREFIX ex: <http://ex.org/>
-            SELECT ?p ?v WHERE {
-              ?p a ex:Person . OPTIONAL { ?p (ex:knows|^ex:knows) ?v }
-            }""",
-        )
+def test_complex_alternation_branches_inside_groups(graph):
+    # (r4) alternation branches carrying sequences compile inside an
+    # OPTIONAL as ONE derived-relation pattern ("pathrel"): knows/name
+    # reaches Grace via p2, the name branch reaches Ada directly
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?v WHERE {
+      ?p a ex:Person .
+      OPTIONAL { ?p (ex:knows/ex:name|ex:name) ?v }
+    }"""
+    got = {(r.p, r.v) for r in sparql_select(graph, q).collect()}
+    assert got == {
+        (EX + "p1", "Grace"), (EX + "p1", "Ada"), (EX + "p2", "Grace"),
+    }
+    # inverse branch inside an OPTIONAL: p2 is reached by ^knows
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?v WHERE {
+      ?p a ex:Person . OPTIONAL { ?p (ex:nick|^ex:knows) ?v }
+    }"""
+    got2 = {(r.p, r.v) for r in sparql_select(graph, q2).collect()}
+    assert got2 == {(EX + "p1", None), (EX + "p2", EX + "p1")}
+    # closure branch inside a UNION group; second branch binds the
+    # same endpoints through a different alternation
+    q3 = """PREFIX ex: <http://ex.org/>
+    SELECT ?v WHERE {
+      { ex:p1 (ex:knows+/ex:name|ex:note) ?v } UNION { ex:p1 ex:name ?v }
+    }"""
+    got3 = sorted(r.v for r in sparql_select(graph, q3).collect())
+    assert got3 == ["Ada", "Grace", EX + "p2"]
+    # ...and inside EXISTS/MINUS groups
+    q4 = """PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE {
+      ?p a ex:Person . FILTER EXISTS { ?p (ex:knows/ex:name|ex:nick) ?x }
+    }"""
+    assert [r.p for r in sparql_select(graph, q4).collect()] == [EX + "p1"]
+    q5 = """PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE {
+      ?p a ex:Person . MINUS { ?p (^ex:knows|ex:nick) ?x }
+    }"""
+    assert [r.p for r in sparql_select(graph, q5).collect()] == [EX + "p1"]
 
 
 def test_exists_inside_optional_group(graph):

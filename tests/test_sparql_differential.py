@@ -412,3 +412,137 @@ def test_alternation_in_optional_differential(spark, graph, patterns, alt_preds,
         )
     )
     assert got == want, f"query {q!r} diverged"
+
+
+# -- full property-path differential (r4) ------------------------------
+#
+# Random path ASTs over the full grammar — predicates, negated sets,
+# inverse, sequence, alternation, and + * ? closures on any element —
+# evaluated by the engine between two variable endpoints vs an
+# independent evaluator written directly from SPARQL 1.1 §18.4:
+# bag semantics for seq (multiplicity = intermediate paths) and alt
+# (concat), SET semantics for closures, zero-length identity over
+# every graph node for * and ?.
+
+def _graph_nodes(graph):
+    return {s for s, _, _ in graph} | {o for _, _, o in graph}
+
+
+def naive_path_pairs(graph, ast):
+    k = ast[0]
+    if k == "pred":
+        return [(s, o) for s, p, o in graph if p == ast[1]]
+    if k == "negset":
+        return [(s, o) for s, p, o in graph if p not in ast[1]]
+    if k == "inv":
+        return [(o, s) for s, o in naive_path_pairs(graph, ast[1])]
+    if k == "seq":
+        e1 = naive_path_pairs(graph, ast[1])
+        e2 = naive_path_pairs(graph, ast[2])
+        return [(a, b) for a, m in e1 for m2, b in e2 if m == m2]
+    if k == "alt":
+        return naive_path_pairs(graph, ast[1]) + naive_path_pairs(graph, ast[2])
+    assert k == "closure"
+    base = set(naive_path_pairs(graph, ast[1]))
+    mod = ast[2]
+    if mod == "?":
+        return sorted(base | {(n, n) for n in _graph_nodes(graph)})
+    closure = set(base)
+    while True:
+        new = {
+            (a, d) for (a, b) in closure for (c, d) in closure if b == c
+        } - closure
+        if not new:
+            break
+        closure |= new
+    if mod == "*":
+        closure |= {(n, n) for n in _graph_nodes(graph)}
+    return sorted(closure)
+
+
+def render_path(ast):
+    k = ast[0]
+    if k == "pred":
+        return f"<{ast[1]}>"
+    if k == "negset":
+        return "!(" + "|".join(f"<{i}>" for i in ast[1]) + ")"
+    if k == "inv":
+        return "^(" + render_path(ast[1]) + ")"
+    if k == "seq":
+        return f"({render_path(ast[1])})/({render_path(ast[2])})"
+    if k == "alt":
+        return f"({render_path(ast[1])})|({render_path(ast[2])})"
+    assert k == "closure"
+    return "(" + render_path(ast[1]) + ")" + ast[2]
+
+
+if HAVE_HYP:
+    _path_base_st = st.one_of(
+        st.sampled_from([("pred", p) for p in PREDS]),
+        st.builds(
+            lambda iris: ("negset", tuple(sorted(set(iris)))),
+            st.lists(st.sampled_from(PREDS), min_size=1, max_size=2),
+        ),
+    )
+    path_ast_st = st.recursive(
+        _path_base_st,
+        lambda children: st.one_of(
+            st.builds(lambda e: ("inv", e), children),
+            st.builds(lambda a, b: ("seq", a, b), children, children),
+            st.builds(lambda a, b: ("alt", a, b), children, children),
+            st.builds(
+                lambda e, m: ("closure", e, m),
+                children,
+                st.sampled_from(["+", "*", "?"]),
+            ),
+        ),
+        max_leaves=3,
+    )
+
+
+@pytest.mark.skipif(not HAVE_HYP, reason="hypothesis not installed")
+@settings(max_examples=10, deadline=None)
+@given(graph=graph_st, ast=path_ast_st if HAVE_HYP else st.none())
+def test_full_path_grammar_differential(spark, graph, ast):
+    rows = [
+        (s[0], s[1], p, o[0], o[1], o[2] or None, o[3] or None)
+        for s, p, o in graph
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    q = f"SELECT ?a ?b WHERE {{ ?a {render_path(ast)} ?b }}"
+    got = Counter((r.a, r.b) for r in sparql_select(g, q).collect())
+    want = Counter(
+        (s[0], o[0]) for s, o in naive_path_pairs(graph, ast)
+    )
+    assert got == want, f"query {q!r} diverged"
+
+
+@pytest.mark.skipif(not HAVE_HYP, reason="hypothesis not installed")
+@settings(max_examples=8, deadline=None)
+@given(graph=graph_st, ast=path_ast_st if HAVE_HYP else st.none())
+def test_full_path_in_optional_differential(spark, graph, ast):
+    # OPTIONAL { ?a <full-path> ?b } — the "pathrel" derived-relation
+    # pattern (or predset/sequence fast paths, whichever the shape
+    # takes) vs naive §18.5 LeftJoin over the §18.4 path pairs
+    rows = [
+        (s[0], s[1], p, o[0], o[1], o[2] or None, o[3] or None)
+        for s, p, o in graph
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    req = [(("var", "a"), ("const", (PREDS[0], "iri", "", "")), ("var", "c"))]
+    q = (
+        "SELECT ?a ?b ?c WHERE { "
+        f"?a <{PREDS[0]}> ?c . OPTIONAL {{ ?a {render_path(ast)} ?b }} }}"
+    )
+    req_sols = naive_eval(graph, req)
+    opt_sols = [
+        {"a": s, "b": o} for s, o in naive_path_pairs(graph, ast)
+    ]
+    got = Counter(
+        (r.a, r.b, r.c) for r in sparql_select(g, q).collect()
+    )
+    want = Counter(
+        (b["a"][0], b["b"][0] if "b" in b else None, b["c"][0])
+        for b in naive_left_join(req_sols, opt_sols)
+    )
+    assert got == want, f"query {q!r} diverged"
