@@ -25,7 +25,9 @@ FILTERs. The projected binding is
 the lexical form, matching the reference's
 ``getLiteralLexicalForm``/resource-URI behavior.
 
-Supported subset (documented): PREFIX decls, SELECT [DISTINCT] with
+Supported subset (documented): PREFIX decls, SELECT
+[DISTINCT|REDUCED] (REDUCED answers with the distinct set, a
+conformant cardinality per §18.2.2.4) with
 ``?var``, ``(AGG([DISTINCT] ?v|*) AS ?alias)``, and non-aggregate
 ``(expr AS ?alias)`` projection-expression items (sugar for a
 trailing BIND, so any BIND expression works) or ``*``,
@@ -104,7 +106,10 @@ string-valued functions ``UCASE/LCASE/SUBSTR/REPLACE`` (language tags
 preserved per spec), ``STRBEFORE/STRAFTER`` (first-occurrence split;
 lang carries only on a match, the no-match result is the simple empty
 literal), ``ENCODE_FOR_URI`` (the engine's RFC 3986 encoder; simple
-result), ``MD5/SHA1/SHA256`` (lowercase-hex simple literals), and the
+result), ``MD5/SHA1/SHA256`` (lowercase-hex simple literals), the numeric
+functions ``ABS/ROUND/CEIL/FLOOR`` (over any arithmetic operand;
+fn:round ties toward +∞; results are derived decimals that pin the
+numeric branch), and the
 numeric datetime accessors ``YEAR/MONTH/DAY/HOURS/MINUTES/SECONDS``
 over xsd:date/xsd:dateTime literals (fields of the ISO lexical form,
 no timezone conversion; non-date arguments are type errors) (arguments must be simple/lang/xsd:string literals
@@ -163,8 +168,10 @@ OPTIONAL-nullable shared variables are rejected like EXISTS's) —
 BIND(expr AS ?v) at the top
 level of WHERE (expr: any FILTER operand — terms, variables,
 lang()/datatype()/STR(), string functions, arithmetic — plus
-CONCAT(...), IRI()/URI(), COALESCE(e1, e2, ...) (first non-error
-value, term components follow the winning argument), and
+CONCAT(...), IRI()/URI(), STRLANG(e, "tag") / STRDT(e, <dt>) (mint
+lang-tagged/typed literals from a simple-literal argument; any other
+argument is a type error → unbound), COALESCE(e1, e2, ...) (first
+non-error value, term components follow the winning argument), and
 IF(boolexpr, then, else) (any FILTER boolean as the condition; a
 condition ERROR makes the IF an error → unbound) over them, nested; evaluated after patterns/OPTIONALs and visible to
 FILTERs/projection/ORDER BY/CONSTRUCT templates; per SPARQL 1.1
@@ -859,6 +866,13 @@ class _Parser:
             if self._kw_is("DISTINCT"):
                 distinct = True
                 self._next()
+            elif self._kw_is("REDUCED"):
+                # REDUCED permits (but does not require) eliminating
+                # duplicate solutions — §18.2.2.4 allows any
+                # cardinality between DISTINCT's and the plain bag's,
+                # so answering with the distinct set is conformant
+                distinct = True
+                self._next()
             # proj items: ("var", name) | ("agg", func, distinct, var|None, alias)
             if self._peek() == ("kw", "*"):
                 items = None
@@ -1455,6 +1469,32 @@ class _Parser:
             return ("if", cond, then, els)
         if (
             k == "kw"
+            and str(v).lower() in ("strlang", "strdt")
+            and self._peek2() == ("punct", "(")
+        ):
+            fn = str(v).lower()
+            self._next()
+            self._next()  # (
+            arg = self._bind_expr()
+            if self._next() != ("op", ","):
+                raise SparqlError(f"{fn.upper()}() needs a second argument")
+            if fn == "strlang":
+                k2, litv = self._next()
+                if k2 != "lit" or litv[1] or litv[2]:
+                    raise SparqlError(
+                        "STRLANG() language tag must be a simple string literal"
+                    )
+                second = litv[0]
+            else:
+                t = self._term("pred")
+                if not isinstance(t, Iri):
+                    raise SparqlError("STRDT() datatype must be an IRI")
+                second = t.value
+            if self._next() != ("punct", ")"):
+                raise SparqlError(f"{fn.upper()}() needs ')'")
+            return (fn, arg, second)
+        if (
+            k == "kw"
             and str(v).lower() in ("concat", "iri", "uri")
             and self._peek2() == ("punct", "(")
         ):
@@ -1481,9 +1521,22 @@ class _Parser:
         "year", "month", "day", "hours", "minutes", "seconds",
     )
     _DT_FUNCS = ("year", "month", "day", "hours", "minutes", "seconds")
+    _NUM_FUNCS = ("abs", "round", "ceil", "floor")
 
     def _operand(self):
         kind, val = self._peek()
+        if (
+            kind == "kw"
+            and str(val).lower() in self._NUM_FUNCS
+            and self._peek2() == ("punct", "(")
+        ):
+            fn = str(val).lower()
+            self._next()
+            self._next()  # (
+            arg = self._maybe_arith(self._operand())
+            if self._next() != ("punct", ")"):
+                raise SparqlError(f"{fn}() needs ')'")
+            return ("numfn", fn, arg)
         if (
             kind == "kw"
             and str(val).lower() in self._VALUE_FUNCS
@@ -2428,11 +2481,13 @@ def _is_arith(node) -> bool:
 
 
 def _is_numeric_node(node) -> bool:
-    """Nodes whose value is intrinsically numeric: arithmetic chains
-    and STRLEN — they pin the numeric comparison branch like a numeric
-    constant does."""
+    """Nodes whose value is intrinsically numeric: arithmetic chains,
+    STRLEN, datetime accessors, and ABS/ROUND/CEIL/FLOOR — they pin
+    the numeric comparison branch like a numeric constant does."""
     return _is_arith(node) or (
-        isinstance(node, tuple) and bool(node) and node[0] in ("sfn_len", "dtfn")
+        isinstance(node, tuple)
+        and bool(node)
+        and node[0] in ("sfn_len", "dtfn", "numfn")
     )
 
 
@@ -2453,6 +2508,19 @@ def _arith_value(node, bound: set[str], scope: str = "the query") -> "F.Column":
             "+": F.try_add(av, bv), "-": F.try_subtract(av, bv),
             "*": F.try_multiply(av, bv), "/": F.try_divide(av, bv),
         }[op]
+    if isinstance(node, tuple) and node and node[0] == "numfn":
+        _, fn, sub = node
+        sv = _arith_value(sub, bound, scope)
+        if fn == "abs":
+            return F.abs(sv)
+        if fn == "ceil":
+            return F.ceil(sv).cast(_DECIMAL)
+        if fn == "floor":
+            return F.floor(sv).cast(_DECIMAL)
+        # ROUND — fn:round semantics: nearest integer, ties toward
+        # +∞ (round(-2.5) = -2). Spark's round() is HALF_UP (away
+        # from zero), so take floor(x + 0.5) instead.
+        return F.floor(F.try_add(sv, F.lit(0.5).cast(_DECIMAL))).cast(_DECIMAL)
     v, k, _, _ = _term_parts(node, bound, scope)
     return F.when(k == F.lit("literal"), v).try_cast(_DECIMAL)
 
@@ -2642,7 +2710,9 @@ def _eval_bind_expr(node, bound: set[str], scope: str = "BIND"):
             pieces.append(F.when(is_str, v))
         # concat propagates NULL: any errored argument → unbound result
         return F.concat(*pieces), F.lit("literal"), F.lit(""), F.lit("")
-    if _is_arith(node):
+    if _is_arith(node) or (
+        isinstance(node, tuple) and node and node[0] == "numfn"
+    ):
         val = _arith_value(node, bound, scope)
         # derived numeric literal, canonical lexical form
         return (
@@ -2685,6 +2755,20 @@ def _eval_bind_expr(node, bound: set[str], scope: str = "BIND"):
         )
         val = F.when(k == F.lit("iri"), v).when(is_str, v)
         return val, F.lit("iri"), F.lit(""), F.lit("")
+    if isinstance(node, tuple) and node and node[0] in ("strlang", "strdt"):
+        # §17.4.2.8/.9: the first argument must be a SIMPLE literal;
+        # anything else is a type error → unbound (value NULL)
+        _, arg, second = node
+        v, k, lg, dt = _eval_bind_expr(arg, bound, scope)
+        is_simple = (
+            (k == F.lit("literal"))
+            & (F.coalesce(lg, F.lit("?")) == "")
+            & F.coalesce(dt, F.lit("?")).isin("", XSD_STRING)
+        )
+        val = F.when(is_simple, v)
+        if node[0] == "strlang":
+            return val, F.lit("literal"), F.lit(second), F.lit("")
+        return val, F.lit("literal"), F.lit(""), F.lit(second)
     return _term_parts(node, bound, scope)
 
 
@@ -2812,8 +2896,11 @@ def _compile_bool(node, bound: set[str], scope: str = "the query") -> "F.Column"
         _, left, op, right = node
 
         def side(t):
-            if _is_arith(t):
-                # an arithmetic operand is a derived numeric literal
+            if _is_arith(t) or (
+                isinstance(t, tuple) and t and t[0] == "numfn"
+            ):
+                # an arithmetic/numeric-function operand is a derived
+                # numeric literal
                 return (
                     _arith_value(t, bound, scope), F.lit("literal"),
                     F.lit(""), F.lit(_XSD + "decimal"),

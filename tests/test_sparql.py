@@ -2257,3 +2257,76 @@ def test_exists_inside_nested_optional(graph):
         (EX + "p1", "Ada", EX + "p2"),
         (EX + "p2", "Grace", None),
     }
+
+
+def test_numeric_functions(numeric_graph):
+    # ABS over arithmetic: |age - 10| <= 1 keeps 9, 10, 11
+    q = (
+        "PREFIX ex: <http://ex.org/> SELECT ?s "
+        "WHERE { ?s ex:age ?n . FILTER (ABS(?n - 10) <= 1) }"
+    )
+    assert {r.s for r in sparql_select(numeric_graph, q).collect()} == {
+        EX + "a", EX + "b", EX + "c"
+    }
+    # FLOOR/CEIL of a division pin the numeric branch; non-numeric and
+    # IRI score rows are type errors → dropped
+    q2 = (
+        "PREFIX ex: <http://ex.org/> SELECT ?s "
+        "WHERE { ?s ex:score ?n . FILTER (FLOOR(?n / 2) = 4) }"
+    )
+    assert {r.s for r in sparql_select(numeric_graph, q2).collect()} == {EX + "d"}
+    q3 = (
+        "PREFIX ex: <http://ex.org/> SELECT ?s "
+        "WHERE { ?s ex:score ?n . FILTER (CEIL(?n / 2) = 6) }"
+    )
+    assert {r.s for r in sparql_select(numeric_graph, q3).collect()} == {EX + "e"}
+    # ROUND in BIND: fn:round ties go toward +infinity, and the result
+    # is a derived decimal in canonical lexical form
+    q4 = (
+        "PREFIX ex: <http://ex.org/> SELECT ?s ?r "
+        "WHERE { ?s ex:age ?n . BIND (ROUND(0 - ?n / 2) AS ?r) }"
+    )
+    got = {(r.s, r.r) for r in sparql_select(numeric_graph, q4).collect()}
+    # -9/2 = -4.5 → -4 (toward +inf); -10/2 = -5; -11/2 = -5.5 → -5
+    assert got == {(EX + "a", "-4"), (EX + "b", "-5"), (EX + "c", "-5")}
+    # ABS of a non-numeric binding is a type error → row dropped
+    q5 = (
+        "PREFIX ex: <http://ex.org/> SELECT ?s "
+        "WHERE { ?s ex:score ?n . FILTER (ABS(?n) >= 0) }"
+    )
+    assert {r.s for r in sparql_select(numeric_graph, q5).collect()} == {
+        EX + "d", EX + "e"
+    }
+
+
+def test_strlang_strdt(graph):
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    # STRLANG mints a lang-tagged literal from a simple literal
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?s ?l WHERE {
+      ?s ex:name ?n . BIND (STRLANG(STR(?n), "fr") AS ?l)
+      FILTER (lang(?l) = "fr")
+    }"""
+    got = {(r.s, r.l) for r in sparql_select(graph, q).collect()}
+    assert got == {(EX + "p1", "Ada"), (EX + "p2", "Grace")}
+    # STRDT types the lexical form; datatype() sees it
+    q2 = f"""PREFIX ex: <http://ex.org/>
+    SELECT ?s ?t WHERE {{
+      ?s ex:name ?n . BIND (STRDT(STR(?n), <{XSD}token>) AS ?t)
+      FILTER (datatype(?t) = <{XSD}token>)
+    }}"""
+    assert sparql_select(graph, q2).count() == 2
+    # a lang-tagged first argument (without STR) is a type error →
+    # unbound; p2's name is "Grace"@en, p1's is simple
+    q3 = """PREFIX ex: <http://ex.org/>
+    SELECT ?s ?l WHERE { ?s ex:name ?n . BIND (STRLANG(?n, "de") AS ?l) }"""
+    got3 = {(r.s, r.l) for r in sparql_select(graph, q3).collect()}
+    assert got3 == {(EX + "p1", "Ada"), (EX + "p2", None)}
+
+
+def test_select_reduced(graph):
+    # REDUCED is answered as the distinct solution set (conformant:
+    # §18.2.2.4 allows eliminating any duplicates)
+    q = "PREFIX ex: <http://ex.org/> SELECT REDUCED ?t WHERE { ?s a ?t }"
+    rows = [r.t for r in sparql_select(graph, q).collect()]
+    assert rows == [EX + "Person"]
