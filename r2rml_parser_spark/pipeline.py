@@ -24,7 +24,7 @@ from r2rml_parser_spark.mapping.model import Template
 from r2rml_parser_spark.mapping.parse import parse_mapping_document
 from r2rml_parser_spark.operators.components import canonical_mapping, rewrite_subjects
 from r2rml_parser_spark.operators.dedup import neardup_edges
-from r2rml_parser_spark.plans.rewrite import analyze_part, rewrite_triple_parts
+from r2rml_parser_spark.plans.rewrite import analyze_parts, rewrite_triple_parts
 from r2rml_parser_spark.operators.mentions import (
     detect_mentions,
     entity_dictionary,
@@ -182,17 +182,23 @@ def build_kg(
                 # Replaces the touched/untouched split that re-executed
                 # the whole emission pipeline twice (r3 phase profile:
                 # rewrite scaled 0.45 at local[2]→local[8]).
-                parts = engine.triple_parts()
-                flagged = [
-                    (
-                        p.df,
-                        analyze_part(
-                            p.subj_map, p.obj_maps, KEY_TEMPLATE,
-                            base_ns=KG, encode_iris=True,
-                        ),
-                    )
-                    for p in parts
-                ]
+                # unique_subjects contract (analyze_parts): every
+                # obj-only matchable branch here draws from a
+                # primary-keyed source whose key set the subject
+                # template covers injectively — docs_meta.doc_id,
+                # doc_spans.(doc_id, offset) (the span-sequence
+                # invariant pinned by the docs_reassembled oracle),
+                # doc_mentions.(doc_id, offset, token_pos) — so each
+                # subject value identifies one source row of one
+                # branch. With that, the inDocument span/mention link
+                # branches (the corpus-proportional bulk) take the
+                # broadcast rewrite join but SKIP the set-dedup
+                # exchange; only doc-level rows (duplicable by subject
+                # merging) shuffle.
+                flagged = analyze_parts(
+                    engine.triple_parts(), KEY_TEMPLATE,
+                    base_ns=KG, encode_iris=True, unique_subjects=True,
+                )
                 triples = rewrite_triple_parts(flagged, canonical_mapping(edges))
             else:
                 triples = engine.triples(lineage=False, dedup=False).dropDuplicates()

@@ -61,6 +61,11 @@ class TriplePart:
     df: DataFrame
     subj_map: TermMap
     obj_maps: tuple[TermMap, ...]
+    #: every predicate IRI this branch emits, one entry per emission
+    #: slot (rdf:type per class + P9 fan-out) — lets the rewrite
+    #: planner check statically that rows sharing a subject within the
+    #: branch carry pairwise-distinct predicates
+    preds: tuple[str, ...] | None = None
 
 
 def rewrite_sql_quotes(sql: str) -> str:
@@ -279,7 +284,16 @@ class MappingEngine:
                 [TermMap(constant_iri=cls) for cls in tm.classes]
                 + [om for pom in tm.predicate_object_maps for om in pom.objects]
             )
-            parts.append(TriplePart(exploded, tm.subject_map, obj_terms))
+            preds = tuple(
+                [RDF_TYPE for _ in tm.classes]
+                + [
+                    pred
+                    for pom in tm.predicate_object_maps
+                    for _om in pom.objects
+                    for pred in pom.predicates
+                ]
+            )
+            parts.append(TriplePart(exploded, tm.subject_map, obj_terms, preds))
         for pom in tm.predicate_object_maps:
             for ro in pom.ref_objects:
                 parent_subj_map = self.doc.by_uri(ro.parent_triples_map).subject_map
@@ -288,6 +302,7 @@ class MappingEngine:
                         self._ref_object_triples(df, subj, tm, pom, ro),
                         tm.subject_map,
                         (parent_subj_map,),
+                        tuple(pom.predicates),
                     )
                 )
         return parts

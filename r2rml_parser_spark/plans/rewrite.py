@@ -214,6 +214,11 @@ def term_may_match(
 class PartFlags:
     subj_may: bool
     obj_may: bool
+    #: rewrite may touch this branch's objects but can NEVER create a
+    #: duplicate row — the branch takes the broadcast obj join and then
+    #: STREAMS past the set-dedup exchange (see ``analyze_parts`` for
+    #: the exactness conditions)
+    dedup_exempt: bool = False
 
     @property
     def matchable(self) -> bool:
@@ -241,6 +246,88 @@ def analyze_part(
     )
 
 
+def analyze_parts(
+    parts,
+    key: Template,
+    *,
+    base_ns: str,
+    encode_iris: bool,
+    unique_subjects: bool = False,
+) -> list["tuple[DataFrame, PartFlags]"]:
+    """Flag every emission branch (``TriplePart`` list) for the pruned
+    rewrite, including the dedup EXEMPTION for obj-only-matchable
+    branches whose rows can provably never become duplicates.
+
+    The set-dedup after the rewrite exists because merging subjects (or
+    objects) can make two previously-distinct rows equal. A branch is
+    exempt — it takes the broadcast obj join but skips the dedup
+    exchange — when all of the following hold:
+
+    static (checked here):
+      * ``subj_may`` is False: its subjects are never rewritten, and
+        are provably outside the key-template space;
+      * its emitted predicate list is duplicate-free (``TriplePart.
+        preds``): rows sharing a subject (one source row's fan-out)
+        differ in ``pred``, so no obj rewrite can make them equal;
+      * its subject value space is disjoint from every subj_may
+        branch's ORIGINAL subject space (template skeleton check) —
+        post-rewrite those branches' subjects live in key space, which
+        ``subj_may=False`` already excludes.
+
+    caller contract (``unique_subjects=True``):
+      * across all obj-only matchable branches, each subject VALUE
+        identifies at most one source row of one branch (e.g. the
+        span view's (doc_id, offset) primary key rendered through an
+        injective IRI template — the docs pipeline's span-sequence
+        invariant, pinned by the ``docs_reassembled`` oracle).
+
+    Under these, any two exempt rows differ in subject or pred after
+    the rewrite; exempt rows never equal passthrough rows (the
+    modified position is in key space, passthrough terms are not;
+    unmodified pairs fall under the raw emissions' global uniqueness)
+    and never equal deduped-branch rows (disjoint subject spaces). So
+    dropping them from the dedup union is exact — and the dedup
+    exchange shrinks from corpus-proportional (every span/mention
+    link) to metadata-proportional (doc-level rows only)."""
+    flags = [
+        analyze_part(
+            p.subj_map, p.obj_maps, key, base_ns=base_ns, encode_iris=encode_iris
+        )
+        for p in parts
+    ]
+    if unique_subjects:
+        dedup_subj_templates = []
+        usable = True
+        for p, f in zip(parts, flags):
+            if f.subj_may:
+                t = p.subj_map.template
+                if (
+                    t is None
+                    or p.subj_map.term_type != TermType.IRI
+                    or not encode_iris
+                ):
+                    # subject space unbounded — cannot prove any
+                    # disjointness against it
+                    usable = False
+                else:
+                    dedup_subj_templates.append(
+                        effective_iri_template(t, base_ns)
+                    )
+        for p, f in zip(parts, flags):
+            if not (usable and f.matchable and not f.subj_may):
+                continue
+            preds_ok = p.preds is not None and len(set(p.preds)) == len(p.preds)
+            cross_ok = all(
+                not term_may_match(
+                    p.subj_map, dt, base_ns=base_ns,
+                    encode_iris=encode_iris, position="subj",
+                )
+                for dt in dedup_subj_templates
+            )
+            f.dedup_exempt = preds_ok and cross_ok
+    return [(p.df, f) for p, f in zip(parts, flags)]
+
+
 def rewrite_triple_parts(
     parts: list[tuple[DataFrame, PartFlags]],
     mapping: DataFrame,
@@ -248,9 +335,11 @@ def rewrite_triple_parts(
 ) -> DataFrame:
     """Apply the canonical mapping per emission branch, joining only the
     statically-matchable branches on only their matchable sides, then
-    set-dedup the matchable union ONLY (exactness proof: module
-    docstring). Every branch is scanned exactly once; non-matchable
-    branches carry no join and no shuffle."""
+    set-dedup the NON-EXEMPT matchable union ONLY (exactness proofs:
+    module docstring for passthrough, ``analyze_parts`` for the
+    dedup-exempt obj-only branches). Every branch is scanned exactly
+    once; non-matchable branches carry no join and no shuffle, and
+    exempt branches carry the broadcast obj join but no shuffle."""
     cols = columns or TRIPLE_COLUMNS
     m = F.broadcast(mapping)
     passthrough: list[DataFrame] = []
@@ -278,7 +367,12 @@ def rewrite_triple_parts(
                     F.coalesce(F.col("_obj_canon"), F.col("obj")),
                 ).otherwise(F.col("obj")),
             )
-        matchable.append(out.select(*cols))
+        if flags.dedup_exempt:
+            # obj join applied, but the branch's rows can never become
+            # duplicates (analyze_parts) — stream past the exchange
+            passthrough.append(out.select(*cols))
+        else:
+            matchable.append(out.select(*cols))
 
     pieces = list(passthrough)
     if matchable:

@@ -257,3 +257,90 @@ def test_edge_keys_render_like_docmap_subjects(spark):
         f"{P.KG}/doc/a%20b%2Fc",
         f"{P.KG}/doc/plain-id_1.2~",
     ]
+
+
+def test_analyze_parts_dedup_exemption_static():
+    """Exemption flags: obj-only branches with unique subjects and
+    distinct preds skip the dedup; duplicate preds or subject-space
+    overlap with a subj_may branch disqualify."""
+    from types import SimpleNamespace
+
+    from r2rml_parser_spark.plans.rewrite import analyze_parts
+
+    doc_tm = TermMap(template=Template.parse("http://kg.example/doc/{doc_id}"))
+    span_tm = TermMap(template=Template.parse("http://kg.example/doc/{d}/span/{o}"))
+    lang_tm = TermMap(column="lang", term_type=TermType.AUTO)
+
+    def part(subj, objs, preds):
+        return SimpleNamespace(df=None, subj_map=subj, obj_maps=objs, preds=preds)
+
+    flagged = analyze_parts(
+        [
+            part(doc_tm, (lang_tm,), ("p:lang",)),
+            part(span_tm, (doc_tm,), ("p:inDoc",)),
+        ],
+        KEY, base_ns="", encode_iris=True, unique_subjects=True,
+    )
+    assert not flagged[0][1].dedup_exempt          # subj_may → must dedup
+    assert flagged[1][1].dedup_exempt              # the span-link bulk
+    # duplicate predicate list → same source row could emit two rows
+    # whose objs merge to the same canonical → not exempt
+    flagged2 = analyze_parts(
+        [part(span_tm, (doc_tm, doc_tm), ("p:rel", "p:rel"))],
+        KEY, base_ns="", encode_iris=True, unique_subjects=True,
+    )
+    assert not flagged2[0][1].dedup_exempt
+    # subject space overlapping a subj_may branch's original space →
+    # a rewritten doc row could equal an exempt row → not exempt
+    other_doc_tm = TermMap(template=Template.parse("http://kg.example/doc/{x}"))
+    flagged3 = analyze_parts(
+        [
+            part(doc_tm, (lang_tm,), ("p:lang",)),
+            part(other_doc_tm, (doc_tm,), ("p:inDoc",)),
+        ],
+        KEY, base_ns="", encode_iris=True, unique_subjects=True,
+    )
+    assert not flagged3[1][1].dedup_exempt
+    # without the caller's uniqueness contract nothing is exempt
+    flagged4 = analyze_parts(
+        [part(span_tm, (doc_tm,), ("p:inDoc",))],
+        KEY, base_ns="", encode_iris=True,
+    )
+    assert not flagged4[0][1].dedup_exempt
+
+
+def test_exempt_rewrite_equals_generic_on_real_docs_kg(spark):
+    """The shipped build path (analyze_parts with the uniqueness
+    contract) still produces exactly the generic rewrite's set, with
+    the span-link branches provably exempt from the dedup exchange."""
+    from r2rml_parser_spark.plans.rewrite import analyze_parts
+
+    sf = "/root/testdata/sf0.001"
+    sources = P.register_kg_sources(spark, sf)
+    doc = parse_mapping_document(P.DOCS_MAPPING_TTL)
+    engine = MappingEngine(spark, doc, sources=sources, base_ns=P.KG)
+    ids = [
+        r.doc_id
+        for r in sources["docs_meta"].select("doc_id").orderBy("doc_id").limit(4).collect()
+    ]
+    iri = lambda d: f"{P.KG}/doc/{d}"  # noqa: E731
+    edges = spark.createDataFrame(
+        [(iri(ids[0]), iri(ids[1])), (iri(ids[2]), iri(ids[3]))], ["u", "v"]
+    )
+    mapping = canonical_mapping(edges)
+    generic = {
+        tuple(r)
+        for r in rewrite_subjects(
+            engine.triples(dedup=False, lineage=False), mapping, assume_distinct=True
+        ).collect()
+    }
+    flagged = analyze_parts(
+        engine.triple_parts(), P.KEY_TEMPLATE,
+        base_ns=P.KG, encode_iris=True, unique_subjects=True,
+    )
+    # the TextSpan ref-object and MediaSpan exploded branches are
+    # exempt; DocMap still dedups
+    assert sum(1 for _, f in flagged if f.dedup_exempt) == 2
+    assert any(f.subj_may and not f.dedup_exempt for _, f in flagged)
+    pruned = {tuple(r) for r in rewrite_triple_parts(flagged, mapping).collect()}
+    assert pruned == generic

@@ -2231,14 +2231,15 @@ def test_exists_in_optional_rejections(graph):
               OPTIONAL { ?p ex:knows ?q . FILTER EXISTS { ?q ex:name ?n } }
             }""",
         )
-    # EXISTS inside a UNION branch: still rejected
+    # EXISTS inside a UNION branch compiles since r4
+    # (test_exists_inside_union_branch); inside MINUS it stays rejected
     with pytest.raises(SparqlError, match="nested inside this braced group"):
         sparql_select(
             graph,
             """PREFIX ex: <http://ex.org/>
             SELECT ?p WHERE {
-              { ?p ex:name ?n . FILTER EXISTS { ?p ex:knows ?q } }
-              UNION { ?p a ex:Person }
+              ?p a ex:Person .
+              MINUS { ?p ex:name ?n . FILTER EXISTS { ?p ex:knows ?q } }
             }""",
         )
 
@@ -2330,3 +2331,33 @@ def test_select_reduced(graph):
     q = "PREFIX ex: <http://ex.org/> SELECT REDUCED ?t WHERE { ?s a ?t }"
     rows = [r.t for r in sparql_select(graph, q).collect()]
     assert rows == [EX + "Person"]
+
+
+def test_exists_inside_union_branch(graph):
+    # (r4) FILTER [NOT] EXISTS inside a UNION branch — per-branch
+    # semi/anti join before the bag union
+    q = """PREFIX ex: <http://ex.org/>
+    PREFIX dc: <http://purl.org/dc/elements/1.1/>
+    SELECT ?s WHERE {
+      { ?s a ex:Person . FILTER EXISTS { ?s ex:knows ?o } }
+      UNION { ?s dc:source ?m }
+    }"""
+    got = sorted(r.s for r in sparql_select(graph, q).collect())
+    assert got == sorted([EX + "p1", EX + "m1", EX + "m2"])
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT ?s WHERE {
+      { ?s a ex:Person . FILTER NOT EXISTS { ?s ex:knows ?o } }
+      UNION { ?s ex:name "Ada" }
+    }"""
+    got2 = sorted(r.s for r in sparql_select(graph, q2).collect())
+    assert got2 == sorted([EX + "p1", EX + "p2"])
+    # an EXISTS sharing no variable with its branch is rejected
+    with pytest.raises(SparqlError, match="uncorrelated"):
+        sparql_select(
+            graph,
+            """PREFIX ex: <http://ex.org/>
+            SELECT ?s WHERE {
+              { ?s a ex:Person . FILTER EXISTS { ex:p9 ex:knows ?o } }
+              UNION { ?s ex:name ?n }
+            }""",
+        )
