@@ -159,8 +159,12 @@ groups at any nesting depth — Filter(EXISTS(P), G) as a semi/anti
 join on the group's solutions, correlated through variables the
 group itself binds; an EXISTS correlating only with outer-bound
 variables, sharing nothing, or joining on nested-OPTIONAL-nullable
-variables is rejected, as is EXISTS inside UNION/EXISTS/MINUS
-groups or BIND expressions) — MINUS { t1 ... }
+variables is rejected, as is EXISTS nested inside another
+EXISTS group or a BIND expression; r4: FILTER [NOT] EXISTS also
+compiles INSIDE UNION branches and INSIDE MINUS groups —
+Filter(EXISTS(P), G) as a semi/anti join over the branch's/group's own
+solutions before the union/anti-join, correlated through variables
+that group itself binds) — MINUS { t1 ... }
 (SPARQL 1.1 §8.3: an anti join on the shared term keys when every
 shared variable is required-bound; a MINUS sharing no variable with
 the rest of the query removes nothing and compiles away, and
@@ -1000,8 +1004,8 @@ class _Parser:
                 continue
             if self._kw_is("MINUS"):
                 self._next()
-                mp, mf, _, _ = self._group()
-                group = (mp, mf)
+                mp, mf, _, me = self._group(allow_exists=True)
+                group = (mp, mf, me)
                 minus_blocks.append(group)
                 # like OPTIONAL, MINUS is hoisted after the required
                 # patterns; a later pattern sharing its variables would
@@ -1046,13 +1050,19 @@ class _Parser:
                     self._next()
                 continue
             if self._peek() == ("punct", "{"):
-                branches = [self._group()[:2]]
+                # (r4) allow_exists: FILTER [NOT] EXISTS compiles inside
+                # UNION branches too — Filter(EXISTS(P), Branch) as a
+                # per-branch semi/anti join before the union
+                raw = [self._group(allow_exists=True)]
                 while self._kw_is("UNION"):
                     self._next()
-                    branches.append(self._group()[:2])
-                if len(branches) < 2:
+                    raw.append(self._group(allow_exists=True))
+                if len(raw) < 2:
                     raise SparqlError("a braced group must be a UNION branch")
-                union_vars = {v for pats, _ in branches for v in _pattern_vars(pats)}
+                branches = [(pats, gf, ge) for pats, gf, _n, ge in raw]
+                union_vars = {
+                    v for pats, _, _ in branches for v in _pattern_vars(pats)
+                }
                 _guard_after_optional(union_vars, "a UNION block")
                 unions.append(branches)
                 seen_vars |= {v for v in union_vars if not _is_internal(v)}
@@ -1081,7 +1091,7 @@ class _Parser:
                     # the spec's per-alternative multiplicity)
                     endpoint_vars = {t.name for t in (s, o) if isinstance(t, Var)}
                     _guard_after_optional(endpoint_vars, "a path-alternation pattern")
-                    unions.append([(br, []) for br in branches])
+                    unions.append([(br, [], []) for br in branches])
                     seen_vars |= endpoint_vars
                     if self._peek() == ("punct", "."):
                         self._next()
@@ -3245,9 +3255,40 @@ def _compile_where(
         df, bound = _join_patterns(triples, patterns)
     for branches in unions:
         compiled = []
-        for pats, gfilters in branches:
+        for pats, gfilters, gexists in branches:
             bdf, bvars = _join_patterns(triples, pats)
             bdf = _apply_filters(bdf, gfilters, bvars, "this UNION branch")
+            # (r4) [NOT] EXISTS inside the branch: Filter(EXISTS(P), B)
+            # — the same semi/anti-join compilation as the top level,
+            # applied to the BRANCH's solutions (SPARQL evaluates the
+            # branch group bottom-up, so correlation is through
+            # variables the branch itself binds)
+            for positive, (epats, efilters) in gexists:
+                edf, evars = _join_patterns(triples, epats)
+                edf = _apply_filters(edf, efilters, evars, "this EXISTS group")
+                eshared = sorted(v for v in evars if v in bvars)
+                if not eshared:
+                    raise SparqlError(
+                        "an EXISTS group inside a UNION branch shares no "
+                        "variable with its branch (an uncorrelated "
+                        "existence test is not supported)"
+                    )
+                outer_corr = sorted(
+                    v for v in evars
+                    if not _is_internal(v) and v in bound and v not in bvars
+                )
+                if outer_corr:
+                    raise SparqlError(
+                        f"an EXISTS inside a UNION branch references "
+                        f"variable(s) {outer_corr} bound outside the branch "
+                        "— not expressible as a semi-join on branch keys"
+                    )
+                ekeys = [x for v in eshared for x in _term_key(v)]
+                bdf = bdf.join(
+                    edf.select(*ekeys),
+                    on=ekeys,
+                    how="left_semi" if positive else "left_anti",
+                )
             # path-expansion internals are branch-local: project them
             # away before the union (bag semantics keep multiplicity)
             compiled.append((bdf, {v for v in bvars if not _is_internal(v)}))
@@ -3593,13 +3634,43 @@ def _compile_where(
             on=join_keys,
             how="left_semi" if positive else "left_anti",
         )
-    for gpats, gfilters in parsed.minus_blocks:
+    for gpats, gfilters, gexists in parsed.minus_blocks:
         # MINUS (SPARQL 1.1 §8.3): drop solutions compatible with some
         # right-side solution on a NON-EMPTY shared domain. With every
         # shared variable non-nullable this is exactly an anti join; a
         # MINUS sharing no variable removes nothing and compiles away.
         gdf, gvars = _join_patterns(triples, gpats)
         gdf = _apply_filters(gdf, gfilters, gvars, "this MINUS group")
+        # (r4) [NOT] EXISTS inside the MINUS group: Filter(EXISTS(P), G)
+        # over the right-side solutions before the anti join —
+        # correlation through variables the group itself binds, same
+        # bottom-up scoping as the UNION-branch compilation
+        for positive, (epats, efilters) in gexists:
+            edf, evars = _join_patterns(triples, epats)
+            edf = _apply_filters(edf, efilters, evars, "this EXISTS group")
+            eshared = sorted(v for v in evars if v in gvars)
+            if not eshared:
+                raise SparqlError(
+                    "an EXISTS group inside MINUS shares no variable with "
+                    "its group (an uncorrelated existence test is not "
+                    "supported)"
+                )
+            outer_corr = sorted(
+                v for v in evars
+                if not _is_internal(v) and v in bound and v not in gvars
+            )
+            if outer_corr:
+                raise SparqlError(
+                    f"an EXISTS inside MINUS references variable(s) "
+                    f"{outer_corr} bound outside the group — not "
+                    "expressible as a semi-join on group keys"
+                )
+            ekeys = [x for v in eshared for x in _term_key(v)]
+            gdf = gdf.join(
+                edf.select(*ekeys),
+                on=ekeys,
+                how="left_semi" if positive else "left_anti",
+            )
         shared = sorted(v for v in gvars if v in bound)
         if not shared:
             continue  # disjoint domains: MINUS is a no-op by spec

@@ -2231,15 +2231,42 @@ def test_exists_in_optional_rejections(graph):
               OPTIONAL { ?p ex:knows ?q . FILTER EXISTS { ?q ex:name ?n } }
             }""",
         )
-    # EXISTS inside a UNION branch compiles since r4
-    # (test_exists_inside_union_branch); inside MINUS it stays rejected
+    # EXISTS inside UNION branches and MINUS groups compiles since r4;
+    # inside an EXISTS group it stays rejected
     with pytest.raises(SparqlError, match="nested inside this braced group"):
         sparql_select(
             graph,
             """PREFIX ex: <http://ex.org/>
             SELECT ?p WHERE {
               ?p a ex:Person .
-              MINUS { ?p ex:name ?n . FILTER EXISTS { ?p ex:knows ?q } }
+              FILTER EXISTS { ?p ex:name ?n . FILTER EXISTS { ?p ex:knows ?q } }
+            }""",
+        )
+
+
+def test_exists_inside_minus_group(graph):
+    # remove persons whose MINUS-side name row ALSO has a knows edge:
+    # only p1 knows someone, so p1 is removed
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE {
+      ?p a ex:Person .
+      MINUS { ?p ex:name ?n . FILTER EXISTS { ?p ex:knows ?q } }
+    }"""
+    assert [r.p for r in sparql_select(graph, q).collect()] == [EX + "p2"]
+    # NOT EXISTS flips it
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE {
+      ?p a ex:Person .
+      MINUS { ?p ex:name ?n . FILTER NOT EXISTS { ?p ex:knows ?q } }
+    }"""
+    assert [r.p for r in sparql_select(graph, q2).collect()] == [EX + "p1"]
+    with pytest.raises(SparqlError, match="uncorrelated"):
+        sparql_select(
+            graph,
+            """PREFIX ex: <http://ex.org/>
+            SELECT ?p WHERE {
+              ?p a ex:Person .
+              MINUS { ?p ex:name ?n . FILTER EXISTS { ex:p9 ex:knows ?q } }
             }""",
         )
 
