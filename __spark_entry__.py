@@ -180,6 +180,15 @@ def q_sparql_alt_opt_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tpch_sparql_alt_opt(spark, sf_dir)
 
 
+def q_sparql_groupbind_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-local BIND inside an OPTIONAL feeding the group's FILTER
+    (r4), plus numeric-function BIND (FLOOR over arithmetic) at the
+    top level — both oracle-pinned."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_groupbind
+
+    return run_tpch_sparql_groupbind(spark, sf_dir)
+
+
 def q_sparql_npspath_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Path-grammar residue in one query (r4): a closure whose closed
     group itself contains a closure ((inNation+/inRegion)* — evaluated
@@ -476,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_exists_expr_kg": q_sparql_exists_expr_kg,
         "sparql_alt_opt_kg": q_sparql_alt_opt_kg,
         "sparql_npspath_kg": q_sparql_npspath_kg,
+        "sparql_groupbind_kg": q_sparql_groupbind_kg,
         "sparql_describe_kg": q_sparql_describe_kg,
         "sparql_subquery_kg": q_sparql_subquery_kg,
         "sparql_groupconcat_kg": q_sparql_groupconcat_kg,
@@ -529,6 +539,7 @@ def oracle_sql() -> dict[str, str]:
         TPCH_SPARQL_EXISTS_EXPR_ORACLE_SQL,
         TPCH_SPARQL_ALT_OPT_ORACLE_SQL,
         TPCH_SPARQL_NPSPATH_ORACLE_SQL,
+        TPCH_SPARQL_GROUPBIND_ORACLE_SQL,
         TPCH_SPARQL_UNION_ORACLE_SQL,
         TPCH_SPARQL_OPTFILTER_ORACLE_SQL,
         TPCH_SPARQL_GROUPCONCAT_ORACLE_SQL,
@@ -575,6 +586,7 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "sparql_exists_expr_kg": TPCH_SPARQL_EXISTS_EXPR_ORACLE_SQL,
         "sparql_alt_opt_kg": TPCH_SPARQL_ALT_OPT_ORACLE_SQL,
         "sparql_npspath_kg": TPCH_SPARQL_NPSPATH_ORACLE_SQL,
+        "sparql_groupbind_kg": TPCH_SPARQL_GROUPBIND_ORACLE_SQL,
         "sparql_describe_kg": TPCH_SPARQL_DESCRIBE_ORACLE_SQL,
         "sparql_subquery_kg": TPCH_SPARQL_SUBQUERY_ORACLE_SQL,
         "sparql_groupconcat_kg": TPCH_SPARQL_GROUPCONCAT_ORACLE_SQL,

@@ -170,7 +170,11 @@ shared variable is required-bound; a MINUS sharing no variable with
 the rest of the query removes nothing and compiles away, and
 OPTIONAL-nullable shared variables are rejected like EXISTS's) —
 BIND(expr AS ?v) at the top
-level of WHERE (expr: any FILTER operand — terms, variables,
+level of WHERE and (r4) INSIDE OPTIONAL/UNION/MINUS groups (evaluated
+over the group's own solutions in textual order, visible to the
+group's filters/EXISTS, nullable to the outer query; expressions
+referencing outer-only or textually-later variables and targets
+colliding with outer variables are rejected, not mis-evaluated) (expr: any FILTER operand — terms, variables,
 lang()/datatype()/STR(), string functions, arithmetic — plus
 CONCAT(...), IRI()/URI(), STRLANG(e, "tag") / STRDT(e, <dt>) (mint
 lang-tagged/typed literals from a simple-literal argument; any other
@@ -967,17 +971,18 @@ class _Parser:
             if self._kw_is("OPTIONAL"):
                 self._next()
                 group = self._group(
-                    allow_nested_optional=True, allow_exists=True
+                    allow_nested_optional=True, allow_exists=True,
+                    allow_bind=True,
                 )
                 optionals.append(group)
 
                 def _deep(npats, nnested) -> set[str]:
                     out = _pattern_vars(npats)
-                    for mpats, _mf, mnested, _me in nnested:
-                        out |= _deep(mpats, mnested)
+                    for mpats, _mf, mnested, _me, mb in nnested:
+                        out |= _deep(mpats, mnested) | {b[1] for b in mb}
                     return out
 
-                gvars = _deep(group[0], group[2])
+                gvars = _deep(group[0], group[2]) | {b[1] for b in group[4]}
                 opt_vars |= gvars
                 seen_vars |= gvars
                 if self._peek() == ("punct", "."):
@@ -1004,14 +1009,14 @@ class _Parser:
                 continue
             if self._kw_is("MINUS"):
                 self._next()
-                mp, mf, _, me = self._group(allow_exists=True)
-                group = (mp, mf, me)
+                mp, mf, _, me, mb = self._group(allow_exists=True, allow_bind=True)
+                group = (mp, mf, me, mb)
                 minus_blocks.append(group)
                 # like OPTIONAL, MINUS is hoisted after the required
                 # patterns; a later pattern sharing its variables would
                 # grow the compatibility domain SPARQL evaluates with —
                 # reject via the same textual-order guard
-                opt_vars |= _pattern_vars(group[0])
+                opt_vars |= _pattern_vars(group[0]) | {b[1] for b in mb}
                 if self._peek() == ("punct", "."):
                     self._next()
                 continue
@@ -1053,15 +1058,17 @@ class _Parser:
                 # (r4) allow_exists: FILTER [NOT] EXISTS compiles inside
                 # UNION branches too — Filter(EXISTS(P), Branch) as a
                 # per-branch semi/anti join before the union
-                raw = [self._group(allow_exists=True)]
+                raw = [self._group(allow_exists=True, allow_bind=True)]
                 while self._kw_is("UNION"):
                     self._next()
-                    raw.append(self._group(allow_exists=True))
+                    raw.append(self._group(allow_exists=True, allow_bind=True))
                 if len(raw) < 2:
                     raise SparqlError("a braced group must be a UNION branch")
-                branches = [(pats, gf, ge) for pats, gf, _n, ge in raw]
+                branches = [(pats, gf, ge, gb) for pats, gf, _n, ge, gb in raw]
                 union_vars = {
-                    v for pats, _, _ in branches for v in _pattern_vars(pats)
+                    v
+                    for pats, _, _, gb in branches
+                    for v in _pattern_vars(pats) | {b[1] for b in gb}
                 }
                 _guard_after_optional(union_vars, "a UNION block")
                 unions.append(branches)
@@ -1091,7 +1098,7 @@ class _Parser:
                     # the spec's per-alternative multiplicity)
                     endpoint_vars = {t.name for t in (s, o) if isinstance(t, Var)}
                     _guard_after_optional(endpoint_vars, "a path-alternation pattern")
-                    unions.append([(br, [], []) for br in branches])
+                    unions.append([(br, [], [], []) for br in branches])
                     seen_vars |= endpoint_vars
                     if self._peek() == ("punct", "."):
                         self._next()
@@ -1315,8 +1322,11 @@ class _Parser:
         return vars_, rows
 
     def _group(
-        self, allow_nested_optional: bool = False, allow_exists: bool = False
-    ) -> tuple[list[tuple], list[tuple], list[tuple], list[tuple]]:
+        self,
+        allow_nested_optional: bool = False,
+        allow_exists: bool = False,
+        allow_bind: bool = False,
+    ) -> tuple[list[tuple], list[tuple], list[tuple], list[tuple], list[tuple]]:
         """Parse ``{ t1 . t2 ... [FILTER ...] [OPTIONAL {...}] }`` (an
         OPTIONAL/UNION/EXISTS/MINUS block) → (patterns, filters,
         nested-optionals). A FILTER here is applied to the group BEFORE
@@ -1336,7 +1346,12 @@ class _Parser:
         group kinds keep the rejection (the [:2]-slicing callers never
         see the tail elements). The well-designed-pattern conditions
         are enforced at compile (nullable join keys rejected) and here
-        (textual-order rule for patterns following a nested OPTIONAL)."""
+        (textual-order rule for patterns following a nested OPTIONAL).
+        Returns a FIFTH element: group-local BINDs as (expr, name,
+        vars-seen-before) triples, accepted only when ``allow_bind``
+        (OPTIONAL/UNION/MINUS groups, r4) — evaluated over the group's
+        own solutions after its patterns, visible to its filters; the
+        EXISTS-group callers' [:2] slices never see them."""
         if self._next() != ("punct", "{"):
             raise SparqlError("a group needs '{'")
         group: list[tuple] = []
@@ -1344,21 +1359,55 @@ class _Parser:
         nested: list[tuple] = []
         nested_vars: set[str] = set()
         gexists: list[tuple] = []
+        gbinds: list[tuple] = []
+        gseen: set[str] = set()
 
         def _deep_vars(npats, nnested) -> set[str]:
             out = {t.name for pat in npats for t in pat if isinstance(t, Var)}
-            for mpats, _mf, mnested, _me in nnested:
-                out |= _deep_vars(mpats, mnested)
+            for mpats, _mf, mnested, _me, mb in nnested:
+                out |= _deep_vars(mpats, mnested) | {b[1] for b in mb}
             return out
 
         while self._peek() != ("punct", "}"):
             if self._kw_is("OPTIONAL") and allow_nested_optional:
                 self._next()
                 sub = self._group(
-                    allow_nested_optional=True, allow_exists=allow_exists
+                    allow_nested_optional=True,
+                    allow_exists=allow_exists,
+                    allow_bind=allow_bind,
                 )
                 nested.append(sub)
                 nested_vars |= _deep_vars(sub[0], sub[2])
+                gseen |= _deep_vars(sub[0], sub[2])
+                if self._peek() == ("punct", "."):
+                    self._next()
+                continue
+            if self._kw_is("BIND") and allow_bind:
+                # (r4) group-local BIND: evaluated over the group-so-far
+                # (the recorded ``gseen`` snapshot enforces the
+                # textual-order rule at compile), visible to the
+                # group's filters/EXISTS and to the outer query as an
+                # OPTIONAL/UNION-nullable variable
+                self._next()
+                if self._next() != ("punct", "("):
+                    raise SparqlError("BIND needs '('")
+                bexpr = self._bind_expr()
+                if not self._kw_is("AS"):
+                    raise SparqlError("BIND needs AS: BIND(expr AS ?var)")
+                self._next()
+                bk, bv = self._next()
+                if bk != "var":
+                    raise SparqlError("BIND target must be a ?variable")
+                if self._next() != ("punct", ")"):
+                    raise SparqlError("BIND needs ')'")
+                bname = str(bv)
+                if bname in gseen or any(b[1] == bname for b in gbinds):
+                    raise SparqlError(
+                        f"BIND target ?{bname} is already bound in this group "
+                        "(SPARQL requires a fresh variable)"
+                    )
+                gbinds.append((bexpr, bname, frozenset(gseen)))
+                gseen.add(bname)
                 if self._peek() == ("punct", "."):
                     self._next()
                 continue
@@ -1410,10 +1459,9 @@ class _Parser:
                     expanded = branches[0]
             else:
                 expanded = [(s, p, o)]  # incl. negset — plain pattern
-            clash = sorted(
-                {t.name for pat in expanded for t in pat if isinstance(t, Var)}
-                & nested_vars
-            )
+            pvars = {t.name for pat in expanded for t in pat if isinstance(t, Var)}
+            gseen |= {v for v in pvars if not _is_internal(v)}
+            clash = sorted(pvars & nested_vars)
             if clash:
                 raise SparqlError(
                     f"a pattern follows a nested OPTIONAL and shares its "
@@ -1425,8 +1473,9 @@ class _Parser:
                 self._next()
         self._next()  # }
         if not group:
+            # (incl. a BIND-only group: it has no patterns to join on)
             raise SparqlError("empty braced group (OPTIONAL/UNION/EXISTS)")
-        return group, gfilters, nested, gexists
+        return group, gfilters, nested, gexists, gbinds
 
     def _maybe_arith(self, first):
         """Extend an operand with +,-,*,/ chains (standard precedence;
@@ -3237,6 +3286,52 @@ def _left_join_group(
     return joined.select(*keep)
 
 
+def _apply_group_binds(
+    df: DataFrame,
+    gbinds: list[tuple],
+    outer_bound: set[str],
+    scope: str,
+) -> tuple[DataFrame, set[str]]:
+    """Group-local BINDs (r4): evaluated over the group's own solutions
+    in textual order — each (expr, name, seen) entry recorded the
+    variables bound textually BEFORE it inside the group, so an
+    expression referencing anything else (outer variables, which are
+    out of scope at bottom-up group evaluation, or textually later
+    bindings) is rejected rather than mis-evaluated. A target name
+    colliding with an outer variable is rejected too: SPARQL would
+    make it a compatibility-join variable at the enclosing
+    LeftJoin/Union/Minus, which the equi-join key sets here do not
+    carry. Returns (df, bind names) — callers add the names to the
+    group's variables and to the nullable set (§10.1: an evaluation
+    error leaves the variable unbound with the row kept)."""
+    names: set[str] = set()
+    for expr, name, seen in gbinds:
+        if name in outer_bound:
+            raise SparqlError(
+                f"BIND target ?{name} in {scope} collides with a variable "
+                "bound outside the group — SPARQL's compatibility join on "
+                "it is not expressible here; rename the BIND target"
+            )
+        refs = {v for v in _expr_vars(expr) if not _is_internal(v)}
+        bad = sorted(refs - set(seen))
+        if bad:
+            raise SparqlError(
+                f"a BIND in {scope} references variable(s) {bad} bound "
+                "outside the group or textually later — SPARQL evaluates "
+                "BIND over the group-so-far"
+            )
+        val, kind, lg, dt = _eval_bind_expr(expr, set(seen), scope)
+        k, l, d = _shadow_cols(name)
+        df = (
+            df.withColumn(name, val)
+            .withColumn(k, F.when(val.isNotNull(), kind))
+            .withColumn(l, F.when(val.isNotNull(), lg))
+            .withColumn(d, F.when(val.isNotNull(), dt))
+        )
+        names.add(name)
+    return df, names
+
+
 def _compile_where(
     triples: DataFrame, parsed: SimpleNamespace
 ) -> tuple[DataFrame, set[str], set[str]]:
@@ -3255,8 +3350,14 @@ def _compile_where(
         df, bound = _join_patterns(triples, patterns)
     for branches in unions:
         compiled = []
-        for pats, gfilters, gexists in branches:
+        union_bind_nullable: set[str] = set()
+        for pats, gfilters, gexists, gbinds in branches:
             bdf, bvars = _join_patterns(triples, pats)
+            bdf, bnames = _apply_group_binds(
+                bdf, gbinds, bound, "this UNION branch"
+            )
+            bvars |= bnames
+            union_bind_nullable |= bnames
             bdf = _apply_filters(bdf, gfilters, bvars, "this UNION branch")
             # (r4) [NOT] EXISTS inside the branch: Filter(EXISTS(P), B)
             # — the same semi/anti-join compilation as the top level,
@@ -3308,7 +3409,7 @@ def _compile_where(
         u = padded[0]
         for bdf in padded[1:]:
             u = u.unionByName(bdf)  # bag union (SPARQL UNION)
-        u_nullable = varset - common
+        u_nullable = (varset - common) | union_bind_nullable
         if df is None:
             df, bound = u, set(varset)
             nullable |= u_nullable
@@ -3382,7 +3483,7 @@ def _compile_where(
 
     def _compile_optional_group(
         gpats: list[tuple], gfilters: list[tuple], nested: list[tuple],
-        gexists: list[tuple], outer_vars: set[str],
+        gexists: list[tuple], gbinds: list[tuple], outer_vars: set[str],
     ) -> tuple[DataFrame, set[str], set[str], list[tuple]]:
         """One OPTIONAL group with arbitrarily deep nested OPTIONALs →
         (solutions, bound vars, nullable vars, deferred filters). Each
@@ -3403,9 +3504,9 @@ def _compile_where(
         variables are unbound."""
         gdf, gvars = _join_patterns(triples, gpats)
         g_nullable: set[str] = set()
-        for npats, nfilters, nnested, nexists in nested:
+        for npats, nfilters, nnested, nexists, nbinds in nested:
             ndf, nvars, n_nullable, ndeferred = _compile_optional_group(
-                npats, nfilters, nnested, nexists, gvars | outer_vars
+                npats, nfilters, nnested, nexists, nbinds, gvars | outer_vars
             )
             nshared = sorted(v for v in nvars if v in gvars)
             if not nshared:
@@ -3443,6 +3544,14 @@ def _compile_where(
                 )
             g_nullable |= (nvars - gvars) | n_nullable
             gvars |= nvars
+        # (r4) group-local BINDs: over the group's own solutions
+        # (incl. nested-OPTIONAL bindings textually before them),
+        # before the group filters, which see the targets group-wide
+        gdf, bnames = _apply_group_binds(
+            gdf, gbinds, outer_vars, "this OPTIONAL group"
+        )
+        gvars |= bnames
+        g_nullable |= bnames  # §10.1: NULL on evaluation error
         # group filter == LeftJoin(A, G, F): filters bound entirely
         # inside the group apply over the whole group result (incl.
         # nested-OPTIONAL bindings) — equivalent to putting them in F;
@@ -3499,9 +3608,9 @@ def _compile_where(
             )
         return gdf, gvars, g_nullable, deferred
 
-    for gpats, gfilters, nested, gexists in optionals:
+    for gpats, gfilters, nested, gexists, gbinds in optionals:
         gdf, gvars, g_nullable, deferred = _compile_optional_group(
-            gpats, gfilters, nested, gexists, bound
+            gpats, gfilters, nested, gexists, gbinds, bound
         )
         shared = sorted(v for v in gvars if v in bound)
         bad_outer = sorted(v for v in shared if v in g_nullable)
@@ -3634,12 +3743,14 @@ def _compile_where(
             on=join_keys,
             how="left_semi" if positive else "left_anti",
         )
-    for gpats, gfilters, gexists in parsed.minus_blocks:
+    for gpats, gfilters, gexists, gbinds in parsed.minus_blocks:
         # MINUS (SPARQL 1.1 §8.3): drop solutions compatible with some
         # right-side solution on a NON-EMPTY shared domain. With every
         # shared variable non-nullable this is exactly an anti join; a
         # MINUS sharing no variable removes nothing and compiles away.
         gdf, gvars = _join_patterns(triples, gpats)
+        gdf, bnames = _apply_group_binds(gdf, gbinds, bound, "this MINUS group")
+        gvars |= bnames
         gdf = _apply_filters(gdf, gfilters, gvars, "this MINUS group")
         # (r4) [NOT] EXISTS inside the MINUS group: Filter(EXISTS(P), G)
         # over the right-side solutions before the anti join —

@@ -879,3 +879,43 @@ FROM dst d
 JOIN via v ON v.c = d.c
 JOIN via2 v2 ON v2.c = d.c
 """
+
+# Group-local BIND + numeric-function surface (r4): a BIND inside an
+# OPTIONAL group feeding the group's own FILTER (UCASE/STRLEN over the
+# nation name — single-digit nations fail the length test, so their
+# customers keep the OPTIONAL's NULL extension), plus a top-level
+# numeric-function BIND (FLOOR over arithmetic) rendered as a derived
+# decimal in canonical lexical form.
+TPCH_SPARQL_GROUPBIND_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?c ?name ?nup ?halfkey WHERE {
+  ?c a ex:Customer .
+  ?c ex:name ?name .
+  ?c ex:custkey ?k .
+  FILTER (?k <= 30)
+  OPTIONAL { ?c ex:inNation ?nat . ?nat ex:name ?nn .
+             BIND (UCASE(STR(?nn)) AS ?nup) FILTER (STRLEN(?nup) > 8) }
+  BIND (FLOOR(?k / 2) AS ?halfkey)
+}
+"""
+
+
+def run_tpch_sparql_groupbind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_GROUPBIND_QUERY)
+
+
+TPCH_SPARQL_GROUPBIND_ORACLE_SQL = f"""
+WITH c30 AS (
+  SELECT c_custkey, c_name, c_nationkey FROM customer WHERE c_custkey <= 30
+),
+opt AS (
+  SELECT n_nationkey, UPPER(n_name) AS nup FROM nation WHERE length(n_name) > 8
+)
+SELECT '{KG}/customer/' || c.c_custkey AS c,
+       c.c_name AS name,
+       o.nup AS nup,
+       CAST(CAST(FLOOR(c.c_custkey / 2.0) AS BIGINT) AS VARCHAR) AS halfkey
+FROM c30 c LEFT JOIN opt o ON o.n_nationkey = c.c_nationkey
+"""

@@ -1279,10 +1279,12 @@ def test_bind_rejections(graph):
             graph,
             "PREFIX ex: <http://ex.org/> SELECT ?g WHERE { ?p ex:name ?n . BIND(STR(?zz) AS ?g) }",
         )
-    with pytest.raises(SparqlError):  # BIND inside a braced group
+    # BIND inside OPTIONAL/UNION/MINUS groups compiles since r4
+    # (test_bind_inside_groups); inside an EXISTS group it stays rejected
+    with pytest.raises(SparqlError):
         sparql_select(
             graph,
-            'PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . OPTIONAL { ?p ex:knows ?q . BIND("x" AS ?z) } }',
+            'PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . FILTER EXISTS { ?p ex:knows ?q . BIND("x" AS ?z) } }',
         )
     with pytest.raises(SparqlError):  # BIND var used in a later EXISTS
         sparql_select(
@@ -2386,5 +2388,60 @@ def test_exists_inside_union_branch(graph):
             SELECT ?s WHERE {
               { ?s a ex:Person . FILTER EXISTS { ex:p9 ex:knows ?o } }
               UNION { ?s ex:name ?n }
+            }""",
+        )
+
+
+def test_bind_inside_groups(graph, numeric_graph):
+    # (r4) BIND inside an OPTIONAL group: evaluated over the group's
+    # own solutions, visible to its filters, nullable outside
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?s ?u WHERE {
+      ?s ex:age ?n0 . OPTIONAL { ?s ex:age ?a . BIND (?a + 1 AS ?u) }
+    }"""
+    got = {(r.s, r.u) for r in sparql_select(numeric_graph, q).collect()}
+    assert got == {(EX + "a", "10"), (EX + "b", "11"), (EX + "c", "12")}
+    # group filter sees the BIND target; non-matching rows keep the
+    # OPTIONAL's NULL extension
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?n2 WHERE {
+      ?p a ex:Person .
+      OPTIONAL { ?p ex:name ?n . BIND (UCASE(STR(?n)) AS ?n2)
+                 FILTER (STRLEN(?n2) > 3) }
+    }"""
+    got2 = {(r.p, r.n2) for r in sparql_select(graph, q2).collect()}
+    assert got2 == {(EX + "p1", None), (EX + "p2", "GRACE")}
+    # BIND inside UNION branches binding DIFFERENT targets — padded
+    # NULL and tracked nullable
+    q3 = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?x ?y WHERE {
+      { ?p a ex:Person . BIND (1 + 1 AS ?x) }
+      UNION { ?p ex:name ?n . BIND (STRLEN(STR(?n)) AS ?y) }
+    }"""
+    rows = sparql_select(graph, q3)
+    assert rows.count() == 4 and set(rows.columns) == {"p", "x", "y"}
+    # BIND inside MINUS feeding its filter
+    q4 = """PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE {
+      ?p a ex:Person .
+      MINUS { ?p ex:name ?n . BIND (lang(?n) AS ?l) FILTER (?l = "en") }
+    }"""
+    assert [r.p for r in sparql_select(graph, q4).collect()] == [EX + "p1"]
+    # textual-order rule: BIND referencing a textually-later variable
+    with pytest.raises(SparqlError, match="textually later"):
+        sparql_select(
+            graph,
+            """PREFIX ex: <http://ex.org/>
+            SELECT ?p WHERE {
+              ?p a ex:Person . OPTIONAL { BIND (?n AS ?m) ?p ex:name ?n }
+            }""",
+        )
+    # target colliding with an outer variable
+    with pytest.raises(SparqlError, match="collides"):
+        sparql_select(
+            graph,
+            """PREFIX ex: <http://ex.org/>
+            SELECT ?p WHERE {
+              ?p ex:name ?n . OPTIONAL { ?p a ex:Person . BIND (1 + 1 AS ?n) }
             }""",
         )
