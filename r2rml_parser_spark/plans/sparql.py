@@ -134,8 +134,11 @@ numeric-vs-term equality dispatch), and arithmetic ``+ - * /`` chains
 over operands in comparisons and BIND (standard precedence, decimal
 evaluation; an arithmetic operand pins the numeric branch; non-castable
 or non-literal operands and division by zero are type errors —
-parenthesized arithmetic is rejected since parentheses group boolean
-expressions; ``-5`` adjacent to the sign is a negative literal, spaced
+r4: parenthesized arithmetic composes too, via the full §19.8
+precedence ladder where a bracketted group is a primary holding
+either a boolean or a value expression (``(?a + 1) * 2 > ?b``); a
+boolean used as an arithmetic/comparison operand is a parse-time
+type error; ``-5`` adjacent to the sign is a negative literal, spaced
 ``- 5`` is subtraction). All of these compose inside one FILTER
 with ``!``, ``&&``, ``||`` and parentheses (SPARQL Expression
 grammar, standard precedence); Spark's Kleene three-valued booleans
@@ -1477,25 +1480,41 @@ class _Parser:
             raise SparqlError("empty braced group (OPTIONAL/UNION/EXISTS)")
         return group, gfilters, nested, gexists, gbinds
 
-    def _maybe_arith(self, first):
-        """Extend an operand with +,-,*,/ chains (standard precedence;
-        parenthesized arithmetic is not supported — parentheses group
-        boolean expressions). ``-5`` adjacent to the sign is a negative
-        numeric literal; a spaced ``- 5`` is subtraction."""
-        node = self._arith_term(first)
-        while self._peek() in (("punct", "+"), ("punct", "-")):
-            op = str(self._next()[1])
-            rhs = self._arith_term(self._operand())
-            node = ("arith", op, node, rhs)
+    # node tags that denote a BOOLEAN-valued expression; everything
+    # else (Var/Lit/Iri/StrOf/... instances and the value-tuple tags
+    # "arith"/"numfn"/"sfn"/...) is a VALUE expression. The unified
+    # expression ladder uses this to type-check parenthesized groups:
+    # a boolean where an arithmetic/comparison operand is required
+    # (or a bare value where FILTER needs a boolean) is a type error,
+    # rejected at parse time — never mis-evaluated.
+    _BOOL_TAGS = frozenset((
+        "or", "and", "not", "cmp", "bool", "sfunc", "regex",
+        "langmatches", "same", "exists", "exists_e", "flag", "const",
+    ))
+
+    @classmethod
+    def _is_bool_node(cls, node) -> bool:
+        return (
+            isinstance(node, tuple)
+            and bool(node)
+            and isinstance(node[0], str)
+            and node[0] in cls._BOOL_TAGS
+        )
+
+    def _require_value(self, node, op: str):
+        if self._is_bool_node(node):
+            raise SparqlError(
+                f"a boolean expression cannot be an operand of {op!r} "
+                "(SPARQL type error)"
+            )
         return node
 
-    def _arith_term(self, first):
-        node = first
-        while self._peek() in (("kw", "*"), ("punct", "/")):
-            op = "*" if self._peek() == ("kw", "*") else "/"
-            self._next()
-            rhs = self._operand()
-            node = ("arith", op, node, rhs)
+    def _require_bool(self, node, op: str):
+        if not self._is_bool_node(node):
+            raise SparqlError(
+                f"operand of {op!r} must be boolean-valued "
+                "(a comparison, builtin test, or &&/||/! combination)"
+            )
         return node
 
     def _bind_expr(self):
@@ -1571,7 +1590,13 @@ class _Parser:
                     raise SparqlError("IRI() takes exactly one argument")
                 return ("iri_fn", args[0])
             return ("concat", args)
-        return self._maybe_arith(self._operand())
+        # fallback: a full value expression — arithmetic with standard
+        # precedence, parenthesized groups included ((?a + 1) * 2). A
+        # boolean-valued result (bound(?x), a comparison group) is not
+        # a BIND/projection value and is rejected, as before the
+        # unified ladder (where the operand parser couldn't produce
+        # one at all).
+        return self._require_value(self._additive_expr(), "BIND/projection")
 
     _VALUE_FUNCS = (
         "ucase", "lcase", "strlen", "substr", "replace",
@@ -1592,7 +1617,7 @@ class _Parser:
             fn = str(val).lower()
             self._next()
             self._next()  # (
-            arg = self._maybe_arith(self._operand())
+            arg = self._require_value(self._additive_expr(), fn)
             if self._next() != ("punct", ")"):
                 raise SparqlError(f"{fn}() needs ')'")
             return ("numfn", fn, arg)
@@ -1780,39 +1805,95 @@ class _Parser:
             return self._sameterm_call()
         return None
 
-    # boolean FILTER expression grammar (SPARQL Expression subset):
-    #   expr    := and ( '||' and )*
-    #   and     := unary ( '&&' unary )*
-    #   unary   := '!' unary | primary
-    #   primary := '(' expr ')' | builtin-call | operand CMPOP operand
+    # FILTER/HAVING expression grammar — the full SPARQL 1.1 §19.8
+    # Expression precedence ladder:
+    #   expr     := and ( '||' and )*
+    #   and      := unary ( '&&' unary )*
+    #   unary    := '!' unary | rel
+    #   rel      := additive ( CMPOP additive | [NOT] IN (...) )?
+    #   additive := mult ( ('+'|'-') mult )*
+    #   mult     := primary ( ('*'|'/') primary )*
+    #   primary  := '(' expr ')' | [NOT] EXISTS {…} | builtin-call
+    #             | operand
+    # A parenthesized group is a PRIMARY holding either a boolean or a
+    # value expression — ``(?a + 1) * 2 > ?b`` and ``(?x < 3 || ?y >
+    # 4) && ?z != 1`` both parse; a boolean used as an arithmetic or
+    # comparison operand, or a bare value where FILTER needs a
+    # boolean, is a parse-time type error (never mis-evaluated).
+    # ``-5`` adjacent to the sign is a negative numeric literal, a
+    # spaced ``- 5`` is subtraction (lexer rule, unchanged).
     # Spark SQL booleans are Kleene three-valued like SPARQL's, so
     # error(NULL) propagation through !/&&/|| matches the spec
     # (TRUE || error = TRUE, FALSE && error = FALSE, !error = error).
     def _bool_expr(self) -> tuple:
-        node = self._bool_and()
+        node = self._or_expr()
+        if not self._is_bool_node(node):
+            raise SparqlError(
+                "FILTER/HAVING expression must be boolean-valued "
+                "(a comparison, builtin test, or &&/||/! combination)"
+            )
+        return node
+
+    def _or_expr(self):
+        node = self._and_expr()
         while self._peek() == ("op", "||"):
+            self._require_bool(node, "||")
             self._next()
-            node = ("or", node, self._bool_and())
+            node = ("or", node, self._require_bool(self._and_expr(), "||"))
         return node
 
-    def _bool_and(self) -> tuple:
-        node = self._bool_unary()
+    def _and_expr(self):
+        node = self._unary_expr()
         while self._peek() == ("op", "&&"):
+            self._require_bool(node, "&&")
             self._next()
-            node = ("and", node, self._bool_unary())
+            node = ("and", node, self._require_bool(self._unary_expr(), "&&"))
         return node
 
-    def _bool_unary(self) -> tuple:
+    def _unary_expr(self):
         if self._peek() == ("op", "!"):
             self._next()
-            return ("not", self._bool_unary())
-        return self._bool_primary()
+            return ("not", self._require_bool(self._unary_expr(), "!"))
+        return self._rel_expr()
 
-    def _bool_primary(self) -> tuple:
+    def _rel_expr(self):
+        left = self._additive_expr()
+        k, v = self._peek()
+        if k == "kw" and str(v).upper() in ("IN", "NOT"):
+            # NOT here can only begin NOT IN — NOT EXISTS is consumed
+            # at primary level before an operand is parsed
+            return self._in_list(self._require_value(left, "IN"))
+        if k == "op" and str(v) in ("=", "!=", "<", "<=", ">", ">="):
+            self._next()
+            self._require_value(left, str(v))
+            right = self._require_value(self._additive_expr(), str(v))
+            return ("cmp", left, str(v), right)
+        return left
+
+    def _additive_expr(self):
+        node = self._mult_expr()
+        while self._peek() in (("punct", "+"), ("punct", "-")):
+            self._require_value(node, str(self._peek()[1]))
+            op = str(self._next()[1])
+            node = ("arith", op, node,
+                    self._require_value(self._mult_expr(), op))
+        return node
+
+    def _mult_expr(self):
+        node = self._expr_primary()
+        while self._peek() in (("kw", "*"), ("punct", "/")):
+            op = "*" if self._peek() == ("kw", "*") else "/"
+            self._require_value(node, op)
+            self._next()
+            node = ("arith", op, node,
+                    self._require_value(self._expr_primary(), op))
+        return node
+
+    def _expr_primary(self):
         k, v = self._peek()
         if k == "punct" and v == "(":
             self._next()
-            node = self._bool_expr()
+            node = self._or_expr()
             if self._next() != ("punct", ")"):
                 raise SparqlError("FILTER expression needs ')'")
             return node
@@ -1840,14 +1921,7 @@ class _Parser:
         ):
             self._next()
             return self._call_of(str(v))
-        left = self._maybe_arith(self._operand())
-        if self._peek()[0] == "kw" and str(self._peek()[1]).upper() in ("IN", "NOT"):
-            return self._in_list(left)
-        kop, op = self._next()
-        if kop != "op" or str(op) in (",", "!", "&&", "||"):
-            raise SparqlError(f"unsupported FILTER operator {op!r}")
-        right = self._maybe_arith(self._operand())
-        return ("cmp", left, str(op), right)
+        return self._operand()
 
     def _in_list(self, left) -> tuple:
         """``expr [NOT] IN (t1, t2, ...)`` — desugared per SPARQL 1.1
@@ -1866,10 +1940,12 @@ class _Parser:
             raise SparqlError("IN needs '('")
         members = []
         if self._peek() != ("punct", ")"):
-            members.append(self._operand())
+            members.append(self._require_value(self._additive_expr(), "IN"))
             while self._peek() == ("op", ","):
                 self._next()
-                members.append(self._operand())
+                members.append(
+                    self._require_value(self._additive_expr(), "IN")
+                )
         if self._next() != ("punct", ")"):
             raise SparqlError("IN needs ')'")
         if not members:

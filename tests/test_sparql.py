@@ -1614,6 +1614,78 @@ def test_bind_arithmetic(numeric_graph):
     assert [r.d for r in sparql_select(numeric_graph, q2).collect()] == ["4.5"]
 
 
+def test_parenthesized_arithmetic(numeric_graph):
+    # §19.8 ladder: a bracketted group is a PRIMARY — (?n + 1) * 2
+    # (ages: a=9, b=10, c=11)
+    q = "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:age ?n . FILTER ((?n + 1) * 2 = 20) }"
+    assert [r.s for r in sparql_select(numeric_graph, q).collect()] == [EX + "a"]
+    # parens override precedence: 9 * (2 + 1) = 27 vs 9 + 9*2 (same
+    # value here by accident of the fixture — use a distinguishing one)
+    q2 = "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:age ?n . FILTER ((?n + 1) / (?n - 1) = 1.25) }"
+    # (10+1)/(10-1)=1.22…, (9+1)/(9-1)=1.25, (11+1)/(11-1)=1.2
+    assert [r.s for r in sparql_select(numeric_graph, q2).collect()] == [EX + "a"]
+    # nested groups on BOTH comparison sides
+    q3 = "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:age ?n . FILTER (((?n - 1) / 2) = (2 + 2)) }"
+    assert [r.s for r in sparql_select(numeric_graph, q3).collect()] == [EX + "a"]
+
+
+def test_parenthesized_arithmetic_in_bind_and_projection(numeric_graph):
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?d WHERE { ?s ex:age ?n . BIND((?n + 1) * 2 AS ?d) FILTER (?n = 9) }"""
+    assert [r.d for r in sparql_select(numeric_graph, q).collect()] == ["20"]
+    # projection-expression sugar takes the same ladder
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT (((?n + 1) * 2) AS ?d) WHERE { ?s ex:age ?n . FILTER (?n = 10) }"""
+    assert [r.d for r in sparql_select(numeric_graph, q2).collect()] == ["22"]
+    # ABS over a parenthesized chain: |(n-10)*2| <= 2 keeps all three
+    q3 = """PREFIX ex: <http://ex.org/>
+    SELECT ?s WHERE { ?s ex:age ?n . FILTER (ABS((?n - 10) * 2) <= 2) }"""
+    assert len(sparql_select(numeric_graph, q3).collect()) == 3
+    # IN members are value expressions
+    q4 = """PREFIX ex: <http://ex.org/>
+    SELECT ?s WHERE { ?s ex:age ?n . FILTER (?n IN ((4 + 5), 11)) }"""
+    assert {r.s for r in sparql_select(numeric_graph, q4).collect()} == {EX + "a", EX + "c"}
+
+
+def test_boolean_and_value_groups_compose(numeric_graph):
+    # boolean groups and arithmetic groups in ONE expression
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?s WHERE { ?s ex:age ?n .
+      FILTER (((?n + 1) > 10 || ?n < 0) && !(?n = 11)) }"""
+    assert [r.s for r in sparql_select(numeric_graph, q).collect()] == [EX + "b"]
+
+
+def test_expression_type_errors_rejected(numeric_graph):
+    # boolean as arithmetic operand
+    with pytest.raises(SparqlError):
+        sparql_select(
+            numeric_graph,
+            "PREFIX ex: <http://ex.org/> SELECT ?s WHERE "
+            "{ ?s ex:age ?n . FILTER ((?n > 1) + 2 > 0) }",
+        )
+    # bare value where FILTER needs a boolean
+    with pytest.raises(SparqlError):
+        sparql_select(
+            numeric_graph,
+            "PREFIX ex: <http://ex.org/> SELECT ?s WHERE "
+            "{ ?s ex:age ?n . FILTER (?n + 1) }",
+        )
+    # value operand of &&
+    with pytest.raises(SparqlError):
+        sparql_select(
+            numeric_graph,
+            "PREFIX ex: <http://ex.org/> SELECT ?s WHERE "
+            "{ ?s ex:age ?n . FILTER ((?n = 9) && ?n) }",
+        )
+    # boolean as comparison operand
+    with pytest.raises(SparqlError):
+        sparql_select(
+            numeric_graph,
+            "PREFIX ex: <http://ex.org/> SELECT ?s WHERE "
+            "{ ?s ex:age ?n . FILTER ((?n = 9) = (?n = 9)) }",
+        )
+
+
 def test_sample_and_group_concat(graph, spark):
     q = """PREFIX ex: <http://ex.org/>
     SELECT ?t (SAMPLE(?s) AS ?one) WHERE { ?s a ?t } GROUP BY ?t"""

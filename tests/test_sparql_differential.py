@@ -546,3 +546,67 @@ def test_full_path_in_optional_differential(spark, graph, ast):
         for b in naive_left_join(req_sols, opt_sols)
     )
     assert got == want, f"query {q!r} diverged"
+
+
+# ---------------------------------------------------------------------------
+# Parenthesized-arithmetic differential: random expression TREES over
+# +, -, * (exact in decimal — division precision is unit-tested
+# separately), rendered with explicit parentheses around every binary
+# node, engine-evaluated through BIND and compared against direct
+# integer evaluation of the same AST. Agreement pins the §19.8
+# bracketted-primary ladder: the string Spark parses has the same
+# shape hypothesis generated, so any associativity/precedence/paren
+# bug in the parser shows up as a value divergence.
+if HAVE_HYP:
+    arith_leaf_st = st.one_of(
+        st.just(("var",)),
+        st.tuples(st.just("const"), st.integers(min_value=-3, max_value=9)),
+    )
+    arith_expr_st = st.recursive(
+        arith_leaf_st,
+        lambda children: st.tuples(
+            st.sampled_from(["+", "-", "*"]), children, children
+        ),
+        max_leaves=8,
+    )
+
+
+def render_arith(ast) -> str:
+    if ast == ("var",):
+        return "?n"
+    if ast[0] == "const":
+        return str(ast[1])
+    op, a, b = ast
+    return f"({render_arith(a)} {op} {render_arith(b)})"
+
+
+def eval_arith(ast, n: int) -> int:
+    if ast == ("var",):
+        return n
+    if ast[0] == "const":
+        return ast[1]
+    op, a, b = ast
+    av, bv = eval_arith(a, n), eval_arith(b, n)
+    return av + bv if op == "+" else av - bv if op == "-" else av * bv
+
+
+@pytest.mark.skipif(not HAVE_HYP, reason="hypothesis not installed")
+@settings(max_examples=15, deadline=None)
+@given(ast=arith_expr_st if HAVE_HYP else st.none())
+def test_parenthesized_arith_differential(spark, ast):
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+    ages = [9, 10, 11]
+    rows = [
+        (EX + f"s{i}", "iri", EX + "age", str(v), "literal", None, XSD_INT)
+        for i, v in enumerate(ages)
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    q = (
+        "PREFIX ex: <http://ex.org/> SELECT ?s ?d WHERE "
+        f"{{ ?s ex:age ?n . BIND({render_arith(ast)} AS ?d) }}"
+    )
+    got = {(r.s, r.d) for r in sparql_select(g, q).collect()}
+    want = {
+        (EX + f"s{i}", str(eval_arith(ast, v))) for i, v in enumerate(ages)
+    }
+    assert got == want, f"query {q!r} diverged"
