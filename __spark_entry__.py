@@ -202,6 +202,16 @@ def q_sparql_npspath_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tpch_sparql_npspath(spark, sf_dir)
 
 
+def q_sparql_arith_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§19.8 expression ladder (r4): parenthesized arithmetic groups as
+    primaries — nested value groups in a FILTER comparison, a
+    value-expression IN member, a negated comparison group, and a BIND
+    multiplying two parenthesized sums."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_arith
+
+    return run_tpch_sparql_arith(spark, sf_dir)
+
+
 def q_sparql_describe_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL DESCRIBE (concise bounded description) of every Nation
     in the generated KG."""
@@ -486,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_alt_opt_kg": q_sparql_alt_opt_kg,
         "sparql_npspath_kg": q_sparql_npspath_kg,
         "sparql_groupbind_kg": q_sparql_groupbind_kg,
+        "sparql_arith_kg": q_sparql_arith_kg,
         "sparql_describe_kg": q_sparql_describe_kg,
         "sparql_subquery_kg": q_sparql_subquery_kg,
         "sparql_groupconcat_kg": q_sparql_groupconcat_kg,
@@ -540,6 +551,7 @@ def oracle_sql() -> dict[str, str]:
         TPCH_SPARQL_ALT_OPT_ORACLE_SQL,
         TPCH_SPARQL_NPSPATH_ORACLE_SQL,
         TPCH_SPARQL_GROUPBIND_ORACLE_SQL,
+        TPCH_SPARQL_ARITH_ORACLE_SQL,
         TPCH_SPARQL_UNION_ORACLE_SQL,
         TPCH_SPARQL_OPTFILTER_ORACLE_SQL,
         TPCH_SPARQL_GROUPCONCAT_ORACLE_SQL,
@@ -587,6 +599,7 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "sparql_alt_opt_kg": TPCH_SPARQL_ALT_OPT_ORACLE_SQL,
         "sparql_npspath_kg": TPCH_SPARQL_NPSPATH_ORACLE_SQL,
         "sparql_groupbind_kg": TPCH_SPARQL_GROUPBIND_ORACLE_SQL,
+        "sparql_arith_kg": TPCH_SPARQL_ARITH_ORACLE_SQL,
         "sparql_describe_kg": TPCH_SPARQL_DESCRIBE_ORACLE_SQL,
         "sparql_subquery_kg": TPCH_SPARQL_SUBQUERY_ORACLE_SQL,
         "sparql_groupconcat_kg": TPCH_SPARQL_GROUPCONCAT_ORACLE_SQL,

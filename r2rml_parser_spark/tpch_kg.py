@@ -919,3 +919,36 @@ SELECT '{KG}/customer/' || c.c_custkey AS c,
        CAST(CAST(FLOOR(c.c_custkey / 2.0) AS BIGINT) AS VARCHAR) AS halfkey
 FROM c30 c LEFT JOIN opt o ON o.n_nationkey = c.c_nationkey
 """
+
+# §19.8 expression-ladder surface (r4): parenthesized arithmetic as a
+# PRIMARY composing with boolean groups in ONE FILTER — nested value
+# groups on the comparison's left ((((?k+5)*2)-4)/2 ≡ ?k+3), a
+# value-expression IN member (2*5), a negated comparison group — plus
+# a BIND whose value is a product of two parenthesized sums
+# ((?k-1)*(?k+1) = ?k²-1), rendered in canonical integer lexical form.
+TPCH_SPARQL_ARITH_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?c ?score WHERE {
+  ?c a ex:Customer .
+  ?c ex:custkey ?k .
+  FILTER (((((?k + 5) * 2) - 4) / 2 >= 23 || ?k IN ((2 * 5), 20)) && !(?k > 80))
+  BIND ((?k - 1) * (?k + 1) AS ?score)
+}
+"""
+
+
+def run_tpch_sparql_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_ARITH_QUERY)
+
+
+# (2(k+5)-4)/2 = k+3, so the first disjunct keeps k >= 20; IN adds
+# k=10; the conjoined negation caps at k <= 80.
+TPCH_SPARQL_ARITH_ORACLE_SQL = f"""
+SELECT '{KG}/customer/' || c_custkey AS c,
+       CAST((c_custkey - 1) * (c_custkey + 1) AS VARCHAR) AS score
+FROM customer
+WHERE ((((c_custkey + 5) * 2) - 4) / 2.0 >= 23 OR c_custkey IN (10, 20))
+  AND NOT (c_custkey > 80)
+"""
