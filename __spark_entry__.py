@@ -212,6 +212,54 @@ def q_sparql_arith_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tpch_sparql_arith(spark, sf_dir)
 
 
+def q_sparql_values_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUES with UNDEF (r4): the unbound row is §18.5-compatible with
+    every solution — compiled through the same compatible-join
+    decomposition mixed-variable UNIONs use."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_values
+
+    return run_tpch_sparql_values(spark, sf_dir)
+
+
+def q_sparql_aggdistinct_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM/AVG(DISTINCT) (r4): §18.5.1 Distinct over RDF TERMS — the
+    doubled bag (each ?k reaches the group via two predicates) dedups
+    by full term before the numeric fold."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_aggdistinct
+
+    return run_tpch_sparql_aggdistinct(spark, sf_dir)
+
+
+def q_triple_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triple-level P/R (r4): the north rule's own
+    acceptance metric ("matching the reference's emitted (subj, pred,
+    obj) triples, P/R >= 0.95") as a Spark job — got = the TPC-H KG
+    minus its ex:segment triples plus one synthetic wrong triple,
+    expected = the full KG, so precision < 1 and recall < 1 are both
+    exercised with closed-form values at any SF."""
+    from r2rml_parser_spark.operators.evaluate import triple_prf
+    from r2rml_parser_spark.tpch_kg import KG, ONT, build_tpch_kg
+
+    kg = build_tpch_kg(spark, sf_dir).localCheckpoint(eager=False)
+    bogus = spark.createDataFrame(
+        [
+            (
+                f"{KG}/synthetic/x",
+                "iri",
+                f"{ONT}bogus",
+                f"{KG}/synthetic/y",
+                "iri",
+                None,
+                None,
+            )
+        ],
+        "subj string, subj_kind string, pred string, obj string, "
+        "obj_kind string, lang string, dtype string",
+    )
+    got = kg.where(F.col("pred") != f"{ONT}segment").unionByName(bogus)
+    return triple_prf(got, kg)
+
+
 def q_sparql_describe_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL DESCRIBE (concise bounded description) of every Nation
     in the generated KG."""
@@ -497,6 +545,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_npspath_kg": q_sparql_npspath_kg,
         "sparql_groupbind_kg": q_sparql_groupbind_kg,
         "sparql_arith_kg": q_sparql_arith_kg,
+        "sparql_values_kg": q_sparql_values_kg,
+        "sparql_aggdistinct_kg": q_sparql_aggdistinct_kg,
+        "triple_prf": q_triple_prf,
         "sparql_describe_kg": q_sparql_describe_kg,
         "sparql_subquery_kg": q_sparql_subquery_kg,
         "sparql_groupconcat_kg": q_sparql_groupconcat_kg,
@@ -537,6 +588,8 @@ def oracle_sql() -> dict[str, str]:
     from r2rml_parser_spark.pipeline import kg_oracle_sql
     from r2rml_parser_spark.sources.docs import SPAN_VIEW_ORACLE_SQL
     from r2rml_parser_spark.tpch_kg import (
+        KG as TPCH_KG_NS,
+        ONT as TPCH_ONT,
         TPCH_KG_ORACLE_SQL,
         TPCH_SPARQL_AGG_ORACLE_SQL,
         TPCH_SPARQL_ORACLE_SQL,
@@ -552,6 +605,8 @@ def oracle_sql() -> dict[str, str]:
         TPCH_SPARQL_NPSPATH_ORACLE_SQL,
         TPCH_SPARQL_GROUPBIND_ORACLE_SQL,
         TPCH_SPARQL_ARITH_ORACLE_SQL,
+        TPCH_SPARQL_VALUES_ORACLE_SQL,
+        TPCH_SPARQL_AGGDISTINCT_ORACLE_SQL,
         TPCH_SPARQL_UNION_ORACLE_SQL,
         TPCH_SPARQL_OPTFILTER_ORACLE_SQL,
         TPCH_SPARQL_GROUPCONCAT_ORACLE_SQL,
@@ -600,6 +655,35 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "sparql_npspath_kg": TPCH_SPARQL_NPSPATH_ORACLE_SQL,
         "sparql_groupbind_kg": TPCH_SPARQL_GROUPBIND_ORACLE_SQL,
         "sparql_arith_kg": TPCH_SPARQL_ARITH_ORACLE_SQL,
+        "sparql_values_kg": TPCH_SPARQL_VALUES_ORACLE_SQL,
+        "sparql_aggdistinct_kg": TPCH_SPARQL_AGGDISTINCT_ORACLE_SQL,
+        # the intersect computes |got ∩ expected| independently of how
+        # the driver query perturbed the got side (set semantics,
+        # NULL-equal — same as Spark INTERSECT)
+        "triple_prf": f"""
+WITH triples AS ({TPCH_KG_ORACLE_SQL}),
+got AS (
+  SELECT * FROM triples WHERE pred <> '{TPCH_ONT}segment'
+  UNION ALL
+  SELECT '{TPCH_KG_NS}/synthetic/x', 'iri', '{TPCH_ONT}bogus',
+         '{TPCH_KG_NS}/synthetic/y', 'iri', NULL, NULL
+),
+n AS (
+  SELECT
+    (SELECT COUNT(*) FROM got) AS got_n,
+    (SELECT COUNT(*) FROM triples) AS expected_n,
+    (SELECT COUNT(*) FROM
+       (SELECT * FROM got INTERSECT SELECT * FROM triples)) AS matched
+)
+SELECT CAST(got_n AS BIGINT) AS got_n,
+       CAST(expected_n AS BIGINT) AS expected_n,
+       CAST(matched AS BIGINT) AS matched,
+       matched * 1.0 / got_n AS "precision",
+       matched * 1.0 / expected_n AS recall,
+       2.0 * (matched * 1.0 / got_n) * (matched * 1.0 / expected_n)
+         / ((matched * 1.0 / got_n) + (matched * 1.0 / expected_n)) AS f1
+FROM n
+""",
         "sparql_describe_kg": TPCH_SPARQL_DESCRIBE_ORACLE_SQL,
         "sparql_subquery_kg": TPCH_SPARQL_SUBQUERY_ORACLE_SQL,
         "sparql_groupconcat_kg": TPCH_SPARQL_GROUPCONCAT_ORACLE_SQL,

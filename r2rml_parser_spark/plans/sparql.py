@@ -206,16 +206,23 @@ with recursive bnode closure, the ARQ default; returns a triples DF) — CONSTRU
 via ``sparql_construct`` (template fan-out as a bag union over one
 pass of the solutions; returns a new 7-column triples DF; invalid
 instantiations skipped per SPARQL 1.1 §16.2) — GROUP BY ?vars with
-aggregates COUNT([DISTINCT] ?v|*), SUM/AVG/MIN/MAX(?v),
-SAMPLE(?v) (deterministic: the min lexical form), and
+aggregates COUNT([DISTINCT] ?v|*), SUM/AVG([DISTINCT] ?v) (r4:
+DISTINCT dedups by full TERM per §18.5.1 — "1"^^xsd:int and
+"1.0"^^xsd:decimal are distinct terms and BOTH add — then folds the
+numeric casts of the survivors), MIN/MAX/SAMPLE([DISTINCT] ?v)
+(DISTINCT is a semantic no-op over an extremum/singleton, parsed and
+ignored; SAMPLE is deterministic: the min lexical form), and
 GROUP_CONCAT([DISTINCT] ?v [; SEPARATOR="s"]) (values in canonical
 codepoint order — SPARQL imposes no order, sorting makes it
 deterministic; DISTINCT dedups by full term) (grouping is
 by TERM; aggregates without GROUP BY form one global group; every
-non-aggregated projected variable must be a group key; DISTINCT
-inside SUM/AVG/MIN/MAX is rejected), VALUES ?x { ... } / VALUES
-(?x ?y) { (...) ... } inline constant bindings (bag semantics,
-compiled to a broadcast join; UNDEF rejected), ORDER BY
+non-aggregated projected variable must be a group key), VALUES ?x
+{ ... } / VALUES (?x ?y) { (...) ... } inline constant bindings (bag
+semantics, compiled to a broadcast join; r4: UNDEF rows carry NULL
+term columns — the variable is unbound in that row — and a join on a
+variable with UNDEF rows takes the same §18.5 compatible-join
+decomposition as mixed-variable UNIONs, with the usual
+both-sides-nullable rejection), ORDER BY
 [ASC()|DESC()] over projected variables/aliases (value-aware: rows
 parsing as numbers order by VALUE before non-numeric rows, the rest
 by codepoint; DESC is the exact reverse), and LIMIT/OFFSET in
@@ -756,13 +763,14 @@ class _Parser:
         if self._kw_is("DISTINCT"):
             self._next()
             distinct = True
-        if distinct and func not in ("COUNT", "GROUP_CONCAT"):
-            # COUNT/GROUP_CONCAT(DISTINCT ?v) dedup by full TERM;
-            # DISTINCT under the value aggregates would need value-level
-            # dedup ("1" vs "1.0") — reject rather than approximate
-            raise SparqlError(
-                f"DISTINCT is only supported inside COUNT/GROUP_CONCAT, not {func}"
-            )
+        # (r4) DISTINCT is accepted inside every aggregate. SPARQL 1.1
+        # §18.5.1 defines Distinct(M) over the multiset of RDF TERMS the
+        # expression produced — so "1"^^xsd:int and "1.0"^^xsd:decimal
+        # both survive the dedup (distinct terms) and SUM(DISTINCT)
+        # adds both, which is exactly the full-term dedup the engine's
+        # shadow columns express. For MIN/MAX/SAMPLE the modifier is a
+        # semantic no-op (same extremum / same singleton choice) and is
+        # parsed then ignored.
         var: str | None
         if func == "COUNT" and self._peek() == ("kw", "*"):
             self._next()
@@ -1279,10 +1287,12 @@ class _Parser:
     def _values_term(self):
         k, v = self._peek()
         if k == "kw" and str(v).upper() == "UNDEF":
-            raise SparqlError(
-                "UNDEF in VALUES is not supported (needs the "
-                "unbound-is-compatible join; use separate queries or SQL)"
-            )
+            # (r4) UNDEF = this variable is UNBOUND in this row; the
+            # compiler carries it as NULL term columns and routes any
+            # join on the variable through the same §18.5
+            # compatible-join decomposition mixed-variable UNIONs use
+            self._next()
+            return None
         t = self._operand()
         if not isinstance(t, (Iri, Lit)):
             raise SparqlError("VALUES terms must be constant IRIs or literals")
@@ -1291,7 +1301,7 @@ class _Parser:
     def _values(self) -> tuple[list[str], list[list]]:
         """``VALUES ?x { t ... }`` or ``VALUES (?x ?y) { (t t) ... }``
         → (vars, rows of constant terms). Bag semantics (duplicate rows
-        kept); UNDEF rejected."""
+        kept); UNDEF cells are ``None`` (unbound in that row)."""
         vars_: list[str] = []
         multi = self._peek() == ("punct", "(")
         if multi:
@@ -3185,8 +3195,42 @@ def _aggregate(
                 return F.count_distinct(F.col(var), *[F.col(c) for c in _shadow_cols(var)])
             return F.count(F.col(var))
         if func in ("SUM", "AVG"):
+            if distinct:
+                # (r4) SUM/AVG(DISTINCT ?v): dedup by full TERM first
+                # (§18.5.1 Distinct(M) is over RDF terms, so
+                # "1"^^xsd:int and "1.0"^^xsd:decimal BOTH survive and
+                # both add), then fold the numeric casts of the
+                # surviving terms. Uncastable terms are skipped like
+                # the non-distinct path; an empty fold yields NULL,
+                # matching F.sum/F.avg over all-NULL input. The
+                # collect_set is group-bounded like GROUP_CONCAT's.
+                terms = F.collect_set(
+                    F.struct(
+                        F.col(var).alias("v"),
+                        *[
+                            F.col(c).alias(n)
+                            for c, n in zip(_shadow_cols(var), ("k", "l", "d"))
+                        ],
+                    )
+                )
+                vals = F.filter(
+                    F.transform(terms, lambda x: x["v"].try_cast(_DECIMAL)),
+                    lambda x: x.isNotNull(),
+                )
+                total = F.aggregate(
+                    vals,
+                    F.lit(0).cast(_DECIMAL),
+                    lambda a, x: (a + x).cast(_DECIMAL),
+                )
+                if func == "SUM":
+                    return F.when(F.size(vals) > 0, total)
+                return F.when(
+                    F.size(vals) > 0,
+                    (total / F.size(vals)).cast(_DECIMAL),
+                )
             col = F.col(var).try_cast(_DECIMAL)
             return F.sum(col) if func == "SUM" else F.avg(col)
+        # MIN/MAX (DISTINCT is a no-op over an extremum)
         return F.min(F.col(var)) if func == "MIN" else F.max(F.col(var))
 
     exprs = [
@@ -3531,12 +3575,17 @@ def _compile_where(
     assert df is not None
     for vars_, rows in values_blocks:
         # inline constant bindings as a tiny broadcast relation carrying
-        # the same 4 term columns per variable as any pattern
+        # the same 4 term columns per variable as any pattern; an UNDEF
+        # cell is NULL across all four columns (unbound in that row)
         data = []
+        v_nullable: set[str] = set()
         for row in rows:
-            flat: list[str] = []
-            for t in row:
-                if isinstance(t, Iri):
+            flat: list[str | None] = []
+            for v, t in zip(vars_, row):
+                if t is None:
+                    flat += [None, None, None, None]
+                    v_nullable.add(v)
+                elif isinstance(t, Iri):
                     flat += [t.value, "iri", "", ""]
                 else:
                     flat += [t.lexical, "literal", t.lang or "", t.dtype or ""]
@@ -3549,13 +3598,22 @@ def _compile_where(
         )
         shared = [v for v in vars_ if v in bound]
         if shared:
-            # the VALUES side is never nullable (UNDEF is rejected), but
-            # df may be (mixed-variable UNION): compatible join
-            df = _compat_join(df, nullable, vdf, set(), shared, "this VALUES block")
+            # either side may be nullable on a shared variable — the
+            # VALUES side via UNDEF rows, df via a mixed-variable UNION
+            # — so this is the §18.5 compatible join (_compat_join
+            # rejects the both-sides-nullable case, as elsewhere)
+            df = _compat_join(
+                df, nullable, vdf, v_nullable, shared, "this VALUES block"
+            )
+            # after the join a shared variable is bound from the clean
+            # side (whichever that was), so it leaves the nullable set
             nullable -= set(shared)
         else:
             df = df.crossJoin(vdf)
         bound |= set(vars_)
+        # unshared variables with UNDEF rows reach the outer query as
+        # nullable (e.g. a later FILTER bound(?v) sees them unbound)
+        nullable |= {v for v in v_nullable if v not in shared}
 
     def _compile_optional_group(
         gpats: list[tuple], gfilters: list[tuple], nested: list[tuple],

@@ -952,3 +952,75 @@ FROM customer
 WHERE ((((c_custkey + 5) * 2) - 4) / 2.0 >= 23 OR c_custkey IN (10, 20))
   AND NOT (c_custkey > 80)
 """
+
+# VALUES-with-UNDEF surface (r4): §18.5 compatible join driven from a
+# VALUES block — the ("BUILDING" "b") row constrains the segment and
+# tags it, the (UNDEF UNDEF) row is compatible with EVERY solution and
+# leaves ?bonus unbound (projected NULL). BUILDING customers therefore
+# appear twice (once tagged, once untagged); everyone else once.
+TPCH_SPARQL_VALUES_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?c ?seg ?bonus WHERE {
+  ?c a ex:Customer .
+  ?c ex:custkey ?k .
+  ?c ex:marketSegment ?seg .
+  FILTER (?k <= 40)
+  VALUES (?seg ?bonus) { ("BUILDING" "b") (UNDEF UNDEF) }
+}
+"""
+
+
+def run_tpch_sparql_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_VALUES_QUERY)
+
+
+# DuckDB twin: the compatible join IS "NULL-or-equal" on the VALUES
+# side's bound columns.
+TPCH_SPARQL_VALUES_ORACLE_SQL = f"""
+SELECT '{KG}/customer/' || c.c_custkey AS c,
+       c.c_mktsegment AS seg,
+       v.bonus AS bonus
+FROM customer c
+JOIN (VALUES ('BUILDING', 'b'), (NULL, NULL)) v(seg, bonus)
+  ON v.seg IS NULL OR v.seg = c.c_mktsegment
+WHERE c.c_custkey <= 40
+"""
+
+# Aggregate-DISTINCT surface (r4): each customer matches ?segp twice
+# (ex:segment and ex:marketSegment carry the same literal), so every
+# ?k term reaches the group twice — SUM sees the bag, SUM/AVG(DISTINCT)
+# dedup by full TERM first (§18.5.1 Distinct is over RDF terms).
+TPCH_SPARQL_AGGDISTINCT_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?nation_name (SUM(?k) AS ?twice) (SUM(DISTINCT ?k) AS ?once)
+       (AVG(DISTINCT ?k) AS ?mean) WHERE {
+  ?c ex:custkey ?k .
+  ?c ex:inNation ?nat .
+  ?nat ex:name ?nation_name .
+  ?c ?segp ?seg .
+  VALUES ?segp { ex:segment ex:marketSegment }
+} GROUP BY ?nation_name ORDER BY ?nation_name
+"""
+
+
+def run_tpch_sparql_aggdistinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_AGGDISTINCT_QUERY)
+
+
+# DuckDB twin: custkeys are unique per customer, so the term-dedup
+# halves the doubled bag exactly — SUM(DISTINCT) = SUM over customers,
+# AVG(DISTINCT) = plain AVG. COUNT-style casts pin DECIMAL(38,12) to
+# match the engine's canonical decimal aggregate type.
+TPCH_SPARQL_AGGDISTINCT_ORACLE_SQL = f"""
+SELECT n.n_name AS nation_name,
+       CAST(2 * SUM(c.c_custkey) AS DECIMAL(38,12)) AS twice,
+       CAST(SUM(c.c_custkey) AS DECIMAL(38,12)) AS once,
+       CAST(AVG(c.c_custkey) AS DECIMAL(38,12)) AS mean
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+ORDER BY nation_name
+"""

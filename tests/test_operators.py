@@ -703,3 +703,102 @@ def test_repetition_signals(spark):
     uni = {r.doc_id: r for r in repetition_signals(docs, n=1).collect()}
     assert uni["d1"].top_gram_frac == 0.6  # 'a' 3 of 5
     assert uni["d3"].dup_gram_frac == 0.0
+
+
+# ---------------------------------------------------------------- evaluate
+
+TRIPLE_SCHEMA = (
+    "subj string, subj_kind string, pred string, obj string, "
+    "obj_kind string, lang string, dtype string"
+)
+_EX = "http://ex.org/"
+
+
+def _tdf(spark, rows):
+    return spark.createDataFrame(rows, TRIPLE_SCHEMA)
+
+
+def test_triple_prf_grounded(spark):
+    from r2rml_parser_spark.operators.evaluate import triple_prf
+
+    exp = _tdf(spark, [
+        (_EX + "a", "iri", _EX + "p", "1", "literal", None, None),
+        (_EX + "a", "iri", _EX + "q", _EX + "b", "iri", None, None),
+        (_EX + "b", "iri", _EX + "p", "2", "literal", None, None),
+    ])
+    got = _tdf(spark, [
+        (_EX + "a", "iri", _EX + "p", "1", "literal", None, None),
+        (_EX + "a", "iri", _EX + "q", _EX + "b", "iri", None, None),
+        (_EX + "z", "iri", _EX + "p", "9", "literal", None, None),  # wrong
+    ])
+    r = triple_prf(got, exp).collect()[0]
+    assert (r.got_n, r.expected_n, r.matched) == (3, 3, 2)
+    assert abs(r.precision - 2 / 3) < 1e-12 and abs(r.recall - 2 / 3) < 1e-12
+    # duplicates don't inflate: graphs are SETS
+    r2 = triple_prf(got.unionByName(got), exp).collect()[0]
+    assert (r2.got_n, r2.matched) == (3, 2)
+
+
+def test_triple_prf_bnode_relabeling_matches(spark):
+    from r2rml_parser_spark.operators.evaluate import triple_prf
+
+    # same structure, disjoint bnode labels: _:x(p→"1", q→iri) on one
+    # side is _:k on the other — WL signatures must line them up
+    exp = _tdf(spark, [
+        ("_:x", "bnode", _EX + "p", "1", "literal", None, None),
+        ("_:x", "bnode", _EX + "q", _EX + "b", "iri", None, None),
+        ("_:y", "bnode", _EX + "p", "2", "literal", None, None),
+        (_EX + "a", "iri", _EX + "r", "_:y", "bnode", None, None),
+    ])
+    got = _tdf(spark, [
+        ("_:k", "bnode", _EX + "p", "1", "literal", None, None),
+        ("_:k", "bnode", _EX + "q", _EX + "b", "iri", None, None),
+        ("_:m", "bnode", _EX + "p", "2", "literal", None, None),
+        (_EX + "a", "iri", _EX + "r", "_:m", "bnode", None, None),
+    ])
+    r = triple_prf(got, exp).collect()[0]
+    assert r.precision == 1.0 and r.recall == 1.0 and r.f1 == 1.0
+
+
+def test_triple_prf_bnode_structural_difference_detected(spark):
+    from r2rml_parser_spark.operators.evaluate import triple_prf
+
+    exp = _tdf(spark, [
+        ("_:x", "bnode", _EX + "p", "1", "literal", None, None),
+        ("_:x", "bnode", _EX + "q", "2", "literal", None, None),
+    ])
+    got = _tdf(spark, [
+        ("_:k", "bnode", _EX + "p", "1", "literal", None, None),
+        ("_:k", "bnode", _EX + "q", "DIFFERENT", "literal", None, None),
+    ])
+    r = triple_prf(got, exp).collect()[0]
+    # the changed literal changes _:k's WL color, so NEITHER of its
+    # triples matches (per-bnode all-or-nothing, like real isomorphism)
+    assert r.matched == 0
+
+
+def test_triple_prf_bnode_chain_and_automorphic_collapse(spark):
+    from r2rml_parser_spark.operators.evaluate import triple_prf
+
+    # chain _:a -p-> _:b -q-> "x" relabeled on the got side
+    exp = _tdf(spark, [
+        ("_:a", "bnode", _EX + "p", "_:b", "bnode", None, None),
+        ("_:b", "bnode", _EX + "q", "x", "literal", None, None),
+    ])
+    got = _tdf(spark, [
+        ("_:n1", "bnode", _EX + "p", "_:n2", "bnode", None, None),
+        ("_:n2", "bnode", _EX + "q", "x", "literal", None, None),
+    ])
+    r = triple_prf(got, exp).collect()[0]
+    assert r.precision == 1.0 and r.recall == 1.0
+    # two automorphic bnodes (identical neighborhoods) collapse to one
+    # signature on BOTH sides equally — scores stay 1.0
+    exp2 = _tdf(spark, [
+        ("_:u", "bnode", _EX + "p", "same", "literal", None, None),
+        ("_:v", "bnode", _EX + "p", "same", "literal", None, None),
+    ])
+    got2 = _tdf(spark, [
+        ("_:w", "bnode", _EX + "p", "same", "literal", None, None),
+    ])
+    r2 = triple_prf(got2, exp2).collect()[0]
+    assert r2.precision == 1.0 and r2.recall == 1.0

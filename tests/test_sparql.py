@@ -506,6 +506,46 @@ def test_aggregate_order_by_alias_and_limit(numeric_graph):
     assert got == [("9", 1), ("10", 1)]
 
 
+def test_sum_avg_distinct_dedup_by_term(spark):
+    # §18.5.1 Distinct(M) is over RDF TERMS: the two "5"^^xsd:int
+    # collapse, but "5.0"^^xsd:decimal is a DIFFERENT term with the
+    # same numeric value and must still add
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    rows = [
+        (EX + "a", "iri", EX + "score", "5", "literal", None, XSD + "int"),
+        (EX + "b", "iri", EX + "score", "5", "literal", None, XSD + "int"),
+        (EX + "c", "iri", EX + "score", "5.0", "literal", None, XSD + "decimal"),
+        (EX + "d", "iri", EX + "score", "3", "literal", None, XSD + "int"),
+    ]
+    gdf = _mk(spark, rows)
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT (SUM(?v) AS ?all) (SUM(DISTINCT ?v) AS ?ded)
+           (AVG(DISTINCT ?v) AS ?mean)
+    WHERE { ?s ex:score ?v }"""
+    row = sparql_select(gdf, q).collect()[0]
+    assert float(row.all) == 18.0
+    assert float(row.ded) == 13.0
+    assert abs(float(row.mean) - 13.0 / 3) < 1e-9
+    # MIN/MAX/SAMPLE accept the modifier as a no-op
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT (MIN(DISTINCT ?v) AS ?lo) (MAX(DISTINCT ?v) AS ?hi)
+           (SAMPLE(DISTINCT ?v) AS ?one)
+    WHERE { ?s ex:score ?v }"""
+    row2 = sparql_select(gdf, q2).collect()[0]
+    assert (row2.lo, row2.hi, row2.one) == ("3", "5.0", "3")
+    # uncastable terms are skipped like the non-distinct path
+    rows3 = rows + [
+        (EX + "e", "iri", EX + "score", "lots", "literal", None, None),
+    ]
+    q3 = """PREFIX ex: <http://ex.org/>
+    SELECT (SUM(DISTINCT ?v) AS ?ded) WHERE { ?s ex:score ?v }"""
+    assert float(sparql_select(_mk(spark, rows3), q3).collect()[0].ded) == 13.0
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+
+
 def test_group_by_without_aggregates_is_distinct_terms(graph):
     q = "SELECT ?t WHERE { ?s a ?t } GROUP BY ?t"
     assert [r.t for r in sparql_select(graph, q).collect()] == [EX + "Person"]
@@ -516,8 +556,6 @@ def test_aggregate_errors(graph):
         sparql_select(graph, "SELECT ?s (COUNT(?t) AS ?n) WHERE { ?s a ?t }")
     with pytest.raises(SparqlError):  # SELECT * with GROUP BY
         sparql_select(graph, "SELECT * WHERE { ?s a ?t } GROUP BY ?t")
-    with pytest.raises(SparqlError):  # DISTINCT only inside COUNT
-        sparql_select(graph, "SELECT (SUM(DISTINCT ?t) AS ?n) WHERE { ?s a ?t }")
     with pytest.raises(SparqlError):  # unaliased aggregate
         sparql_select(graph, "SELECT (COUNT(?t)) WHERE { ?s a ?t }")
     with pytest.raises(SparqlError):  # HAVING without GROUP BY
@@ -731,9 +769,54 @@ def test_values_fresh_var_cross_joins(graph):
     assert sparql_select(graph, q).count() == 4  # 2 persons × 2 tags
 
 
-def test_values_errors(graph):
+def test_values_undef_is_compatible_with_anything(graph):
+    # §18.5: an UNDEF cell is an unbound binding, compatible with every
+    # solution — the row constrains nothing and ?t keeps the graph value
+    q = 'SELECT ?s ?t WHERE { ?s a ?t . VALUES ?t { UNDEF } }'
+    got = {(r.s, r.t) for r in sparql_select(graph, q).collect()}
+    assert got == {(EX + "p1", EX + "Person"), (EX + "p2", EX + "Person")}
+    # mixed rows: a non-matching constant row adds nothing, the UNDEF
+    # row admits everything — bag union of the two slices
+    q2 = f'SELECT ?s WHERE {{ ?s a ?t . VALUES ?t {{ <{EX}Nothing> UNDEF }} }}'
+    assert sparql_select(graph, q2).count() == 2
+
+
+def test_values_undef_multi_var_rows(graph):
+    # each row constrains only the variables it binds
+    q = f"""PREFIX ex: <http://ex.org/>
+    SELECT ?p ?n WHERE {{ ?p ex:name ?n .
+      VALUES (?p ?n) {{ (<{EX}p1> UNDEF) (UNDEF "Grace"@en) }} }}"""
+    got = {(r.p, r.n) for r in sparql_select(graph, q).collect()}
+    assert got == {(EX + "p1", "Ada"), (EX + "p2", "Grace")}
+
+
+def test_values_undef_fresh_var_is_nullable(graph):
+    # an unshared VALUES var with UNDEF rows reaches the query unbound
+    # in those rows: projection shows NULL, bound() sees it
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?s ?tag WHERE { ?s a ex:Person . VALUES ?tag { "x" UNDEF } }"""
+    rows = sparql_select(graph, q).collect()
+    assert len(rows) == 4  # 2 persons × 2 rows
+    assert sorted(r.tag for r in rows if r.tag is not None) == ["x", "x"]
+    assert sum(r.tag is None for r in rows) == 2
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT ?s ?tag WHERE { ?s a ex:Person . VALUES ?tag { "x" UNDEF }
+      FILTER bound(?tag) }"""
+    assert sparql_select(graph, q2).count() == 2
+
+
+def test_values_undef_both_sides_nullable_rejected(graph):
+    # ?n is nullable from the mixed-variable UNION AND has UNDEF rows
+    # in VALUES — the two-sided unbound-compatible join is rejected
+    q = f"""PREFIX ex: <http://ex.org/>
+    SELECT ?p ?n WHERE {{
+      {{ ?p a ex:Person }} UNION {{ ?p ex:name ?n }}
+      VALUES ?n {{ "Ada" UNDEF }} }}"""
     with pytest.raises(SparqlError):
-        sparql_select(graph, 'SELECT ?s WHERE { ?s a ?t . VALUES ?t { UNDEF } }')
+        sparql_select(graph, q)
+
+
+def test_values_errors(graph):
     with pytest.raises(SparqlError):
         sparql_select(graph, 'SELECT ?s WHERE { ?s a ?t . VALUES ?t { ?v } }')
     with pytest.raises(SparqlError):
@@ -1710,8 +1793,9 @@ def test_sample_and_group_concat(graph, spark):
     assert [r.c for r in sparql_select(g, q4).collect()] == ["x x x"]
     with pytest.raises(SparqlError):  # SEPARATOR on other aggregates
         sparql_select(graph, 'SELECT (COUNT(?s; SEPARATOR=",") AS ?n) WHERE { ?s ?p ?o }')
-    with pytest.raises(SparqlError):  # DISTINCT under SAMPLE
-        sparql_select(graph, "SELECT (SAMPLE(DISTINCT ?s) AS ?x) WHERE { ?s ?p ?o }")
+    # DISTINCT under SAMPLE is accepted as a no-op (r4)
+    q5 = "SELECT (SAMPLE(DISTINCT ?s) AS ?x) WHERE { ?s ?p ?o }"
+    assert sparql_select(graph, q5).count() == 1
 
 
 def test_string_functions(graph, numeric_graph):
