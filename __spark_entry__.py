@@ -230,6 +230,15 @@ def q_sparql_aggdistinct_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tpch_sparql_aggdistinct(spark, sf_dir)
 
 
+def q_sparql_orderexpr_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY expression (r4): DESC(?k * 2 - 1) over a NON-projected
+    variable, sorted over the solution relation before projection
+    (§18.2.5), LIMIT making the ordering observable in the result set."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_orderexpr
+
+    return run_tpch_sparql_orderexpr(spark, sf_dir)
+
+
 def q_triple_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed triple-level P/R (r4): the north rule's own
     acceptance metric ("matching the reference's emitted (subj, pred,
@@ -547,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_arith_kg": q_sparql_arith_kg,
         "sparql_values_kg": q_sparql_values_kg,
         "sparql_aggdistinct_kg": q_sparql_aggdistinct_kg,
+        "sparql_orderexpr_kg": q_sparql_orderexpr_kg,
         "triple_prf": q_triple_prf,
         "sparql_describe_kg": q_sparql_describe_kg,
         "sparql_subquery_kg": q_sparql_subquery_kg,
@@ -607,6 +617,7 @@ def oracle_sql() -> dict[str, str]:
         TPCH_SPARQL_ARITH_ORACLE_SQL,
         TPCH_SPARQL_VALUES_ORACLE_SQL,
         TPCH_SPARQL_AGGDISTINCT_ORACLE_SQL,
+        TPCH_SPARQL_ORDEREXPR_ORACLE_SQL,
         TPCH_SPARQL_UNION_ORACLE_SQL,
         TPCH_SPARQL_OPTFILTER_ORACLE_SQL,
         TPCH_SPARQL_GROUPCONCAT_ORACLE_SQL,
@@ -657,6 +668,7 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "sparql_arith_kg": TPCH_SPARQL_ARITH_ORACLE_SQL,
         "sparql_values_kg": TPCH_SPARQL_VALUES_ORACLE_SQL,
         "sparql_aggdistinct_kg": TPCH_SPARQL_AGGDISTINCT_ORACLE_SQL,
+        "sparql_orderexpr_kg": TPCH_SPARQL_ORDEREXPR_ORACLE_SQL,
         # the intersect computes |got ∩ expected| independently of how
         # the driver query perturbed the got side (set semantics,
         # NULL-equal — same as Spark INTERSECT)

@@ -223,7 +223,14 @@ term columns — the variable is unbound in that row — and a join on a
 variable with UNDEF rows takes the same §18.5 compatible-join
 decomposition as mixed-variable UNIONs, with the usual
 both-sides-nullable rejection), ORDER BY
-[ASC()|DESC()] over projected variables/aliases (value-aware: rows
+[ASC()|DESC()] over variables or (r4) full value EXPRESSIONS
+(``ORDER BY DESC(STRLEN(?n)) (?a + ?b)`` — any BIND expression;
+evaluated over the solution relation BEFORE projection per §18.2.5,
+so non-projected variables sort too, except under SELECT DISTINCT
+where conditions are restricted to projected variables — the spec's
+own restriction — and under GROUP BY/aggregates where conditions are
+projected aliases/group keys; an expression evaluation ERROR sorts
+with the unbound rows) (value-aware: rows
 parsing as numbers order by VALUE before non-numeric rows, the rest
 by codepoint; DESC is the exact reverse), and LIMIT/OFFSET in
 either order, and HAVING (expr) over projected aliases/group keys
@@ -1146,12 +1153,21 @@ class _Parser:
             having = self._bool_expr()
             if self._next() != ("punct", ")"):
                 raise SparqlError("HAVING needs ')'")
-        order: list[tuple[str, bool]] = []
+        order: list[tuple] = []
         if self._kw_is("ORDER"):
             self._next()
             k, kw2 = self._next()
             if k != "kw" or str(kw2).upper() != "BY":
                 raise SparqlError("expected BY after ORDER")
+
+            def _order_cond():
+                """OrderCondition inner: any BIND value expression
+                ((r4) the OrderCondition grammar admits expressions);
+                a bare ?var normalizes to its name string (the fast,
+                key-only path)."""
+                node = self._bind_expr()
+                return node.name if isinstance(node, Var) else node
+
             while True:
                 kind, val = self._peek()
                 if kind == "var":
@@ -1162,12 +1178,24 @@ class _Parser:
                     desc = str(val).upper() == "DESC"
                     if self._next() != ("punct", "("):
                         raise SparqlError("ASC/DESC needs '('")
-                    kv, vv = self._next()
-                    if kv != "var":
-                        raise SparqlError("ASC/DESC takes a variable")
+                    cond = _order_cond()
                     if self._next() != ("punct", ")"):
                         raise SparqlError("ASC/DESC needs ')'")
-                    order.append((str(vv), desc))
+                    order.append((cond, desc))
+                elif (kind == "punct" and val == "(") or (
+                    kind == "kw"
+                    and str(val).lower()
+                    in self._VALUE_FUNCS
+                    + self._NUM_FUNCS
+                    + ("str", "lang", "datatype", "concat", "iri", "uri",
+                       "coalesce", "if", "strlang", "strdt")
+                    and self._peek2() == ("punct", "(")
+                ):
+                    # bare BrackettedExpression / Constraint condition
+                    cond = self._bind_expr()
+                    order.append(
+                        (cond.name if isinstance(cond, Var) else cond, False)
+                    )
                 else:
                     break
             if not order:
@@ -3976,6 +4004,12 @@ def _compile_subselect(
     if sub.distinct:
         out = out.dropDuplicates()
     if sub.order:
+        exprs_used = [c for c, _ in sub.order if not isinstance(c, str)]
+        if exprs_used:
+            raise SparqlError(
+                "ORDER BY expressions are not supported inside { SELECT } "
+                "subqueries — ORDER BY a projected variable/alias"
+            )
         missing_order = [v for v, _ in sub.order if v not in proj]
         if missing_order:
             raise SparqlError(f"ORDER BY variables must be projected: {missing_order}")
@@ -4032,10 +4066,37 @@ def _compile(triples: DataFrame, parsed: SimpleNamespace) -> DataFrame:
             # identical lexical rows), so dedup on the full term keys
             # BEFORE the lexical projection
             df = df.dropDuplicates([x for v in proj for x in _term_key(v)])
+        if order:
+            # (r4) ORDER BY runs over the SOLUTION relation, before
+            # projection (§18.2.5: OrderBy precedes Project), so
+            # non-projected variables and expression conditions sort
+            # fine — except under DISTINCT, where the spec itself
+            # restricts conditions to projected variables (the dedup
+            # picks an arbitrary survivor for anything else)
+            refs = _order_refs(order)
+            unbound_refs = sorted(v for v in refs if v not in bound)
+            if unbound_refs:
+                raise SparqlError(
+                    f"ORDER BY variable(s) never bound: {unbound_refs}"
+                )
+            if distinct:
+                outside = sorted(v for v in refs if v not in proj)
+                if outside:
+                    raise SparqlError(
+                        "ORDER BY with SELECT DISTINCT may only reference "
+                        f"projected variables: {outside}"
+                    )
+            df = _apply_order(df, order, bound, "ORDER BY")
         out = df.select(*proj)
     if distinct and (has_aggs or group_by):
         out = out.dropDuplicates()
-    if order:
+    if order and (has_aggs or group_by):
+        exprs_used = [c for c, _ in order if not isinstance(c, str)]
+        if exprs_used:
+            raise SparqlError(
+                "ORDER BY expressions are not supported with GROUP BY/"
+                "aggregates — ORDER BY a projected alias or group key"
+            )
         missing_order = [v for v, _ in order if v not in proj]
         if missing_order:
             raise SparqlError(
@@ -4047,6 +4108,50 @@ def _compile(triples: DataFrame, parsed: SimpleNamespace) -> DataFrame:
     if limit is not None:
         out = out.limit(limit)
     return out
+
+
+def _order_refs(order: list[tuple]) -> set[str]:
+    """Variables an ORDER BY condition list references (bare vars plus
+    every variable inside expression conditions)."""
+    refs: set[str] = set()
+    for cond, _desc in order:
+        if isinstance(cond, str):
+            refs.add(cond)
+        else:
+            refs |= {v for v in _expr_vars(cond) if not _is_internal(v)}
+    return refs
+
+
+def _apply_order(
+    df: DataFrame, order: list[tuple], bound: set[str], scope: str
+) -> DataFrame:
+    """Sort the SOLUTION relation by the ORDER BY conditions — bare
+    variables use their lexical column directly; expression conditions
+    ((r4) STRLEN(?x), ?a + ?b, DESC(IF(...)) ...) compile through the
+    BIND value evaluator into hidden columns that are dropped after
+    the sort (an expression ERROR is NULL, sorting with the unbound
+    rows, matching the engine's existing nullable-variable placement).
+    Each key keeps the value-aware ordering: numeric-parsing values
+    order by VALUE before non-numeric rows, the rest by codepoint."""
+    keys: list[F.Column] = []
+    hidden: list[str] = []
+    for i, (cond, desc) in enumerate(order):
+        if isinstance(cond, str):
+            col = F.col(cond)
+        else:
+            name = f"__ord_{i}"
+            v, _k, _lg, _dt = _eval_bind_expr(cond, bound, scope)
+            df = df.withColumn(name, v.cast("string"))
+            hidden.append(name)
+            col = F.col(name)
+        num = col.try_cast(_DECIMAL)
+        flag = num.isNull()
+        if desc:
+            keys += [flag.desc(), num.desc(), col.desc()]
+        else:
+            keys += [flag.asc(), num.asc(), col.asc()]
+    out = df.orderBy(*keys)
+    return out.drop(*hidden) if hidden else out
 
 
 def _order_keys(order: list[tuple[str, bool]]) -> list["F.Column"]:
@@ -4091,10 +4196,10 @@ def sparql_construct(
     df, bound, _nullable = _compile_where(triples, parsed)
     order, limit, offset = parsed.order, parsed.limit, parsed.offset
     if order:
-        missing_order = [v for v, _ in order if v not in bound]
+        missing_order = sorted(v for v in _order_refs(order) if v not in bound)
         if missing_order:
             raise SparqlError(f"ORDER BY variables never bound: {missing_order}")
-        df = df.orderBy(*_order_keys(order))
+        df = _apply_order(df, order, bound, "ORDER BY")
     if offset is not None:
         df = df.offset(offset)
     if limit is not None:

@@ -104,3 +104,104 @@ def stream_dedup_docs(
     if docs.isStreaming:
         return wm.dropDuplicatesWithinWatermark(["text_hash"])
     return wm.dropDuplicates(["text_hash"])
+
+
+def stream_sessionize_events(
+    events: DataFrame, *, gap_seconds: int = 1800, watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful streaming operator: gap-based event-time
+    sessionization via ``applyInPandasWithState`` — the streaming twin
+    of ``operators.events.sessionize`` (same output schema: user_id,
+    session_seq, n_events, session_start, session_end, duration_us;
+    same TS_FMT second-precision rendering).
+
+    Semantics: per user, events within ``gap_seconds`` of the running
+    session's last event extend it; a larger gap closes it and starts
+    the next (session_seq increments per closed session, carried in
+    state so it survives micro-batch boundaries). A session is EMITTED
+    when (a) a later in-batch event closes it, or (b) the event-time
+    watermark passes last_event + gap (EventTimeTimeout) — so output is
+    append-mode final, never updated. State per user is one fixed-width
+    row (seq, start_us, last_us, n), evicted on timeout; memory is
+    O(active users in the horizon), not O(events) — the property that
+    makes this runnable against an unbounded 10^12-event stream.
+    Arrow-batched pandas on the state path, no per-row Python.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+    gap_ms = gap_seconds * 1_000
+    out_schema = (
+        "user_id string, session_seq bigint, n_events bigint, "
+        "session_start string, session_end string, duration_us bigint"
+    )
+    state_schema = "seq bigint, start_us bigint, last_us bigint, n bigint"
+
+    def _emit(user_id, seq, start_us, last_us, n) -> "pd.DataFrame":
+        fmt = "%Y-%m-%d %H:%M:%S"
+        return pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_seq": [seq],
+                "n_events": [n],
+                "session_start": [
+                    pd.Timestamp(start_us, unit="us").strftime(fmt)
+                ],
+                "session_end": [pd.Timestamp(last_us, unit="us").strftime(fmt)],
+                "duration_us": [last_us - start_us],
+            }
+        )
+
+    def fn(key, pdfs, state: GroupState):
+        user_id = key[0]
+        closed = []
+        if state.hasTimedOut:
+            seq, start_us, last_us, n = state.get
+            closed.append(_emit(user_id, seq, start_us, last_us, n))
+            state.remove()
+        else:
+            parts = [p for p in pdfs if len(p)]
+            seq, start_us, last_us, n = (
+                state.get if state.exists else (0, None, None, 0)
+            )
+            if parts:
+                rows = pd.concat(parts).sort_values("ts")
+                # ns-resolution pandas timestamps → epoch microseconds
+                ts_us = (
+                    pd.to_datetime(rows["ts"]).astype("int64") // 1_000
+                ).tolist()
+                for t in ts_us:
+                    if start_us is None:
+                        seq, start_us, last_us, n = seq + 1, t, t, 1
+                    elif t - last_us <= gap_us:
+                        last_us, n = max(last_us, t), n + 1
+                    else:
+                        closed.append(_emit(user_id, seq, start_us, last_us, n))
+                        seq, start_us, last_us, n = seq + 1, t, t, 1
+            if start_us is not None:
+                state.update((seq, start_us, last_us, n))
+                # fire once the watermark passes last event + gap; the
+                # timeout must sit above the current watermark
+                state.setTimeoutTimestamp(
+                    max(last_us // 1_000 + gap_ms,
+                        state.getCurrentWatermarkMs() + 1)
+                )
+        yield from closed or [
+            pd.DataFrame(
+                columns=[
+                    "user_id", "session_seq", "n_events",
+                    "session_start", "session_end", "duration_us",
+                ]
+            )
+        ]
+
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

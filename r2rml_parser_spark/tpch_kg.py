@@ -1024,3 +1024,32 @@ FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
 GROUP BY n.n_name
 ORDER BY nation_name
 """
+
+# ORDER BY expression surface (r4): the sort key is an arithmetic
+# expression over a NON-projected variable (?k never reaches the
+# projection), evaluated over the solution relation before projection
+# per §18.2.5; LIMIT makes the ordering observable in the result SET
+# (custkeys are unique, so the top-12 slice is deterministic).
+TPCH_SPARQL_ORDEREXPR_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?c ?name WHERE {
+  ?c a ex:Customer .
+  ?c ex:name ?name .
+  ?c ex:custkey ?k .
+} ORDER BY DESC(?k * 2 - 1) LIMIT 12
+"""
+
+
+def run_tpch_sparql_orderexpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_ORDEREXPR_QUERY)
+
+
+# 2k-1 is monotone in k, so the slice is the 12 largest custkeys.
+TPCH_SPARQL_ORDEREXPR_ORACLE_SQL = f"""
+SELECT '{KG}/customer/' || c_custkey AS c, c_name AS name
+FROM customer
+ORDER BY c_custkey DESC
+LIMIT 12
+"""

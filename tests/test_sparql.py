@@ -264,10 +264,14 @@ def test_order_by_asc_desc_limit(graph):
     assert [r.n for r in sparql_select(graph, q).collect()] == ["Ada", "Grace"]
     q2 = "PREFIX ex: <http://ex.org/> SELECT ?n WHERE { ?p ex:name ?n } ORDER BY DESC(?n) LIMIT 1"
     assert [r.n for r in sparql_select(graph, q2).collect()] == ["Grace"]
-    with pytest.raises(SparqlError):  # order key must be projected
+    # non-projected order keys sort pre-projection (r4, §18.2.5)
+    q3 = "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p ex:name ?n } ORDER BY DESC(?n)"
+    assert [r.p for r in sparql_select(graph, q3).collect()] == [EX + "p2", EX + "p1"]
+    with pytest.raises(SparqlError):  # ...but DISTINCT restricts to projected
         sparql_select(
             graph,
-            "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p ex:name ?n } ORDER BY ?n",
+            "PREFIX ex: <http://ex.org/> SELECT DISTINCT ?p "
+            "WHERE { ?p ex:name ?n } ORDER BY ?n",
         )
 
 
@@ -2600,4 +2604,51 @@ def test_bind_inside_groups(graph, numeric_graph):
             SELECT ?p WHERE {
               ?p ex:name ?n . OPTIONAL { ?p a ex:Person . BIND (1 + 1 AS ?n) }
             }""",
+        )
+
+
+def test_order_by_expression_and_nonprojected(graph, numeric_graph):
+    # DESC(STRLEN(?n)): "Grace" (5) before "Ada" (3)
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?n WHERE { ?p ex:name ?n } ORDER BY DESC(STRLEN(?n))"""
+    assert [r.n for r in sparql_select(graph, q).collect()] == ["Grace", "Ada"]
+    # bare bracketted arithmetic condition, numeric value order
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT ?s WHERE { ?s ex:age ?n } ORDER BY (0 - ?n)"""
+    got = [r.s for r in sparql_select(numeric_graph, q2).collect()]
+    assert got == [EX + "c", EX + "b", EX + "a"]  # ages 11, 10, 9
+    # non-projected variable: sort by ?n, project only ?s (pre-projection
+    # ordering per §18.2.5)
+    q3 = """PREFIX ex: <http://ex.org/>
+    SELECT ?s WHERE { ?s ex:age ?n } ORDER BY DESC(?n)"""
+    assert [r.s for r in sparql_select(numeric_graph, q3).collect()] == [
+        EX + "c", EX + "b", EX + "a"
+    ]
+    # bare builtin-call condition
+    q4 = """PREFIX ex: <http://ex.org/>
+    SELECT ?n WHERE { ?p ex:name ?n } ORDER BY STRLEN(?n) ?n"""
+    assert [r.n for r in sparql_select(graph, q4).collect()] == ["Ada", "Grace"]
+
+
+def test_order_by_expression_guards(graph, numeric_graph):
+    # DISTINCT restricts conditions to projected variables
+    with pytest.raises(SparqlError):
+        sparql_select(
+            numeric_graph,
+            "PREFIX ex: <http://ex.org/> SELECT DISTINCT ?s "
+            "WHERE { ?s ex:age ?n } ORDER BY ?n",
+        )
+    # ...projected ones are fine, including in expressions
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT DISTINCT ?n WHERE { ?s ex:age ?n } ORDER BY DESC(STRLEN(?n) + ?n)"""
+    assert sparql_select(numeric_graph, q).count() == 3
+    # never-bound variable still rejected
+    with pytest.raises(SparqlError):
+        sparql_select(graph, "SELECT ?s WHERE { ?s ?p ?o } ORDER BY STRLEN(?zzz)")
+    # aggregates: expression conditions rejected, aliases fine
+    with pytest.raises(SparqlError):
+        sparql_select(
+            graph,
+            "SELECT ?t (COUNT(?s) AS ?c) WHERE { ?s a ?t } GROUP BY ?t "
+            "ORDER BY (?c + 1)",
         )

@@ -113,3 +113,69 @@ def test_streamed_kg_is_sparql_queryable(spark, tmp_path):
     assert sparql_ask(
         kg, 'PREFIX ex: <http://kg.example/ontology#> ASK { ?d ex:lang "en" }'
     )
+
+
+def test_stream_sessionize_events_apply_in_pandas_with_state(spark, tmp_path):
+    """Custom stateful operator: sessions close on in-batch gaps AND on
+    event-time timeout (watermark passing last_event + gap), surviving
+    restarts through the state checkpoint."""
+    from r2rml_parser_spark.streaming.incremental import stream_sessionize_events
+
+    src, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    schema = "user_id string, ts timestamp, event_id bigint"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        sess = stream_sessionize_events(stream, gap_seconds=1800, watermark="1 hour")
+        q = (
+            sess.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 10:00:00", 1),
+            ("u1", "2024-01-01 10:05:00", 2),
+            ("u2", "2024-01-01 10:00:00", 3),
+        ],
+        "user_id string, ts string, event_id bigint",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode("append").parquet(src)
+    run_once()
+
+    # a 3h-later u1 event closes u1's first session IN BATCH
+    spark.createDataFrame(
+        [("u1", "2024-01-01 13:00:00", 4)],
+        "user_id string, ts string, event_id bigint",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode("append").parquet(src)
+    run_once()
+
+    got = {
+        (r.user_id, r.session_seq): r
+        for r in spark.read.parquet(out).collect()
+    }
+    u1 = got[("u1", 1)]
+    assert u1.n_events == 2
+    assert u1.session_start == "2024-01-01 10:00:00"
+    assert u1.session_end == "2024-01-01 10:05:00"
+    assert u1.duration_us == 300 * 1_000_000
+
+    # u2's single-event session closes by TIMEOUT once the watermark
+    # (13:00 - 1h = 12:00) passes 10:00 + 30min; give the engine one
+    # more restart in case the timer fires in the next no-data batch
+    if ("u2", 1) not in got:
+        spark.createDataFrame(
+            [("u3", "2024-01-01 14:00:00", 5)],
+            "user_id string, ts string, event_id bigint",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode("append").parquet(src)
+        run_once()
+        got = {
+            (r.user_id, r.session_seq): r
+            for r in spark.read.parquet(out).collect()
+        }
+    u2 = got[("u2", 1)]
+    assert u2.n_events == 1 and u2.duration_us == 0
+    assert u2.session_start == "2024-01-01 10:00:00"
