@@ -239,6 +239,15 @@ def q_sparql_orderexpr_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tpch_sparql_orderexpr(spark, sf_dir)
 
 
+def q_sparql_selectexpr_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation SELECT expressions (r4): (?s - ?n) over
+    aggregate aliases and UCASE(STR(?key)) over a group key, evaluated
+    after the groupBy per SPARQL 1.1 section 18.2.4.4."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_selectexpr
+
+    return run_tpch_sparql_selectexpr(spark, sf_dir)
+
+
 def q_triple_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed triple-level P/R (r4): the north rule's own
     acceptance metric ("matching the reference's emitted (subj, pred,
@@ -557,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_values_kg": q_sparql_values_kg,
         "sparql_aggdistinct_kg": q_sparql_aggdistinct_kg,
         "sparql_orderexpr_kg": q_sparql_orderexpr_kg,
+        "sparql_selectexpr_kg": q_sparql_selectexpr_kg,
         "triple_prf": q_triple_prf,
         "sparql_describe_kg": q_sparql_describe_kg,
         "sparql_subquery_kg": q_sparql_subquery_kg,
@@ -618,6 +628,7 @@ def oracle_sql() -> dict[str, str]:
         TPCH_SPARQL_VALUES_ORACLE_SQL,
         TPCH_SPARQL_AGGDISTINCT_ORACLE_SQL,
         TPCH_SPARQL_ORDEREXPR_ORACLE_SQL,
+        TPCH_SPARQL_SELECTEXPR_ORACLE_SQL,
         TPCH_SPARQL_UNION_ORACLE_SQL,
         TPCH_SPARQL_OPTFILTER_ORACLE_SQL,
         TPCH_SPARQL_GROUPCONCAT_ORACLE_SQL,
@@ -669,6 +680,7 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "sparql_values_kg": TPCH_SPARQL_VALUES_ORACLE_SQL,
         "sparql_aggdistinct_kg": TPCH_SPARQL_AGGDISTINCT_ORACLE_SQL,
         "sparql_orderexpr_kg": TPCH_SPARQL_ORDEREXPR_ORACLE_SQL,
+        "sparql_selectexpr_kg": TPCH_SPARQL_SELECTEXPR_ORACLE_SQL,
         # the intersect computes |got ∩ expected| independently of how
         # the driver query perturbed the got side (set semantics,
         # NULL-equal — same as Spark INTERSECT)

@@ -1249,7 +1249,18 @@ class _Parser:
                     "variable would be unbound there) — move the BIND after "
                     "the pattern that binds it"
                 )
-        binds.extend(select_binds)  # SELECT exprs evaluate after WHERE BINDs
+        # SELECT exprs evaluate after WHERE BINDs. In an AGGREGATE query
+        # they evaluate after the aggregation itself (§18.2.4.4 lets a
+        # SELECT expression use earlier SELECT aliases — i.e. aggregate
+        # aliases), so they route to a post-aggregation channel — except
+        # an expression that IS a group key, which must bind pre-agg.
+        post_binds: list[tuple[object, str]] = []
+        has_agg_items = bool(items) and any(it[0] == "agg" for it in items)
+        if has_agg_items or group_by:
+            for expr, name in select_binds:
+                (binds if name in group_by else post_binds).append((expr, name))
+        else:
+            binds.extend(select_binds)
         return SimpleNamespace(
             form=form, items=items, distinct=distinct, patterns=patterns,
             unions=unions, optionals=optionals, filters=filters,
@@ -1257,7 +1268,7 @@ class _Parser:
             minus_blocks=minus_blocks, subselects=subselects, binds=binds,
             group_by=group_by, having=having, order=order, limit=limit,
             offset=offset, template=template, describe=describe,
-            no_where=False,
+            no_where=False, post_binds=post_binds,
         )
 
     def _subselect(self) -> SimpleNamespace:
@@ -3981,6 +3992,12 @@ def _compile_subselect(
     expose only a lexical value with NULL (unknown) term components —
     term-sensitive tests on them are type errors, the documented
     conservative behavior. Subquery DISTINCT dedups by full term."""
+    if getattr(sub, "post_binds", []):
+        raise SparqlError(
+            "SELECT expressions over aggregate aliases are not supported "
+            "inside { SELECT } subqueries — compute the expression in the "
+            "outer query from the projected aliases"
+        )
     df, bound, sub_nullable = _compile_where(triples, sub)
     items = sub.items
     if items is None:
@@ -4047,9 +4064,66 @@ def _compile(triples: DataFrame, parsed: SimpleNamespace) -> DataFrame:
     if has_aggs or group_by:
         if items is None:
             raise SparqlError("SELECT * cannot be combined with GROUP BY/aggregates")
-        out, proj = _aggregate(df, items, group_by, bound)
-        if parsed.having is not None:
-            out = out.where(_compile_having(parsed.having, proj))
+        post_binds = getattr(parsed, "post_binds", [])
+        if post_binds:
+            # (r4) §18.2.4.4: a SELECT expression in an aggregate query
+            # evaluates AFTER aggregation and may use group keys,
+            # aggregate aliases, and earlier expression aliases —
+            # (SUM(?x) AS ?s) (COUNT(?x) AS ?n) (?s / ?n AS ?mean).
+            # Group keys keep full term columns through the
+            # aggregation; aggregate aliases get the same synthetic
+            # derived-literal shadows the subquery path mints, so the
+            # ordinary BIND evaluator runs unchanged on the grouped
+            # relation. HAVING applies BEFORE the extensions (it is
+            # part of the Group/Aggregation step, not Extend).
+            post_names = {n for _, n in post_binds}
+            agg_items = [
+                it for it in items if not (it[0] == "var" and it[1] in post_names)
+            ]
+            out, proj = _aggregate(df, agg_items, group_by, bound, keep_term_keys=True)
+            if parsed.having is not None:
+                out = out.where(_compile_having(parsed.having, proj))
+            aliases = [it for it in agg_items if it[0] == "agg"]
+            nil = F.lit(None).cast("string")
+            for _, func, _d, _v, alias, _sep in aliases:
+                dt = _SUB_NUMERIC_DTYPE.get(func)
+                k, l, d = _shadow_cols(alias)
+                out = (
+                    out.withColumn(k, F.lit("literal") if dt else nil)
+                    .withColumn(l, F.lit("") if dt else nil)
+                    .withColumn(d, F.lit(_XSD + dt) if dt else nil)
+                )
+            pbound = set(group_by) | {it[4] for it in aliases}
+            for expr, name in post_binds:
+                if name in pbound:
+                    raise SparqlError(
+                        f"SELECT expression alias ?{name} collides with a "
+                        "group key, aggregate alias, or earlier expression"
+                    )
+                refs = {v for v in _expr_vars(expr) if not _is_internal(v)}
+                bad = sorted(refs - pbound)
+                if bad:
+                    raise SparqlError(
+                        f"SELECT expression for ?{name} references {bad} — "
+                        "after aggregation an expression may only use group "
+                        "keys, aggregate aliases, and earlier expression "
+                        "aliases (SPARQL 1.1 §18.2.4.4)"
+                    )
+                v, kk, lg, dt_ = _eval_bind_expr(expr, pbound, "SELECT expression")
+                sk, sl, sd = _shadow_cols(name)
+                out = (
+                    out.withColumn(name, v.cast("string"))
+                    .withColumn(sk, kk)
+                    .withColumn(sl, lg)
+                    .withColumn(sd, dt_)
+                )
+                pbound.add(name)
+            proj = [it[1] if it[0] == "var" else it[4] for it in items]
+            out = out.select(*proj)
+        else:
+            out, proj = _aggregate(df, items, group_by, bound)
+            if parsed.having is not None:
+                out = out.where(_compile_having(parsed.having, proj))
     else:
         proj = (
             sorted(v for v in bound if not _is_internal(v))

@@ -1053,3 +1053,38 @@ FROM customer
 ORDER BY c_custkey DESC
 LIMIT 12
 """
+
+# Post-aggregation SELECT expressions (r4, §18.2.4.4): expressions over
+# aggregate aliases (?s - ?n) and over a group key's term
+# (UCASE(STR(?nation_name))) evaluate AFTER the aggregation — the
+# engine keeps the group key's term columns through the groupBy and
+# mints derived-literal shadows for the aliases, so the ordinary BIND
+# evaluator runs on the grouped relation. Integral arithmetic keeps the
+# canonical lexical form DuckDB-exact.
+TPCH_SPARQL_SELECTEXPR_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?nation_name (COUNT(?c) AS ?n) (SUM(?k) AS ?s) (?s - ?n AS ?adj)
+       (UCASE(STR(?nation_name)) AS ?up) WHERE {
+  ?c ex:custkey ?k .
+  ?c ex:inNation ?nat .
+  ?nat ex:name ?nation_name .
+} GROUP BY ?nation_name ORDER BY ?nation_name
+"""
+
+
+def run_tpch_sparql_selectexpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_SELECTEXPR_QUERY)
+
+
+TPCH_SPARQL_SELECTEXPR_ORACLE_SQL = f"""
+SELECT n.n_name AS nation_name,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(c.c_custkey) AS DECIMAL(38,12)) AS s,
+       CAST(CAST(SUM(c.c_custkey) - COUNT(*) AS BIGINT) AS VARCHAR) AS adj,
+       UPPER(n.n_name) AS up
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+ORDER BY nation_name
+"""

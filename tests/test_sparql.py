@@ -2652,3 +2652,76 @@ def test_order_by_expression_guards(graph, numeric_graph):
             "SELECT ?t (COUNT(?s) AS ?c) WHERE { ?s a ?t } GROUP BY ?t "
             "ORDER BY (?c + 1)",
         )
+
+
+def test_select_expressions_over_aggregate_aliases(graph, numeric_graph):
+    # §18.2.4.4: a SELECT expression may use earlier SELECT aliases —
+    # including aggregate aliases, evaluated AFTER the aggregation
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT (SUM(?n) AS ?s) (COUNT(?n) AS ?c) (?s / ?c AS ?mean)
+    WHERE { ?x ex:age ?n }"""
+    row = sparql_select(numeric_graph, q).collect()[0]
+    assert float(row.s) == 30.0 and row.c == 3 and float(row.mean) == 10.0
+    # grouped: expression over an aggregate alias, per group
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT ?t (COUNT(?s) AS ?c) (?c * 2 + 1 AS ?odd)
+    WHERE { ?s a ?t } GROUP BY ?t"""
+    rows = sparql_select(graph, q2).collect()
+    assert [(r.t, r.c, float(r.odd)) for r in rows] == [(EX + "Person", 2, 5.0)]
+    # expression over a GROUP KEY's term (string fn needs the key's
+    # term columns, kept through the aggregation)
+    q3 = """PREFIX ex: <http://ex.org/>
+    SELECT ?t (UCASE(STR(?t)) AS ?up) (COUNT(?s) AS ?c)
+    WHERE { ?s a ?t } GROUP BY ?t"""
+    r3 = sparql_select(graph, q3).collect()[0]
+    assert r3.up == (EX + "Person").upper()
+    # chaining: a later expression uses an earlier expression alias
+    q4 = """PREFIX ex: <http://ex.org/>
+    SELECT (COUNT(?s) AS ?c) (?c + 1 AS ?c1) (?c1 * 10 AS ?c10)
+    WHERE { ?s a ?t }"""
+    r4 = sparql_select(graph, q4).collect()[0]
+    assert float(r4.c10) == 30.0
+    # ORDER BY a computed alias still works (it is a projected column)
+    q5 = """PREFIX ex: <http://ex.org/>
+    SELECT ?n (COUNT(?s) AS ?c) (0 - ?n AS ?negn)
+    WHERE { ?s ex:age ?n } GROUP BY ?n ORDER BY ?negn LIMIT 2"""
+    assert [r.n for r in sparql_select(numeric_graph, q5).collect()] == ["11", "10"]
+
+
+def test_select_expression_group_key_still_binds_pre_agg(numeric_graph):
+    # an expression that IS the group key must bind before aggregation
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?sn (COUNT(?s) AS ?c) WHERE { ?s ex:age ?n }
+    GROUP BY ?sn"""
+    # ?sn never bound → error (sanity: GROUP BY checks still fire)
+    with pytest.raises(SparqlError):
+        sparql_select(numeric_graph, q)
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT (STR(?n) AS ?sn) (COUNT(?s) AS ?c) WHERE { ?s ex:age ?n }
+    GROUP BY ?sn ORDER BY ?sn"""
+    rows = sparql_select(numeric_graph, q2).collect()
+    # value-aware ordering: numeric-parsing strings sort by VALUE
+    assert [(r.sn, r.c) for r in rows] == [("9", 1), ("10", 1), ("11", 1)]
+
+
+def test_select_expression_post_agg_guards(graph, numeric_graph):
+    # referencing a WHERE variable that is neither group key nor alias
+    with pytest.raises(SparqlError):
+        sparql_select(
+            numeric_graph,
+            "PREFIX ex: <http://ex.org/> SELECT (COUNT(?s) AS ?c) "
+            "(?n + 1 AS ?bad) WHERE { ?s ex:age ?n }",
+        )
+    # alias collision with an aggregate alias
+    with pytest.raises(SparqlError):
+        sparql_select(
+            graph,
+            "SELECT (COUNT(?s) AS ?c) (?c + 1 AS ?c) WHERE { ?s a ?t }",
+        )
+    # subqueries reject post-aggregation expressions explicitly
+    with pytest.raises(SparqlError):
+        sparql_select(
+            graph,
+            "SELECT ?t WHERE { { SELECT ?t (COUNT(?s) AS ?c) (?c+1 AS ?d) "
+            "WHERE { ?s a ?t } GROUP BY ?t } }",
+        )
