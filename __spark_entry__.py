@@ -248,6 +248,23 @@ def q_sparql_selectexpr_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tpch_sparql_selectexpr(spark, sf_dir)
 
 
+def q_sparql_having_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw aggregate calls in HAVING and ORDER BY (r4): hoisted into
+    internal aliased items computed by the same groupBy."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_having
+
+    return run_tpch_sparql_having(spark, sf_dir)
+
+
+def q_sparql_aggexpr_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over an expression (r4): SUM(?k * 2 + 1) per nation —
+    the TPC-H Q1 shape; the argument evaluates as a hidden
+    pre-aggregation BIND."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_aggexpr
+
+    return run_tpch_sparql_aggexpr(spark, sf_dir)
+
+
 def q_triple_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed triple-level P/R (r4): the north rule's own
     acceptance metric ("matching the reference's emitted (subj, pred,
@@ -567,6 +584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_aggdistinct_kg": q_sparql_aggdistinct_kg,
         "sparql_orderexpr_kg": q_sparql_orderexpr_kg,
         "sparql_selectexpr_kg": q_sparql_selectexpr_kg,
+        "sparql_having_kg": q_sparql_having_kg,
+        "sparql_aggexpr_kg": q_sparql_aggexpr_kg,
         "triple_prf": q_triple_prf,
         "sparql_describe_kg": q_sparql_describe_kg,
         "sparql_subquery_kg": q_sparql_subquery_kg,
@@ -629,6 +648,8 @@ def oracle_sql() -> dict[str, str]:
         TPCH_SPARQL_AGGDISTINCT_ORACLE_SQL,
         TPCH_SPARQL_ORDEREXPR_ORACLE_SQL,
         TPCH_SPARQL_SELECTEXPR_ORACLE_SQL,
+        TPCH_SPARQL_HAVING_ORACLE_SQL,
+        TPCH_SPARQL_AGGEXPR_ORACLE_SQL,
         TPCH_SPARQL_UNION_ORACLE_SQL,
         TPCH_SPARQL_OPTFILTER_ORACLE_SQL,
         TPCH_SPARQL_GROUPCONCAT_ORACLE_SQL,
@@ -681,6 +702,8 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "sparql_aggdistinct_kg": TPCH_SPARQL_AGGDISTINCT_ORACLE_SQL,
         "sparql_orderexpr_kg": TPCH_SPARQL_ORDEREXPR_ORACLE_SQL,
         "sparql_selectexpr_kg": TPCH_SPARQL_SELECTEXPR_ORACLE_SQL,
+        "sparql_having_kg": TPCH_SPARQL_HAVING_ORACLE_SQL,
+        "sparql_aggexpr_kg": TPCH_SPARQL_AGGEXPR_ORACLE_SQL,
         # the intersect computes |got ∩ expected| independently of how
         # the driver query perturbed the got side (set semantics,
         # NULL-equal — same as Spark INTERSECT)

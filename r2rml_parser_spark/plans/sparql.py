@@ -115,7 +115,9 @@ over xsd:date/xsd:dateTime literals (fields of the ISO lexical form,
 no timezone conversion; non-date arguments are type errors) (arguments must be simple/lang/xsd:string literals
 or STR(); all nestable) and numeric ``STRLEN`` (pins the numeric
 branch, composes with arithmetic), FILTER
-regex(?v, "pattern"), the boolean tests ``[!]bound(?v)`` / ``isIRI``
+regex(?v, "pattern" [, "flags"]) (XPath flags s m i x folded as Java
+embedded groups, q as \\Q literal quoting; REPLACE takes the same
+optional flags argument, r4), the boolean tests ``[!]bound(?v)`` / ``isIRI``
 / ``isURI`` / ``isLiteral`` / ``isBlank`` / ``isNumeric``
 (numeric-typed literal with a valid lexical form) (``!bound`` is SPARQL's
 standard left-join negation idiom; ``!isIRI(?v)`` on an unbound ?v is
@@ -233,9 +235,15 @@ projected aliases/group keys; an expression evaluation ERROR sorts
 with the unbound rows) (value-aware: rows
 parsing as numbers order by VALUE before non-numeric rows, the rest
 by codepoint; DESC is the exact reverse), and LIMIT/OFFSET in
-either order, and HAVING (expr) over projected aliases/group keys
-(compiled as a post-aggregation filter on the naturally-typed output
-columns; composes with !/&&/||).
+either order, and HAVING (expr) over projected aliases/group keys OR
+(r4) raw aggregate calls — ``HAVING (SUM(?x) > 10 && COUNT(?s) >= 3)``
+— hoisted into internal aliased items computed by the same groupBy
+(identical calls share one item; HAVING without GROUP BY filters the
+single implicit group); raw aggregate calls likewise compose inside
+SELECT expressions (``(SUM(?x)/COUNT(?x) AS ?mean)``) and ORDER BY
+conditions (``ORDER BY DESC(COUNT(?s))``), all compiled as a
+post-aggregation filter/extension on the naturally-typed output
+columns; composes with !/&&/||.
 
 FILTER comparison semantics: =/!= compare the TERM (lexical form,
 kind, lang tag, datatype IRI) unless an operand is a bare number or
@@ -356,6 +364,20 @@ class StrOf:
     name: str
 
 
+def _fold_regex_flags(pat: str, flags: str) -> str:
+    """XPath F&O regex flags → a self-contained Java pattern: s/m/i/x
+    become an embedded flag group (Spark's rlike/regexp_replace run
+    Java regex, which honors them), q wraps the pattern in \\Q..\\E
+    (every metacharacter literal). Unknown flags are errors per spec."""
+    bad = sorted(set(flags) - set("smixq"))
+    if bad:
+        raise SparqlError(f"unsupported regex flag(s) {bad} (XPath allows s m i x q)")
+    if "q" in flags:
+        pat = "\\Q" + pat + "\\E"
+    emb = "".join(c for c in "smix" if c in flags)
+    return f"(?{emb})" + pat if emb else pat
+
+
 def _is_internal(v: str) -> bool:
     """Fresh variables minted by property-path expansion: joinable like
     any other but projected away from SELECT * / UNION outputs."""
@@ -474,6 +496,14 @@ class _Parser:
         self.i = 0
         self.prefixes = dict(prefixes or {})
         self._path_n = 0  # fresh-variable counter for property paths
+        # when not None, _operand accepts raw aggregate calls and
+        # hoists them here as internal aliased items (SELECT/HAVING/
+        # ORDER BY expression contexts of a SELECT query)
+        self._agg_hoist: list | None = None
+        # (expr, internal var) pre-aggregation BINDs minted for
+        # aggregate-over-expression arguments (SUM(?a * ?b)) and
+        # GROUP BY (expr AS ?v) sugar — merged into parsed.binds
+        self._agg_prebinds: list[tuple] = []
 
     def _peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else ("eof", None)
@@ -754,10 +784,11 @@ class _Parser:
             return "*"
         return None
 
-    def _agg_item(self) -> tuple:
-        """``( FUNC([DISTINCT] ?v|*) AS ?alias )`` → ("agg", func,
-        distinct, var|None, alias)."""
-        self._next()  # (
+    def _agg_call(self) -> tuple:
+        """``FUNC([DISTINCT] ?v|*) [; SEPARATOR="s"]`` through its
+        closing ')' → (func, distinct, var|None, sep). Shared by
+        aliased SELECT items and (r4) raw aggregate calls hoisted out
+        of HAVING/SELECT/ORDER BY expressions."""
         k, fn = self._next()
         func = str(fn).upper()
         if k != "kw" or func not in _AGG_FUNCS:
@@ -783,10 +814,23 @@ class _Parser:
             self._next()
             var = None
         else:
-            k2, v2 = self._next()
-            if k2 != "var":
-                raise SparqlError(f"{func} takes a ?variable" + (" or *" if func == "COUNT" else ""))
-            var = str(v2)
+            # (r4) aggregate over an EXPRESSION — SUM(?price * ?qty):
+            # the argument evaluates per solution as a hidden
+            # pre-aggregation BIND (full BIND semantics: an evaluation
+            # error leaves the derived term unbound, which the
+            # aggregate then skips, matching SPARQL's error-skip) and
+            # the aggregate runs over the derived terms
+            saved = self._agg_hoist
+            self._agg_hoist = None  # aggregates cannot nest
+            try:
+                arg = self._bind_expr()
+            finally:
+                self._agg_hoist = saved
+            if isinstance(arg, Var):
+                var = arg.name
+            else:
+                var = f"__aggx{len(self._agg_prebinds)}"
+                self._agg_prebinds.append((arg, var))
         sep = " "
         if self._peek() == ("punct", ";"):
             if func != "GROUP_CONCAT":
@@ -803,6 +847,13 @@ class _Parser:
             sep = litv[0]
         if self._next() != ("punct", ")"):
             raise SparqlError(f"{func} needs ')'")
+        return func, distinct, var, sep
+
+    def _agg_item(self) -> tuple:
+        """``( FUNC([DISTINCT] ?v|*) AS ?alias )`` → ("agg", func,
+        distinct, var|None, alias, sep)."""
+        self._next()  # (
+        func, distinct, var, sep = self._agg_call()
         if not self._kw_is("AS"):
             raise SparqlError("aggregates must be aliased: (AGG(?v) AS ?alias)")
         self._next()
@@ -812,6 +863,19 @@ class _Parser:
         if self._next() != ("punct", ")"):
             raise SparqlError("aggregate item needs a closing ')'")
         return ("agg", func, distinct, var, str(alias), sep)
+
+    def _hoist_agg(self, func, distinct, var, sep) -> "Var":
+        """(r4) A raw aggregate call inside a HAVING/SELECT/ORDER BY
+        expression becomes an INTERNAL aliased aggregate item
+        (``__aggN``) computed by the same groupBy, and the expression
+        references the alias — identical calls share one item."""
+        assert self._agg_hoist is not None
+        for it in self._agg_hoist:
+            if (it[1], it[2], it[3], it[5]) == (func, distinct, var, sep):
+                return Var(it[4])
+        alias = f"__agg{len(self._agg_hoist)}"
+        self._agg_hoist.append(("agg", func, distinct, var, alias, sep))
+        return Var(alias)
 
     def parse(self):
         # PREFIX decls
@@ -835,6 +899,9 @@ class _Parser:
         template: list[tuple] = []
         describe: list = []
         select_binds: list[tuple[object, str]] = []
+        # raw aggregate calls hoisted out of SELECT/HAVING/ORDER BY
+        # expressions (r4): internal ("agg", ..., "__aggN", ...) items
+        hidden_aggs: list[tuple] = []
         if form == "DESCRIBE":
             items = None
             while True:
@@ -909,13 +976,29 @@ class _Parser:
                         items.append(("var", str(self._next()[1])))
                     elif self._peek() == ("punct", "("):
                         nk, nv = self._peek2()
+                        agg_item_parsed = False
                         if nk == "kw" and str(nv).upper() in _AGG_FUNCS:
-                            items.append(self._agg_item())
-                        else:
+                            # `(AGG(...) AS ?a)` is an aggregate ITEM;
+                            # `(AGG(...) / ... AS ?a)` is an expression
+                            # STARTING with an aggregate — try the item
+                            # form first and backtrack on mismatch (r4)
+                            mark = self.i
+                            try:
+                                items.append(self._agg_item())
+                                agg_item_parsed = True
+                            except SparqlError:
+                                self.i = mark
+                        if not agg_item_parsed:
                             # (expr AS ?alias) projection — sugar for a
-                            # trailing BIND (SPARQL 1.1 §18.2.4.4)
+                            # trailing BIND (SPARQL 1.1 §18.2.4.4);
+                            # raw aggregate calls inside it hoist to
+                            # internal aliased items (r4)
                             self._next()  # (
-                            expr = self._bind_expr()
+                            self._agg_hoist = hidden_aggs
+                            try:
+                                expr = self._bind_expr()
+                            finally:
+                                self._agg_hoist = None
                             if not self._kw_is("AS"):
                                 raise SparqlError(
                                     "projection expressions need AS: (expr AS ?alias)"
@@ -1138,21 +1221,57 @@ class _Parser:
             k, kw2 = self._next()
             if k != "kw" or str(kw2).upper() != "BY":
                 raise SparqlError("expected BY after GROUP")
-            while self._peek()[0] == "var":
-                group_by.append(str(self._next()[1]))
+            while True:
+                if self._peek()[0] == "var":
+                    group_by.append(str(self._next()[1]))
+                elif self._peek() == ("punct", "("):
+                    # (r4) GROUP BY (expr AS ?v): the expression binds
+                    # pre-aggregation (hidden BIND) and ?v is the key
+                    self._next()
+                    saved_hoist = self._agg_hoist
+                    self._agg_hoist = None  # no aggregates in a key
+                    try:
+                        gexpr = self._bind_expr()
+                    finally:
+                        self._agg_hoist = saved_hoist
+                    if not self._kw_is("AS"):
+                        raise SparqlError(
+                            "GROUP BY expressions need a name: (expr AS ?var)"
+                        )
+                    self._next()
+                    kg_, vg_ = self._next()
+                    if kg_ != "var":
+                        raise SparqlError("AS takes a ?variable")
+                    if self._next() != ("punct", ")"):
+                        raise SparqlError("GROUP BY expression needs ')'")
+                    self._agg_prebinds.append((gexpr, str(vg_)))
+                    group_by.append(str(vg_))
+                else:
+                    break
             if not group_by:
                 raise SparqlError("GROUP BY needs at least one ?variable")
         having = None
         if self._kw_is("HAVING"):
             self._next()
-            if not group_by:
-                raise SparqlError("HAVING requires GROUP BY")
+            has_agg_sel = bool(items) and any(it[0] == "agg" for it in items)
+            if not group_by and not has_agg_sel:
+                # HAVING over the single implicit group is legal when
+                # the condition itself aggregates — checked after parse
+                pass
             if self._peek() != ("punct", "("):
                 raise SparqlError("HAVING needs a '(expr)'")
             self._next()
-            having = self._bool_expr()
+            # (r4) raw aggregate calls are legal in HAVING —
+            # HAVING (SUM(?x) > 10) — hoisted like SELECT expressions
+            self._agg_hoist = hidden_aggs if form == "SELECT" else None
+            try:
+                having = self._bool_expr()
+            finally:
+                self._agg_hoist = None
             if self._next() != ("punct", ")"):
                 raise SparqlError("HAVING needs ')'")
+            if not group_by and not has_agg_sel and not hidden_aggs:
+                raise SparqlError("HAVING requires GROUP BY or aggregates")
         order: list[tuple] = []
         if self._kw_is("ORDER"):
             self._next()
@@ -1164,8 +1283,13 @@ class _Parser:
                 """OrderCondition inner: any BIND value expression
                 ((r4) the OrderCondition grammar admits expressions);
                 a bare ?var normalizes to its name string (the fast,
-                key-only path)."""
-                node = self._bind_expr()
+                key-only path). Raw aggregate calls hoist in SELECT
+                queries (ORDER BY DESC(COUNT(?x)))."""
+                self._agg_hoist = hidden_aggs if form == "SELECT" else None
+                try:
+                    node = self._bind_expr()
+                finally:
+                    self._agg_hoist = None
                 return node.name if isinstance(node, Var) else node
 
             while True:
@@ -1184,15 +1308,22 @@ class _Parser:
                     order.append((cond, desc))
                 elif (kind == "punct" and val == "(") or (
                     kind == "kw"
-                    and str(val).lower()
-                    in self._VALUE_FUNCS
-                    + self._NUM_FUNCS
-                    + ("str", "lang", "datatype", "concat", "iri", "uri",
-                       "coalesce", "if", "strlang", "strdt")
+                    and (
+                        str(val).lower()
+                        in self._VALUE_FUNCS
+                        + self._NUM_FUNCS
+                        + ("str", "lang", "datatype", "concat", "iri", "uri",
+                           "coalesce", "if", "strlang", "strdt")
+                        or (form == "SELECT" and str(val).upper() in _AGG_FUNCS)
+                    )
                     and self._peek2() == ("punct", "(")
                 ):
                     # bare BrackettedExpression / Constraint condition
-                    cond = self._bind_expr()
+                    self._agg_hoist = hidden_aggs if form == "SELECT" else None
+                    try:
+                        cond = self._bind_expr()
+                    finally:
+                        self._agg_hoist = None
                     order.append(
                         (cond.name if isinstance(cond, Var) else cond, False)
                     )
@@ -1254,11 +1385,21 @@ class _Parser:
         # SELECT expression use earlier SELECT aliases — i.e. aggregate
         # aliases), so they route to a post-aggregation channel — except
         # an expression that IS a group key, which must bind pre-agg.
+        # hidden pre-aggregation BINDs (aggregate-over-expression args,
+        # GROUP BY expression keys) evaluate on the WHERE relation like
+        # any BIND; they are exempt from the textual-order check above,
+        # like SELECT expressions (they follow the whole WHERE clause)
+        binds.extend(self._agg_prebinds)
         post_binds: list[tuple[object, str]] = []
         has_agg_items = bool(items) and any(it[0] == "agg" for it in items)
-        if has_agg_items or group_by:
+        hidden_names = {it[4] for it in hidden_aggs}
+        if has_agg_items or group_by or hidden_aggs:
             for expr, name in select_binds:
-                (binds if name in group_by else post_binds).append((expr, name))
+                uses_agg = bool(_expr_vars(expr) & hidden_names)
+                if name in group_by and not uses_agg:
+                    binds.append((expr, name))
+                else:
+                    post_binds.append((expr, name))
         else:
             binds.extend(select_binds)
         return SimpleNamespace(
@@ -1268,7 +1409,7 @@ class _Parser:
             minus_blocks=minus_blocks, subselects=subselects, binds=binds,
             group_by=group_by, having=having, order=order, limit=limit,
             offset=offset, template=template, describe=describe,
-            no_where=False, post_binds=post_binds,
+            no_where=False, post_binds=post_binds, hidden_aggs=hidden_aggs,
         )
 
     def _subselect(self) -> SimpleNamespace:
@@ -1290,6 +1431,8 @@ class _Parser:
         sub.i = 0
         sub.prefixes = dict(self.prefixes)
         sub._path_n = 0
+        sub._agg_hoist = None
+        sub._agg_prebinds = []
         parsed = sub.parse()
         if parsed.form != "SELECT":
             raise SparqlError("only SELECT subqueries are supported")
@@ -1659,6 +1802,15 @@ class _Parser:
     def _operand(self):
         kind, val = self._peek()
         if (
+            self._agg_hoist is not None
+            and kind == "kw"
+            and str(val).upper() in _AGG_FUNCS
+            and self._peek2() == ("punct", "(")
+        ):
+            # (r4) raw aggregate call in a HAVING/SELECT/ORDER BY
+            # expression — hoisted to an internal aliased item
+            return self._hoist_agg(*self._agg_call())
+        if (
             kind == "kw"
             and str(val).lower() in self._NUM_FUNCS
             and self._peek2() == ("punct", "(")
@@ -1733,6 +1885,17 @@ class _Parser:
                 if k2 != "lit":
                     raise SparqlError(f"replace() {what} must be a string literal")
                 pats.append(litv[0])
+            if self._peek() == ("op", ","):
+                # (r4) optional XPath flags argument, folded into the
+                # pattern (and under "q" the replacement is literal —
+                # its $ and \\ lose their special meaning)
+                self._next()
+                k3, fl = self._next()
+                if k3 != "lit":
+                    raise SparqlError("replace() flags must be a string literal")
+                pats[0] = _fold_regex_flags(pats[0], fl[0])
+                if "q" in fl[0]:
+                    pats[1] = pats[1].replace("\\", "\\\\").replace("$", "\\$")
             if self._next() != ("punct", ")"):
                 raise SparqlError("replace() needs ')'")
             return ("sfn_replace", arg, pats[0], pats[1])
@@ -1787,7 +1950,10 @@ class _Parser:
         return ("sfunc", fn, arg, lit[0])
 
     def _regex_call(self) -> tuple:
-        """``regex(?v, "pat")`` — the regex keyword has been consumed."""
+        """``regex(?v, "pat" [, "flags"])`` — keyword consumed. Flags
+        per XPath F&O: s m i x (folded into the pattern as Java
+        embedded flag groups, which Spark's rlike understands) and q
+        (literal quoting via \\Q..\\E)."""
         if self._next() != ("punct", "("):
             raise SparqlError("regex needs '('")
         var = self._operand()
@@ -1798,9 +1964,16 @@ class _Parser:
         k2, lit = self._next()
         if k2 != "lit":
             raise SparqlError("regex pattern must be a string literal")
+        pat = lit[0]
+        if self._peek() == ("op", ","):
+            self._next()
+            k3, fl = self._next()
+            if k3 != "lit":
+                raise SparqlError("regex flags must be a string literal")
+            pat = _fold_regex_flags(pat, fl[0])
         if self._next() != ("punct", ")"):
             raise SparqlError("regex needs ')'")
-        return ("regex", var, lit[0])
+        return ("regex", var, pat)
 
     def _langmatches_call(self) -> tuple:
         """``langMatches(lang(?v), "range")`` — keyword consumed.
@@ -4061,11 +4234,14 @@ def _compile(triples: DataFrame, parsed: SimpleNamespace) -> DataFrame:
     limit, offset = parsed.limit, parsed.offset
     df, bound, _nullable = _compile_where(triples, parsed)
     has_aggs = items is not None and any(it[0] == "agg" for it in items)
-    if has_aggs or group_by:
+    hidden_aggs = getattr(parsed, "hidden_aggs", [])
+    order_done = False
+    if has_aggs or group_by or hidden_aggs:
         if items is None:
             raise SparqlError("SELECT * cannot be combined with GROUP BY/aggregates")
         post_binds = getattr(parsed, "post_binds", [])
-        if post_binds:
+        order_exprs = order and any(not isinstance(c, str) for c, _ in order)
+        if post_binds or hidden_aggs or order_exprs:
             # (r4) §18.2.4.4: a SELECT expression in an aggregate query
             # evaluates AFTER aggregation and may use group keys,
             # aggregate aliases, and earlier expression aliases —
@@ -4079,7 +4255,7 @@ def _compile(triples: DataFrame, parsed: SimpleNamespace) -> DataFrame:
             post_names = {n for _, n in post_binds}
             agg_items = [
                 it for it in items if not (it[0] == "var" and it[1] in post_names)
-            ]
+            ] + list(hidden_aggs)
             out, proj = _aggregate(df, agg_items, group_by, bound, keep_term_keys=True)
             if parsed.having is not None:
                 out = out.where(_compile_having(parsed.having, proj))
@@ -4119,6 +4295,32 @@ def _compile(triples: DataFrame, parsed: SimpleNamespace) -> DataFrame:
                 )
                 pbound.add(name)
             proj = [it[1] if it[0] == "var" else it[4] for it in items]
+            if order:
+                # (r4) ORDER BY here may use expressions over the
+                # aggregated relation — including hoisted raw
+                # aggregates (ORDER BY DESC(COUNT(?x))) — applied
+                # BEFORE the final projection so hidden aliases and
+                # shadow columns are still in scope; under DISTINCT
+                # the dedup would destroy the sort, so expression
+                # conditions are rejected there (bare projected
+                # variables defer to the post-dedup sort below)
+                exprs_used = [c for c, _ in order if not isinstance(c, str)]
+                if distinct and exprs_used:
+                    raise SparqlError(
+                        "ORDER BY with SELECT DISTINCT may only reference "
+                        "projected variables"
+                    )
+                if not distinct:
+                    refs = _order_refs(order)
+                    bad = sorted(v for v in refs if v not in pbound)
+                    if bad:
+                        raise SparqlError(
+                            "ORDER BY in an aggregate query may only use "
+                            f"group keys, aggregate aliases, and expression "
+                            f"aliases: {bad}"
+                        )
+                    out = _apply_order(out, order, pbound, "ORDER BY")
+                    order_done = True
             out = out.select(*proj)
         else:
             out, proj = _aggregate(df, items, group_by, bound)
@@ -4162,14 +4364,15 @@ def _compile(triples: DataFrame, parsed: SimpleNamespace) -> DataFrame:
                     )
             df = _apply_order(df, order, bound, "ORDER BY")
         out = df.select(*proj)
-    if distinct and (has_aggs or group_by):
+    if distinct and (has_aggs or group_by or hidden_aggs):
         out = out.dropDuplicates()
-    if order and (has_aggs or group_by):
+    if order and (has_aggs or group_by or hidden_aggs) and not order_done:
         exprs_used = [c for c, _ in order if not isinstance(c, str)]
         if exprs_used:
             raise SparqlError(
-                "ORDER BY expressions are not supported with GROUP BY/"
-                "aggregates — ORDER BY a projected alias or group key"
+                "ORDER BY expressions over an aggregate query require the "
+                "extended path (use an aggregate inside the expression or "
+                "ORDER BY a projected alias/group key)"
             )
         missing_order = [v for v, _ in order if v not in proj]
         if missing_order:

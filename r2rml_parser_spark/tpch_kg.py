@@ -1088,3 +1088,62 @@ FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
 GROUP BY n.n_name
 ORDER BY nation_name
 """
+
+# Raw aggregate calls in HAVING and ORDER BY (r4): no alias needed —
+# each call hoists into an internal aliased item computed by the same
+# groupBy (identical calls share one item), so HAVING is a plain
+# post-aggregation filter and ORDER BY sorts on the hidden column.
+TPCH_SPARQL_HAVING_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?nation_name (COUNT(?c) AS ?n) WHERE {
+  ?c ex:custkey ?k .
+  ?c ex:inNation ?nat .
+  ?nat ex:name ?nation_name .
+} GROUP BY ?nation_name
+HAVING (SUM(?k) > 400 && COUNT(?c) >= 3)
+ORDER BY DESC(COUNT(?c)) ?nation_name
+"""
+
+
+def run_tpch_sparql_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_HAVING_QUERY)
+
+
+TPCH_SPARQL_HAVING_ORACLE_SQL = f"""
+SELECT n.n_name AS nation_name, CAST(COUNT(*) AS BIGINT) AS n
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+HAVING SUM(c.c_custkey) > 400 AND COUNT(*) >= 3
+ORDER BY COUNT(*) DESC, nation_name
+"""
+
+# Aggregates over expressions (r4): SUM(?k * 2 + 1) — the TPC-H Q1
+# shape (SUM(l_extendedprice * (1 - l_discount))). The argument
+# evaluates per solution as a hidden pre-aggregation BIND and the SUM
+# folds the derived terms; GROUP BY a plain key, ordered.
+TPCH_SPARQL_AGGEXPR_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?nation_name (SUM(?k * 2 + 1) AS ?rev) (COUNT(*) AS ?n) WHERE {
+  ?c ex:custkey ?k .
+  ?c ex:inNation ?nat .
+  ?nat ex:name ?nation_name .
+} GROUP BY ?nation_name ORDER BY ?nation_name
+"""
+
+
+def run_tpch_sparql_aggexpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_AGGEXPR_QUERY)
+
+
+TPCH_SPARQL_AGGEXPR_ORACLE_SQL = f"""
+SELECT n.n_name AS nation_name,
+       CAST(SUM(2 * c.c_custkey + 1) AS DECIMAL(38,12)) AS rev,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+ORDER BY nation_name
+"""

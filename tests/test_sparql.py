@@ -562,8 +562,11 @@ def test_aggregate_errors(graph):
         sparql_select(graph, "SELECT * WHERE { ?s a ?t } GROUP BY ?t")
     with pytest.raises(SparqlError):  # unaliased aggregate
         sparql_select(graph, "SELECT (COUNT(?t)) WHERE { ?s a ?t }")
-    with pytest.raises(SparqlError):  # HAVING without GROUP BY
-        sparql_select(graph, "SELECT (COUNT(?s) AS ?n) WHERE { ?s a ?t } HAVING (?n > 1)")
+    # HAVING without GROUP BY filters the single implicit group (r4)
+    qh = "SELECT (COUNT(?s) AS ?n) WHERE { ?s a ?t } HAVING (?n > 1)"
+    assert [r.n for r in sparql_select(graph, qh).collect()] == [2]
+    qh2 = "SELECT (COUNT(?s) AS ?n) WHERE { ?s a ?t } HAVING (?n > 5)"
+    assert sparql_select(graph, qh2).count() == 0
     with pytest.raises(SparqlError):  # alias collides with a bound var
         sparql_select(graph, "SELECT (COUNT(?t) AS ?s) WHERE { ?s a ?t }")
 
@@ -2645,12 +2648,19 @@ def test_order_by_expression_guards(graph, numeric_graph):
     # never-bound variable still rejected
     with pytest.raises(SparqlError):
         sparql_select(graph, "SELECT ?s WHERE { ?s ?p ?o } ORDER BY STRLEN(?zzz)")
-    # aggregates: expression conditions rejected, aliases fine
+    # aggregates: expression conditions over aliases ride the
+    # extended path (r4)
+    q2 = (
+        "SELECT ?t (COUNT(?s) AS ?c) WHERE { ?s a ?t } GROUP BY ?t "
+        "ORDER BY (0 - ?c)"
+    )
+    assert [r.c for r in sparql_select(graph, q2).collect()] == [2]
+    # ...but an out-of-scope variable in the condition is rejected
     with pytest.raises(SparqlError):
         sparql_select(
             graph,
-            "SELECT ?t (COUNT(?s) AS ?c) WHERE { ?s a ?t } GROUP BY ?t "
-            "ORDER BY (?c + 1)",
+            "SELECT ?t (COUNT(?s) AS ?c) WHERE { ?s a ?t . ?s ?p ?o } "
+            "GROUP BY ?t ORDER BY (STRLEN(?o))",
         )
 
 
@@ -2725,3 +2735,91 @@ def test_select_expression_post_agg_guards(graph, numeric_graph):
             "SELECT ?t WHERE { { SELECT ?t (COUNT(?s) AS ?c) (?c+1 AS ?d) "
             "WHERE { ?s a ?t } GROUP BY ?t } }",
         )
+
+
+def test_raw_aggregates_in_having_select_order(graph, numeric_graph):
+    # HAVING with a raw aggregate call (no alias needed) — §18.5
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?n WHERE { ?s ex:age ?n } GROUP BY ?n HAVING (COUNT(?s) >= 1)"""
+    assert sparql_select(numeric_graph, q).count() == 3
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT ?n WHERE { ?s ex:age ?n } GROUP BY ?n HAVING (SUM(?n) > 10)"""
+    assert [r.n for r in sparql_select(numeric_graph, q2).collect()] == ["11"]
+    # raw aggregate INSIDE a SELECT expression: (SUM/COUNT AS mean)
+    q3 = """PREFIX ex: <http://ex.org/>
+    SELECT (SUM(?n) / COUNT(?n) AS ?mean) WHERE { ?s ex:age ?n }"""
+    assert float(sparql_select(numeric_graph, q3).collect()[0].mean) == 10.0
+    # identical calls share one hoisted item; mixing with an explicit
+    # alias works too
+    q4 = """PREFIX ex: <http://ex.org/>
+    SELECT (COUNT(?s) AS ?c) (COUNT(?s) + 1 AS ?c1)
+    WHERE { ?s ex:age ?n }"""
+    r4 = sparql_select(numeric_graph, q4).collect()[0]
+    assert r4.c == 3 and float(r4.c1) == 4.0
+    # ORDER BY a raw aggregate call
+    q5 = """PREFIX ex: <http://ex.org/>
+    SELECT ?t WHERE { ?s ?p ?t . FILTER isIRI(?t) } GROUP BY ?t
+    ORDER BY DESC(COUNT(?s)) ?t LIMIT 2"""
+    rows = sparql_select(graph, q5).collect()
+    assert len(rows) == 2
+    # global-group HAVING with a raw aggregate
+    q6 = """PREFIX ex: <http://ex.org/>
+    SELECT (MIN(?n) AS ?lo) WHERE { ?s ex:age ?n } HAVING (COUNT(?s) > 99)"""
+    assert sparql_select(numeric_graph, q6).count() == 0
+
+
+def test_aggregate_over_expressions(numeric_graph, graph):
+    # SUM over an arithmetic expression — the TPC-H Q1 shape
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT (SUM(?n * 2) AS ?tot) WHERE { ?s ex:age ?n }"""
+    assert float(sparql_select(numeric_graph, q).collect()[0].tot) == 60.0
+    # COUNT over an expression skips rows where it errors (non-numeric)
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT (COUNT(?o + 1) AS ?n) WHERE { ?s ex:score ?o }"""
+    # scores: "9", "11", "lots", one IRI → 2 castable
+    assert sparql_select(numeric_graph, q2).collect()[0].n == 2
+    # MIN over a string expression
+    q3 = """PREFIX ex: <http://ex.org/>
+    SELECT (MIN(UCASE(?nm)) AS ?lo) WHERE { ?p ex:name ?nm }"""
+    assert sparql_select(graph, q3).collect()[0].lo == "ADA"
+    # HAVING over an aggregate of an expression
+    q4 = """PREFIX ex: <http://ex.org/>
+    SELECT ?n WHERE { ?s ex:age ?n } GROUP BY ?n HAVING (SUM(?n * 2) > 20)"""
+    assert [r.n for r in sparql_select(numeric_graph, q4).collect()] == ["11"]
+
+
+def test_group_by_expression_key(numeric_graph):
+    # GROUP BY (expr AS ?v): the key binds pre-aggregation
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?len (COUNT(?s) AS ?c) WHERE { ?s ex:age ?n }
+    GROUP BY (STRLEN(STR(?n)) AS ?len) ORDER BY ?len"""
+    rows = sparql_select(numeric_graph, q).collect()
+    # ages "9" (len 1), "10" and "11" (len 2)
+    assert [(r.len, r.c) for r in rows] == [("1", 1), ("2", 2)]
+    # the key is projectable and usable in later expressions
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT ?parity (SUM(?n) AS ?tot) WHERE { ?s ex:age ?n }
+    GROUP BY (FLOOR(?n / 2) * 2 - ?n + 1 AS ?parity) ORDER BY ?parity"""
+    rows2 = sparql_select(numeric_graph, q2).collect()
+    # 9, 11 odd (parity 0); 10 even (parity 1)
+    assert [(r.parity, float(r.tot)) for r in rows2] == [("0", 20.0), ("1", 10.0)]
+
+
+def test_regex_and_replace_flags(graph):
+    # case-insensitive flag
+    q = 'PREFIX ex: <http://ex.org/> SELECT ?n WHERE { ?p ex:name ?n . FILTER regex(?n, "^ada$", "i") }'
+    assert [r.n for r in sparql_select(graph, q).collect()] == ["Ada"]
+    # no flags: case-sensitive, no match
+    q2 = 'PREFIX ex: <http://ex.org/> SELECT ?n WHERE { ?p ex:name ?n . FILTER regex(?n, "^ada$") }'
+    assert sparql_select(graph, q2).count() == 0
+    # q flag: metacharacters literal (the dot must not match "Ada")
+    q3 = 'PREFIX ex: <http://ex.org/> SELECT ?n WHERE { ?p ex:name ?n . FILTER regex(?n, "A.a", "q") }'
+    assert sparql_select(graph, q3).count() == 0
+    # REPLACE with the i flag, lang tag preserved
+    q4 = """PREFIX ex: <http://ex.org/>
+    SELECT ?r WHERE { ?p ex:name ?n . FILTER (lang(?n) = "en")
+      BIND (REPLACE(?n, "grace", "Hopper", "i") AS ?r) }"""
+    assert [r.r for r in sparql_select(graph, q4).collect()] == ["Hopper"]
+    # unknown flag is an error
+    with pytest.raises(SparqlError):
+        sparql_select(graph, 'SELECT ?n WHERE { ?p ?q ?n . FILTER regex(?n, "x", "z") }')
