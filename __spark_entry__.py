@@ -265,6 +265,33 @@ def q_sparql_aggexpr_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tpch_sparql_aggexpr(spark, sf_dir)
 
 
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (r4): deterministic PII-ish tokens are seeded
+    into every 5th document, then redacted with per-kind counts —
+    one codegen projection, no shuffle; the DuckDB oracle replays the
+    seeding and the engine-portable regex set exactly."""
+    from r2rml_parser_spark.operators.scrub import scrub_pii
+
+    docs = _docs(spark, sf_dir)
+    seeded = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id"),
+                F.lit("@example.org or +1-555-0142 at 10.0."),
+                F.col("doc_id") % 200,
+                F.lit(".7"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return scrub_pii(seeded).select(
+        "doc_id", "text", "n_email", "n_phone", "n_ipv4"
+    )
+
+
 def q_triple_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed triple-level P/R (r4): the north rule's own
     acceptance metric ("matching the reference's emitted (subj, pred,
@@ -586,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_selectexpr_kg": q_sparql_selectexpr_kg,
         "sparql_having_kg": q_sparql_having_kg,
         "sparql_aggexpr_kg": q_sparql_aggexpr_kg,
+        "scrub_pii": q_scrub_pii,
         "triple_prf": q_triple_prf,
         "sparql_describe_kg": q_sparql_describe_kg,
         "sparql_subquery_kg": q_sparql_subquery_kg,
@@ -704,6 +732,32 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "sparql_selectexpr_kg": TPCH_SPARQL_SELECTEXPR_ORACLE_SQL,
         "sparql_having_kg": TPCH_SPARQL_HAVING_ORACLE_SQL,
         "sparql_aggexpr_kg": TPCH_SPARQL_AGGEXPR_ORACLE_SQL,
+        "scrub_pii": r"""
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' contact user' || doc_id
+                   || '@example.org or +1-555-0142 at 10.0.'
+                   || (doc_id % 200) || '.7'
+              ELSE text END AS text
+  FROM documents
+), s1 AS (
+  SELECT doc_id, text,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM seeded
+), s2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(t1, '\+\d{1,2}-\d{3}-\d{4}')) AS BIGINT) AS n_phone,
+         regexp_replace(t1, '\+\d{1,2}-\d{3}-\d{4}', '<PHONE>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id,
+       regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text,
+       n_email, n_phone,
+       CAST(len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4
+FROM s2
+""",
         # the intersect computes |got ∩ expected| independently of how
         # the driver query perturbed the got side (set semantics,
         # NULL-equal — same as Spark INTERSECT)

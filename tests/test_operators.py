@@ -802,3 +802,31 @@ def test_triple_prf_bnode_chain_and_automorphic_collapse(spark):
     ])
     r2 = triple_prf(got2, exp2).collect()[0]
     assert r2.precision == 1.0 and r2.recall == 1.0
+
+
+def test_scrub_pii(spark):
+    from r2rml_parser_spark.operators.scrub import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and x.y-z@ex.ample.org end", "s"),
+            (2, "call +1-555-0100 or +44-123-4567 now", "s"),
+            (3, "host 10.0.0.1 and 192.168.255.7 up", "s"),
+            (4, "mixed a@b.co +1-555-0100 1.2.3.4", "s"),
+            (5, "clean text no pii", "s"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    out = {r.doc_id: r for r in scrub_pii(docs).collect()}
+    assert out[1].text == "mail <EMAIL> and <EMAIL> end"
+    assert (out[1].n_email, out[1].n_phone, out[1].n_ipv4) == (2, 0, 0)
+    assert out[2].text == "call <PHONE> or <PHONE> now"
+    assert out[2].n_phone == 2
+    assert out[3].text == "host <IP> and <IP> up"
+    assert out[3].n_ipv4 == 2
+    assert out[4].text == "mixed <EMAIL> <PHONE> <IP>"
+    assert (out[4].n_email, out[4].n_phone, out[4].n_ipv4) == (1, 1, 1)
+    assert out[5].text == "clean text no pii"
+    assert (out[5].n_email, out[5].n_phone, out[5].n_ipv4) == (0, 0, 0)
+    # passthrough columns survive
+    assert out[1].source == "s"
