@@ -610,3 +610,123 @@ def test_parenthesized_arith_differential(spark, ast):
         (EX + f"s{i}", str(eval_arith(ast, v))) for i, v in enumerate(ages)
     }
     assert got == want, f"query {q!r} diverged"
+
+
+@pytest.mark.skipif(not HAVE_HYP, reason="hypothesis not installed")
+@settings(max_examples=10, deadline=None)
+@given(graph=graph_st, patterns=query_st)
+def test_aggregate_differential(spark, graph, patterns):
+    """GROUP BY + COUNT/SUM/COUNT DISTINCT vs a direct §18.5
+    evaluation over the naive solution multiset: group by the FULL
+    term of ?a, COUNT counts bound ?b, SUM folds decimal-castable
+    literal lexicals (error-skip), COUNT(DISTINCT) dedups full terms."""
+    from decimal import Decimal, InvalidOperation
+
+    for pat in patterns:
+        for mode, v in pat:
+            if mode == "const" and v[1] == "bnode":
+                return
+    vars_ = used_vars(patterns)
+    if "a" not in vars_ or "b" not in vars_:
+        return
+    rows = [
+        (s[0], s[1], p, o[0], o[1], o[2] or None, o[3] or None)
+        for s, p, o in graph
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    parts = []
+    for s, p, o in patterns:
+        def fmt(term):
+            mode, v = term
+            return f"?{v}" if mode == "var" else term_sparql(v)
+        parts.append(f"{fmt(s)} {fmt(p)} {fmt(o)} .")
+    q = (
+        "SELECT ?a (COUNT(?b) AS ?cnt) (SUM(?b) AS ?tot) "
+        "(COUNT(DISTINCT ?b) AS ?nd) "
+        f"WHERE {{ {' '.join(parts)} }} GROUP BY ?a"
+    )
+    got = Counter(
+        (r.a, r.cnt, None if r.tot is None else float(r.tot), r.nd)
+        for r in sparql_select(g, q).collect()
+    )
+    groups: dict[tuple, list] = {}
+    for b in naive_eval(graph, patterns):
+        groups.setdefault(b["a"], []).append(b.get("b"))
+    want: Counter = Counter()
+    for key, bs in groups.items():
+        bound = [t for t in bs if t is not None]
+        tot = None
+        for t in bound:
+            try:
+                v = Decimal(t[0])
+            except InvalidOperation:
+                continue
+            tot = v if tot is None else tot + v
+        want[(
+            key[0],
+            len(bound),
+            None if tot is None else float(tot),
+            len(set(bound)),
+        )] += 1
+    assert got == want, f"query {q!r} diverged"
+
+
+if HAVE_HYP:
+    VALUES_CELLS = [None] + [t for t in OBJECTS if t[1] != "bnode"]
+    values_rows_st = st.lists(
+        st.tuples(st.sampled_from(VALUES_CELLS), st.sampled_from(VALUES_CELLS)),
+        min_size=1,
+        max_size=3,
+    )
+
+
+@pytest.mark.skipif(not HAVE_HYP, reason="hypothesis not installed")
+@settings(max_examples=10, deadline=None)
+@given(graph=graph_st, patterns=query_st, vrows=values_rows_st if HAVE_HYP else st.none())
+def test_values_undef_differential(spark, graph, patterns, vrows):
+    """VALUES (?a ?b) { ... } with UNDEF cells vs direct §18.5 Join
+    compatibility over the naive solution multiset: an UNDEF cell is
+    compatible with anything and the solution keeps its own binding;
+    a bound cell must equal the solution's FULL term."""
+    for pat in patterns:
+        for mode, v in pat:
+            if mode == "const" and v[1] == "bnode":
+                return
+    vars_ = used_vars(patterns)
+    if "a" not in vars_ or "b" not in vars_:
+        return
+    rows = [
+        (s[0], s[1], p, o[0], o[1], o[2] or None, o[3] or None)
+        for s, p, o in graph
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    parts = []
+    for s, p, o in patterns:
+        def fmt(term):
+            mode, v = term
+            return f"?{v}" if mode == "var" else term_sparql(v)
+        parts.append(f"{fmt(s)} {fmt(p)} {fmt(o)} .")
+
+    def cell_sparql(c):
+        return "UNDEF" if c is None else term_sparql(c)
+
+    vblock = " ".join(
+        f"({cell_sparql(ca)} {cell_sparql(cb)})" for ca, cb in vrows
+    )
+    q = (
+        "SELECT ?a ?b WHERE { "
+        + " ".join(parts)
+        + f" VALUES (?a ?b) {{ {vblock} }} }}"
+    )
+    got = Counter((r.a, r.b) for r in sparql_select(g, q).collect())
+    want: Counter = Counter()
+    for b in naive_eval(graph, patterns):
+        for ca, cb in vrows:
+            ok = True
+            for var, cell in (("a", ca), ("b", cb)):
+                if cell is not None and b[var] != cell:
+                    ok = False
+                    break
+            if ok:
+                want[(b["a"][0], b["b"][0])] += 1
+    assert got == want, f"query {q!r} diverged"
