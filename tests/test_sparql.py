@@ -2075,6 +2075,16 @@ MALFORMED = [
     'SELECT ?x WHERE { ?s ?p "unterminated }',
     "SELECT ?x WHERE { ?s ?p ?o } HAVING (?x > 1)",
     "SELECT ?x WHERE { { SELECT } }",
+    # r4 surface: malformed forms of the new syntax still reject cleanly
+    "SELECT ?x WHERE { ?s ?p ?x . VALUES (?a) { (UNDEF UNDEF) } }",
+    "SELECT (SUM(DISTINCT) AS ?s) WHERE { ?s ?p ?o }",
+    "SELECT (SUM(?x) AS ?s) WHERE { ?s ?p ?x } GROUP BY (?x",
+    "SELECT (SUM(?x) AS ?s) WHERE { ?s ?p ?x } GROUP BY (?x + 1)",
+    "SELECT (SUM(?x) + AS ?s) WHERE { ?s ?p ?x }",
+    "SELECT ?x WHERE { ?s ?p ?x } ORDER BY DESC(",
+    "SELECT ?x WHERE { ?s ?p ?x . FILTER regex(?x, 'p', ) }",
+    "SELECT ?x WHERE { ?s ?p ?x . FILTER regex(?x, 'p', 'Z') }",
+    "SELECT ?x WHERE { ?s ?p ?x } HAVING (COUNT(?x) ",
 ]
 
 
