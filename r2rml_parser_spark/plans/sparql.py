@@ -164,8 +164,12 @@ groups at any nesting depth — Filter(EXISTS(P), G) as a semi/anti
 join on the group's solutions, correlated through variables the
 group itself binds; an EXISTS correlating only with outer-bound
 variables, sharing nothing, or joining on nested-OPTIONAL-nullable
-variables is rejected, as is EXISTS nested inside another
-EXISTS group or a BIND expression; r4: FILTER [NOT] EXISTS also
+variables is rejected, as is EXISTS nested inside a BIND
+expression or inside a boolean-expression EXISTS (the ``exists_e``
+flag form); a statement-level FILTER [NOT] EXISTS nested inside
+another EXISTS group compiles recursively (r4) — each level is a
+semi/anti join over its own group's solutions, correlated through
+variables that group binds; r4: FILTER [NOT] EXISTS also
 compiles INSIDE UNION branches and INSIDE MINUS groups —
 Filter(EXISTS(P), G) as a semi/anti join over the branch's/group's own
 solutions before the union/anti-join, correlated through variables
@@ -2191,7 +2195,10 @@ class _Parser:
                 k2, v2 = self._next()
                 if k2 != "kw" or str(v2).upper() != "EXISTS":
                     raise SparqlError("expected EXISTS after NOT in FILTER")
-            return ("exists", positive, self._group()[:2])
+            # (r4) the probe group may itself carry FILTER [NOT]
+            # EXISTS — nested existence tests compile recursively
+            g = self._group(allow_exists=True)
+            return ("exists", positive, (g[0], g[1], g[3]))
         if k == "kw":
             self._next()
             call = self._call_of(str(v))
@@ -2210,6 +2217,66 @@ class _Parser:
         raise SparqlError(
             "unsupported FILTER form (use (expr) or a builtin call)"
         )
+
+
+def _apply_group_exists(
+    triples: DataFrame,
+    gdf: DataFrame,
+    gvars: set[str],
+    gexists: list[tuple],
+    outer_bound: set[str],
+    scope: str,
+    nullable_vars: set[str] | None = None,
+) -> DataFrame:
+    """Filter(EXISTS(P), G): apply ``[NOT] EXISTS`` entries over a
+    group's solution relation as semi/anti joins correlated through
+    variables the group itself binds. Recursive (r4): the probe group
+    may carry its own nested EXISTS filters, compiled the same way
+    over ITS solutions before the outer semi/anti join. An EXISTS
+    correlating only through variables bound outside the group would
+    need SPARQL's substitution semantics — rejected, as is a join
+    variable a nested OPTIONAL may have left unbound."""
+    for positive, payload in gexists:
+        epats, efilters, eexists = payload
+        edf, evars = _join_patterns(triples, epats)
+        edf = _apply_filters(edf, efilters, evars, "this EXISTS group")
+        if eexists:
+            edf = _apply_group_exists(
+                triples, edf, evars, eexists, outer_bound | gvars,
+                "this nested EXISTS group",
+            )
+        eshared = sorted(v for v in evars if v in gvars)
+        if not eshared:
+            raise SparqlError(
+                f"an EXISTS group inside {scope} shares no variable with "
+                "its group (an uncorrelated existence test is not supported)"
+            )
+        outer_corr = sorted(
+            v for v in evars
+            if not _is_internal(v) and v in outer_bound and v not in gvars
+        )
+        if outer_corr:
+            raise SparqlError(
+                f"an EXISTS inside {scope} references variable(s) "
+                f"{outer_corr} bound outside the group — SPARQL's "
+                "substitution semantics for that correlation are not "
+                "expressible as a semi-join on group keys"
+            )
+        if nullable_vars:
+            ebad = sorted(v for v in eshared if v in nullable_vars)
+            if ebad:
+                raise SparqlError(
+                    f"EXISTS join variable(s) {ebad} may be unbound by a "
+                    "nested OPTIONAL — SPARQL's unbound-is-compatible "
+                    "semantics are not expressible as a semi-join"
+                )
+        ekeys = [x for v in eshared for x in _term_key(v)]
+        gdf = gdf.join(
+            edf.select(*ekeys),
+            on=ekeys,
+            how="left_semi" if positive else "left_anti",
+        )
+    return gdf
 
 
 def _pattern_df(triples: DataFrame, s, p, o) -> tuple[DataFrame, list[str]]:
@@ -3695,33 +3762,11 @@ def _compile_where(
             # — the same semi/anti-join compilation as the top level,
             # applied to the BRANCH's solutions (SPARQL evaluates the
             # branch group bottom-up, so correlation is through
-            # variables the branch itself binds)
-            for positive, (epats, efilters) in gexists:
-                edf, evars = _join_patterns(triples, epats)
-                edf = _apply_filters(edf, efilters, evars, "this EXISTS group")
-                eshared = sorted(v for v in evars if v in bvars)
-                if not eshared:
-                    raise SparqlError(
-                        "an EXISTS group inside a UNION branch shares no "
-                        "variable with its branch (an uncorrelated "
-                        "existence test is not supported)"
-                    )
-                outer_corr = sorted(
-                    v for v in evars
-                    if not _is_internal(v) and v in bound and v not in bvars
-                )
-                if outer_corr:
-                    raise SparqlError(
-                        f"an EXISTS inside a UNION branch references "
-                        f"variable(s) {outer_corr} bound outside the branch "
-                        "— not expressible as a semi-join on branch keys"
-                    )
-                ekeys = [x for v in eshared for x in _term_key(v)]
-                bdf = bdf.join(
-                    edf.select(*ekeys),
-                    on=ekeys,
-                    how="left_semi" if positive else "left_anti",
-                )
+            # variables the branch itself binds); recursive for
+            # EXISTS-in-EXISTS
+            bdf = _apply_group_exists(
+                triples, bdf, bvars, gexists, bound, "a UNION branch"
+            )
             # path-expansion internals are branch-local: project them
             # away before the union (bag semantics keep multiplicity)
             compiled.append((bdf, {v for v in bvars if not _is_internal(v)}))
@@ -3918,40 +3963,11 @@ def _compile_where(
         # the group itself binds; an EXISTS pattern referencing an
         # outer-only variable would need SPARQL's substitution
         # semantics, which a semi-join on group keys cannot express.
-        for positive, (epats, efilters) in gexists:
-            edf, evars = _join_patterns(triples, epats)
-            edf = _apply_filters(edf, efilters, evars, "this EXISTS group")
-            eshared = sorted(v for v in evars if v in gvars)
-            if not eshared:
-                raise SparqlError(
-                    "an EXISTS group inside OPTIONAL shares no variable "
-                    "with its group (an uncorrelated existence test is "
-                    "not supported)"
-                )
-            outer_corr = sorted(
-                v for v in evars
-                if not _is_internal(v) and v in outer_vars and v not in gvars
-            )
-            if outer_corr:
-                raise SparqlError(
-                    f"an EXISTS inside OPTIONAL references variable(s) "
-                    f"{outer_corr} bound outside the OPTIONAL group — "
-                    "SPARQL's substitution semantics for that correlation "
-                    "are not expressible as a semi-join on group keys"
-                )
-            ebad = sorted(v for v in eshared if v in g_nullable)
-            if ebad:
-                raise SparqlError(
-                    f"EXISTS join variable(s) {ebad} may be unbound by a "
-                    "nested OPTIONAL — SPARQL's unbound-is-compatible "
-                    "semantics are not expressible as a semi-join"
-                )
-            ekeys = [x for v in eshared for x in _term_key(v)]
-            gdf = gdf.join(
-                edf.select(*ekeys),
-                on=ekeys,
-                how="left_semi" if positive else "left_anti",
-            )
+        # Recursive for EXISTS-in-EXISTS.
+        gdf = _apply_group_exists(
+            triples, gdf, gvars, gexists, outer_vars, "an OPTIONAL group",
+            nullable_vars=g_nullable,
+        )
         return gdf, gvars, g_nullable, deferred
 
     for gpats, gfilters, nested, gexists, gbinds in optionals:
@@ -4063,12 +4079,18 @@ def _compile_where(
     df = _apply_filters(df, filters, bound)
     if flag_n:
         df = df.drop(*[f"__exists_flag{i}" for i in range(1, flag_n + 1)])
-    for positive, (gpats, gfilters) in exists_blocks:
+    for positive, (gpats, gfilters, gexists_inner) in exists_blocks:
         # FILTER [NOT] EXISTS → semi/anti join on the shared term keys:
         # per-row existence test, never multiplies outer rows, and the
         # probe side stays a pruned pattern join Catalyst can broadcast
         gdf, gvars = _join_patterns(triples, gpats)
         gdf = _apply_filters(gdf, gfilters, gvars, "this EXISTS group")
+        if gexists_inner:
+            # (r4) EXISTS nested inside EXISTS: filter the probe
+            # group's own solutions recursively before the outer join
+            gdf = _apply_group_exists(
+                triples, gdf, gvars, gexists_inner, bound, "an EXISTS group"
+            )
         shared = sorted(v for v in gvars if v in bound)
         if not shared:
             raise SparqlError(
@@ -4101,33 +4123,11 @@ def _compile_where(
         # (r4) [NOT] EXISTS inside the MINUS group: Filter(EXISTS(P), G)
         # over the right-side solutions before the anti join —
         # correlation through variables the group itself binds, same
-        # bottom-up scoping as the UNION-branch compilation
-        for positive, (epats, efilters) in gexists:
-            edf, evars = _join_patterns(triples, epats)
-            edf = _apply_filters(edf, efilters, evars, "this EXISTS group")
-            eshared = sorted(v for v in evars if v in gvars)
-            if not eshared:
-                raise SparqlError(
-                    "an EXISTS group inside MINUS shares no variable with "
-                    "its group (an uncorrelated existence test is not "
-                    "supported)"
-                )
-            outer_corr = sorted(
-                v for v in evars
-                if not _is_internal(v) and v in bound and v not in gvars
-            )
-            if outer_corr:
-                raise SparqlError(
-                    f"an EXISTS inside MINUS references variable(s) "
-                    f"{outer_corr} bound outside the group — not "
-                    "expressible as a semi-join on group keys"
-                )
-            ekeys = [x for v in eshared for x in _term_key(v)]
-            gdf = gdf.join(
-                edf.select(*ekeys),
-                on=ekeys,
-                how="left_semi" if positive else "left_anti",
-            )
+        # bottom-up scoping as the UNION-branch compilation; recursive
+        # for EXISTS-in-EXISTS
+        gdf = _apply_group_exists(
+            triples, gdf, gvars, gexists, bound, "a MINUS group"
+        )
         shared = sorted(v for v in gvars if v in bound)
         if not shared:
             continue  # disjoint domains: MINUS is a no-op by spec

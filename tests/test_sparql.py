@@ -2397,7 +2397,7 @@ def test_exists_in_optional_rejections(graph):
             }""",
         )
     # EXISTS referencing a variable bound only OUTSIDE the OPTIONAL
-    with pytest.raises(SparqlError, match="outside the OPTIONAL"):
+    with pytest.raises(SparqlError, match="outside the group"):
         sparql_select(
             graph,
             """PREFIX ex: <http://ex.org/>
@@ -2406,15 +2406,23 @@ def test_exists_in_optional_rejections(graph):
               OPTIONAL { ?p ex:knows ?q . FILTER EXISTS { ?q ex:name ?n } }
             }""",
         )
-    # EXISTS inside UNION branches and MINUS groups compiles since r4;
-    # inside an EXISTS group it stays rejected
+    # EXISTS nested inside an EXISTS group compiles recursively (late
+    # r4): persons with a name row whose subject also knows someone
+    q_nested = """PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE {
+      ?p a ex:Person .
+      FILTER EXISTS { ?p ex:name ?n . FILTER EXISTS { ?p ex:knows ?q } }
+    }"""
+    assert [r.p for r in sparql_select(graph, q_nested).collect()] == [EX + "p1"]
+    # ...but inside a boolean-expression EXISTS it stays rejected
     with pytest.raises(SparqlError, match="nested inside this braced group"):
         sparql_select(
             graph,
             """PREFIX ex: <http://ex.org/>
             SELECT ?p WHERE {
               ?p a ex:Person .
-              FILTER EXISTS { ?p ex:name ?n . FILTER EXISTS { ?p ex:knows ?q } }
+              FILTER (EXISTS { ?p ex:name ?n .
+                               FILTER EXISTS { ?p ex:knows ?q } } || ?p = ?p)
             }""",
         )
 
@@ -2833,3 +2841,45 @@ def test_regex_and_replace_flags(graph):
     # unknown flag is an error
     with pytest.raises(SparqlError):
         sparql_select(graph, 'SELECT ?n WHERE { ?p ?q ?n . FILTER regex(?n, "x", "z") }')
+
+
+def test_exists_nested_in_exists(graph):
+    # people who know someone who has a name: EXISTS { ?p ex:knows ?q
+    # FILTER EXISTS { ?q ex:name ?qn } } — p1 knows p2, p2 has a name
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE { ?p a ex:Person .
+      FILTER EXISTS { ?p ex:knows ?q . FILTER EXISTS { ?q ex:name ?qn } } }"""
+    assert [r.p for r in sparql_select(graph, q).collect()] == [EX + "p1"]
+    # inner NOT EXISTS: knows someone with NO note → p2 has no note
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE { ?p a ex:Person .
+      FILTER EXISTS { ?p ex:knows ?q .
+                      FILTER NOT EXISTS { ?q ex:note ?x } } }"""
+    assert [r.p for r in sparql_select(graph, q2).collect()] == [EX + "p1"]
+    # outer NOT EXISTS over a nested EXISTS probe
+    q3 = """PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE { ?p a ex:Person .
+      FILTER NOT EXISTS { ?p ex:knows ?q .
+                          FILTER EXISTS { ?q ex:name ?qn } } }"""
+    assert [r.p for r in sparql_select(graph, q3).collect()] == [EX + "p2"]
+    # three levels deep still compiles (p2's name exists)
+    q4 = """PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE { ?p a ex:Person .
+      FILTER EXISTS { ?p ex:knows ?q .
+        FILTER EXISTS { ?q a ex:Person .
+          FILTER EXISTS { ?q ex:name ?qn } } } }"""
+    assert [r.p for r in sparql_select(graph, q4).collect()] == [EX + "p1"]
+    # an inner EXISTS correlating only with the OUTER query (skipping
+    # its own group) is rejected, not mis-evaluated
+    q5 = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?n WHERE { ?p a ex:Person . ?p ex:name ?n .
+      FILTER EXISTS { ?p ex:knows ?q .
+                      FILTER EXISTS { ?z ex:note ?n } } }"""
+    with pytest.raises(SparqlError):
+        sparql_select(graph, q5)
+    # an uncorrelated inner EXISTS is rejected
+    q6 = """PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE { ?p a ex:Person .
+      FILTER EXISTS { ?p ex:knows ?q . FILTER EXISTS { ?z ex:name ?w } } }"""
+    with pytest.raises(SparqlError):
+        sparql_select(graph, q6)
