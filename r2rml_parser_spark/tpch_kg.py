@@ -1147,3 +1147,35 @@ FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
 GROUP BY n.n_name
 ORDER BY nation_name
 """
+
+# Nested EXISTS (late r4): nations with a customer that is in the
+# BUILDING segment — the inner EXISTS filters the probe group's own
+# solutions before the outer semi-join (recursive Filter(EXISTS(P),G)).
+TPCH_SPARQL_NESTED_EXISTS_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?n WHERE {
+  ?nat a ex:Nation .
+  ?nat ex:name ?n .
+  FILTER EXISTS { ?c ex:inNation ?nat .
+                  FILTER EXISTS { ?c ex:marketSegment "BUILDING" } }
+}
+"""
+
+
+def run_tpch_sparql_nested_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_NESTED_EXISTS_QUERY)
+
+
+TPCH_SPARQL_NESTED_EXISTS_ORACLE_SQL = f"""
+SELECT n.n_name AS n
+FROM nation n
+WHERE EXISTS (
+  SELECT 1 FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+    AND EXISTS (SELECT 1 FROM customer c2
+                WHERE c2.c_custkey = c.c_custkey
+                  AND c2.c_mktsegment = 'BUILDING')
+)
+"""
