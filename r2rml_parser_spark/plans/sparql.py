@@ -204,7 +204,11 @@ the outer query as typed xsd:integer/xsd:decimal derived literals in
 their natural numeric Spark types (numeric ORDER BY/comparisons), MIN/MAX/SAMPLE/GROUP_CONCAT aliases
 carry unknown term components — term-sensitive tests on them are
 type errors; an alias colliding with an outer variable is rejected;
-subquery DISTINCT dedups by full term) — ASK { ... } via
+subquery DISTINCT dedups by full term; (r4) §18.2.4.4 SELECT
+expressions over aggregate aliases and raw-aggregate HAVING/hidden
+aliases run INSIDE subqueries through the same post-aggregation
+channel as the main query, the expression alias reaching the outer
+query as a naturally-typed derived value) — ASK { ... } via
 ``sparql_ask`` (compiles like SELECT *, returns a bool; probes one
 partition first via ``isEmpty``) — DESCRIBE <iri>/?v via
 ``sparql_describe`` (concise bounded description: outgoing triples
@@ -4164,13 +4168,21 @@ def _compile_subselect(
     comparisons and ORDER BY are numeric; MIN/MAX/SAMPLE/GROUP_CONCAT aliases
     expose only a lexical value with NULL (unknown) term components —
     term-sensitive tests on them are type errors, the documented
-    conservative behavior. Subquery DISTINCT dedups by full term."""
-    if getattr(sub, "post_binds", []):
-        raise SparqlError(
-            "SELECT expressions over aggregate aliases are not supported "
-            "inside { SELECT } subqueries — compute the expression in the "
-            "outer query from the projected aliases"
-        )
+    conservative behavior. Subquery DISTINCT dedups by full term.
+
+    (r4) §18.2.4.4 SELECT expressions over aggregates run INSIDE the
+    subquery too — ``{ SELECT (SUM(?x)/COUNT(?x) AS ?mean) ... }`` —
+    through the same post-aggregation channel as the main query: the
+    aggregation computes the constituent aggregates (plus any hidden
+    raw aggregates hoisted out of HAVING/ORDER BY), the expression
+    evaluates on the grouped relation, and its alias carries REAL
+    per-row term shadows (kind/lang/dtype from the expression
+    evaluator). The alias still joins like an aggregate alias —
+    derived, never an outer join key — because the computed lexical
+    form need not byte-match a triple-borne lexical of the same value."""
+    post_binds = list(getattr(sub, "post_binds", []))
+    hidden_aggs = list(getattr(sub, "hidden_aggs", []))
+    post_names = {n for _, n in post_binds}
     df, bound, sub_nullable = _compile_where(triples, sub)
     items = sub.items
     if items is None:
@@ -4179,12 +4191,77 @@ def _compile_subselect(
         out = df.select(*[c for v in plain for c in _term_key(v)])
         proj = plain
     else:
-        plain = [it[1] for it in items if it[0] == "var"]
+        plain = [it[1] for it in items if it[0] == "var" and it[1] not in post_names]
         aliases = [it for it in items if it[0] == "agg"]
-        if aliases or sub.group_by:
-            out, proj = _aggregate(df, items, sub.group_by, bound, keep_term_keys=True)
+        if aliases or sub.group_by or post_binds or hidden_aggs:
+            agg_items = [
+                it for it in items if not (it[0] == "var" and it[1] in post_names)
+            ] + hidden_aggs
+            out, aproj = _aggregate(
+                df, agg_items, sub.group_by, bound, keep_term_keys=True
+            )
             if sub.having is not None:
-                out = out.where(_compile_having(sub.having, proj))
+                out = out.where(_compile_having(sub.having, aproj))
+            # shadow-mint every aggregate alias (projected AND hidden)
+            # BEFORE the expression pass — post-binds read aliases
+            # through their shadow columns like any BIND input
+            aliases = [it for it in agg_items if it[0] == "agg"]
+            nil = F.lit(None).cast("string")
+            for _, func, _d, _v, alias, _sep in aliases:
+                # numeric aliases KEEP their natural Spark types
+                # (long/decimal), exactly like main-query aggregate
+                # projections — so outer ORDER BY and comparisons are
+                # numeric, not lexical ("9" must sort above "13"
+                # descending)
+                dt = _SUB_NUMERIC_DTYPE.get(func)
+                k, l, d = _shadow_cols(alias)
+                out = (
+                    out.withColumn(k, F.lit("literal") if dt else nil)
+                    .withColumn(l, F.lit("") if dt else nil)
+                    .withColumn(d, F.lit(_XSD + dt) if dt else nil)
+                )
+            pbound = set(sub.group_by) | {it[4] for it in aliases}
+            for expr, name in post_binds:
+                if name in pbound:
+                    raise SparqlError(
+                        f"SELECT expression alias ?{name} collides with a "
+                        "group key, aggregate alias, or earlier expression"
+                    )
+                refs = {v for v in _expr_vars(expr) if not _is_internal(v)}
+                bad = sorted(refs - pbound)
+                if bad:
+                    raise SparqlError(
+                        f"SELECT expression for ?{name} references {bad} — "
+                        "after aggregation an expression may only use group "
+                        "keys, aggregate aliases, and earlier expression "
+                        "aliases (SPARQL 1.1 §18.2.4.4)"
+                    )
+                # the value keeps its natural Spark type (a decimal mean
+                # stays decimal) so subquery ORDER BY and outer
+                # comparisons are numeric, matching aggregate aliases
+                v, kk, lg, dt_ = _eval_bind_expr(expr, pbound, "SELECT expression")
+                sk, sl, sd = _shadow_cols(name)
+                out = (
+                    out.withColumn(name, v)
+                    .withColumn(sk, kk)
+                    .withColumn(sl, lg)
+                    .withColumn(sd, dt_)
+                )
+                pbound.add(name)
+            # narrow to the PROJECTED surface: hidden hoisted aggregates
+            # (and their shadows) must not leak into the outer relation
+            # where they could collide with the outer query's own
+            # hidden aliases
+            sel: list[str] = []
+            for it in items:
+                if it[0] == "var" and it[1] not in post_names:
+                    sel.extend(_term_key(it[1]))
+                else:
+                    name = it[1] if it[0] == "var" else it[4]
+                    sel.append(name)
+                    sel.extend(_shadow_cols(name))
+            out = out.select(*sel)
+            proj = [it[1] if it[0] == "var" else it[4] for it in items]
         else:
             missing = [v for v in plain if v not in bound]
             if missing:
@@ -4208,21 +4285,11 @@ def _compile_subselect(
         out = out.offset(sub.offset)
     if sub.limit is not None:
         out = out.limit(sub.limit)
-    alias_names: set[str] = set()
-    for _, func, _d, _v, alias, _sep in aliases:
-        alias_names.add(alias)
-        # numeric aliases KEEP their natural Spark types (long/decimal),
-        # exactly like main-query aggregate projections — so outer
-        # ORDER BY and comparisons are numeric, not lexical ("9" must
-        # sort above "13" descending)
-        dt = _SUB_NUMERIC_DTYPE.get(func)
-        k, l, d = _shadow_cols(alias)
-        nil = F.lit(None).cast("string")
-        out = (
-            out.withColumn(k, F.lit("literal") if dt else nil)
-            .withColumn(l, F.lit("") if dt else nil)
-            .withColumn(d, F.lit(_XSD + dt) if dt else nil)
-        )
+    alias_names: set[str] = (
+        set()
+        if items is None
+        else {it[4] for it in items if it[0] == "agg"} | post_names
+    )
     return out, set(plain), alias_names, {v for v in plain if v in sub_nullable}
 
 

@@ -1083,6 +1083,108 @@ def test_subquery_nullable_projection_compatible_join(spark):
     assert got2 == {(EX + "p2", "Grace")}
 
 
+@pytest.fixture(scope="module")
+def city_graph(spark):
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    rows = []
+    for name, city, age in [
+        ("a", "X", 10), ("b", "X", 20), ("c", "Y", 30), ("d", "Y", 50), ("e", "Y", 40),
+    ]:
+        p = EX + name
+        rows.append((p, "iri", EX + "city", EX + city, "iri", None, None))
+        rows.append(
+            (p, "iri", EX + "age", str(age), "literal", None, XSD + "integer")
+        )
+    return spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+
+
+def test_subquery_post_aggregation_select_expression(city_graph):
+    # (r4) §18.2.4.4 SELECT expressions over aggregate aliases run
+    # INSIDE { SELECT } subqueries: group keys + constituent aggregates
+    # compute first, the expression extends the grouped relation
+    q = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?c ?mean WHERE {
+      { SELECT ?c (SUM(?a) / COUNT(?a) AS ?mean)
+        WHERE { ?p ex:city ?c . ?p ex:age ?a } GROUP BY ?c }
+    }
+    """
+    got = sorted((r.c, float(r.mean)) for r in sparql_select(city_graph, q).collect())
+    assert got == [(EX + "X", 15.0), (EX + "Y", 40.0)]
+
+
+def test_subquery_post_bind_joins_outer_on_group_key(city_graph):
+    # the subquery's group key joins the outer pattern; the expression
+    # alias rides along as a derived value
+    q = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?p ?tot2 WHERE {
+      ?p ex:city ?c .
+      { SELECT ?c (SUM(?a) * 2 AS ?tot2)
+        WHERE { ?p2 ex:city ?c . ?p2 ex:age ?a } GROUP BY ?c }
+    } ORDER BY ?p
+    """
+    got = [
+        (r.p[-1], float(r.tot2)) for r in sparql_select(city_graph, q).collect()
+    ]
+    assert got == [("a", 60.0), ("b", 60.0), ("c", 240.0), ("d", 240.0), ("e", 240.0)]
+
+
+def test_subquery_order_by_post_bind_alias_is_numeric(city_graph):
+    # ORDER BY a post-bind alias inside the subquery sorts by VALUE
+    # (the alias keeps its natural decimal type), so LIMIT picks the
+    # numerically-largest group
+    q = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?c ?m WHERE {
+      { SELECT ?c (SUM(?a) / COUNT(?a) AS ?m)
+        WHERE { ?p ex:city ?c . ?p ex:age ?a }
+        GROUP BY ?c ORDER BY DESC(?m) LIMIT 1 }
+    }
+    """
+    got = [(r.c, float(r.m)) for r in sparql_select(city_graph, q).collect()]
+    assert got == [(EX + "Y", 40.0)]
+
+
+def test_subquery_hidden_raw_aggregate_in_having(city_graph):
+    # a raw aggregate in the subquery's HAVING hoists to a hidden
+    # alias, computes with the aggregation, and is narrowed away
+    # before the outer join
+    q = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?c WHERE {
+      { SELECT ?c WHERE { ?p ex:city ?c . ?p ex:age ?a }
+        GROUP BY ?c HAVING (SUM(?a) > 50) }
+    }
+    """
+    assert [r.c for r in sparql_select(city_graph, q).collect()] == [EX + "Y"]
+
+
+def test_subquery_post_bind_rejections(city_graph):
+    # expression referencing a non-group, non-alias variable
+    q = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?c WHERE {
+      { SELECT ?c (?a + 1 AS ?bad)
+        WHERE { ?p ex:city ?c . ?p ex:age ?a } GROUP BY ?c }
+    }
+    """
+    with pytest.raises(SparqlError, match="group"):
+        sparql_select(city_graph, q)
+    # post-bind alias colliding with an outer variable: still a
+    # derived alias, never an outer join key
+    q2 = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?m WHERE {
+      ?p ex:age ?m .
+      { SELECT ?c (SUM(?a) + 0 AS ?m)
+        WHERE { ?p2 ex:city ?c . ?p2 ex:age ?a } GROUP BY ?c }
+    }
+    """
+    with pytest.raises(SparqlError, match="collide"):
+        sparql_select(city_graph, q2)
+
+
 def test_sameterm(numeric_graph, spark):
     # sameTerm is TERM identity: "10"^^xsd:integer is sameTerm 10 but
     # NOT sameTerm 10.0 — while numeric '=' treats them as equal
@@ -2746,13 +2848,15 @@ def test_select_expression_post_agg_guards(graph, numeric_graph):
             graph,
             "SELECT (COUNT(?s) AS ?c) (?c + 1 AS ?c) WHERE { ?s a ?t }",
         )
-    # subqueries reject post-aggregation expressions explicitly
-    with pytest.raises(SparqlError):
-        sparql_select(
-            graph,
-            "SELECT ?t WHERE { { SELECT ?t (COUNT(?s) AS ?c) (?c+1 AS ?d) "
-            "WHERE { ?s a ?t } GROUP BY ?t } }",
-        )
+    # (r4) subqueries now COMPILE post-aggregation expressions through
+    # the same channel as the main query; ?d rides out as a derived value
+    df = sparql_select(
+        graph,
+        "SELECT ?t ?d WHERE { { SELECT ?t (COUNT(?s) AS ?c) (?c+1 AS ?d) "
+        "WHERE { ?s a ?t } GROUP BY ?t } }",
+    )
+    for r in df.collect():
+        assert int(r.d) >= 2  # every class here has >=1 instance
 
 
 def test_raw_aggregates_in_having_select_order(graph, numeric_graph):
