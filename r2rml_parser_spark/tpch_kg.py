@@ -1179,3 +1179,39 @@ WHERE EXISTS (
                   AND c2.c_mktsegment = 'BUILDING')
 )
 """
+
+# Post-aggregation SELECT expression INSIDE a subquery (late r4,
+# §18.2.4.4): the subquery computes its constituent aggregates, the
+# expression extends the grouped relation, HAVING filters before the
+# extension, and the group key joins the outer pattern while the
+# derived alias rides along (exact integer-valued expression so the
+# canonical lexical form byte-matches the oracle's VARCHAR cast).
+TPCH_SPARQL_SUBQ_POSTAGG_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?nation_name ?adj ?n WHERE {
+  { SELECT ?nat (SUM(?k) * 2 - COUNT(?k) AS ?adj) (COUNT(?k) AS ?n)
+    WHERE { ?c ex:inNation ?nat . ?c ex:custkey ?k } GROUP BY ?nat
+    HAVING (COUNT(?k) >= 2) }
+  ?nat ex:name ?nation_name .
+} ORDER BY DESC(?adj) ?nation_name LIMIT 12
+"""
+
+
+def run_tpch_sparql_subq_postagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_SUBQ_POSTAGG_QUERY)
+
+
+TPCH_SPARQL_SUBQ_POSTAGG_ORACLE_SQL = """
+WITH agg AS (
+  SELECT c.c_nationkey AS nk,
+         CAST(SUM(c.c_custkey) * 2 - COUNT(*) AS VARCHAR) AS adj,
+         SUM(c.c_custkey) * 2 - COUNT(*) AS adj_num,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer c GROUP BY c.c_nationkey HAVING COUNT(*) >= 2
+)
+SELECT n.n_name AS nation_name, agg.adj, agg.n
+FROM agg JOIN nation n ON n.n_nationkey = agg.nk
+ORDER BY agg.adj_num DESC, nation_name LIMIT 12
+"""
