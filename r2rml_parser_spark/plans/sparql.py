@@ -1801,10 +1801,10 @@ class _Parser:
     _VALUE_FUNCS = (
         "ucase", "lcase", "strlen", "substr", "replace",
         "strbefore", "strafter", "encode_for_uri",
-        "md5", "sha1", "sha256",
-        "year", "month", "day", "hours", "minutes", "seconds",
+        "md5", "sha1", "sha256", "sha384", "sha512",
+        "year", "month", "day", "hours", "minutes", "seconds", "tz",
     )
-    _DT_FUNCS = ("year", "month", "day", "hours", "minutes", "seconds")
+    _DT_FUNCS = ("year", "month", "day", "hours", "minutes", "seconds", "tz")
     _NUM_FUNCS = ("abs", "round", "ceil", "floor")
 
     def _operand(self):
@@ -1847,7 +1847,10 @@ class _Parser:
                     f"{fn}() takes a ?var, STR(?var), string literal, or "
                     "nested string function"
                 )
-            if fn in ("ucase", "lcase", "encode_for_uri", "md5", "sha1", "sha256"):
+            if fn in (
+                "ucase", "lcase", "encode_for_uri",
+                "md5", "sha1", "sha256", "sha384", "sha512",
+            ):
                 if self._next() != ("punct", ")"):
                     raise SparqlError(f"{fn}() needs ')'")
                 return ("sfn", fn, arg)
@@ -2911,11 +2914,13 @@ def _is_arith(node) -> bool:
 def _is_numeric_node(node) -> bool:
     """Nodes whose value is intrinsically numeric: arithmetic chains,
     STRLEN, datetime accessors, and ABS/ROUND/CEIL/FLOOR — they pin
-    the numeric comparison branch like a numeric constant does."""
+    the numeric comparison branch like a numeric constant does.
+    TZ() is the one dtfn returning a STRING (timezone lexical)."""
     return _is_arith(node) or (
         isinstance(node, tuple)
         and bool(node)
         and node[0] in ("sfn_len", "dtfn", "numfn")
+        and not (node[0] == "dtfn" and node[1] == "tz")
     )
 
 
@@ -3005,7 +3010,7 @@ def _term_parts(term, bound: set[str], scope: str = "the query"):
                 from r2rml_parser_spark.functions.encoding import iri_safe_encode
 
                 return iri_safe_encode(ok), F.lit("literal"), F.lit(""), F.lit("")
-            if fn in ("md5", "sha1", "sha256"):
+            if fn in ("md5", "sha1", "sha256", "sha384", "sha512"):
                 # SPARQL 1.1 hash functions (the reference's own MD5
                 # lives in UtilImpl.md5 — here it is the same JVM
                 # digest, as a lowercase-hex simple literal)
@@ -3013,6 +3018,8 @@ def _term_parts(term, bound: set[str], scope: str = "the query"):
                     "md5": F.md5(ok),
                     "sha1": F.sha1(ok),
                     "sha256": F.sha2(ok, 256),
+                    "sha384": F.sha2(ok, 384),
+                    "sha512": F.sha2(ok, 512),
                 }[fn]
                 return hashed, F.lit("literal"), F.lit(""), F.lit("")
             out = F.upper(ok) if fn == "ucase" else F.lower(ok)
@@ -3057,6 +3064,12 @@ def _term_parts(term, bound: set[str], scope: str = "the query"):
                 ),
                 v,
             )
+            if fn == "tz":
+                # TZ(): the timezone lexical as a SIMPLE literal —
+                # "" when the literal carries none (§17.4.5.8); a
+                # non-date(Time) argument is a type error (NULL)
+                val = F.regexp_extract(ok, r"([+-]\d{2}:\d{2}|Z)$", 1)
+                return val, F.lit("literal"), F.lit(""), F.lit("")
             # fields straight off the ISO 8601 lexical form — no
             # timezone conversion (per spec these are accessors on the
             # literal's own value, not on an instant)

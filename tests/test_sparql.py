@@ -2249,6 +2249,40 @@ def test_hash_functions(graph):
     ]
 
 
+def test_sha384_sha512(graph):
+    import hashlib
+
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?h3 ?h5 WHERE { ?p ex:name ?n . FILTER (?n = "Ada")
+      BIND(SHA384(?n) AS ?h3) BIND(SHA512(?n) AS ?h5) }"""
+    got = [(r.h3, r.h5) for r in sparql_select(graph, q).collect()]
+    assert got == [
+        (hashlib.sha384(b"Ada").hexdigest(), hashlib.sha512(b"Ada").hexdigest())
+    ]
+
+
+def test_tz_accessor(spark):
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    rows = [
+        (EX + "e1", "iri", EX + "at", "2024-03-07T09:15:30Z", "literal", None, XSD + "dateTime"),
+        (EX + "e2", "iri", EX + "at", "2024-03-07T09:15:30-05:00", "literal", None, XSD + "dateTime"),
+        # no timezone → TZ is the SIMPLE empty literal, not an error
+        (EX + "e3", "iri", EX + "at", "2024-03-07T09:15:30", "literal", None, XSD + "dateTime"),
+        # untyped string argument: type error → ?z stays UNBOUND (row kept)
+        (EX + "e4", "iri", EX + "at", "2024-03-07T09:15:30Z", "literal", None, None),
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?e ?z WHERE { ?e ex:at ?t . BIND(TZ(?t) AS ?z) } ORDER BY ?e"""
+    got = [(r.e, r.z) for r in sparql_select(g, q).collect()]
+    assert got == [
+        (EX + "e1", "Z"), (EX + "e2", "-05:00"), (EX + "e3", ""), (EX + "e4", None),
+    ]
+    # equality on the TZ result filters like any simple literal
+    q2 = 'PREFIX ex: <http://ex.org/> SELECT ?e WHERE { ?e ex:at ?t . FILTER (TZ(?t) = "Z") }'
+    assert {r.e for r in sparql_select(g, q2).collect()} == {EX + "e1"}
+
+
 def test_datetime_accessors(spark):
     XSD = "http://www.w3.org/2001/XMLSchema#"
     rows = [
