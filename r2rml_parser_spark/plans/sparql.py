@@ -1802,9 +1802,13 @@ class _Parser:
         "ucase", "lcase", "strlen", "substr", "replace",
         "strbefore", "strafter", "encode_for_uri",
         "md5", "sha1", "sha256", "sha384", "sha512",
-        "year", "month", "day", "hours", "minutes", "seconds", "tz",
+        "year", "month", "day", "hours", "minutes", "seconds",
+        "tz", "timezone",
     )
-    _DT_FUNCS = ("year", "month", "day", "hours", "minutes", "seconds", "tz")
+    _DT_FUNCS = (
+        "year", "month", "day", "hours", "minutes", "seconds",
+        "tz", "timezone",
+    )
     _NUM_FUNCS = ("abs", "round", "ceil", "floor")
 
     def _operand(self):
@@ -2915,12 +2919,13 @@ def _is_numeric_node(node) -> bool:
     """Nodes whose value is intrinsically numeric: arithmetic chains,
     STRLEN, datetime accessors, and ABS/ROUND/CEIL/FLOOR — they pin
     the numeric comparison branch like a numeric constant does.
-    TZ() is the one dtfn returning a STRING (timezone lexical)."""
+    TZ()/TIMEZONE() are the dtfns returning NON-numeric literals
+    (timezone lexical / xsd:dayTimeDuration)."""
     return _is_arith(node) or (
         isinstance(node, tuple)
         and bool(node)
         and node[0] in ("sfn_len", "dtfn", "numfn")
-        and not (node[0] == "dtfn" and node[1] == "tz")
+        and not (node[0] == "dtfn" and node[1] in ("tz", "timezone"))
     )
 
 
@@ -3070,6 +3075,35 @@ def _term_parts(term, bound: set[str], scope: str = "the query"):
                 # non-date(Time) argument is a type error (NULL)
                 val = F.regexp_extract(ok, r"([+-]\d{2}:\d{2}|Z)$", 1)
                 return val, F.lit("literal"), F.lit(""), F.lit("")
+            if fn == "timezone":
+                # TIMEZONE(): the offset as a canonical
+                # xsd:dayTimeDuration (§17.4.5.7) — "Z"/±00:00 → PT0S,
+                # -05:30 → -PT5H30M; NO timezone is a type error (the
+                # spec raises where TZ returns "")
+                tzs = F.regexp_extract(ok, r"([+-]\d{2}:\d{2}|Z)$", 1)
+                h = F.substring(tzs, 2, 2).try_cast("int")
+                m = F.substring(tzs, 5, 2).try_cast("int")
+                body = F.concat(
+                    F.when(F.substring(tzs, 1, 1) == "-", F.lit("-")).otherwise(
+                        F.lit("")
+                    ),
+                    F.lit("PT"),
+                    F.when(h > 0, F.concat(h.cast("string"), F.lit("H"))).otherwise(
+                        F.lit("")
+                    ),
+                    F.when(m > 0, F.concat(m.cast("string"), F.lit("M"))).otherwise(
+                        F.lit("")
+                    ),
+                )
+                val = (
+                    F.when(tzs == "Z", F.lit("PT0S"))
+                    .when((h == 0) & (m == 0), F.lit("PT0S"))
+                    .when(tzs != "", body)
+                )
+                return (
+                    val, F.lit("literal"), F.lit(""),
+                    F.lit(_XSD + "dayTimeDuration"),
+                )
             # fields straight off the ISO 8601 lexical form — no
             # timezone conversion (per spec these are accessors on the
             # literal's own value, not on an instant)

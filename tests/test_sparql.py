@@ -2283,6 +2283,31 @@ def test_tz_accessor(spark):
     assert {r.e for r in sparql_select(g, q2).collect()} == {EX + "e1"}
 
 
+def test_timezone_accessor(spark):
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    rows = [
+        (EX + "e1", "iri", EX + "at", "2024-03-07T09:15:30Z", "literal", None, XSD + "dateTime"),
+        (EX + "e2", "iri", EX + "at", "2024-03-07T09:15:30-05:30", "literal", None, XSD + "dateTime"),
+        (EX + "e3", "iri", EX + "at", "2024-03-07T09:15:30+02:00", "literal", None, XSD + "dateTime"),
+        (EX + "e4", "iri", EX + "at", "2024-03-07T09:15:30+00:00", "literal", None, XSD + "dateTime"),
+        # NO timezone: TIMEZONE is a type error (§17.4.5.7 raises where
+        # TZ returns "") → ?d stays unbound
+        (EX + "e5", "iri", EX + "at", "2024-03-07T09:15:30", "literal", None, XSD + "dateTime"),
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?e ?d WHERE { ?e ex:at ?t . BIND(TIMEZONE(?t) AS ?d) } ORDER BY ?e"""
+    got = [(r.e, r.d) for r in sparql_select(g, q).collect()]
+    assert got == [
+        (EX + "e1", "PT0S"), (EX + "e2", "-PT5H30M"), (EX + "e3", "PT2H"),
+        (EX + "e4", "PT0S"), (EX + "e5", None),
+    ]
+    # typed-literal equality on the duration result
+    q2 = """PREFIX ex: <http://ex.org/> PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+    SELECT ?e WHERE { ?e ex:at ?t . FILTER (TIMEZONE(?t) = "PT0S"^^xsd:dayTimeDuration) }"""
+    assert {r.e for r in sparql_select(g, q2).collect()} == {EX + "e1", EX + "e4"}
+
+
 def test_datetime_accessors(spark):
     XSD = "http://www.w3.org/2001/XMLSchema#"
     rows = [
