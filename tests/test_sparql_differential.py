@@ -730,3 +730,61 @@ def test_values_undef_differential(spark, graph, patterns, vrows):
             if ok:
                 want[(b["a"][0], b["b"][0])] += 1
     assert got == want, f"query {q!r} diverged"
+
+
+@pytest.mark.skipif(not HAVE_HYP, reason="hypothesis not installed")
+@settings(max_examples=10, deadline=None)
+@given(graph=graph_st, patterns=query_st)
+def test_subquery_postagg_differential(spark, graph, patterns):
+    """(late r4) §18.2.4.4 post-aggregation SELECT expression INSIDE a
+    { SELECT } subquery vs direct evaluation over the naive solution
+    multiset: group by the FULL term of ?a, the expression
+    SUM(?b) * 2 - COUNT(?b) extends each group (SUM folds
+    decimal-castable literal lexicals with error-skip, matching the
+    engine's documented aggregate semantics), and the derived alias
+    plus the aggregate alias project through the outer query."""
+    from decimal import Decimal, InvalidOperation
+
+    for pat in patterns:
+        for mode, v in pat:
+            if mode == "const" and v[1] == "bnode":
+                return
+    vars_ = used_vars(patterns)
+    if "a" not in vars_ or "b" not in vars_:
+        return
+    rows = [
+        (s[0], s[1], p, o[0], o[1], o[2] or None, o[3] or None)
+        for s, p, o in graph
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    parts = []
+    for s, p, o in patterns:
+        def fmt(term):
+            mode, v = term
+            return f"?{v}" if mode == "var" else term_sparql(v)
+        parts.append(f"{fmt(s)} {fmt(p)} {fmt(o)} .")
+    q = (
+        "SELECT ?a ?x ?cnt WHERE { "
+        "{ SELECT ?a (SUM(?b) * 2 - COUNT(?b) AS ?x) (COUNT(?b) AS ?cnt) "
+        f"WHERE {{ {' '.join(parts)} }} GROUP BY ?a }} }}"
+    )
+    got = Counter(
+        (r.a, None if r.x is None else float(r.x), r.cnt)
+        for r in sparql_select(g, q).collect()
+    )
+    groups: dict[tuple, list] = {}
+    for b in naive_eval(graph, patterns):
+        groups.setdefault(b["a"], []).append(b.get("b"))
+    want: Counter = Counter()
+    for key, bs in groups.items():
+        bound = [t for t in bs if t is not None]
+        tot = None
+        for t in bound:
+            try:
+                v = Decimal(t[0])
+            except InvalidOperation:
+                continue
+            tot = v if tot is None else tot + v
+        x = None if tot is None else float(tot * 2 - len(bound))
+        want[(key[0], x, len(bound))] += 1
+    assert got == want, f"query {q!r} diverged"
