@@ -91,14 +91,15 @@ at its own LeftJoin where those variables are unbound), { A } UNION
 a variable missing from a branch is unbound there, padded as NULL and
 tracked; the union is a bag union, and any later join on a
 possibly-unbound variable takes an EXACT compatible-join
-decomposition: the nullable side is partitioned by which nullable
-keys are bound — 2^k slices, k ≤ 4 — each slice equi-joins on its
-bound keys and takes the clean side's values for the rest, which is
-precisely §18.5 Join compatibility; a variable nullable on BOTH sides
-of a join is rejected, not approximated — the same decomposition and
-rejection rules apply when a { SELECT } subquery projects a variable
-its inner OPTIONAL/UNION may leave unbound, and to VALUES blocks
-joining a mixed-variable union), FILTER (x op y) for op ∈ {=, !=, <, <=, >, >=} where
+decomposition: EACH side is partitioned by which of its nullable
+keys are bound — 2^kl × 2^kr slice pairs, kl + kr ≤ 4 — each pair
+equi-joins on the keys bound on both sides, a variable bound on one
+side takes that binding, and one bound on neither stays unbound
+(late r4: this covers variables nullable on BOTH sides — full §18.5
+Join compatibility, no rejection left); the same decomposition
+applies when a { SELECT } subquery projects a variable its inner
+OPTIONAL/UNION may leave unbound, and to VALUES blocks joining a
+mixed-variable union), FILTER (x op y) for op ∈ {=, !=, <, <=, >, >=} where
 x/y are variables, terms, bare numbers, or the accessors ``lang(?v)``
 / ``datatype(?v)`` / ``STR(?v)`` (STR yields the lexical form / IRI
 string as a simple literal and never errors on bound terms), the
@@ -231,8 +232,8 @@ non-aggregated projected variable must be a group key), VALUES ?x
 semantics, compiled to a broadcast join; r4: UNDEF rows carry NULL
 term columns — the variable is unbound in that row — and a join on a
 variable with UNDEF rows takes the same §18.5 compatible-join
-decomposition as mixed-variable UNIONs, with the usual
-both-sides-nullable rejection), ORDER BY
+decomposition as mixed-variable UNIONs, including the two-sided
+case, late r4), ORDER BY
 [ASC()|DESC()] over variables or (r4) full value EXPRESSIONS
 (``ORDER BY DESC(STRLEN(?n)) (?a + ?b)`` — any BIND expression;
 evaluated over the solution relation BEFORE projection per §18.2.5,
@@ -3637,57 +3638,80 @@ def _compat_join(
     shared: list[str],
     what: str = "this join",
 ) -> DataFrame:
-    """SPARQL-compatible inner join (§18.5 Join) when some shared
-    variables may be UNBOUND (NULL) on one side: an unbound variable is
-    compatible with any binding and takes the other side's value — an
-    equi-join on the raw columns would silently drop those solutions.
+    """SPARQL-compatible inner join (§18.5 Join) when shared variables
+    may be UNBOUND (NULL) on either — or, late r4, BOTH — sides: an
+    unbound variable is compatible with any binding and the merged
+    solution takes whichever side's value exists (neither, when both
+    are unbound) — an equi-join on the raw columns would silently drop
+    those solutions.
 
-    Decomposed exactly: the nullable side is partitioned by which of
-    its nullable shared variables are bound (2^k slices, k capped at
-    ``_COMPAT_MAX_NULLABLE``); each slice equi-joins on its bound keys,
-    with the unbound columns dropped so the clean side's binding wins.
-    Slices partition the input, so bag multiplicity is preserved; every
-    slice projects the same column set, so the union is by name.
-
-    One side must be clean on the shared variables (both-side-nullable
-    compatibility needs full unification — rejected, use SQL over
-    register_triples_view)."""
+    Decomposed exactly: EACH side is partitioned by which of its
+    nullable shared variables are bound (2^kl × 2^kr slice pairs,
+    kl + kr capped at ``_COMPAT_MAX_NULLABLE`` mask bits); a slice
+    pair equi-joins on the variables bound on BOTH sides; a variable
+    bound on exactly one side keeps that side's binding (the other
+    side's NULL columns are dropped before the join); a variable bound
+    on neither stays unbound in the merged solution (one NULL column
+    set is kept). Slice pairs tile the bag product — every (l, r) row
+    pair lands in exactly one piece — so bag multiplicity is
+    preserved; every piece projects the same column set, so the union
+    is by name. Callers keep a shared variable in their nullable set
+    iff it was nullable on both sides (only the neither-bound piece
+    leaves it NULL)."""
     l_null = sorted(v for v in shared if v in left_nullable)
     r_null = sorted(v for v in shared if v in right_nullable)
-    if l_null and r_null:
-        raise SparqlError(
-            f"join variable(s) of {what} may be unbound on BOTH sides "
-            f"({sorted(set(l_null) | set(r_null))}); two-sided "
-            "unbound-compatible joins are not supported — restructure "
-            "the query or use SQL over register_triples_view"
-        )
-    if r_null:
-        dirty, dirty_null, clean = right, r_null, left
-    else:
-        dirty, dirty_null, clean = left, l_null, right
-    if not dirty_null:  # both clean: plain equi-join
+    if not l_null and not r_null:  # both clean: plain equi-join
         keys = [c for v in shared for c in _term_key(v)]
         return left.join(right, on=keys, how="inner")
-    if len(dirty_null) > _COMPAT_MAX_NULLABLE:
+    if len(l_null) + len(r_null) > _COMPAT_MAX_NULLABLE:
         raise SparqlError(
-            f"{what} joins on {len(dirty_null)} possibly-unbound "
-            f"variables ({dirty_null}); the compatible-join decomposition "
-            f"is capped at {_COMPAT_MAX_NULLABLE}"
+            f"{what} joins on possibly-unbound variables needing "
+            f"{len(l_null) + len(r_null)} mask bits "
+            f"({sorted(set(l_null) | set(r_null))}); the compatible-join "
+            f"decomposition is capped at {_COMPAT_MAX_NULLABLE}"
         )
-    req = [v for v in shared if v not in dirty_null]
     out: DataFrame | None = None
-    for mask in range(1 << len(dirty_null)):
-        bound_vs = [v for i, v in enumerate(dirty_null) if mask >> i & 1]
-        unbound_vs = [v for i, v in enumerate(dirty_null) if not mask >> i & 1]
-        sl = dirty
-        for v in bound_vs:
-            sl = sl.where(F.col(v).isNotNull())
-        for v in unbound_vs:
-            sl = sl.where(F.col(v).isNull())
-        sl = sl.drop(*[c for v in unbound_vs for c in _term_key(v)])
-        keys = [c for v in (req + bound_vs) for c in _term_key(v)]
-        piece = clean.join(sl, on=keys, how="inner") if keys else clean.crossJoin(sl)
-        out = piece if out is None else out.unionByName(piece)
+    for mask_l in range(1 << len(l_null)):
+        lb = {v for i, v in enumerate(l_null) if mask_l >> i & 1}
+        sl_l = left
+        for v in l_null:
+            sl_l = sl_l.where(
+                F.col(v).isNotNull() if v in lb else F.col(v).isNull()
+            )
+        for mask_r in range(1 << len(r_null)):
+            rb = {v for i, v in enumerate(r_null) if mask_r >> i & 1}
+            sl_r = right
+            for v in r_null:
+                sl_r = sl_r.where(
+                    F.col(v).isNotNull() if v in rb else F.col(v).isNull()
+                )
+            keys_v: list[str] = []
+            drop_l: list[str] = []
+            drop_r: list[str] = []
+            for v in shared:
+                bl = v not in l_null or v in lb
+                br = v not in r_null or v in rb
+                if bl and br:
+                    keys_v.append(v)
+                elif bl:  # right unbound: left's binding wins
+                    drop_r.append(v)
+                elif br:  # left unbound: right's binding wins
+                    drop_l.append(v)
+                else:  # unbound on both: stays unbound — keep ONE
+                    drop_r.append(v)  # NULL column set (the left's)
+            pl = (
+                sl_l.drop(*[c for v in drop_l for c in _term_key(v)])
+                if drop_l
+                else sl_l
+            )
+            pr = (
+                sl_r.drop(*[c for v in drop_r for c in _term_key(v)])
+                if drop_r
+                else sl_r
+            )
+            keys = [c for v in keys_v for c in _term_key(v)]
+            piece = pl.join(pr, on=keys, how="inner") if keys else pl.crossJoin(pr)
+            out = piece if out is None else out.unionByName(piece)
     return out
 
 
@@ -3850,9 +3874,12 @@ def _compile_where(
             else:
                 df = df.crossJoin(u)
             bound |= varset
-            # shared vars are bound from the clean side after the join;
-            # unshared branch-local vars stay nullable
-            nullable -= set(shared)
+            # a shared var leaves the nullable set unless BOTH sides
+            # could leave it unbound (the neither-bound piece of the
+            # two-sided decomposition keeps it NULL); unshared
+            # branch-local vars stay nullable
+            both_null = {v for v in shared if v in nullable and v in u_nullable}
+            nullable -= set(shared) - both_null
             nullable |= {v for v in u_nullable if v not in shared}
     for sub in parsed.subselects:
         sdf, svars, alias_names, s_nullable = _compile_subselect(triples, sub)
@@ -3875,10 +3902,11 @@ def _compile_where(
         else:
             df = df.crossJoin(sdf)
             bound |= svars | alias_names
-        # after the join every shared var is bound from the clean side
-        # (_compat_join requires one side clean); unshared nullable
+        # a shared var leaves the nullable set unless BOTH sides could
+        # leave it unbound (two-sided decomposition); unshared nullable
         # subquery vars stay nullable
-        nullable -= set(shared)
+        both_null = {v for v in shared if v in nullable and v in s_nullable}
+        nullable -= set(shared) - both_null
         nullable |= {v for v in s_nullable if v not in shared}
     assert df is not None
     for vars_, rows in values_blocks:
@@ -3908,14 +3936,15 @@ def _compile_where(
         if shared:
             # either side may be nullable on a shared variable — the
             # VALUES side via UNDEF rows, df via a mixed-variable UNION
-            # — so this is the §18.5 compatible join (_compat_join
-            # rejects the both-sides-nullable case, as elsewhere)
+            # — and, late r4, BOTH sides at once: the two-sided
+            # compatible-join decomposition handles every case
             df = _compat_join(
                 df, nullable, vdf, v_nullable, shared, "this VALUES block"
             )
-            # after the join a shared variable is bound from the clean
-            # side (whichever that was), so it leaves the nullable set
-            nullable -= set(shared)
+            # a shared variable leaves the nullable set unless BOTH
+            # sides could leave it unbound
+            both_null = {v for v in shared if v in nullable and v in v_nullable}
+            nullable -= set(shared) - both_null
         else:
             df = df.crossJoin(vdf)
         bound |= set(vars_)

@@ -402,18 +402,33 @@ def test_union_different_vars_compatible_join(graph):
     }
 
 
-def test_union_both_sides_nullable_rejected(graph):
-    # ?n may be unbound in BOTH union blocks — two-sided compatibility
-    # needs unification, rejected not approximated
+def test_union_both_sides_nullable_joins(graph):
+    # (late r4) ?n may be unbound in BOTH union blocks — the two-sided
+    # compatible-join decomposition unifies: an unbound ?n on either
+    # side is compatible and takes the other side's binding; unbound on
+    # both sides stays unbound. Hand-computed §18.5 multiset:
+    #   Ω1 = {(p1, n=Ada), (p2, n=Grace@en), (p1, q=p2)}
+    #   Ω2 = {(p1, n=Ada), (p2, n=Grace@en), (m1, z=mapA), (m2, z=mapB)}
+    # join on {s, n} → (p1,Ada,-,-), (p2,Grace,-,-), (p1,Ada,q=p2,-)
+    from collections import Counter
+
     q = """
     PREFIX ex: <http://ex.org/>
-    SELECT ?s WHERE {
+    SELECT ?s ?n ?q ?z WHERE {
       { ?s ex:name ?n } UNION { ?s ex:knows ?q }
       { ?s ex:name ?n } UNION { ?s dc:source ?z }
     }
     """
-    with pytest.raises(SparqlError):
-        sparql_select(graph, q, {"dc": DC})
+    got = Counter(
+        (r.s, r.n, r.q, r.z) for r in sparql_select(graph, q, {"dc": DC}).collect()
+    )
+    assert got == Counter(
+        {
+            (EX + "p1", "Ada", None, None): 1,
+            (EX + "p2", "Grace", None, None): 1,
+            (EX + "p1", "Ada", EX + "p2", None): 1,
+        }
+    )
 
 
 def test_union_errors(graph):
@@ -812,15 +827,30 @@ def test_values_undef_fresh_var_is_nullable(graph):
     assert sparql_select(graph, q2).count() == 2
 
 
-def test_values_undef_both_sides_nullable_rejected(graph):
-    # ?n is nullable from the mixed-variable UNION AND has UNDEF rows
-    # in VALUES — the two-sided unbound-compatible join is rejected
+def test_values_undef_both_sides_nullable_joins(graph):
+    # (late r4) ?n is nullable from the mixed-variable UNION AND has
+    # UNDEF rows in VALUES — two-sided compatibility. Hand-computed:
+    #   Ω1 = {(p1,-), (p2,-), (p1,Ada), (p2,Grace@en)}
+    #   Ω2 = {(n=Ada), (n=UNDEF)}
+    # every pair is compatible except (p2,Grace@en)×(Ada):
+    #   (p1,Ada)×3  [(p1,-)×Ada, (p1,Ada)×Ada, (p1,Ada)×UNDEF]
+    #   (p1,-)×1 (p2,Ada)×1 (p2,-)×1 (p2,Grace)×1
+    from collections import Counter
+
     q = f"""PREFIX ex: <http://ex.org/>
     SELECT ?p ?n WHERE {{
       {{ ?p a ex:Person }} UNION {{ ?p ex:name ?n }}
       VALUES ?n {{ "Ada" UNDEF }} }}"""
-    with pytest.raises(SparqlError):
-        sparql_select(graph, q)
+    got = Counter((r.p, r.n) for r in sparql_select(graph, q).collect())
+    assert got == Counter(
+        {
+            (EX + "p1", "Ada"): 3,
+            (EX + "p1", None): 1,
+            (EX + "p2", "Ada"): 1,
+            (EX + "p2", None): 1,
+            (EX + "p2", "Grace"): 1,
+        }
+    )
 
 
 def test_values_errors(graph):

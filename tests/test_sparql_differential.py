@@ -788,3 +788,72 @@ def test_subquery_postagg_differential(spark, graph, patterns):
         x = None if tot is None else float(tot * 2 - len(bound))
         want[(key[0], x, len(bound))] += 1
     assert got == want, f"query {q!r} diverged"
+
+
+@pytest.mark.skipif(not HAVE_HYP, reason="hypothesis not installed")
+@settings(max_examples=10, deadline=None)
+@given(
+    graph=graph_st,
+    br_a=st.lists(pattern_st, min_size=1, max_size=2) if HAVE_HYP else st.none(),
+    br_b=st.lists(pattern_st, min_size=1, max_size=2) if HAVE_HYP else st.none(),
+    br_c=st.lists(pattern_st, min_size=1, max_size=2) if HAVE_HYP else st.none(),
+    br_d=st.lists(pattern_st, min_size=1, max_size=2) if HAVE_HYP else st.none(),
+)
+def test_two_sided_compat_join_differential(spark, graph, br_a, br_b, br_c, br_d):
+    """(late r4) TWO mixed-variable UNIONs joined: a shared variable
+    may be unbound on BOTH sides, exercising the two-sided
+    compatible-join decomposition vs the naive §18.5 evaluator (μ1 ~ μ2
+    iff they agree on dom(μ1) ∩ dom(μ2); merge keeps whichever side is
+    bound, neither-bound stays unbound). Queries exceeding the
+    decomposition's mask-bit cap are rejected by the engine — skipped
+    here, the cap has its own unit coverage."""
+    for pats in (br_a, br_b, br_c, br_d):
+        for pat in pats:
+            for mode, v in pat:
+                if mode == "const" and v[1] == "bnode":
+                    return
+    all_vars = sorted(
+        set(used_vars(br_a)) | set(used_vars(br_b))
+        | set(used_vars(br_c)) | set(used_vars(br_d))
+    )
+    if not all_vars:
+        return
+    rows = [
+        (s[0], s[1], p, o[0], o[1], o[2] or None, o[3] or None)
+        for s, p, o in graph
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+
+    def fmt_pats(pats):
+        parts = []
+        for s, p, o in pats:
+            def fmt(term):
+                mode, v = term
+                return f"?{v}" if mode == "var" else term_sparql(v)
+            parts.append(f"{fmt(s)} {fmt(p)} {fmt(o)} .")
+        return " ".join(parts)
+
+    q = (
+        f"SELECT {' '.join('?' + v for v in all_vars)} WHERE {{ "
+        f"{{ {fmt_pats(br_a)} }} UNION {{ {fmt_pats(br_b)} }} "
+        f"{{ {fmt_pats(br_c)} }} UNION {{ {fmt_pats(br_d)} }} }}"
+    )
+    try:
+        res = sparql_select(g, q).collect()
+    except Exception as exc:  # cap or guard rejection — not a divergence
+        from r2rml_parser_spark.plans.sparql import SparqlError as SE
+
+        assert isinstance(exc, SE), exc
+        return
+    got = Counter(tuple(r[v] for v in all_vars) for r in res)
+    left = naive_eval(graph, br_a) + naive_eval(graph, br_b)
+    right = naive_eval(graph, br_c) + naive_eval(graph, br_d)
+    merged = []
+    for m1 in left:
+        for m2 in right:
+            if all(m1[v] == m2[v] for v in m1.keys() & m2.keys()):
+                merged.append({**m1, **m2})
+    want = Counter(
+        tuple(b[v][0] if v in b else None for v in all_vars) for b in merged
+    )
+    assert got == want, f"query {q!r} diverged"
