@@ -284,6 +284,15 @@ def q_sparql_subq_postagg_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tpch_sparql_subq_postagg(spark, sf_dir)
 
 
+def q_sparql_twosided_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided unbound-compatible join (late r4): two mixed-variable
+    UNIONs sharing ?seg, which either side may leave unbound — the
+    slice-pair decomposition (full §18.5 Join compatibility)."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_twosided
+
+    return run_tpch_sparql_twosided(spark, sf_dir)
+
+
 def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (r4): deterministic PII-ish tokens are seeded
     into every 5th document, then redacted with per-kind counts —
@@ -634,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_aggexpr_kg": q_sparql_aggexpr_kg,
         "sparql_nested_exists_kg": q_sparql_nested_exists_kg,
         "sparql_subq_postagg_kg": q_sparql_subq_postagg_kg,
+        "sparql_twosided_kg": q_sparql_twosided_kg,
         "scrub_pii": q_scrub_pii,
         "triple_prf": q_triple_prf,
         "sparql_describe_kg": q_sparql_describe_kg,
@@ -701,6 +711,7 @@ def oracle_sql() -> dict[str, str]:
         TPCH_SPARQL_AGGEXPR_ORACLE_SQL,
         TPCH_SPARQL_NESTED_EXISTS_ORACLE_SQL,
         TPCH_SPARQL_SUBQ_POSTAGG_ORACLE_SQL,
+        TPCH_SPARQL_TWOSIDED_ORACLE_SQL,
         TPCH_SPARQL_UNION_ORACLE_SQL,
         TPCH_SPARQL_OPTFILTER_ORACLE_SQL,
         TPCH_SPARQL_GROUPCONCAT_ORACLE_SQL,
@@ -757,6 +768,7 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "sparql_aggexpr_kg": TPCH_SPARQL_AGGEXPR_ORACLE_SQL,
         "sparql_nested_exists_kg": TPCH_SPARQL_NESTED_EXISTS_ORACLE_SQL,
         "sparql_subq_postagg_kg": TPCH_SPARQL_SUBQ_POSTAGG_ORACLE_SQL,
+        "sparql_twosided_kg": TPCH_SPARQL_TWOSIDED_ORACLE_SQL,
         "scrub_pii": r"""
 WITH seeded AS (
   SELECT doc_id,

@@ -1215,3 +1215,38 @@ SELECT n.n_name AS nation_name, agg.adj, agg.n
 FROM agg JOIN nation n ON n.n_nationkey = agg.nk
 ORDER BY agg.adj_num DESC, nation_name LIMIT 12
 """
+
+# Two-sided unbound-compatible join (late r4): two mixed-variable
+# UNIONs share ?seg, which either side may leave unbound — the
+# slice-pair decomposition evaluates full §18.5 compatibility. Every
+# customer contributes 2×2 = 4 merged solutions (seg bound/unbound on
+# each side; the seg×seg pair agrees because both bind the same term).
+TPCH_SPARQL_TWOSIDED_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?c ?seg ?x ?y WHERE {
+  { ?c ex:marketSegment ?seg } UNION { ?c ex:sourceSystem ?x }
+  { ?c ex:marketSegment ?seg } UNION { ?c ex:inNation ?y }
+}
+"""
+
+
+def run_tpch_sparql_twosided(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_TWOSIDED_QUERY)
+
+
+TPCH_SPARQL_TWOSIDED_ORACLE_SQL = f"""
+WITH cust AS (
+  SELECT '{KG}/customer/' || c.c_custkey AS c, c.c_mktsegment AS seg,
+         '{KG}/nation/' || n.n_nationkey AS y
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT c, seg, CAST(NULL AS VARCHAR) AS x, CAST(NULL AS VARCHAR) AS y FROM cust
+UNION ALL
+SELECT c, seg, CAST(NULL AS VARCHAR), y FROM cust
+UNION ALL
+SELECT c, seg, '{KG}/system/tpch', CAST(NULL AS VARCHAR) FROM cust
+UNION ALL
+SELECT c, CAST(NULL AS VARCHAR), '{KG}/system/tpch', y FROM cust
+"""
