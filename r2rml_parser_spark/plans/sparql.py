@@ -309,6 +309,19 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
 _XSD = "http://www.w3.org/2001/XMLSchema#"
 XSD_STRING = _XSD + "string"
+
+# §17.5 XPath constructor casts the engine evaluates (xsd:integer(?v),
+# xsd:string(?v + 1), ...) and the source datatypes treated as numeric
+_XSD_CAST_TARGETS = frozenset(
+    {"integer", "decimal", "double", "float", "string", "boolean",
+     "dateTime", "date"}
+)
+_NUMERIC_XSD_LOCALS = (
+    "integer", "decimal", "double", "float", "long", "int", "short",
+    "byte", "nonNegativeInteger", "positiveInteger", "negativeInteger",
+    "nonPositiveInteger", "unsignedLong", "unsignedInt",
+    "unsignedShort", "unsignedByte",
+)
 XSD_NUMERIC = frozenset(
     _XSD + t
     for t in (
@@ -1846,11 +1859,12 @@ class _Parser:
             arg = self._operand()
             if not isinstance(arg, (Var, StrOf, Lit)) and not (
                 isinstance(arg, tuple)
-                and arg and arg[0] in ("sfn", "sfn_len", "substr", "sfn_replace")
+                and arg
+                and arg[0] in ("sfn", "sfn_len", "substr", "sfn_replace", "xsdcast")
             ):
                 raise SparqlError(
-                    f"{fn}() takes a ?var, STR(?var), string literal, or "
-                    "nested string function"
+                    f"{fn}() takes a ?var, STR(?var), string literal, a "
+                    "nested string function, or an xsd:* constructor cast"
                 )
             if fn in (
                 "ucase", "lcase", "encode_for_uri",
@@ -1929,6 +1943,25 @@ class _Parser:
             if self._next() != ("punct", ")"):
                 raise SparqlError(f"{fn}() needs ')'")
             return {"lang": LangOf, "datatype": DtypeOf, "str": StrOf}[fn](str(vv))
+        if (
+            kind == "kw"
+            and ":" in str(val)
+            and self._peek2() == ("punct", "(")
+        ):
+            # §17.5 XPath constructor cast: xsd:integer(?v), ...
+            iri = self._expand(str(val))
+            if not (iri.startswith(_XSD) and iri[len(_XSD):] in _XSD_CAST_TARGETS):
+                raise SparqlError(
+                    f"unsupported function call {val!r} — supported "
+                    f"constructors: xsd:{{{', '.join(sorted(_XSD_CAST_TARGETS))}}}"
+                )
+            target = iri[len(_XSD):]
+            self._next()
+            self._next()  # (
+            arg = self._require_value(self._additive_expr(), f"xsd:{target}")
+            if self._next() != ("punct", ")"):
+                raise SparqlError(f"xsd:{target}() needs ')'")
+            return ("xsdcast", target, arg)
         if kind == "num":
             self._next()
             # bare number → numeric literal: forces numeric comparison
@@ -2925,8 +2958,12 @@ def _is_numeric_node(node) -> bool:
     return _is_arith(node) or (
         isinstance(node, tuple)
         and bool(node)
-        and node[0] in ("sfn_len", "dtfn", "numfn")
+        and node[0] in ("sfn_len", "dtfn", "numfn", "xsdcast")
         and not (node[0] == "dtfn" and node[1] in ("tz", "timezone"))
+        and not (
+            node[0] == "xsdcast"
+            and node[1] not in ("integer", "decimal", "double", "float")
+        )
     )
 
 
@@ -3127,6 +3164,75 @@ def _term_parts(term, bound: set[str], scope: str = "the query"):
             arg, pat, rep = rest
             ok, lg, dt = string_arg(arg)
             return F.regexp_replace(ok, pat, rep), F.lit("literal"), lg, dt
+        if tag == "xsdcast":  # §17.5 XPath constructor cast
+            target, arg = rest
+            if _is_arith(arg) or (
+                isinstance(arg, tuple) and arg and arg[0] == "numfn"
+            ):
+                # xsd:string(?a + 1) — the arithmetic result is a
+                # derived xsd:decimal the cast then converts
+                v = _decimal_lexical(_arith_value(arg, bound, scope))
+                k, lg, dt = F.lit("literal"), F.lit(""), F.lit(_XSD + "decimal")
+            else:
+                v, k, lg, dt = _term_parts(arg, bound, scope)
+            if target == "string":
+                # any literal's lexical form or an IRI's string
+                ok = F.when(k.isin("literal", "iri"), v)
+                return ok, F.lit("literal"), F.lit(""), F.lit(XSD_STRING)
+            ok = F.when(k == F.lit("literal"), v)  # other casts: literals only
+            d = F.coalesce(dt, F.lit(""))
+            is_num_src = d.isin(*[_XSD + t for t in _NUMERIC_XSD_LOCALS])
+            is_bool_src = d == _XSD + "boolean"
+            if target == "boolean":
+                n = ok.try_cast(_DECIMAL)
+                val = (
+                    F.when(is_num_src, F.when(n != 0, "true").when(n == 0, "false"))
+                    .when(ok.isin("true", "1"), F.lit("true"))
+                    .when(ok.isin("false", "0"), F.lit("false"))
+                )
+                # NaN source → false, like XPath xs:boolean(xs:double('NaN'))
+                val = F.when(is_num_src & (ok == "NaN"), F.lit("false")).otherwise(val)
+                return val, F.lit("literal"), F.lit(""), F.lit(_XSD + "boolean")
+            if target in ("dateTime", "date"):
+                pat = (
+                    r"^-?\d{4,}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?([+-]\d{2}:\d{2}|Z)?$"
+                    if target == "dateTime"
+                    else r"^-?\d{4,}-\d{2}-\d{2}([+-]\d{2}:\d{2}|Z)?$"
+                )
+                val = F.when(ok.rlike(pat), ok)
+                return val, F.lit("literal"), F.lit(""), F.lit(_XSD + target)
+            # numeric targets; boolean sources map to 1/0 first
+            src = (
+                F.when(is_bool_src & ok.isin("true", "1"), F.lit("1"))
+                .when(is_bool_src & ok.isin("false", "0"), F.lit("0"))
+                .otherwise(F.when(~is_bool_src, ok))
+            )
+            if target in ("double", "float"):
+                from r2rml_parser_spark.functions.lexical import canonical_double
+
+                dv = (
+                    F.when(src == "INF", F.lit(float("inf")))
+                    .when(src == "-INF", F.lit(float("-inf")))
+                    .when(src == "NaN", F.lit(float("nan")))
+                    .otherwise(src.try_cast("double"))
+                )
+                val = F.when(dv.isNotNull(), canonical_double(dv))
+                return val, F.lit("literal"), F.lit(""), F.lit(_XSD + target)
+            n = src.try_cast(_DECIMAL)
+            if target == "integer":
+                # numeric source: truncate toward zero (XPath); string
+                # source: the lexical must be in xs:integer's space
+                val_n = F.when(is_num_src | is_bool_src, n - (n % 1)).otherwise(
+                    F.when(src.rlike(r"^[+-]?[0-9]+$"), n)
+                )
+            else:  # decimal — no exponent in xs:decimal's lexical space
+                val_n = F.when(is_num_src | is_bool_src, n).otherwise(
+                    F.when(src.rlike(r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)$"), n)
+                )
+            return (
+                _decimal_lexical(val_n), F.lit("literal"),
+                F.lit(""), F.lit(_XSD + target),
+            )
         raise SparqlError(f"unsupported operand form {tag!r} in {scope}")
     if isinstance(term, Var):
         _check(term.name, "FILTER/BIND")

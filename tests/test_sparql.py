@@ -3076,3 +3076,63 @@ def test_exists_nested_in_exists(graph):
       FILTER EXISTS { ?p ex:knows ?q . FILTER EXISTS { ?z ex:name ?w } } }"""
     with pytest.raises(SparqlError):
         sparql_select(graph, q6)
+
+
+def test_xsd_constructor_casts(spark):
+    # §17.5 XPath constructor functions (late r4)
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    rows = [
+        (EX + "a", "iri", EX + "v", "13", "literal", None, None),        # plain numeral
+        (EX + "b", "iri", EX + "v", "13.7", "literal", None, XSD + "decimal"),
+        (EX + "c", "iri", EX + "v", "-13.7", "literal", None, XSD + "decimal"),
+        (EX + "d", "iri", EX + "v", "oops", "literal", None, None),      # not numeric
+        (EX + "e", "iri", EX + "v", "2.5E1", "literal", None, None),     # exponent lexical
+        (EX + "f", "iri", EX + "v", "true", "literal", None, XSD + "boolean"),
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    P = "PREFIX ex: <http://ex.org/> PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+    # integer: plain numeral casts; decimal TRUNCATES toward zero;
+    # non-numeric lexicals and exponent forms are errors (unbound)
+    q = P + "SELECT ?s ?i WHERE { ?s ex:v ?x . BIND(xsd:integer(?x) AS ?i) } ORDER BY ?s"
+    got = [(r.s.split("/")[-1], r.i) for r in sparql_select(g, q).collect()]
+    assert got == [
+        ("a", "13"), ("b", "13"), ("c", "-13"), ("d", None), ("e", None),
+        ("f", "1"),  # boolean true → 1 per XPath
+    ]
+    # the classic use: numeric FILTER over plain string numerals —
+    # and xsd:integer(13.7^^decimal) TRUNCATES to 13, so b matches too
+    q2 = P + "SELECT ?s WHERE { ?s ex:v ?x . FILTER (xsd:integer(?x) = 13) }"
+    assert {r.s for r in sparql_select(g, q2).collect()} == {EX + "a", EX + "b"}
+    # decimal from a plain numeral; exponent lexical rejected
+    q3 = P + 'SELECT ?s WHERE { ?s ex:v ?x . FILTER (xsd:decimal(?x) = 13.7) }'
+    assert {r.s for r in sparql_select(g, q3).collect()} == {EX + "b"}
+    # double: exponent lexical IS in xs:double's space; canonical form
+    q4 = P + "SELECT ?d WHERE { <http://ex.org/e> ex:v ?x . BIND(xsd:double(?x) AS ?d) }"
+    assert [r.d for r in sparql_select(g, q4).collect()] == ["2.5E1"]
+    # string: lexical form as typed xsd:string, incl. over arithmetic
+    q5 = P + "SELECT ?t WHERE { <http://ex.org/a> ex:v ?x . BIND(xsd:string(xsd:integer(?x) + 1) AS ?t) }"
+    assert [r.t for r in sparql_select(g, q5).collect()] == ["14"]
+    # boolean: 1/0 and true/false lexicals; others error
+    q6 = P + "SELECT ?s ?b WHERE { ?s ex:v ?x . BIND(xsd:boolean(?x) AS ?b) } ORDER BY ?s"
+    got6 = [(r.s.split("/")[-1], r.b) for r in sparql_select(g, q6).collect()]
+    assert got6 == [
+        ("a", None),  # "13" not in xs:boolean's lexical space (untyped)
+        ("b", "true"), ("c", "true"),  # numeric source: != 0 → true
+        ("d", None), ("e", None), ("f", "true"),
+    ]
+    # unsupported constructor is a parse-time rejection
+    with pytest.raises(SparqlError):
+        sparql_select(g, P + "SELECT ?s WHERE { ?s ex:v ?x . FILTER (ex:foo(?x) = 1) }")
+
+
+def test_xsd_datetime_cast(spark):
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    rows = [
+        (EX + "a", "iri", EX + "v", "2024-03-07T09:15:30Z", "literal", None, None),
+        (EX + "b", "iri", EX + "v", "not-a-date", "literal", None, None),
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    P = "PREFIX ex: <http://ex.org/> PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+    # cast then accessor: the derived literal is a REAL xsd:dateTime
+    q = P + "SELECT ?s WHERE { ?s ex:v ?x . FILTER (YEAR(xsd:dateTime(?x)) = 2024) }"
+    assert {r.s for r in sparql_select(g, q).collect()} == {EX + "a"}
