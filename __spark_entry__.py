@@ -293,6 +293,14 @@ def q_sparql_twosided_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tpch_sparql_twosided(spark, sf_dir)
 
 
+def q_sparql_cast_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPath constructor casts (late r4, §17.5): SUBSTR + xsd:integer
+    over the customer name drives a numeric FILTER."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_cast
+
+    return run_tpch_sparql_cast(spark, sf_dir)
+
+
 def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (r4): deterministic PII-ish tokens are seeded
     into every 5th document, then redacted with per-kind counts —
@@ -644,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_nested_exists_kg": q_sparql_nested_exists_kg,
         "sparql_subq_postagg_kg": q_sparql_subq_postagg_kg,
         "sparql_twosided_kg": q_sparql_twosided_kg,
+        "sparql_cast_kg": q_sparql_cast_kg,
         "scrub_pii": q_scrub_pii,
         "triple_prf": q_triple_prf,
         "sparql_describe_kg": q_sparql_describe_kg,
@@ -712,6 +721,7 @@ def oracle_sql() -> dict[str, str]:
         TPCH_SPARQL_NESTED_EXISTS_ORACLE_SQL,
         TPCH_SPARQL_SUBQ_POSTAGG_ORACLE_SQL,
         TPCH_SPARQL_TWOSIDED_ORACLE_SQL,
+        TPCH_SPARQL_CAST_ORACLE_SQL,
         TPCH_SPARQL_UNION_ORACLE_SQL,
         TPCH_SPARQL_OPTFILTER_ORACLE_SQL,
         TPCH_SPARQL_GROUPCONCAT_ORACLE_SQL,
@@ -769,6 +779,7 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "sparql_nested_exists_kg": TPCH_SPARQL_NESTED_EXISTS_ORACLE_SQL,
         "sparql_subq_postagg_kg": TPCH_SPARQL_SUBQ_POSTAGG_ORACLE_SQL,
         "sparql_twosided_kg": TPCH_SPARQL_TWOSIDED_ORACLE_SQL,
+        "sparql_cast_kg": TPCH_SPARQL_CAST_ORACLE_SQL,
         "scrub_pii": r"""
 WITH seeded AS (
   SELECT doc_id,

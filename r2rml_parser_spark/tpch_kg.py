@@ -1250,3 +1250,33 @@ SELECT c, seg, '{KG}/system/tpch', CAST(NULL AS VARCHAR) FROM cust
 UNION ALL
 SELECT c, CAST(NULL AS VARCHAR), '{KG}/system/tpch', y FROM cust
 """
+
+# XPath constructor casts (late r4, §17.5): the numeric tail of the
+# customer name (SUBSTR → xsd:integer) drives a numeric FILTER and
+# projects as a derived integer literal — the classic
+# cast-a-string-column idiom over the generated KG.
+TPCH_SPARQL_CAST_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+SELECT ?c ?k2 WHERE {
+  ?c a ex:Customer .
+  ?c ex:name ?n .
+  BIND(xsd:integer(SUBSTR(?n, 10)) AS ?k2)
+  FILTER (?k2 >= 5 && ?k2 < 15)
+} ORDER BY ?k2
+"""
+
+
+def run_tpch_sparql_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_CAST_QUERY)
+
+
+TPCH_SPARQL_CAST_ORACLE_SQL = f"""
+SELECT '{KG}/customer/' || c_custkey AS c,
+       CAST(CAST(SUBSTRING(c_name, 10) AS BIGINT) AS VARCHAR) AS k2
+FROM customer
+WHERE CAST(SUBSTRING(c_name, 10) AS BIGINT) BETWEEN 5 AND 14
+ORDER BY 2
+"""
