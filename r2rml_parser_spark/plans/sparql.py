@@ -3273,25 +3273,42 @@ def _eval_bind_expr(node, bound: set[str], scope: str = "BIND"):
     evaluation error yields a NULL value — the variable is left UNBOUND
     for that row, the row is kept (SPARQL 1.1 §10.1, unlike FILTER).
 
-    CONCAT follows the string-argument rule: each argument must be a
-    simple or xsd:string literal (STR() coerces any term); lang-tagged
-    or otherwise-typed arguments are treated as errors → unbound (the
-    spec would propagate a COMMON language tag — this engine is
-    conservative rather than wrong for mixed tags). IRI() accepts an
+    CONCAT follows §17.4.3.12's argument-compatibility rules: each
+    argument must be a simple, xsd:string, or lang-tagged literal
+    (STR() coerces any term; other datatypes are errors → unbound);
+    the result carries a language tag iff EVERY argument carries that
+    same tag, is xsd:string-typed iff every argument is, and is a
+    simple literal otherwise (late r4 — previously lang-tagged
+    arguments were conservatively rejected). IRI() accepts an
     IRI (pass-through) or a string literal (minted as-is, no base
     resolution)."""
     if isinstance(node, tuple) and node and node[0] == "concat":
         pieces = []
+        langs = []
+        dts = []
         for a in node[1]:
             v, k, lg, dt = _eval_bind_expr(a, bound, scope)
-            is_str = (
-                (k == F.lit("literal"))
-                & (F.coalesce(lg, F.lit("?")) == "")
-                & F.coalesce(dt, F.lit("?")).isin("", XSD_STRING)
-            )
+            # §17.4.3.12: arguments may be simple, xsd:string, or
+            # lang-tagged literals; anything else is a type error
+            is_str = (k == F.lit("literal")) & F.coalesce(
+                dt, F.lit("?")
+            ).isin("", XSD_STRING)
             pieces.append(F.when(is_str, v))
+            langs.append(F.coalesce(lg, F.lit("")))
+            dts.append(F.coalesce(dt, F.lit("")))
+        # the result carries a language tag iff EVERY argument carries
+        # that same tag; it is xsd:string-typed iff EVERY argument is;
+        # otherwise a simple literal (§17.4.3.12 compatibility rules)
+        same = F.lit(True)
+        all_typed = F.lit(True)
+        for lg in langs[1:]:
+            same = same & (lg == langs[0])
+        for d in dts:
+            all_typed = all_typed & (d == XSD_STRING)
+        out_lg = F.when(same & (langs[0] != ""), langs[0]).otherwise(F.lit(""))
+        out_dt = F.when(all_typed, F.lit(XSD_STRING)).otherwise(F.lit(""))
         # concat propagates NULL: any errored argument → unbound result
-        return F.concat(*pieces), F.lit("literal"), F.lit(""), F.lit("")
+        return F.concat(*pieces), F.lit("literal"), out_lg, out_dt
     if _is_arith(node) or (
         isinstance(node, tuple) and node and node[0] == "numfn"
     ):

@@ -1448,13 +1448,50 @@ def test_bind_basic(graph):
     SELECT ?p ?greeting WHERE {
       ?p ex:name ?n . BIND(CONCAT("Hello, ", ?n) AS ?greeting) }"""
     got = {(r.p, r.greeting) for r in sparql_select(graph, q).collect()}
-    assert got == {(EX + "p1", "Hello, Ada"), (EX + "p2", None)}
-    # ("Grace"@en is a lang literal → CONCAT error → ?greeting UNBOUND,
-    # row kept — not dropped); STR() strips the tag and recovers it
+    # (late r4) "Grace"@en is a VALID CONCAT argument per §17.4.3.12;
+    # mixed simple+lang arguments yield a SIMPLE literal
+    assert got == {(EX + "p1", "Hello, Ada"), (EX + "p2", "Hello, Grace")}
     q2 = """PREFIX ex: <http://ex.org/>
     SELECT ?p ?g WHERE { ?p ex:name ?n . BIND(CONCAT("Hi ", STR(?n)) AS ?g) }"""
     got2 = {(r.p, r.g) for r in sparql_select(graph, q2).collect()}
     assert got2 == {(EX + "p1", "Hi Ada"), (EX + "p2", "Hi Grace")}
+
+
+def test_concat_lang_and_type_propagation(spark):
+    # §17.4.3.12 compatibility: same tag on EVERY argument → tagged
+    # result; all xsd:string → xsd:string; mixed → simple; non-string
+    # datatype → error (unbound)
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    rows = [
+        (EX + "s1", "iri", EX + "a", "bon", "literal", "fr", None),
+        (EX + "s1", "iri", EX + "b", "jour", "literal", "fr", None),
+        (EX + "s2", "iri", EX + "a", "good", "literal", "en", None),
+        (EX + "s2", "iri", EX + "b", "day", "literal", "fr", None),
+        (EX + "s3", "iri", EX + "a", "typed", "literal", None, XSD + "string"),
+        (EX + "s3", "iri", EX + "b", "str", "literal", None, XSD + "string"),
+        (EX + "s4", "iri", EX + "a", "5", "literal", None, XSD + "integer"),
+        (EX + "s4", "iri", EX + "b", "x", "literal", None, None),
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?s ?c WHERE { ?s ex:a ?x . ?s ex:b ?y . BIND(CONCAT(?x, ?y) AS ?c) }
+    ORDER BY ?s"""
+    got = [(r.s.split("/")[-1], r.c) for r in sparql_select(g, q).collect()]
+    assert got == [
+        ("s1", "bonjour"), ("s2", "goodday"), ("s3", "typedstr"), ("s4", None),
+    ]
+    # the tag rides into term-sensitive contexts: lang() of the result
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT ?s WHERE { ?s ex:a ?x . ?s ex:b ?y . BIND(CONCAT(?x, ?y) AS ?c)
+      FILTER (lang(?c) = "fr") }"""
+    assert {r.s for r in sparql_select(g, q2).collect()} == {EX + "s1"}
+    # datatype(): simple results report xsd:string per RDF 1.1, so the
+    # mixed-tag s2 matches alongside the all-typed s3; the lang-tagged
+    # s1 reports rdf:langString and the errored s4 stays unbound
+    q3 = """PREFIX ex: <http://ex.org/> PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+    SELECT ?s WHERE { ?s ex:a ?x . ?s ex:b ?y . BIND(CONCAT(?x, ?y) AS ?c)
+      FILTER (datatype(?c) = xsd:string) }"""
+    assert {r.s for r in sparql_select(g, q3).collect()} == {EX + "s2", EX + "s3"}
 
 
 def test_bind_iri_minting_and_filters(graph):
