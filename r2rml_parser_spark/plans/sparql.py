@@ -3793,6 +3793,12 @@ def _compat_join(
             f"({sorted(set(l_null) | set(r_null))}); the compatible-join "
             f"decomposition is capped at {_COMPAT_MAX_NULLABLE}"
         )
+    if (1 << len(l_null)) * (1 << len(r_null)) > 2:
+        # 3+ slice pairs would recompute each side's full subplan per
+        # piece — persist both once, the slices are disjoint row
+        # subsets of these relations (CacheManager reuses the plan)
+        left = left.persist()
+        right = right.persist()
     out: DataFrame | None = None
     for mask_l in range(1 << len(l_null)):
         lb = {v for i, v in enumerate(l_null) if mask_l >> i & 1}
