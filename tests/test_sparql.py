@@ -3173,3 +3173,106 @@ def test_xsd_datetime_cast(spark):
     # cast then accessor: the derived literal is a REAL xsd:dateTime
     q = P + "SELECT ?s WHERE { ?s ex:v ?x . FILTER (YEAR(xsd:dateTime(?x)) = 2024) }"
     assert {r.s for r in sparql_select(g, q).collect()} == {EX + "a"}
+
+
+def test_xsd_cast_exhaustive_differential(spark):
+    """Every (source lexical+datatype) × (cast target) pair vs an
+    independent Python implementation of the documented §17.5
+    semantics — exhaustive, not sampled."""
+    from decimal import Decimal, InvalidOperation
+    import math
+    import re
+
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    NUM = {XSD + t for t in (
+        "integer", "decimal", "double", "float", "long", "int", "short",
+        "byte", "nonNegativeInteger", "positiveInteger", "negativeInteger",
+        "nonPositiveInteger", "unsignedLong", "unsignedInt",
+        "unsignedShort", "unsignedByte")}
+    sources = [
+        ("13", None), ("13.7", XSD + "decimal"), ("-5", XSD + "integer"),
+        ("2.5E1", None), ("2.5E1", XSD + "double"), ("true", XSD + "boolean"),
+        ("false", XSD + "boolean"), ("oops", None), ("0", None),
+        ("NaN", XSD + "double"), (".5", None), ("-0.25", XSD + "float"),
+        ("007", None), ("1", XSD + "boolean"),
+    ]
+    rows = [
+        (EX + f"s{i}", "iri", EX + "v", lex, "literal", None, dt)
+        for i, (lex, dt) in enumerate(sources)
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    P = "PREFIX ex: <http://ex.org/> PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+
+    def dec(lex):
+        try:
+            d = Decimal(lex)
+        except InvalidOperation:
+            return None
+        return d if d.is_finite() else None  # NaN/Inf: not decimal-castable
+
+    def naive(lex, dt, target):
+        is_num = dt in NUM
+        is_bool = dt == XSD + "boolean"
+        if target == "string":
+            return lex
+        if target == "boolean":
+            if is_num:
+                if lex == "NaN":
+                    return "false"
+                n = dec(lex)
+                return None if n is None else ("true" if n != 0 else "false")
+            if lex in ("true", "1"):
+                return "true"
+            if lex in ("false", "0"):
+                return "false"
+            return None
+        src = (
+            {"true": "1", "1": "1", "false": "0", "0": "0"}.get(lex)
+            if is_bool
+            else lex
+        )
+        if is_bool and src is None:
+            return None
+        if target == "double":
+            if src in ("INF", "-INF", "NaN"):
+                return src
+            try:
+                f = float(src)
+            except ValueError:
+                return None
+            return f  # compare as float
+        n = dec(src)
+        if target == "integer":
+            if is_num or is_bool:
+                return None if n is None else str(int(n))  # trunc toward 0
+            return str(int(n)) if re.match(r"^[+-]?[0-9]+$", src) else None
+        # decimal
+        if is_num or is_bool:
+            return None if n is None else n
+        if re.match(r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)$", src):
+            return n
+        return None
+
+    for target in ("string", "boolean", "integer", "decimal", "double"):
+        q = P + (
+            f"SELECT ?s ?c WHERE {{ ?s ex:v ?x . BIND(xsd:{target}(?x) AS ?c) }}"
+        )
+        got = {r.s: r.c for r in sparql_select(g, q).collect()}
+        for i, (lex, dt) in enumerate(sources):
+            want = naive(lex, dt, target)
+            have = got[EX + f"s{i}"]
+            if want is None:
+                assert have is None, (target, lex, dt, have)
+            elif target == "double":
+                if isinstance(want, str):  # INF/-INF/NaN lexicals
+                    assert have == want, (target, lex, dt, have, want)
+                else:
+                    assert have is not None and (
+                        math.isclose(float(have), want, rel_tol=1e-12)
+                    ), (target, lex, dt, have, want)
+            elif target == "decimal":
+                assert have is not None and dec(have) == want, (
+                    target, lex, dt, have, want,
+                )
+            else:
+                assert have == want, (target, lex, dt, have, want)
