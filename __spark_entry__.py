@@ -301,6 +301,16 @@ def q_sparql_cast_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tpch_sparql_cast(spark, sf_dir)
 
 
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted domain mixing (curriculum construction): keep 50% of
+    en, 20% of de, 5% of every other language — deterministic
+    per-group md5-prefix cut, no shuffle, oracle-exact."""
+    from r2rml_parser_spark.operators.sampling import domain_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    return domain_mix(docs, "lang", {"en": 0.5, "de": 0.2}, default=0.05)
+
+
 def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (r4): deterministic PII-ish tokens are seeded
     into every 5th document, then redacted with per-kind counts —
@@ -653,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_subq_postagg_kg": q_sparql_subq_postagg_kg,
         "sparql_twosided_kg": q_sparql_twosided_kg,
         "sparql_cast_kg": q_sparql_cast_kg,
+        "domain_mix": q_domain_mix,
         "scrub_pii": q_scrub_pii,
         "triple_prf": q_triple_prf,
         "sparql_describe_kg": q_sparql_describe_kg,
@@ -780,6 +791,12 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "sparql_subq_postagg_kg": TPCH_SPARQL_SUBQ_POSTAGG_ORACLE_SQL,
         "sparql_twosided_kg": TPCH_SPARQL_TWOSIDED_ORACLE_SQL,
         "sparql_cast_kg": TPCH_SPARQL_CAST_ORACLE_SQL,
+        "domain_mix": """
+SELECT doc_id, lang FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) <
+  CASE lang WHEN 'en' THEN '800000000000000' WHEN 'de' THEN '333333333333340'
+            ELSE '0ccccccccccccd0' END
+""",
         "scrub_pii": r"""
 WITH seeded AS (
   SELECT doc_id,

@@ -187,3 +187,44 @@ def pack_sequences(
         .withColumn("seq_tokens_before", (F.col("_cum") - F.col(token_col)).cast("bigint"))
         .drop("_cum")
     )
+
+
+def domain_mix(
+    df: DataFrame,
+    group_col: str,
+    rates: dict[str, float],
+    default: float = 0.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted domain mixing — the curriculum-construction primitive:
+    keep each ``group_col`` value's rows at that group's OWN rate
+    ("50% of en, 20% of de, 5% of everything else"), deterministically.
+
+    Same md5-prefix cut as ``proportional_sample``, with the bound
+    chosen per row by a literal when-chain on the group value — pure
+    codegen, NO shuffle and no join (rates ship inside the predicate);
+    the filter evaluates at the scan, so at 100 TB the dropped rows
+    never leave their input partition. Reproducible across runs,
+    engines (DuckDB md5 agrees byte-for-byte), and cluster sizes, and
+    COMPOSABLE: the survivor set of a group at rate r is a superset of
+    the same group at any r' < r, so mixes can be tightened without
+    resampling.
+    """
+    def bound_lit(rate: float) -> Column:
+        if not (0.0 <= rate <= 1.0):
+            raise ValueError(f"rate must be in [0, 1], got {rate}")
+        if rate >= 1.0:
+            # any hex prefix sorts below "g" — keep everything
+            return F.lit("g")
+        return F.lit(format(int(rate * (1 << 60)), "015x"))
+
+    bound = None
+    for g in sorted(rates):
+        b = bound_lit(rates[g])
+        bound = F.when(F.col(group_col) == g, b) if bound is None else bound.when(
+            F.col(group_col) == g, b
+        )
+    defb = bound_lit(default)
+    bound = defb if bound is None else bound.otherwise(defb)
+    key = F.substring(sample_rank(F.col(id_col)), 1, 15)
+    return df.where(key < bound)

@@ -507,6 +507,39 @@ def test_proportional_sample_deterministic(spark):
         proportional_sample(df, 1.5)
 
 
+def test_domain_mix(spark):
+    from r2rml_parser_spark.operators.sampling import domain_mix
+    import pytest as _pytest
+
+    rows = [(i, "en" if i % 2 == 0 else ("de" if i % 4 == 1 else "xx"))
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = domain_mix(df, "lang", {"en": 0.5, "de": 0.2}, default=0.05)
+    counts = {r.lang: r.n for r in out.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    # ~1000 of 2000 en, ~200 of 1000 de, ~50 of 1000 xx (md5-uniform)
+    assert 850 < counts.get("en", 0) < 1150
+    assert 140 < counts.get("de", 0) < 260
+    assert 20 < counts.get("xx", 0) < 85
+    # deterministic across partitionings
+    ids = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in domain_mix(
+            df.repartition(7), "lang", {"en": 0.5, "de": 0.2}, default=0.05
+        ).collect()
+    )
+    assert ids == ids2
+    # composable: tightening a group's rate yields a SUBSET of survivors
+    tight = domain_mix(df, "lang", {"en": 0.25, "de": 0.2}, default=0.05)
+    assert {r.doc_id for r in tight.collect()} <= set(ids)
+    # rate 1.0 keeps the whole group; rate 0.0 (default) drops unknowns
+    full = domain_mix(df, "lang", {"en": 1.0}, default=0.0)
+    assert full.count() == 2000
+    assert {r.lang for r in full.collect()} == {"en"}
+    with _pytest.raises(ValueError):
+        domain_mix(df, "lang", {"en": 2.0})
+
+
 def test_cap_clusters(spark):
     from r2rml_parser_spark.operators.sampling import cap_clusters
 
