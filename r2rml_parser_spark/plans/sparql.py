@@ -899,17 +899,47 @@ class _Parser:
         self._agg_hoist.append(("agg", func, distinct, var, alias, sep))
         return Var(alias)
 
+    @staticmethod
+    def _is_relative_iri(iri: str) -> bool:
+        import re as _re
+
+        return not _re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", iri)
+
     def parse(self):
-        # PREFIX decls
-        while self._kw_is("PREFIX"):
-            self._next()
-            k, pfx = self._next()
-            if k != "kw" or not str(pfx).endswith(":"):
-                raise SparqlError(f"bad PREFIX declaration near {pfx!r}")
-            k2, iri = self._next()
-            if k2 != "iri":
-                raise SparqlError("PREFIX must bind to an <iri>")
-            self.prefixes[str(pfx)[:-1]] = iri
+        # prologue: PREFIX and BASE decls in any order (late r4 — a
+        # BASE resolves every later relative <iri> per RFC 3986,
+        # including PREFIX expansions and a later BASE itself)
+        from urllib.parse import urljoin
+
+        base: str | None = None
+        while True:
+            if self._kw_is("PREFIX"):
+                self._next()
+                k, pfx = self._next()
+                if k != "kw" or not str(pfx).endswith(":"):
+                    raise SparqlError(f"bad PREFIX declaration near {pfx!r}")
+                k2, iri = self._next()
+                if k2 != "iri":
+                    raise SparqlError("PREFIX must bind to an <iri>")
+                if base and self._is_relative_iri(iri):
+                    iri = urljoin(base, iri)
+                self.prefixes[str(pfx)[:-1]] = iri
+            elif self._kw_is("BASE"):
+                self._next()
+                k2, iri = self._next()
+                if k2 != "iri":
+                    raise SparqlError("BASE must bind to an <iri>")
+                base = urljoin(base, iri) if base else iri
+            else:
+                break
+        if base:
+            # resolve every remaining relative <iri> token once, up
+            # front — term positions, paths, DESCRIBE targets and
+            # CONSTRUCT templates all see absolute IRIs
+            for j in range(self.i, len(self.toks)):
+                k, v = self.toks[j]
+                if k == "iri" and self._is_relative_iri(str(v)):
+                    self.toks[j] = ("iri", urljoin(base, str(v)))
         k, kw = self._next()
         form = str(kw).upper() if k == "kw" else ""
         if form not in ("SELECT", "ASK", "CONSTRUCT", "DESCRIBE"):

@@ -3276,3 +3276,24 @@ def test_xsd_cast_exhaustive_differential(spark):
                 )
             else:
                 assert have == want, (target, lex, dt, have, want)
+
+
+def test_base_declaration_resolves_relative_iris(graph):
+    # (late r4) BASE resolves relative <iri>s per RFC 3986 — pattern
+    # constants, prefixed-name expansion order, and path elements
+    q = """BASE <http://ex.org/>
+    SELECT ?n WHERE { <p1> <name> ?n }"""
+    assert [r.n for r in sparql_select(graph, q).collect()] == ["Ada"]
+    # BASE + PREFIX: a relative PREFIX iri resolves against the base
+    q2 = """BASE <http://ex.org/x/>
+    PREFIX e: <../>
+    SELECT ?n WHERE { e:p1 e:name ?n }"""
+    assert [r.n for r in sparql_select(graph, q2).collect()] == ["Ada"]
+    # relative path elements resolve too
+    q3 = """BASE <http://ex.org/>
+    SELECT ?o WHERE { <p1> <knows>/<name> ?o }"""
+    assert [r.o for r in sparql_select(graph, q3).collect()] == ["Grace"]
+    # absolute IRIs pass through a BASE untouched
+    q4 = """BASE <http://other.example/>
+    SELECT ?n WHERE { <http://ex.org/p1> <http://ex.org/name> ?n }"""
+    assert [r.n for r in sparql_select(graph, q4).collect()] == ["Ada"]
