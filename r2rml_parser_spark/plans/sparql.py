@@ -517,6 +517,7 @@ class _Parser:
         self.toks = _tokens(text)
         self.i = 0
         self.prefixes = dict(prefixes or {})
+        self.base: str | None = None  # BASE <iri> prologue (late r4)
         self._path_n = 0  # fresh-variable counter for property paths
         # when not None, _operand accepts raw aggregate calls and
         # hoists them here as internal aliased items (SELECT/HAVING/
@@ -930,6 +931,7 @@ class _Parser:
                 if k2 != "iri":
                     raise SparqlError("BASE must bind to an <iri>")
                 base = urljoin(base, iri) if base else iri
+                self.base = base
             else:
                 break
         if base:
@@ -1832,7 +1834,9 @@ class _Parser:
             if fn in ("iri", "uri"):
                 if len(args) != 1:
                     raise SparqlError("IRI() takes exactly one argument")
-                return ("iri_fn", args[0])
+                # carry the prologue BASE so a relative string argument
+                # resolves per §17.4.2.6 (late r4)
+                return ("iri_fn", args[0], self.base)
             return ("concat", args)
         # fallback: a full value expression — arithmetic with standard
         # precedence, parenthesized groups included ((?a + 1) * 2). A
@@ -3376,13 +3380,36 @@ def _eval_bind_expr(node, bound: set[str], scope: str = "BIND"):
             F.when(cond, td).when(~cond, ed),
         )
     if isinstance(node, tuple) and node and node[0] == "iri_fn":
+        base = node[2] if len(node) > 2 else None
         v, k, lg, dt = _eval_bind_expr(node[1], bound, scope)
         is_str = (
             (k == F.lit("literal"))
             & (F.coalesce(lg, F.lit("?")) == "")
             & F.coalesce(dt, F.lit("?")).isin("", XSD_STRING)
         )
-        val = F.when(k == F.lit("iri"), v).when(is_str, v)
+        sv = v
+        if base:
+            # §17.4.2.6: a relative string argument resolves against
+            # the prologue BASE. Column-level RFC 3986 merge: absolute
+            # strings pass through, "/rooted" joins scheme+authority,
+            # anything else appends to the base's directory ("..""
+            # segments are not normalized — documented delta; constant
+            # arguments could take exact urljoin, but the column rule
+            # keeps constants and computed strings consistent)
+            import re as _re
+
+            m = _re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*:(?://[^/?#]*)?)", base)
+            root = m.group(1) if m else base
+            tail = base[len(root):]
+            basedir = (
+                root + tail[: tail.rfind("/") + 1] if "/" in tail else base + "/"
+            )
+            sv = (
+                F.when(v.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:"), v)
+                .when(v.startswith("/"), F.concat(F.lit(root), v))
+                .otherwise(F.concat(F.lit(basedir), v))
+            )
+        val = F.when(k == F.lit("iri"), v).when(is_str, sv)
         return val, F.lit("iri"), F.lit(""), F.lit("")
     if isinstance(node, tuple) and node and node[0] in ("strlang", "strdt"):
         # §17.4.2.8/.9: the first argument must be a SIMPLE literal;

@@ -3297,3 +3297,22 @@ def test_base_declaration_resolves_relative_iris(graph):
     q4 = """BASE <http://other.example/>
     SELECT ?n WHERE { <http://ex.org/p1> <http://ex.org/name> ?n }"""
     assert [r.n for r in sparql_select(graph, q4).collect()] == ["Ada"]
+
+
+def test_iri_fn_resolves_against_base(graph):
+    # §17.4.2.6 (late r4): IRI() of a relative string resolves against
+    # the prologue BASE; absolute strings and IRI args pass through
+    q = """BASE <http://ex.org/dir/>
+    PREFIX ex: <http://ex.org/>
+    SELECT ?u ?v ?w WHERE { ?p ex:name ?n . FILTER (?n = "Ada")
+      BIND(IRI("leaf") AS ?u)
+      BIND(IRI("/rooted") AS ?v)
+      BIND(IRI("http://abs.example/x") AS ?w) }"""
+    r = sparql_select(graph, q).collect()[0]
+    assert r.u == "http://ex.org/dir/leaf"
+    assert r.v == "http://ex.org/rooted"
+    assert r.w == "http://abs.example/x"
+    # without a BASE, relative strings mint as-is (unchanged behavior)
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT ?u WHERE { ?p ex:name ?n . FILTER (?n = "Ada") BIND(IRI("leaf") AS ?u) }"""
+    assert sparql_select(graph, q2).collect()[0].u == "leaf"
