@@ -25,7 +25,8 @@ FILTERs. The projected binding is
 the lexical form, matching the reference's
 ``getLiteralLexicalForm``/resource-URI behavior.
 
-Supported subset (documented): PREFIX decls, SELECT
+Supported subset (documented): PREFIX/BASE decls (BASE resolves
+relative <iri>s and IRI() string arguments per RFC 3986, late r4), SELECT
 [DISTINCT|REDUCED] (REDUCED answers with the distinct set, a
 conformant cardinality per §18.2.2.4) with
 ``?var``, ``(AGG([DISTINCT] ?v|*) AS ?alias)``, and non-aggregate
