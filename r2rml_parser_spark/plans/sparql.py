@@ -153,22 +153,34 @@ bound inside that group (the pre-join filter is then equivalent to
 SPARQL's LeftJoin(A, G, F) / branch-local filter; a filter needing
 variables from OUTSIDE its group is rejected) — FILTER [NOT]
 EXISTS { t1 . t2 ... [FILTER ...] } at the top level of WHERE,
-compiled to a semi/anti join on the shared term keys (the group must
-share ≥1 variable with the rest of the query, none of them
-OPTIONAL-nullable — SPARQL's unbound-is-compatible semantics cannot
-be a semi-join, so those are rejected); [NOT] EXISTS also composes
-INSIDE boolean FILTER expressions (``FILTER (EXISTS {…} || ?x > 5)``)
+compiled to a semi/anti join on the shared term keys; a shared
+variable an earlier OPTIONAL may have left unbound takes §18.6
+substitution semantics exactly (late r4): the outer relation is
+sliced by which nullable keys are bound (the single-sided twin of
+the §18.5 compatible-join decomposition) and each slice tests on its
+effective keys — an all-unbound slice reduces to the probe's
+non-emptiness — and an EXISTS sharing NO variable is a per-query
+constant (substituting nothing leaves the pattern as-is: one
+emptiness probe keeps or empties the relation); [NOT] EXISTS also
+composes INSIDE boolean FILTER expressions
+(``FILTER (EXISTS {…} || ?x > 5)``)
 at the top level of WHERE — compiled to a per-row boolean flag via a
 left join against the group's distinct shared term keys (never
 multiplies rows; an EXISTS sharing no variable is evaluated once as a
-constant; r4: FILTER [NOT] EXISTS also compiles INSIDE OPTIONAL
+constant, and possibly-unbound shared variables take the same
+slice decomposition, each slice attaching its flag on its effective
+keys; r4: FILTER [NOT] EXISTS also compiles INSIDE OPTIONAL
 groups at any nesting depth — Filter(EXISTS(P), G) as a semi/anti
 join on the group's solutions, correlated through variables the
-group itself binds; an EXISTS correlating only with outer-bound
-variables, sharing nothing, or joining on nested-OPTIONAL-nullable
-variables is rejected, as is EXISTS nested inside a BIND
+group itself binds; an EXISTS inside a group correlating only with
+outer-bound variables is rejected (its §18.6 substitution would need
+the outer relation at bottom-up group compile time), as is EXISTS
+nested inside a BIND
 expression or inside a boolean-expression EXISTS (the ``exists_e``
-flag form); a statement-level FILTER [NOT] EXISTS nested inside
+flag form); a group EXISTS sharing nothing is a constant over the
+group, and one joining on nested-OPTIONAL-nullable variables takes
+the slice decomposition (late r4);
+a statement-level FILTER [NOT] EXISTS nested inside
 another EXISTS group compiles recursively (r4) — each level is a
 semi/anti join over its own group's solutions, correlated through
 variables that group binds; r4: FILTER [NOT] EXISTS also
@@ -176,10 +188,12 @@ compiles INSIDE UNION branches and INSIDE MINUS groups —
 Filter(EXISTS(P), G) as a semi/anti join over the branch's/group's own
 solutions before the union/anti-join, correlated through variables
 that group itself binds) — MINUS { t1 ... }
-(SPARQL 1.1 §8.3: an anti join on the shared term keys when every
-shared variable is required-bound; a MINUS sharing no variable with
-the rest of the query removes nothing and compiles away, and
-OPTIONAL-nullable shared variables are rejected like EXISTS's) —
+(SPARQL 1.1 §8.3: an anti join on the shared term keys; a MINUS
+sharing no variable with
+the rest of the query removes nothing and compiles away, and a
+shared variable an earlier OPTIONAL may have left unbound slices
+like EXISTS's — with the all-unbound slice KEPT, §8.3's
+disjoint-domain rule (late r4)) —
 BIND(expr AS ?v) at the top
 level of WHERE and (r4) INSIDE OPTIONAL/UNION/MINUS groups (evaluated
 over the group's own solutions in textual order, visible to the
@@ -2326,11 +2340,6 @@ def _apply_group_exists(
                 "this nested EXISTS group",
             )
         eshared = sorted(v for v in evars if v in gvars)
-        if not eshared:
-            raise SparqlError(
-                f"an EXISTS group inside {scope} shares no variable with "
-                "its group (an uncorrelated existence test is not supported)"
-            )
         outer_corr = sorted(
             v for v in evars
             if not _is_internal(v) and v in outer_bound and v not in gvars
@@ -2342,14 +2351,22 @@ def _apply_group_exists(
                 "substitution semantics for that correlation are not "
                 "expressible as a semi-join on group keys"
             )
-        if nullable_vars:
-            ebad = sorted(v for v in eshared if v in nullable_vars)
-            if ebad:
-                raise SparqlError(
-                    f"EXISTS join variable(s) {ebad} may be unbound by a "
-                    "nested OPTIONAL — SPARQL's unbound-is-compatible "
-                    "semantics are not expressible as a semi-join"
-                )
+        if not eshared:
+            # uncorrelated existence test = a constant over the whole
+            # group (§18.6: substituting nothing leaves the pattern
+            # as-is): keep or empty the group on one emptiness probe
+            if edf.isEmpty() == positive:
+                gdf = gdf.limit(0)
+            continue
+        ebad = sorted(v for v in eshared if v in (nullable_vars or ()))
+        if ebad:
+            # a shared variable a nested OPTIONAL may have left unbound:
+            # §18.6 substitution via the bound-mask slice decomposition
+            gdf = _nullable_corr_filter(
+                gdf, edf, eshared, ebad,
+                "semi" if positive else "anti", f"an EXISTS inside {scope}",
+            )
+            continue
         ekeys = [x for v in eshared for x in _term_key(v)]
         gdf = gdf.join(
             edf.select(*ekeys),
@@ -3902,6 +3919,123 @@ def _compat_join(
     return out
 
 
+def _nullable_corr_filter(
+    df: DataFrame,
+    gdf: DataFrame,
+    shared: list[str],
+    null_shared: list[str],
+    mode: str,
+    what: str,
+) -> DataFrame:
+    """Correlated existence/difference test — EXISTS (``mode="semi"``),
+    NOT EXISTS (``"anti"``), MINUS (``"minus"``) — when some shared
+    variables may be UNBOUND (NULL) on the OUTER side. SPARQL's
+    substitution (§18.6) and compatibility (§8.3) semantics treat an
+    unbound variable as absent from the test; a raw key join would
+    treat the NULL key as a non-match instead.
+
+    Exact decomposition (the single-sided twin of ``_compat_join``):
+    the outer relation is partitioned by which of its nullable shared
+    variables are bound — 2^k disjoint slices, k capped at
+    ``_COMPAT_MAX_NULLABLE`` — and each slice [semi|anti]-joins the
+    probe on its EFFECTIVE keys, the shared variables actually bound
+    in that slice. A slice binding none of them degenerates per mode:
+    EXISTS keeps it iff the probe is non-empty (the substituted
+    pattern has only free variables), NOT EXISTS iff it is empty, and
+    MINUS always keeps it (§8.3 removes nothing on disjoint domains).
+    Slices are disjoint row subsets and project identical columns, so
+    the by-name union preserves bag multiplicity."""
+    if len(null_shared) > _COMPAT_MAX_NULLABLE:
+        raise SparqlError(
+            f"{what} joins on {len(null_shared)} possibly-unbound "
+            f"variables ({null_shared}); the slice decomposition is "
+            f"capped at {_COMPAT_MAX_NULLABLE}"
+        )
+    if (1 << len(null_shared)) > 2:
+        # 3+ slices re-scan the outer subplan per piece and probe gdf
+        # per piece — persist both once (slices are disjoint subsets)
+        df = df.persist()
+        gdf = gdf.persist()
+    probe_nonempty: bool | None = None
+    pieces: list[DataFrame] = []
+    for mask in range(1 << len(null_shared)):
+        b = {v for i, v in enumerate(null_shared) if mask >> i & 1}
+        sl = df
+        for v in null_shared:
+            sl = sl.where(
+                F.col(v).isNotNull() if v in b else F.col(v).isNull()
+            )
+        eff = [v for v in shared if v not in null_shared or v in b]
+        if not eff:
+            if mode == "minus":
+                pieces.append(sl)  # disjoint domains: MINUS is a no-op
+                continue
+            if probe_nonempty is None:
+                probe_nonempty = not gdf.isEmpty()
+            if probe_nonempty == (mode == "semi"):
+                pieces.append(sl)
+            continue
+        keys = [c for v in eff for c in _term_key(v)]
+        how = "left_semi" if mode == "semi" else "left_anti"
+        pieces.append(sl.join(gdf.select(*keys), on=keys, how=how))
+    out = pieces[0] if pieces else df.limit(0)
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _attach_nullable_flag(
+    df: DataFrame,
+    gdf: DataFrame,
+    shared: list[str],
+    null_shared: list[str],
+    flag: str,
+) -> DataFrame:
+    """Boolean-expression EXISTS flag when some shared variables may be
+    unbound on the outer side: the same bound-mask slicing as
+    ``_nullable_corr_filter``, but each slice LEFT-joins the probe's
+    distinct effective keys to materialize a per-row boolean column
+    (never multiplying rows); the all-unbound slice takes a constant
+    flag = probe non-emptiness (§18.6 substitution of nothing)."""
+    if len(null_shared) > _COMPAT_MAX_NULLABLE:
+        raise SparqlError(
+            f"an EXISTS expression joins on {len(null_shared)} "
+            f"possibly-unbound variables ({null_shared}); the slice "
+            f"decomposition is capped at {_COMPAT_MAX_NULLABLE}"
+        )
+    if (1 << len(null_shared)) > 2:
+        df = df.persist()
+        gdf = gdf.persist()
+    probe_nonempty: bool | None = None
+    pieces: list[DataFrame] = []
+    for mask in range(1 << len(null_shared)):
+        b = {v for i, v in enumerate(null_shared) if mask >> i & 1}
+        sl = df
+        for v in null_shared:
+            sl = sl.where(
+                F.col(v).isNotNull() if v in b else F.col(v).isNull()
+            )
+        eff = [v for v in shared if v not in null_shared or v in b]
+        if not eff:
+            if probe_nonempty is None:
+                probe_nonempty = not gdf.isEmpty()
+            pieces.append(sl.withColumn(flag, F.lit(probe_nonempty)))
+            continue
+        keys = [c for v in eff for c in _term_key(v)]
+        marker = (
+            gdf.select(*keys).dropDuplicates().withColumn(flag, F.lit(True))
+        )
+        pieces.append(
+            sl.join(marker, on=keys, how="left").withColumn(
+                flag, F.coalesce(F.col(flag), F.lit(False))
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _left_join_group(
     df: DataFrame,
     gdf: DataFrame,
@@ -4322,13 +4456,14 @@ def _compile_where(
                     return ("const", not gdf.isEmpty())
                 maybe_null = sorted(v for v in shared if v in nullable)
                 if maybe_null:
-                    raise SparqlError(
-                        "EXISTS join variable(s) may be unbound by an earlier "
-                        f"OPTIONAL ({maybe_null}); SPARQL's unbound-is-"
-                        "compatible semantics are not expressible as a key "
-                        "join — restructure the query or use SQL over "
-                        "register_triples_view"
+                    # §18.6 substitution with possibly-unbound outer
+                    # variables (r4): per-slice flag attachment
+                    flag_n += 1
+                    flag = f"__exists_flag{flag_n}"
+                    df = _attach_nullable_flag(
+                        df, gdf, shared, maybe_null, flag
                     )
+                    return ("flag", flag)
                 flag_n += 1
                 flag = f"__exists_flag{flag_n}"
                 keys = [x for v in shared for x in _term_key(v)]
@@ -4360,18 +4495,22 @@ def _compile_where(
             )
         shared = sorted(v for v in gvars if v in bound)
         if not shared:
-            raise SparqlError(
-                "EXISTS group shares no variable with the rest of the "
-                "query (an uncorrelated existence test is not supported)"
-            )
+            # uncorrelated existence test = a per-query CONSTANT
+            # (§18.6: substituting nothing leaves the pattern as-is):
+            # keep everything or nothing based on one emptiness probe
+            if gdf.isEmpty() == positive:
+                df = df.limit(0)
+            continue
         maybe_null = sorted(v for v in shared if v in nullable)
         if maybe_null:
-            raise SparqlError(
-                "EXISTS join variable(s) may be unbound by an earlier "
-                f"OPTIONAL ({maybe_null}); SPARQL's unbound-is-compatible "
-                "semantics are not expressible as a semi-join — "
-                "restructure the query or use SQL over register_triples_view"
+            # §18.6 substitution with possibly-unbound outer variables:
+            # slice the outer relation by bound-mask and test each
+            # slice on its effective keys (r4, _nullable_corr_filter)
+            df = _nullable_corr_filter(
+                df, gdf, shared, maybe_null,
+                "semi" if positive else "anti", "FILTER EXISTS",
             )
+            continue
         join_keys = [x for v in shared for x in _term_key(v)]
         df = df.join(
             gdf.select(*join_keys),
@@ -4398,16 +4537,24 @@ def _compile_where(
         shared = sorted(v for v in gvars if v in bound)
         if not shared:
             continue  # disjoint domains: MINUS is a no-op by spec
+        # §8.3 compatibility with possibly-unbound OUTER variables (r4):
+        # a shared variable an earlier OPTIONAL/BIND left NULL is absent
+        # from dom(μ) — it drops out of the compatibility test instead
+        # of key-matching NULL, and a row binding NONE of the shared
+        # variables has a disjoint domain, which MINUS keeps. (The right
+        # side is never nullable here: a group BIND name colliding with
+        # an outer variable is rejected by _apply_group_binds, so every
+        # shared variable is pattern-bound on the MINUS side.)
         maybe_null = sorted(v for v in shared if v in nullable)
         if maybe_null:
-            raise SparqlError(
-                "MINUS join variable(s) may be unbound by an earlier "
-                f"OPTIONAL ({maybe_null}); SPARQL's unbound-is-compatible "
-                "semantics are not expressible as an anti join — "
-                "restructure the query or use SQL over register_triples_view"
+            df = _nullable_corr_filter(
+                df, gdf, shared, maybe_null, "minus", "MINUS"
             )
-        join_keys = [x for v in shared for x in _term_key(v)]
-        df = df.join(gdf.select(*join_keys), on=join_keys, how="left_anti")
+        else:
+            join_keys = [x for v in shared for x in _term_key(v)]
+            df = df.join(
+                gdf.select(*join_keys), on=join_keys, how="left_anti"
+            )
     return df, bound, nullable
 
 

@@ -2614,16 +2614,19 @@ def test_exists_in_optional_via_group_internal_var(graph):
 
 
 def test_exists_in_optional_rejections(graph):
-    # uncorrelated EXISTS inside OPTIONAL
-    with pytest.raises(SparqlError, match="shares no variable"):
-        sparql_select(
-            graph,
-            """PREFIX ex: <http://ex.org/>
-            SELECT ?p WHERE {
-              ?p a ex:Person .
-              OPTIONAL { ?p ex:name ?n . FILTER EXISTS { ?x ex:note ?z } }
-            }""",
-        )
+    # uncorrelated EXISTS inside OPTIONAL = a constant over the group
+    # (r4): notes exist, so the group is unaffected
+    q_const = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?n WHERE {
+      ?p a ex:Person .
+      OPTIONAL { ?p ex:name ?n . FILTER EXISTS { ?x ex:note ?z } }
+    }"""
+    got_const = {(r.p, r.n) for r in sparql_select(graph, q_const).collect()}
+    assert got_const == {(EX + "p1", "Ada"), (EX + "p2", "Grace")}
+    # ...and a FALSE constant empties the group (names all unbound)
+    q_false = q_const.replace("ex:note", "ex:missing")
+    got_false = {(r.p, r.n) for r in sparql_select(graph, q_false).collect()}
+    assert got_false == {(EX + "p1", None), (EX + "p2", None)}
     # EXISTS referencing a variable bound only OUTSIDE the OPTIONAL
     with pytest.raises(SparqlError, match="outside the group"):
         sparql_select(
@@ -2671,15 +2674,95 @@ def test_exists_inside_minus_group(graph):
       MINUS { ?p ex:name ?n . FILTER NOT EXISTS { ?p ex:knows ?q } }
     }"""
     assert [r.p for r in sparql_select(graph, q2).collect()] == [EX + "p1"]
-    with pytest.raises(SparqlError, match="uncorrelated"):
-        sparql_select(
-            graph,
-            """PREFIX ex: <http://ex.org/>
-            SELECT ?p WHERE {
-              ?p a ex:Person .
-              MINUS { ?p ex:name ?n . FILTER EXISTS { ex:p9 ex:knows ?q } }
-            }""",
-        )
+    # an uncorrelated inner EXISTS is a constant (r4): ex:p9 knows
+    # nobody, so the probe is FALSE, the MINUS group empties, and
+    # nothing is removed
+    q3 = """PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE {
+      ?p a ex:Person .
+      MINUS { ?p ex:name ?n . FILTER EXISTS { ex:p9 ex:knows ?q } }
+    }"""
+    got3 = sorted(r.p for r in sparql_select(graph, q3).collect())
+    assert got3 == [EX + "p1", EX + "p2"]
+
+
+def test_exists_on_optional_nullable_variable(graph):
+    # §18.6 substitution when the EXISTS shares a variable an OPTIONAL
+    # may leave unbound (r4, _nullable_corr_filter): for p1 ?q = p2
+    # (has a name → kept); for p2 ?q is UNBOUND, so the substituted
+    # pattern { ?q ex:name ?qn } keeps its free variables and is
+    # non-empty → kept too. An equi-semi-join would wrongly drop p2.
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?q WHERE {
+      ?p a ex:Person .
+      OPTIONAL { ?p ex:knows ?q }
+      FILTER EXISTS { ?q ex:name ?qn }
+    }"""
+    got = {(r.p, r.q) for r in sparql_select(graph, q).collect()}
+    assert got == {(EX + "p1", EX + "p2"), (EX + "p2", None)}
+    # NOT EXISTS flips both slices: p1's match drops it, p2's
+    # non-empty free-pattern probe drops it too
+    q2 = q.replace("FILTER EXISTS", "FILTER NOT EXISTS")
+    assert sparql_select(graph, q2).count() == 0
+    # empty probe relation: bound slice keeps nothing under EXISTS,
+    # everything under NOT EXISTS
+    q3 = q.replace("ex:name ?qn", "ex:missing ?qn")
+    assert sparql_select(graph, q3).count() == 0
+    q4 = q3.replace("FILTER EXISTS", "FILTER NOT EXISTS")
+    got4 = {(r.p, r.q) for r in sparql_select(graph, q4).collect()}
+    assert got4 == {(EX + "p1", EX + "p2"), (EX + "p2", None)}
+
+
+def test_exists_expression_on_nullable_variable(graph):
+    # the boolean-expression EXISTS form over a possibly-unbound
+    # variable (r4, _attach_nullable_flag): per-slice flag columns
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?q WHERE {
+      ?p a ex:Person .
+      OPTIONAL { ?p ex:knows ?q }
+      FILTER (EXISTS { ?q ex:name ?qn } || ?p = ex:p9)
+    }"""
+    got = {(r.p, r.q) for r in sparql_select(graph, q).collect()}
+    assert got == {(EX + "p1", EX + "p2"), (EX + "p2", None)}
+    # empty probe → flag FALSE everywhere; the || arm saves nothing
+    q2 = q.replace("ex:name ?qn", "ex:missing ?qn")
+    assert sparql_select(graph, q2).count() == 0
+    # NOT EXISTS inside the expression follows the same slicing
+    q3 = q2.replace("EXISTS {", "NOT EXISTS {")
+    got3 = {(r.p, r.q) for r in sparql_select(graph, q3).collect()}
+    assert got3 == {(EX + "p1", EX + "p2"), (EX + "p2", None)}
+
+
+def test_minus_on_optional_nullable_variable(graph):
+    # §8.3 MINUS compatibility when the shared variable may be unbound
+    # (r4): p1's ?q = p2 matches the right side → removed; p2's ?q is
+    # unbound → dom(μ) ∩ dom(μ') = ∅ → MINUS keeps it by spec
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?q WHERE {
+      ?p a ex:Person .
+      OPTIONAL { ?p ex:knows ?q }
+      MINUS { ?q ex:name ?qn }
+    }"""
+    got = {(r.p, r.q) for r in sparql_select(graph, q).collect()}
+    assert got == {(EX + "p2", None)}
+    # an empty right side removes nothing from either slice
+    q2 = q.replace("ex:name ?qn", "ex:missing ?qn")
+    got2 = {(r.p, r.q) for r in sparql_select(graph, q2).collect()}
+    assert got2 == {(EX + "p1", EX + "p2"), (EX + "p2", None)}
+
+
+def test_uncorrelated_statement_exists_is_constant(graph):
+    # statement-level FILTER [NOT] EXISTS sharing no variable (r4):
+    # evaluated once as a per-query constant
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE { ?p a ex:Person . FILTER EXISTS { ?x ex:note ?z } }"""
+    assert sparql_select(graph, q).count() == 2
+    q2 = q.replace("ex:note", "ex:missing")
+    assert sparql_select(graph, q2).count() == 0
+    q3 = q2.replace("FILTER EXISTS", "FILTER NOT EXISTS")
+    assert sparql_select(graph, q3).count() == 2
+    q4 = q.replace("FILTER EXISTS", "FILTER NOT EXISTS")
+    assert sparql_select(graph, q4).count() == 0
 
 
 def test_exists_inside_nested_optional(graph):
@@ -2789,16 +2872,16 @@ def test_exists_inside_union_branch(graph):
     }"""
     got2 = sorted(r.s for r in sparql_select(graph, q2).collect())
     assert got2 == sorted([EX + "p1", EX + "p2"])
-    # an EXISTS sharing no variable with its branch is rejected
-    with pytest.raises(SparqlError, match="uncorrelated"):
-        sparql_select(
-            graph,
-            """PREFIX ex: <http://ex.org/>
-            SELECT ?s WHERE {
-              { ?s a ex:Person . FILTER EXISTS { ex:p9 ex:knows ?o } }
-              UNION { ?s ex:name ?n }
-            }""",
-        )
+    # an EXISTS sharing no variable with its branch is a constant
+    # (r4): ex:p9 knows nobody → the first branch empties, the second
+    # still contributes its name rows
+    q3 = """PREFIX ex: <http://ex.org/>
+    SELECT ?s WHERE {
+      { ?s a ex:Person . FILTER EXISTS { ex:p9 ex:knows ?o } }
+      UNION { ?s ex:name ?n }
+    }"""
+    got3 = sorted(r.s for r in sparql_select(graph, q3).collect())
+    assert got3 == sorted([EX + "p1", EX + "p2"])
 
 
 def test_bind_inside_groups(graph, numeric_graph):
@@ -3107,12 +3190,15 @@ def test_exists_nested_in_exists(graph):
                       FILTER EXISTS { ?z ex:note ?n } } }"""
     with pytest.raises(SparqlError):
         sparql_select(graph, q5)
-    # an uncorrelated inner EXISTS is rejected
+    # an uncorrelated inner EXISTS is a constant (r4): names exist, so
+    # the inner probe is TRUE and the outer EXISTS reduces to knows
     q6 = """PREFIX ex: <http://ex.org/>
     SELECT ?p WHERE { ?p a ex:Person .
       FILTER EXISTS { ?p ex:knows ?q . FILTER EXISTS { ?z ex:name ?w } } }"""
-    with pytest.raises(SparqlError):
-        sparql_select(graph, q6)
+    assert [r.p for r in sparql_select(graph, q6).collect()] == [EX + "p1"]
+    # ...and a FALSE inner constant empties the outer probe group
+    q7 = q6.replace("ex:name ?w", "ex:missing ?w")
+    assert sparql_select(graph, q7).count() == 0
 
 
 def test_xsd_constructor_casts(spark):
