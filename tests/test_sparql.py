@@ -1000,23 +1000,36 @@ def test_exists_in_boolean_expression(graph):
     assert [r.p for r in sparql_select(graph, q4).collect()] == [EX + "p1"]
 
 
-def test_exists_rejections(graph):
-    with pytest.raises(SparqlError):  # no shared variable (standalone)
-        sparql_select(
+def test_exists_formerly_rejected_shapes(graph):
+    """Shapes rejected before the late-r4 §18.6 substitution work now
+    evaluate exactly (no rejections left on these paths)."""
+    # standalone EXISTS sharing NO variable = a per-query constant:
+    # substituting the solution into the pattern changes nothing, so
+    # one emptiness probe decides for every row
+    assert sorted(
+        r.p
+        for r in sparql_select(
             graph,
             "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . FILTER EXISTS { ?x ex:knows ?y } }",
-        )
+        ).collect()
+    ) == [EX + "p1", EX + "p2"]
     # EXISTS inside an OPTIONAL group compiles since r4
     # (test_exists_inside_optional_group and friends)
     assert sparql_select(
         graph,
         "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . OPTIONAL { ?p ex:knows ?q . FILTER EXISTS { ?q ex:name ?n } } }",
     ).count() == 2
-    with pytest.raises(SparqlError):  # join var nullable via OPTIONAL
+    # join var nullable via an earlier OPTIONAL: §18.6 substitution —
+    # p1's ?q = p2 (bound) matches p2's name, so NOT EXISTS drops it;
+    # p2's ?q is UNBOUND, so the substituted pattern keeps ?q as a free
+    # variable and { ?q ex:name ?n } is non-empty → dropped too
+    assert (
         sparql_select(
             graph,
             "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . OPTIONAL { ?p ex:knows ?q } FILTER NOT EXISTS { ?q ex:name ?n } }",
-        )
+        ).count()
+        == 0
+    )
 
 
 def test_cross_group_optional_filter_semantics(spark):
