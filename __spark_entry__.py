@@ -221,6 +221,18 @@ def q_sparql_values_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tpch_sparql_values(spark, sf_dir)
 
 
+def q_sparql_aggsem_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict aggregate semantics (late r4): grouping the whole KG by
+    predicate — SUM is unbound for any group holding a bound
+    non-numeric value (§18.5.1.5 error propagation, the W3C agg-err
+    behavior) and MIN/MAX are value-aware extrema under the ORDER BY
+    total order (numeric terms by VALUE before non-numeric terms by
+    codepoint)."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_aggsem
+
+    return run_tpch_sparql_aggsem(spark, sf_dir)
+
+
 def q_sparql_aggdistinct_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SUM/AVG(DISTINCT) (r4): §18.5.1 Distinct over RDF TERMS — the
     doubled bag (each ?k reaches the group via two predicates) dedups
@@ -655,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_arith_kg": q_sparql_arith_kg,
         "sparql_values_kg": q_sparql_values_kg,
         "sparql_aggdistinct_kg": q_sparql_aggdistinct_kg,
+        "sparql_aggsem_kg": q_sparql_aggsem_kg,
         "sparql_orderexpr_kg": q_sparql_orderexpr_kg,
         "sparql_selectexpr_kg": q_sparql_selectexpr_kg,
         "sparql_having_kg": q_sparql_having_kg,
@@ -725,6 +738,7 @@ def oracle_sql() -> dict[str, str]:
         TPCH_SPARQL_ARITH_ORACLE_SQL,
         TPCH_SPARQL_VALUES_ORACLE_SQL,
         TPCH_SPARQL_AGGDISTINCT_ORACLE_SQL,
+        TPCH_SPARQL_AGGSEM_ORACLE_SQL,
         TPCH_SPARQL_ORDEREXPR_ORACLE_SQL,
         TPCH_SPARQL_SELECTEXPR_ORACLE_SQL,
         TPCH_SPARQL_HAVING_ORACLE_SQL,
@@ -783,6 +797,7 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "sparql_arith_kg": TPCH_SPARQL_ARITH_ORACLE_SQL,
         "sparql_values_kg": TPCH_SPARQL_VALUES_ORACLE_SQL,
         "sparql_aggdistinct_kg": TPCH_SPARQL_AGGDISTINCT_ORACLE_SQL,
+        "sparql_aggsem_kg": TPCH_SPARQL_AGGSEM_ORACLE_SQL,
         "sparql_orderexpr_kg": TPCH_SPARQL_ORDEREXPR_ORACLE_SQL,
         "sparql_selectexpr_kg": TPCH_SPARQL_SELECTEXPR_ORACLE_SQL,
         "sparql_having_kg": TPCH_SPARQL_HAVING_ORACLE_SQL,

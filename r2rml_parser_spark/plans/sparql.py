@@ -295,8 +295,18 @@ lang-tagged ones, type error for IRIs/bnodes.
 Aggregate columns carry natural Spark types (COUNT → bigint,
 SUM/AVG → decimal, MIN/MAX → the term's lexical string): they are
 derived values, not RDF terms. SUM/AVG cast each term's lexical form
-to decimal and SKIP uncastable values (strict SPARQL errors the whole
-group); MIN/MAX compare lexical strings by codepoint.
+to decimal; a BOUND value that does not cast (a non-numeric literal,
+an IRI, a bnode) is a §18.5.1.5 type error that errors the WHOLE
+group — the aggregate is unbound (NULL) for that group, the W3C
+agg-err behavior (late r4) — while UNBOUND values are skipped (the
+documented SQL-aligned leniency, consistent with COUNT(?v)).
+MIN/MAX take the extremum under the engine's ORDER BY total order
+(late r4): numeric-parsing terms order by VALUE before non-numeric
+terms, the rest by codepoint, and the result is the winning term's
+lexical form — MIN of {"9", "11"} is "9"; over a mixed group MIN is
+the numeric minimum and MAX the codepoint maximum of the non-numeric
+terms (strict SPARQL errors a mixed group; the total order is the
+documented deterministic choice, aligned with ORDER BY).
 
 Pattern order: required patterns and UNION blocks are evaluated
 BEFORE all OPTIONAL groups (the standard Join-then-LeftJoin
@@ -3729,10 +3739,13 @@ def _aggregate(
                 # (§18.5.1 Distinct(M) is over RDF terms, so
                 # "1"^^xsd:int and "1.0"^^xsd:decimal BOTH survive and
                 # both add), then fold the numeric casts of the
-                # surviving terms. Uncastable terms are skipped like
-                # the non-distinct path; an empty fold yields NULL,
-                # matching F.sum/F.avg over all-NULL input. The
-                # collect_set is group-bounded like GROUP_CONCAT's.
+                # surviving terms. A BOUND term that does not cast is a
+                # §18.5.1.5 type error: op:numeric-add over it errors,
+                # so the whole group's aggregate is unbound (NULL) —
+                # the W3C agg-err behavior (late r4; previously the
+                # value was skipped). Unbound values are skipped (the
+                # documented SQL-aligned leniency, like COUNT(?v)).
+                # The collect_set is group-bounded like GROUP_CONCAT's.
                 terms = F.collect_set(
                     F.struct(
                         F.col(var).alias("v"),
@@ -3741,6 +3754,11 @@ def _aggregate(
                             for c, n in zip(_shadow_cols(var), ("k", "l", "d"))
                         ],
                     )
+                )
+                bad = F.exists(
+                    terms,
+                    lambda x: x["v"].isNotNull()
+                    & x["v"].try_cast(_DECIMAL).isNull(),
                 )
                 vals = F.filter(
                     F.transform(terms, lambda x: x["v"].try_cast(_DECIMAL)),
@@ -3752,15 +3770,45 @@ def _aggregate(
                     lambda a, x: (a + x).cast(_DECIMAL),
                 )
                 if func == "SUM":
-                    return F.when(F.size(vals) > 0, total)
+                    return F.when(~bad & (F.size(vals) > 0), total)
                 return F.when(
-                    F.size(vals) > 0,
+                    ~bad & (F.size(vals) > 0),
                     (total / F.size(vals)).cast(_DECIMAL),
                 )
+            # strict §18.5.1.5 error propagation (late r4): any BOUND
+            # value whose lexical form does not cast to decimal (a
+            # non-numeric literal, an IRI, a bnode) is a type error
+            # that errors the WHOLE group's SUM/AVG → NULL, matching
+            # the W3C agg-err tests; unbound values are skipped
+            # (documented SQL-aligned leniency)
             col = F.col(var).try_cast(_DECIMAL)
-            return F.sum(col) if func == "SUM" else F.avg(col)
-        # MIN/MAX (DISTINCT is a no-op over an extremum)
-        return F.min(F.col(var)) if func == "MIN" else F.max(F.col(var))
+            bad = F.max(
+                F.when(F.col(var).isNotNull() & col.isNull(), 1).otherwise(0)
+            )
+            folded = F.sum(col) if func == "SUM" else F.avg(col)
+            return F.when(bad == 0, folded)
+        # MIN/MAX (DISTINCT is a no-op over an extremum): value-aware
+        # extremum under the engine's ORDER BY total order (late r4) —
+        # terms whose lexical form parses as a number order by VALUE
+        # and sort before non-numeric terms, the rest by codepoint; the
+        # result is the WINNING TERM's lexical form (numeric ties break
+        # on the lexical form, deterministically). So MIN over
+        # {"9", "11"} is "9" (numeric), not "11" (codepoint), and MIN
+        # over a mixed group is the numeric minimum while MAX is the
+        # codepoint maximum of the non-numeric terms — exactly "the
+        # first/last value under ORDER BY", the spec's framing of
+        # MIN/MAX as extrema of the sorted sequence.
+        val = F.col(var)
+        num = val.try_cast(_DECIMAL)
+        rec = F.when(
+            val.isNotNull(),
+            F.struct(
+                num.isNull().alias("f"),
+                F.coalesce(num, F.lit(0).cast(_DECIMAL)).alias("n"),
+                val.alias("v"),
+            ),
+        )
+        return (F.min(rec) if func == "MIN" else F.max(rec))["v"]
 
     exprs = [
         agg_expr(func, d, var, sep).alias(alias)

@@ -1025,6 +1025,54 @@ GROUP BY n.n_name
 ORDER BY nation_name
 """
 
+# Strict aggregate error semantics + value-aware MIN/MAX (late r4):
+# grouping the WHOLE KG by predicate makes every semantic branch
+# observable — ex:custkey objects are all numeric (SUM folds, MIN/MAX
+# are numeric extrema, so MIN is "1", not the codepoint minimum "1xx"),
+# while name/segment/type/inNation groups hold non-numeric literals or
+# IRIs, which are §18.5.1.5 type errors that unbind the whole group's
+# SUM (W3C agg-err behavior) and flip MIN/MAX to the ORDER BY total
+# order (numeric terms by value BEFORE non-numeric terms by codepoint).
+TPCH_SPARQL_AGGSEM_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?p (SUM(?o) AS ?total) (MIN(?o) AS ?lo) (MAX(?o) AS ?hi)
+       (COUNT(?o) AS ?n) WHERE {
+  ?s ?p ?o .
+} GROUP BY ?p ORDER BY ?p
+"""
+
+
+def run_tpch_sparql_aggsem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_AGGSEM_QUERY)
+
+
+# DuckDB twin over the same triples relation: the group-error gate is
+# a CASE over a count of bound uncastables; the value-aware extrema
+# are min/max over a named STRUCT sort key (numeric-or-not flag,
+# numeric value, lexical form) — the same (f, n, v) record the engine
+# aggregates, so ties break identically.
+_AGGSEM_STRUCT_KEY = (
+    "{f: (try_cast(obj AS DECIMAL(38,12)) IS NULL), "
+    "n: coalesce(try_cast(obj AS DECIMAL(38,12)), 0), v: obj}"
+)
+TPCH_SPARQL_AGGSEM_ORACLE_SQL = f"""
+WITH triples AS ({TPCH_KG_ORACLE_SQL})
+SELECT pred AS p,
+       CASE WHEN COUNT(CASE WHEN try_cast(obj AS DECIMAL(38,12)) IS NULL
+                            THEN 1 END) > 0
+            THEN NULL
+            ELSE CAST(SUM(try_cast(obj AS DECIMAL(38,12))) AS DECIMAL(38,12))
+       END AS total,
+       (min({_AGGSEM_STRUCT_KEY})).v AS lo,
+       (max({_AGGSEM_STRUCT_KEY})).v AS hi,
+       CAST(COUNT(obj) AS BIGINT) AS n
+FROM triples
+GROUP BY pred
+ORDER BY p
+"""
+
 # ORDER BY expression surface (r4): the sort key is an arithmetic
 # expression over a NON-projected variable (?k never reaches the
 # projection), evaluated over the solution relation before projection

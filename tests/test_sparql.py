@@ -552,13 +552,46 @@ def test_sum_avg_distinct_dedup_by_term(spark):
     WHERE { ?s ex:score ?v }"""
     row2 = sparql_select(gdf, q2).collect()[0]
     assert (row2.lo, row2.hi, row2.one) == ("3", "5.0", "3")
-    # uncastable terms are skipped like the non-distinct path
+    # a BOUND uncastable term is a §18.5.1.5 type error that errors
+    # the WHOLE group (W3C agg-err behavior): SUM(DISTINCT) → unbound
     rows3 = rows + [
         (EX + "e", "iri", EX + "score", "lots", "literal", None, None),
     ]
     q3 = """PREFIX ex: <http://ex.org/>
     SELECT (SUM(DISTINCT ?v) AS ?ded) WHERE { ?s ex:score ?v }"""
-    assert float(sparql_select(_mk(spark, rows3), q3).collect()[0].ded) == 13.0
+    assert sparql_select(_mk(spark, rows3), q3).collect()[0].ded is None
+
+
+def test_sum_avg_error_whole_group_w3c_agg_err(numeric_graph):
+    """§18.5.1.5 strict error propagation (late r4): a bound value
+    that does not cast to decimal — "lots", an IRI — errors the WHOLE
+    group's SUM/AVG (unbound), the W3C agg-err expected behavior; the
+    clean ex:age group still folds."""
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p (SUM(?v) AS ?s) (AVG(?v) AS ?m) WHERE { ?x ?p ?v }
+    GROUP BY ?p"""
+    got = {r.p: (r.s, r.m) for r in sparql_select(numeric_graph, q).collect()}
+    assert float(got[EX + "age"][0]) == 30.0
+    assert float(got[EX + "age"][1]) == 10.0
+    assert got[EX + "score"] == (None, None)
+
+
+def test_min_max_value_aware_total_order(numeric_graph):
+    """MIN/MAX extrema under the ORDER BY total order (late r4):
+    numeric terms by VALUE before non-numeric terms by codepoint —
+    MIN over ages {"9","10","11"} is "9" (numeric), not the codepoint
+    minimum "10"; over the mixed ex:score group MIN is the numeric
+    minimum and MAX the codepoint maximum of the non-numeric terms."""
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT (MIN(?n) AS ?lo) (MAX(?n) AS ?hi) WHERE { ?s ex:age ?n }"""
+    row = sparql_select(numeric_graph, q).collect()[0]
+    assert (row.lo, row.hi) == ("9", "11")
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT (MIN(?v) AS ?lo) (MAX(?v) AS ?hi) WHERE { ?s ex:score ?v }"""
+    row2 = sparql_select(numeric_graph, q2).collect()[0]
+    # scores: numeric "9","11"; non-numeric "lots" and the IRI — MIN
+    # is the numeric minimum, MAX the codepoint max of non-numerics
+    assert (row2.lo, row2.hi) == ("9", "lots")
 
 
 def _mk(spark, rows):
@@ -1392,11 +1425,17 @@ def test_minus(graph, spark):
             graph,
             "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . MINUS { ?p ex:knows ?q } ?p ex:name ?q }",
         )
-    with pytest.raises(SparqlError):  # MINUS var nullable via OPTIONAL
-        sparql_select(
+    # MINUS var nullable via OPTIONAL evaluates exactly since late r4
+    # (§8.3 over the bound-mask slices): p1's ?q = p2 is compatible
+    # with a MINUS solution → removed; p2's ?q is unbound → disjoint
+    # domains → KEPT (where NOT EXISTS would drop it)
+    assert [
+        r.p
+        for r in sparql_select(
             graph,
             "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . OPTIONAL { ?p ex:knows ?q } MINUS { ?q ex:name ?n } }",
-        )
+        ).collect()
+    ] == [EX + "p2"]
 
 
 def test_property_path_sequence(graph):
@@ -1558,11 +1597,18 @@ def test_bind_rejections(graph):
             graph,
             'PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . FILTER EXISTS { ?p ex:knows ?q . BIND("x" AS ?z) } }',
         )
-    with pytest.raises(SparqlError):  # BIND var used in a later EXISTS
-        sparql_select(
+    # a BIND-derived variable in a later EXISTS evaluates exactly
+    # since late r4 (the nullable-key slicing covers BIND targets):
+    # ?v = STR(?n) is a SIMPLE literal, so "Ada" matches p1's plain
+    # name term while "Grace" (lang tag stripped) does NOT match the
+    # stored "Grace"@en term — term-keyed correlation, not lexical
+    assert [
+        r.p
+        for r in sparql_select(
             graph,
             'PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p ex:name ?n . BIND(STR(?n) AS ?v) FILTER EXISTS { ?x ex:name ?v } }',
-        )
+        ).collect()
+    ] == [EX + "p1"]
 
 
 def test_having(graph):

@@ -619,7 +619,10 @@ def test_aggregate_differential(spark, graph, patterns):
     """GROUP BY + COUNT/SUM/COUNT DISTINCT vs a direct §18.5
     evaluation over the naive solution multiset: group by the FULL
     term of ?a, COUNT counts bound ?b, SUM folds decimal-castable
-    literal lexicals (error-skip), COUNT(DISTINCT) dedups full terms."""
+    lexicals and is UNBOUND for any group holding a bound uncastable
+    value (§18.5.1.5 strict error propagation, the W3C agg-err
+    behavior; unbound values are skipped), COUNT(DISTINCT) dedups
+    full terms."""
     from decimal import Decimal, InvalidOperation
 
     for pat in patterns:
@@ -660,7 +663,8 @@ def test_aggregate_differential(spark, graph, patterns):
             try:
                 v = Decimal(t[0])
             except InvalidOperation:
-                continue
+                tot = None  # bound uncastable errors the whole group
+                break
             tot = v if tot is None else tot + v
         want[(
             key[0],
@@ -740,8 +744,9 @@ def test_subquery_postagg_differential(spark, graph, patterns):
     { SELECT } subquery vs direct evaluation over the naive solution
     multiset: group by the FULL term of ?a, the expression
     SUM(?b) * 2 - COUNT(?b) extends each group (SUM folds
-    decimal-castable literal lexicals with error-skip, matching the
-    engine's documented aggregate semantics), and the derived alias
+    decimal-castable literal lexicals and errors the whole group on a
+    bound uncastable value, matching the engine's strict §18.5.1.5
+    aggregate semantics), and the derived alias
     plus the aggregate alias project through the outer query."""
     from decimal import Decimal, InvalidOperation
 
@@ -783,7 +788,8 @@ def test_subquery_postagg_differential(spark, graph, patterns):
             try:
                 v = Decimal(t[0])
             except InvalidOperation:
-                continue
+                tot = None  # bound uncastable errors the whole group
+                break
             tot = v if tot is None else tot + v
         x = None if tot is None else float(tot * 2 - len(bound))
         want[(key[0], x, len(bound))] += 1
