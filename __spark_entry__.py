@@ -233,6 +233,24 @@ def q_sparql_aggsem_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tpch_sparql_aggsem(spark, sf_dir)
 
 
+def q_sparql_latejoin_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Textual-order Join(LeftJoin(A,G),B) (late r4): a pattern after
+    an OPTIONAL sharing ?r compiles as a late segment compatible-joined
+    after the left join — unbound ?r rows take the pattern's binding."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_latejoin
+
+    return run_tpch_sparql_latejoin(spark, sf_dir)
+
+
+def q_sparql_minus_scope_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINUS snapshot domain (late r4): Minus evaluates at its textual
+    point, so a variable first bound by a LATER OPTIONAL never keys the
+    anti join — LeftJoin(Minus(A,M),G), not Minus(LeftJoin(A,G),M)."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_minus_scope
+
+    return run_tpch_sparql_minus_scope(spark, sf_dir)
+
+
 def q_sparql_aggdistinct_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SUM/AVG(DISTINCT) (r4): §18.5.1 Distinct over RDF TERMS — the
     doubled bag (each ?k reaches the group via two predicates) dedups
@@ -668,6 +686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_values_kg": q_sparql_values_kg,
         "sparql_aggdistinct_kg": q_sparql_aggdistinct_kg,
         "sparql_aggsem_kg": q_sparql_aggsem_kg,
+        "sparql_latejoin_kg": q_sparql_latejoin_kg,
+        "sparql_minus_scope_kg": q_sparql_minus_scope_kg,
         "sparql_orderexpr_kg": q_sparql_orderexpr_kg,
         "sparql_selectexpr_kg": q_sparql_selectexpr_kg,
         "sparql_having_kg": q_sparql_having_kg,
@@ -739,6 +759,8 @@ def oracle_sql() -> dict[str, str]:
         TPCH_SPARQL_VALUES_ORACLE_SQL,
         TPCH_SPARQL_AGGDISTINCT_ORACLE_SQL,
         TPCH_SPARQL_AGGSEM_ORACLE_SQL,
+        TPCH_SPARQL_LATEJOIN_ORACLE_SQL,
+        TPCH_SPARQL_MINUS_SCOPE_ORACLE_SQL,
         TPCH_SPARQL_ORDEREXPR_ORACLE_SQL,
         TPCH_SPARQL_SELECTEXPR_ORACLE_SQL,
         TPCH_SPARQL_HAVING_ORACLE_SQL,
@@ -798,6 +820,8 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "sparql_values_kg": TPCH_SPARQL_VALUES_ORACLE_SQL,
         "sparql_aggdistinct_kg": TPCH_SPARQL_AGGDISTINCT_ORACLE_SQL,
         "sparql_aggsem_kg": TPCH_SPARQL_AGGSEM_ORACLE_SQL,
+        "sparql_latejoin_kg": TPCH_SPARQL_LATEJOIN_ORACLE_SQL,
+        "sparql_minus_scope_kg": TPCH_SPARQL_MINUS_SCOPE_ORACLE_SQL,
         "sparql_orderexpr_kg": TPCH_SPARQL_ORDEREXPR_ORACLE_SQL,
         "sparql_selectexpr_kg": TPCH_SPARQL_SELECTEXPR_ORACLE_SQL,
         "sparql_having_kg": TPCH_SPARQL_HAVING_ORACLE_SQL,

@@ -310,11 +310,17 @@ documented deterministic choice, aligned with ORDER BY).
 
 Pattern order: required patterns and UNION blocks are evaluated
 BEFORE all OPTIONAL groups (the standard Join-then-LeftJoin
-normalization). That reordering is semantics-preserving unless a
-required pattern or UNION written AFTER an OPTIONAL shares a variable
-with it — SPARQL then prescribes Join(LeftJoin(A, G), B), which drops
-rows the normalized plan keeps — so that shape is rejected, not
-silently mis-evaluated (ADVICE r2).
+normalization). That reordering is semantics-preserving unless the
+later element shares a variable with the OPTIONAL — SPARQL then
+prescribes Join(LeftJoin(A, G), B). Late r4: a TRIPLE PATTERN in that
+position evaluates EXACTLY — it becomes a late segment joined right
+after its OPTIONAL via the §18.5 compatible join (the shared variable
+may be unbound on the left, where it takes the pattern's binding),
+folding ((A ⟕ G1) ⋈ B) ⟕ G2 in textual order. A UNION, VALUES, or
+subquery after an OPTIONAL sharing its variables — and a pattern
+after a MINUS sharing its variables (the hoisted Minus would see a
+grown compatibility domain) — remain rejected, not silently
+mis-evaluated (ADVICE r2).
 
 Anything beyond this subset: plain Spark SQL over
 ``register_triples_view`` (the triples DF is an ordinary 7-column
@@ -1100,6 +1106,12 @@ class _Parser:
             if self._next() != ("punct", "{"):
                 raise SparqlError("expected '{'")
         patterns = []
+        # patterns textually AFTER an OPTIONAL that share its variables
+        # cannot be folded into the base BGP (Join(LeftJoin(A,G),B) ≠
+        # Join(Join(A,B) ⟕ G)) — each is recorded with the number of
+        # OPTIONALs parsed before it and compatible-joined in exactly
+        # that position by _compile_where (late r4; previously rejected)
+        late_patterns: list[tuple[int, list[tuple]]] = []
         optionals: list[tuple[list[tuple], list[tuple]]] = []
         unions: list[list[tuple[list[tuple], list[tuple]]]] = []
         filters: list[tuple] = []
@@ -1109,11 +1121,18 @@ class _Parser:
         minus_blocks: list[tuple[list[tuple], list[tuple]]] = []
         subselects: list[SimpleNamespace] = []
         binds: list[tuple[object, str]] = []  # (expr AST, target var)
-        # variables already claimed by a textually-earlier OPTIONAL: a
-        # required pattern or UNION that follows and shares one would be
-        # silently re-ordered by the Join-then-LeftJoin normalization
-        # into different SPARQL semantics — reject (ADVICE r2)
+        # variables already claimed by a textually-earlier OPTIONAL or
+        # MINUS: a UNION/VALUES/subquery that follows and shares one
+        # would be silently re-ordered by the Join-then-LeftJoin
+        # normalization into different SPARQL semantics — reject
+        # (ADVICE r2). Late r4: a plain TRIPLE PATTERN sharing an
+        # OPTIONAL's variable is no longer rejected — it becomes a
+        # late_patterns segment, compatible-joined in textual position.
         opt_vars: set[str] = set()
+        # the MINUS-bound subset of opt_vars: patterns after a MINUS
+        # sharing its variables stay rejected (the hoisted Minus would
+        # see a grown compatibility domain)
+        minus_vars: set[str] = set()
         # every variable bound by anything textually BEFORE the current
         # position — BIND expressions are checked against this snapshot
         # (ADVICE r3: a BIND referencing a variable first bound by a
@@ -1190,13 +1209,29 @@ class _Parser:
             if self._kw_is("MINUS"):
                 self._next()
                 mp, mf, _, me, mb = self._group(allow_exists=True, allow_bind=True)
-                group = (mp, mf, me, mb)
+                # snapshot of the variables bound textually BEFORE the
+                # MINUS: §8.3 evaluates Minus at its textual point, so
+                # its compatibility domain is the group-so-far — a
+                # variable first bound by a LATER OPTIONAL/pattern must
+                # NOT key the anti join (late r4; the guards below
+                # reject every shape that could REBIND a snapshot var
+                # after the MINUS, so compiling the hoisted Minus with
+                # the snapshot domain is exact)
+                group = (mp, mf, me, mb, set(seen_vars))
                 minus_blocks.append(group)
                 # like OPTIONAL, MINUS is hoisted after the required
-                # patterns; a later pattern sharing its variables would
-                # grow the compatibility domain SPARQL evaluates with —
-                # reject via the same textual-order guard
-                opt_vars |= _pattern_vars(group[0]) | {b[1] for b in mb}
+                # patterns; only the variables in its compatibility
+                # domain — group vars ∩ the snapshot — matter to later
+                # elements: a later pattern REBINDING one of those
+                # (possible when an earlier OPTIONAL left it nullable)
+                # would change what the hoisted Minus sees, so those
+                # are guarded; a group var NOT seen before the MINUS
+                # never keys the anti join (snapshot domain) and later
+                # bindings of it are harmless
+                mvars = _pattern_vars(group[0]) | {b[1] for b in mb}
+                keyed = mvars & seen_vars
+                opt_vars |= keyed
+                minus_vars |= keyed
                 if self._peek() == ("punct", "."):
                     self._next()
                 continue
@@ -1288,8 +1323,25 @@ class _Parser:
             else:
                 expanded = [(s, p, o)]  # incl. negset — plain pattern
             pat_vars = {v for v in _pattern_vars(expanded) if not _is_internal(v)}
-            _guard_after_optional(pat_vars, "a triple pattern")
-            patterns.extend(expanded)
+            mclash = sorted(pat_vars & minus_vars)
+            if mclash:
+                raise SparqlError(
+                    "a triple pattern follows a MINUS and shares its "
+                    f"variable(s) {mclash}: SPARQL evaluates Minus over "
+                    "the group-so-far, and the later binding would grow "
+                    "the compatibility domain the hoisted Minus sees — "
+                    "move the pattern before the MINUS or use SQL over "
+                    "register_triples_view"
+                )
+            if pat_vars & opt_vars:
+                # textual-order Join(LeftJoin(A,G),B) (late r4): the
+                # pattern evaluates AFTER the OPTIONALs parsed so far,
+                # as a compatible join (the shared variable may be
+                # unbound on the left) — exact §18.5 semantics instead
+                # of the former rejection
+                late_patterns.append((len(optionals), expanded))
+            else:
+                patterns.extend(expanded)
             seen_vars |= pat_vars
             if self._peek() == ("punct", "."):
                 self._next()
@@ -1483,6 +1535,7 @@ class _Parser:
             binds.extend(select_binds)
         return SimpleNamespace(
             form=form, items=items, distinct=distinct, patterns=patterns,
+            late_patterns=late_patterns,
             unions=unions, optionals=optionals, filters=filters,
             exists_blocks=exists_blocks, values_blocks=values_blocks,
             minus_blocks=minus_blocks, subselects=subselects, binds=binds,
@@ -4419,7 +4472,43 @@ def _compile_where(
         )
         return gdf, gvars, g_nullable, deferred
 
-    for gpats, gfilters, nested, gexists, gbinds in optionals:
+    # patterns textually AFTER an OPTIONAL they share variables with:
+    # grouped by how many OPTIONALs preceded them, joined right after
+    # that OPTIONAL's left join (the §18.5 compatible join — the shared
+    # variable may be NULL on the left where SPARQL binds it from the
+    # pattern side). Patterns within one segment form one BGP (Join is
+    # associative/commutative inside a segment).
+    late_segments: dict[int, list[tuple]] = {}
+    for seg_idx, expanded in getattr(parsed, "late_patterns", []):
+        late_segments.setdefault(seg_idx, []).extend(expanded)
+
+    def _join_late_segment(
+        df: DataFrame, seg_idx: int, bound: set[str], nullable: set[str]
+    ) -> DataFrame:
+        pats = late_segments.pop(seg_idx, None)
+        if pats is None:
+            return df
+        bdf, bvars = _join_patterns(triples, pats)
+        shared = sorted(
+            v for v in bvars if v in bound and not _is_internal(v)
+        )
+        if shared:
+            df = _compat_join(
+                df, nullable, bdf, set(), shared,
+                "a pattern following an OPTIONAL",
+            )
+        else:
+            df = df.crossJoin(bdf)
+        # the pattern side always binds its variables, so every shared
+        # variable leaves the nullable set (the unbound-left slices
+        # take the pattern's binding) and new variables are non-null
+        nullable -= set(shared)
+        bound |= bvars
+        return df
+
+    for seg_idx, (gpats, gfilters, nested, gexists, gbinds) in enumerate(
+        optionals, start=1
+    ):
         gdf, gvars, g_nullable, deferred = _compile_optional_group(
             gpats, gfilters, nested, gexists, gbinds, bound
         )
@@ -4463,6 +4552,8 @@ def _compile_where(
             df = df.join(gdf, on=join_keys, how="left")
         nullable |= gvars - bound
         bound |= gvars
+        df = _join_late_segment(df, seg_idx, bound, nullable)
+    assert not late_segments, "late pattern segment without its OPTIONAL"
 
     for expr, name in parsed.binds:
         # BIND(expr AS ?v): computed per row AFTER patterns/OPTIONALs,
@@ -4565,11 +4656,21 @@ def _compile_where(
             on=join_keys,
             how="left_semi" if positive else "left_anti",
         )
-    for gpats, gfilters, gexists, gbinds in parsed.minus_blocks:
+    for gpats, gfilters, gexists, gbinds, snap in parsed.minus_blocks:
         # MINUS (SPARQL 1.1 §8.3): drop solutions compatible with some
         # right-side solution on a NON-EMPTY shared domain. With every
         # shared variable non-nullable this is exactly an anti join; a
         # MINUS sharing no variable removes nothing and compiles away.
+        # The domain is the group-so-far AT THE MINUS'S TEXTUAL POINT
+        # (late r4): `snap` holds the variables bound before it, so a
+        # variable first bound by a later OPTIONAL/pattern drops out of
+        # the compatibility test — LeftJoin(Minus(A, M), G), not
+        # Minus(LeftJoin(A, G), M). Exact because the parser rejects
+        # every shape that could REBIND a snapshot variable after the
+        # MINUS (patterns/UNION/VALUES/subqueries sharing its vars are
+        # guarded; BIND targets must be fresh), so the per-row removal
+        # predicate depends only on values fixed before the MINUS and
+        # commutes with the later joins.
         gdf, gvars = _join_patterns(triples, gpats)
         gdf, bnames = _apply_group_binds(gdf, gbinds, bound, "this MINUS group")
         gvars |= bnames
@@ -4582,7 +4683,7 @@ def _compile_where(
         gdf = _apply_group_exists(
             triples, gdf, gvars, gexists, bound, "a MINUS group"
         )
-        shared = sorted(v for v in gvars if v in bound)
+        shared = sorted(v for v in gvars if v in bound and v in snap)
         if not shared:
             continue  # disjoint domains: MINUS is a no-op by spec
         # §8.3 compatibility with possibly-unbound OUTER variables (r4):

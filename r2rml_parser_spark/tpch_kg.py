@@ -1073,6 +1073,77 @@ GROUP BY pred
 ORDER BY p
 """
 
+# Textual-order Join(LeftJoin(A,G),B) (late r4): the ?other pattern
+# FOLLOWS the OPTIONAL and shares ?r with it, so it compiles as a late
+# segment compatible-joined after the left join — nations whose
+# OPTIONAL matched (regions 0/1) equi-join same-region nations, while
+# the rest carry an UNBOUND ?r that is compatible with EVERY
+# (?other, ?r) pair and takes the pattern's binding. Formerly rejected.
+TPCH_SPARQL_LATEJOIN_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?nat ?r ?other WHERE {
+  ?nat a ex:Nation .
+  OPTIONAL { ?nat ex:inRegion ?r .
+             FILTER (STRENDS(STR(?r), "/region/0") || STRENDS(STR(?r), "/region/1")) }
+  ?other ex:inRegion ?r .
+}
+"""
+
+
+def run_tpch_sparql_latejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_LATEJOIN_QUERY)
+
+
+# DuckDB twin: the two compatible-join slices written out — bound ?r
+# equi-joins, NULL ?r pairs with every inRegion edge (OR condition).
+TPCH_SPARQL_LATEJOIN_ORACLE_SQL = f"""
+WITH triples AS ({TPCH_KG_ORACLE_SQL}),
+nat AS (
+  SELECT subj FROM triples
+  WHERE pred = '{RDF_TYPE}' AND obj = '{ONT}Nation' AND obj_kind = 'iri'
+),
+inreg AS (SELECT subj, obj FROM triples WHERE pred = '{ONT}inRegion'),
+optj AS (
+  SELECT n.subj AS nat, r.obj AS r
+  FROM nat n LEFT JOIN inreg r
+    ON r.subj = n.subj AND (r.obj LIKE '%/region/0' OR r.obj LIKE '%/region/1')
+)
+SELECT o.nat AS nat, i.obj AS r, i.subj AS other
+FROM optj o JOIN inreg i ON (o.r IS NULL OR o.r = i.obj)
+"""
+
+# MINUS evaluates at its TEXTUAL point (§8.3, late r4): its
+# compatibility domain is the group-so-far {?c}, disjoint from the
+# MINUS group's {?r, ?nm} — it removes NOTHING, and ?r is bound by the
+# LATER OPTIONAL. The formerly-hoisted Minus keyed on the
+# OPTIONAL-bound ?r (every nation is named) and silently emptied the
+# result; the snapshot domain pins the spec behavior.
+TPCH_SPARQL_MINUS_SCOPE_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?c ?r WHERE {
+  ?c a ex:Customer .
+  MINUS { ?r ex:name ?nm }
+  OPTIONAL { ?c ex:inNation ?r }
+}
+"""
+
+
+def run_tpch_sparql_minus_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_MINUS_SCOPE_QUERY)
+
+
+TPCH_SPARQL_MINUS_SCOPE_ORACLE_SQL = f"""
+WITH triples AS ({TPCH_KG_ORACLE_SQL})
+SELECT t1.subj AS c, t2.obj AS r
+FROM triples t1
+LEFT JOIN triples t2 ON t2.subj = t1.subj AND t2.pred = '{ONT}inNation'
+WHERE t1.pred = '{RDF_TYPE}' AND t1.obj = '{ONT}Customer' AND t1.obj_kind = 'iri'
+"""
+
 # ORDER BY expression surface (r4): the sort key is an arithmetic
 # expression over a NON-projected variable (?k never reaches the
 # projection), evaluated over the solution relation before projection

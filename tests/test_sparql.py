@@ -160,9 +160,12 @@ def test_filter_inside_union_branch(graph):
 
 
 def test_required_pattern_after_optional_sharing_vars_rejected(graph):
-    # Join(LeftJoin(A,G),B) ≠ LeftJoin(Join(A,B),G) when B shares ?q
-    # with the OPTIONAL — the normalization would silently change
-    # semantics, so the shape is rejected (ADVICE r2)
+    # Join(LeftJoin(A,G),B) when B shares ?q with the OPTIONAL — since
+    # late r4 this evaluates EXACTLY in textual order (the pattern
+    # becomes a late segment, compatible-joined after the OPTIONAL's
+    # left join) instead of being rejected: p1's bound ?q = p2
+    # equi-joins the name pattern, while p2's UNBOUND ?q is compatible
+    # with ANY binding and takes the pattern's — both named subjects
     q = """
     PREFIX ex: <http://ex.org/>
     SELECT ?p ?q WHERE {
@@ -171,8 +174,13 @@ def test_required_pattern_after_optional_sharing_vars_rejected(graph):
       ?q ex:name ?n
     }
     """
-    with pytest.raises(SparqlError, match="follows an OPTIONAL"):
-        sparql_select(graph, q)
+    assert sorted(
+        (r.p, r.q) for r in sparql_select(graph, q).collect()
+    ) == [
+        (EX + "p1", EX + "p2"),
+        (EX + "p2", EX + "p1"),
+        (EX + "p2", EX + "p2"),
+    ]
     # UNION after OPTIONAL sharing a var: same rejection
     q2 = """
     PREFIX ex: <http://ex.org/>
@@ -195,6 +203,37 @@ def test_required_pattern_after_optional_sharing_vars_rejected(graph):
     }
     """
     assert sparql_select(graph, q3, {"dc": DC}).count() == 4  # 2 persons × 2 sources
+
+
+def test_late_pattern_fold_interleaved_optionals(graph):
+    """((P ⟕ G1) ⋈ B) ⟕ G2 — the late segment joins between the two
+    OPTIONALs in textual order, and G2 joins on ?q, which the late
+    pattern re-bound (non-null) even where G1 left it unbound."""
+    q = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?p ?q ?n ?m WHERE {
+      ?p a ex:Person .
+      OPTIONAL { ?p ex:knows ?q }
+      ?q ex:name ?n .
+      OPTIONAL { ?q ex:knows ?m }
+    }
+    """
+    got = sorted((r.p, r.q, r.n, r.m) for r in sparql_select(graph, q).collect())
+    assert got == [
+        (EX + "p1", EX + "p2", "Grace", None),
+        (EX + "p2", EX + "p1", "Ada", EX + "p2"),
+        (EX + "p2", EX + "p2", "Grace", None),
+    ]
+    # a late pattern may introduce NEW variables
+    q2 = """
+    PREFIX ex: <http://ex.org/>
+    SELECT * WHERE {
+      ?p a ex:Person .
+      OPTIONAL { ?p ex:knows ?q }
+      ?q a ?t .
+    }
+    """
+    assert sparql_select(graph, q2).count() == 3
 
 
 @pytest.fixture(scope="module")
