@@ -251,6 +251,26 @@ def q_sparql_minus_scope_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tpch_sparql_minus_scope(spark, sf_dir)
 
 
+def q_sparql_timeline_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Textual timeline (full r4, formerly rejected): a pattern run
+    after an OPTIONAL sharing its nullable variable joins at ITS
+    textual position — Join(LeftJoin(A,G),B) with the §18.5 compatible
+    join (unbound ?n takes every nation's binding)."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_timeline
+
+    return run_tpch_sparql_timeline(spark, sf_dir)
+
+
+def q_sparql_minus_timeline_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join(Minus(A,M),B) in textual order (full r4), discriminating:
+    the MINUS removes only the rows whose ?n is bound AT ITS POINT
+    (BUILDING customers); the pattern then rebinds ?n — a MINUS hoisted
+    to the end would see the rebound ?n and empty the result."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_minus_timeline
+
+    return run_tpch_sparql_minus_timeline(spark, sf_dir)
+
+
 def q_sparql_aggdistinct_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SUM/AVG(DISTINCT) (r4): §18.5.1 Distinct over RDF TERMS — the
     doubled bag (each ?k reaches the group via two predicates) dedups
@@ -688,6 +708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_aggsem_kg": q_sparql_aggsem_kg,
         "sparql_latejoin_kg": q_sparql_latejoin_kg,
         "sparql_minus_scope_kg": q_sparql_minus_scope_kg,
+        "sparql_timeline_kg": q_sparql_timeline_kg,
+        "sparql_minus_timeline_kg": q_sparql_minus_timeline_kg,
         "sparql_orderexpr_kg": q_sparql_orderexpr_kg,
         "sparql_selectexpr_kg": q_sparql_selectexpr_kg,
         "sparql_having_kg": q_sparql_having_kg,
@@ -761,6 +783,8 @@ def oracle_sql() -> dict[str, str]:
         TPCH_SPARQL_AGGSEM_ORACLE_SQL,
         TPCH_SPARQL_LATEJOIN_ORACLE_SQL,
         TPCH_SPARQL_MINUS_SCOPE_ORACLE_SQL,
+        TPCH_SPARQL_TIMELINE_ORACLE_SQL,
+        TPCH_SPARQL_MINUS_TIMELINE_ORACLE_SQL,
         TPCH_SPARQL_ORDEREXPR_ORACLE_SQL,
         TPCH_SPARQL_SELECTEXPR_ORACLE_SQL,
         TPCH_SPARQL_HAVING_ORACLE_SQL,
@@ -822,6 +846,8 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "sparql_aggsem_kg": TPCH_SPARQL_AGGSEM_ORACLE_SQL,
         "sparql_latejoin_kg": TPCH_SPARQL_LATEJOIN_ORACLE_SQL,
         "sparql_minus_scope_kg": TPCH_SPARQL_MINUS_SCOPE_ORACLE_SQL,
+        "sparql_timeline_kg": TPCH_SPARQL_TIMELINE_ORACLE_SQL,
+        "sparql_minus_timeline_kg": TPCH_SPARQL_MINUS_TIMELINE_ORACLE_SQL,
         "sparql_orderexpr_kg": TPCH_SPARQL_ORDEREXPR_ORACLE_SQL,
         "sparql_selectexpr_kg": TPCH_SPARQL_SELECTEXPR_ORACLE_SQL,
         "sparql_having_kg": TPCH_SPARQL_HAVING_ORACLE_SQL,

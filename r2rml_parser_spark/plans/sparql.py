@@ -308,19 +308,26 @@ the numeric minimum and MAX the codepoint maximum of the non-numeric
 terms (strict SPARQL errors a mixed group; the total order is the
 documented deterministic choice, aligned with ORDER BY).
 
-Pattern order: required patterns and UNION blocks are evaluated
-BEFORE all OPTIONAL groups (the standard Join-then-LeftJoin
-normalization). That reordering is semantics-preserving unless the
-later element shares a variable with the OPTIONAL — SPARQL then
-prescribes Join(LeftJoin(A, G), B). Late r4: a TRIPLE PATTERN in that
-position evaluates EXACTLY — it becomes a late segment joined right
-after its OPTIONAL via the §18.5 compatible join (the shared variable
-may be unbound on the left, where it takes the pattern's binding),
-folding ((A ⟕ G1) ⋈ B) ⟕ G2 in textual order. A UNION, VALUES, or
-subquery after an OPTIONAL sharing its variables — and a pattern
-after a MINUS sharing its variables (the hoisted Minus would see a
-grown compatibility domain) — remain rejected, not silently
-mis-evaluated (ADVICE r2).
+Pattern order (full r4 — the TEXTUAL TIMELINE): the parser records
+every order-sensitive element — OPTIONAL, MINUS, BIND — plus every
+join element (triple-pattern run, UNION, VALUES, subquery) that
+shares a variable an earlier such element may have left unbound,
+keyed on, or consumed, in textual order, and the compiler folds over
+that timeline applying each at its own position: Join(LeftJoin(A,G),B),
+Join(Minus(A,M),B), Join(Extend(A,?v,e),B), exactly as §18.2
+translates the group (the shared variable may be unbound on the
+left of any of these joins, where the §18.5 compatible join binds it
+from the right side). Join elements sharing none of those variables
+hoist BEFORE the timeline — exact, because SPARQL Join is
+commutative and associative and the guard set covers every variable
+the non-commuting operators observe. This subsumes and replaces the
+former ADVICE-r2 rejections (UNION/VALUES/subquery after an OPTIONAL
+sharing its variables, any element after a MINUS sharing its
+compatibility domain) with exact evaluation, and fixes a silent
+mis-evaluation where a BIND textually before a late pattern read the
+pattern's REBOUND value instead of the group-so-far's unbound one;
+a hypothesis differential test folds random element sequences
+against an independent naive §18.2 evaluator to pin the walk.
 
 Anything beyond this subset: plain Spark SQL over
 ``register_triples_view`` (the triples DF is an ordinary 7-column
@@ -1020,8 +1027,8 @@ class _Parser:
                 # all-binding so the shared tail below can run
                 return SimpleNamespace(
                     form=form, items=None, distinct=False, patterns=[],
-                    unions=[], optionals=[], filters=[], exists_blocks=[],
-                    values_blocks=[], minus_blocks=[], subselects=[],
+                    unions=[], timeline=[], filters=[], exists_blocks=[],
+                    values_blocks=[], subselects=[],
                     binds=[], group_by=[], having=None, order=[],
                     limit=None, offset=None, template=[],
                     describe=describe, no_where=True,
@@ -1106,33 +1113,38 @@ class _Parser:
             if self._next() != ("punct", "{"):
                 raise SparqlError("expected '{'")
         patterns = []
-        # patterns textually AFTER an OPTIONAL that share its variables
-        # cannot be folded into the base BGP (Join(LeftJoin(A,G),B) ≠
-        # Join(Join(A,B) ⟕ G)) — each is recorded with the number of
-        # OPTIONALs parsed before it and compatible-joined in exactly
-        # that position by _compile_where (late r4; previously rejected)
-        late_patterns: list[tuple[int, list[tuple]]] = []
-        optionals: list[tuple[list[tuple], list[tuple]]] = []
+        # the TEXTUAL TIMELINE (full r4, replacing the former
+        # late_patterns segments and the ADVICE-r2 rejections): every
+        # order-sensitive group element — OPTIONAL, MINUS, BIND — plus
+        # every join element (triple-pattern run, UNION, VALUES,
+        # subquery) that shares a variable some earlier order-sensitive
+        # element may have left unbound/rebindable is recorded here IN
+        # TEXTUAL ORDER, and _compile_where folds over it with the
+        # §18.5 compatible join. Join elements sharing NO such variable
+        # hoist into the early lists below — exact, because SPARQL Join
+        # is commutative/associative and the only non-commuting
+        # operators (LeftJoin, Minus, Extend) key solely on guard_vars.
+        timeline: list[tuple[str, object]] = []
         unions: list[list[tuple[list[tuple], list[tuple]]]] = []
         filters: list[tuple] = []
         # (positive, (patterns, group-filters)) — FILTER [NOT] EXISTS
         exists_blocks: list[tuple[bool, tuple[list[tuple], list[tuple]]]] = []
         values_blocks: list[tuple[list[str], list[list]]] = []
-        minus_blocks: list[tuple[list[tuple], list[tuple]]] = []
         subselects: list[SimpleNamespace] = []
         binds: list[tuple[object, str]] = []  # (expr AST, target var)
-        # variables already claimed by a textually-earlier OPTIONAL or
-        # MINUS: a UNION/VALUES/subquery that follows and shares one
-        # would be silently re-ordered by the Join-then-LeftJoin
-        # normalization into different SPARQL semantics — reject
-        # (ADVICE r2). Late r4: a plain TRIPLE PATTERN sharing an
-        # OPTIONAL's variable is no longer rejected — it becomes a
-        # late_patterns segment, compatible-joined in textual position.
-        opt_vars: set[str] = set()
-        # the MINUS-bound subset of opt_vars: patterns after a MINUS
-        # sharing its variables stay rejected (the hoisted Minus would
-        # see a grown compatibility domain)
-        minus_vars: set[str] = set()
+        # variables through which a later join element could OBSERVE or
+        # CHANGE what a textually-earlier OPTIONAL/MINUS/BIND computed:
+        # OPTIONAL group vars, MINUS compatibility-domain vars, and the
+        # possibly-unbound inputs of each BIND expression. A later
+        # element sharing one routes to the timeline (evaluated at its
+        # textual position); all others hoist early.
+        guard_vars: set[str] = set()
+        # conservative superset of the variables that may be UNBOUND
+        # (NULL) at the current textual position: OPTIONAL-only vars,
+        # UNION vars not common to all branches, VALUES UNDEF vars,
+        # BIND targets, subquery projections. A superset is safe — it
+        # only routes more elements to the timeline, never fewer.
+        null_vars: set[str] = set()
         # every variable bound by anything textually BEFORE the current
         # position — BIND expressions are checked against this snapshot
         # (ADVICE r3: a BIND referencing a variable first bound by a
@@ -1143,18 +1155,6 @@ class _Parser:
 
         def _pattern_vars(pats: list[tuple]) -> set[str]:
             return {t.name for pat in pats for t in pat if isinstance(t, Var)}
-
-        def _guard_after_optional(vars_: set[str], what: str) -> None:
-            clash = sorted(vars_ & opt_vars)
-            if clash:
-                raise SparqlError(
-                    f"{what} follows an OPTIONAL/MINUS and shares its "
-                    f"variable(s) {clash}: SPARQL evaluates groups in textual order "
-                    "(Join(LeftJoin(A,G),B)), which the engine's "
-                    "OPTIONAL-last normalization would silently change — "
-                    "move the pattern before the OPTIONAL or use SQL over "
-                    "register_triples_view"
-                )
 
         while self._peek() != ("punct", "}"):
             if self._kw_is("FILTER"):
@@ -1173,7 +1173,7 @@ class _Parser:
                     allow_nested_optional=True, allow_exists=True,
                     allow_bind=True,
                 )
-                optionals.append(group)
+                timeline.append(("optional", group))
 
                 def _deep(npats, nnested) -> set[str]:
                     out = _pattern_vars(npats)
@@ -1182,7 +1182,8 @@ class _Parser:
                     return out
 
                 gvars = _deep(group[0], group[2]) | {b[1] for b in group[4]}
-                opt_vars |= gvars
+                guard_vars |= gvars
+                null_vars |= gvars - seen_vars
                 seen_vars |= gvars
                 if self._peek() == ("punct", "."):
                     self._next()
@@ -1200,8 +1201,16 @@ class _Parser:
                     raise SparqlError("BIND target must be a ?variable")
                 if self._next() != ("punct", ")"):
                     raise SparqlError("BIND needs ')'")
-                binds.append((expr, str(vv)))
+                timeline.append(("bind", (expr, str(vv), set(seen_vars))))
                 bind_snaps.append(set(seen_vars))
+                # a later join element rebinding a possibly-unbound
+                # input of this expression would change what the BIND
+                # computed at its textual point — guard those inputs so
+                # such elements evaluate AFTER the bind on the timeline
+                guard_vars |= {
+                    v for v in _expr_vars(expr) if v in null_vars
+                }
+                null_vars.add(str(vv))  # §10.1: NULL on evaluation error
                 seen_vars.add(str(vv))
                 if self._peek() == ("punct", "."):
                     self._next()
@@ -1213,33 +1222,38 @@ class _Parser:
                 # MINUS: §8.3 evaluates Minus at its textual point, so
                 # its compatibility domain is the group-so-far — a
                 # variable first bound by a LATER OPTIONAL/pattern must
-                # NOT key the anti join (late r4; the guards below
-                # reject every shape that could REBIND a snapshot var
-                # after the MINUS, so compiling the hoisted Minus with
-                # the snapshot domain is exact)
+                # NOT key the anti join. The Minus applies at its own
+                # timeline position, so a later element REBINDING a
+                # snapshot variable (full r4; formerly rejected) joins
+                # AFTER the removal, exactly as §18.2 translates it.
                 group = (mp, mf, me, mb, set(seen_vars))
-                minus_blocks.append(group)
-                # like OPTIONAL, MINUS is hoisted after the required
-                # patterns; only the variables in its compatibility
-                # domain — group vars ∩ the snapshot — matter to later
-                # elements: a later pattern REBINDING one of those
-                # (possible when an earlier OPTIONAL left it nullable)
-                # would change what the hoisted Minus sees, so those
-                # are guarded; a group var NOT seen before the MINUS
-                # never keys the anti join (snapshot domain) and later
-                # bindings of it are harmless
+                timeline.append(("minus", group))
+                # only the variables in its compatibility domain —
+                # group vars ∩ the snapshot — matter to later elements:
+                # one REBINDING such a var (possible when an earlier
+                # OPTIONAL left it nullable) must evaluate after the
+                # Minus on the timeline; a group var NOT seen before
+                # the MINUS never keys the anti join (snapshot domain)
+                # and later bindings of it are harmless
                 mvars = _pattern_vars(group[0]) | {b[1] for b in mb}
                 keyed = mvars & seen_vars
-                opt_vars |= keyed
-                minus_vars |= keyed
+                guard_vars |= keyed
                 if self._peek() == ("punct", "."):
                     self._next()
                 continue
             if self._kw_is("VALUES"):
                 self._next()
                 block = self._values()
-                _guard_after_optional(set(block[0]), "a VALUES block")
-                values_blocks.append(block)
+                if set(block[0]) & guard_vars:
+                    timeline.append(("values", block))
+                else:
+                    values_blocks.append(block)
+                null_vars |= {
+                    v
+                    for row in block[1]
+                    for v, t in zip(block[0], row)
+                    if t is None  # UNDEF cell: unbound in that row
+                }
                 seen_vars |= set(block[0])
                 if self._peek() == ("punct", "."):
                     self._next()
@@ -1263,8 +1277,13 @@ class _Parser:
                         ]
                     )
                 }
-                _guard_after_optional(sub_vars, "a subquery")
-                subselects.append(sub)
+                if sub_vars & guard_vars:
+                    timeline.append(("sub", sub))
+                else:
+                    subselects.append(sub)
+                # projected vars may reach the outer query unbound
+                # (inner OPTIONAL/mixed UNION) — conservative superset
+                null_vars |= sub_vars
                 seen_vars |= sub_vars
                 if self._peek() == ("punct", "."):
                     self._next()
@@ -1285,9 +1304,24 @@ class _Parser:
                     for pats, _, _, gb in branches
                     for v in _pattern_vars(pats) | {b[1] for b in gb}
                 }
-                _guard_after_optional(union_vars, "a UNION block")
-                unions.append(branches)
-                seen_vars |= {v for v in union_vars if not _is_internal(v)}
+                union_vars = {v for v in union_vars if not _is_internal(v)}
+                if union_vars & guard_vars:
+                    timeline.append(("union", branches))
+                else:
+                    unions.append(branches)
+                # vars not bound by EVERY branch are unbound in the
+                # missing branches; branch-BIND targets may error-NULL
+                per_branch = [
+                    {
+                        v
+                        for v in _pattern_vars(pats) | {b[1] for b in gb}
+                        if not _is_internal(v)
+                    }
+                    for pats, _, _, gb in branches
+                ]
+                null_vars |= union_vars - set.intersection(*per_branch)
+                null_vars |= {b[1] for _, _, _, gb in branches for b in gb}
+                seen_vars |= union_vars
                 if self._peek() == ("punct", "."):
                     self._next()
                 continue
@@ -1312,8 +1346,11 @@ class _Parser:
                     # machinery applies unchanged (bag union preserves
                     # the spec's per-alternative multiplicity)
                     endpoint_vars = {t.name for t in (s, o) if isinstance(t, Var)}
-                    _guard_after_optional(endpoint_vars, "a path-alternation pattern")
-                    unions.append([(br, [], [], []) for br in branches])
+                    alt_branches = [(br, [], [], []) for br in branches]
+                    if endpoint_vars & guard_vars:
+                        timeline.append(("union", alt_branches))
+                    else:
+                        unions.append(alt_branches)
                     seen_vars |= endpoint_vars
                     if self._peek() == ("punct", "."):
                         self._next()
@@ -1323,25 +1360,18 @@ class _Parser:
             else:
                 expanded = [(s, p, o)]  # incl. negset — plain pattern
             pat_vars = {v for v in _pattern_vars(expanded) if not _is_internal(v)}
-            mclash = sorted(pat_vars & minus_vars)
-            if mclash:
-                raise SparqlError(
-                    "a triple pattern follows a MINUS and shares its "
-                    f"variable(s) {mclash}: SPARQL evaluates Minus over "
-                    "the group-so-far, and the later binding would grow "
-                    "the compatibility domain the hoisted Minus sees — "
-                    "move the pattern before the MINUS or use SQL over "
-                    "register_triples_view"
-                )
-            if pat_vars & opt_vars:
-                # textual-order Join(LeftJoin(A,G),B) (late r4): the
-                # pattern evaluates AFTER the OPTIONALs parsed so far,
-                # as a compatible join (the shared variable may be
-                # unbound on the left) — exact §18.5 semantics instead
-                # of the former rejection
-                late_patterns.append((len(optionals), expanded))
+            if pat_vars & guard_vars:
+                # textual-order Join(LeftJoin(A,G),B) / Join(Minus(A,M),B)
+                # / Join(Extend(A,?v,e),B): the pattern evaluates at its
+                # textual position as a compatible join (the shared
+                # variable may be unbound on the left) — exact §18.5
+                # semantics instead of the former rejection
+                timeline.append(("patterns", expanded))
             else:
                 patterns.extend(expanded)
+            # the pattern binds its variables in every solution, so from
+            # this textual point on they cannot be unbound
+            null_vars -= pat_vars
             seen_vars |= pat_vars
             if self._peek() == ("punct", "."):
                 self._next()
@@ -1491,17 +1521,25 @@ class _Parser:
             raise SparqlError("DESCRIBE takes no solution modifiers here")
         if form == "CONSTRUCT" and group_by:
             raise SparqlError("CONSTRUCT does not take GROUP BY")
-        if not patterns and not unions and not subselects:
+        if (
+            not patterns
+            and not unions
+            and not subselects
+            and not any(
+                k in ("patterns", "union", "sub") for k, _ in timeline
+            )
+        ):
             raise SparqlError("empty graph pattern (OPTIONAL needs a required part)")
-        # BIND textual-order guard (ADVICE r3): the engine evaluates
-        # BINDs after all patterns/OPTIONALs, so an expression variable
-        # first bound by a textually LATER pattern would silently see
-        # that binding where SPARQL 1.1 §18.2.2.6 evaluates BIND over
-        # the group-so-far and leaves it unbound — reject, don't
-        # mis-evaluate (same philosophy as _guard_after_optional).
-        # SELECT projection expressions are exempt: they textually
-        # follow the whole WHERE clause.
-        for (expr, _name), snap in zip(binds, bind_snaps):
+        # BIND textual-order guard (ADVICE r3): an expression variable
+        # first bound by a textually LATER pattern is unbound where
+        # SPARQL 1.1 §18.2.2.6 evaluates the BIND (over the
+        # group-so-far) — reject, don't mis-evaluate. SELECT projection
+        # expressions are exempt: they textually follow the whole WHERE
+        # clause.
+        for kind_, payload_ in timeline:
+            if kind_ != "bind":
+                continue
+            expr, _name, snap = payload_
             later = sorted(v for v in _expr_vars(expr) if v not in snap and v in seen_vars)
             if later:
                 raise SparqlError(
@@ -1535,10 +1573,10 @@ class _Parser:
             binds.extend(select_binds)
         return SimpleNamespace(
             form=form, items=items, distinct=distinct, patterns=patterns,
-            late_patterns=late_patterns,
-            unions=unions, optionals=optionals, filters=filters,
+            timeline=timeline,
+            unions=unions, filters=filters,
             exists_blocks=exists_blocks, values_blocks=values_blocks,
-            minus_blocks=minus_blocks, subselects=subselects, binds=binds,
+            subselects=subselects, binds=binds,
             group_by=group_by, having=having, order=order, limit=limit,
             offset=offset, template=template, describe=describe,
             no_where=False, post_binds=post_binds, hidden_aggs=hidden_aggs,
@@ -4234,7 +4272,7 @@ def _compile_where(
     """Compile the WHERE clause (patterns, UNION, VALUES, OPTIONAL,
     FILTER, EXISTS) → (solutions DF with term shadow columns, bound
     variables, OPTIONAL-nullable variables)."""
-    patterns, unions, optionals = parsed.patterns, parsed.unions, parsed.optionals
+    patterns, unions = parsed.patterns, parsed.unions
     filters, exists_blocks = parsed.filters, parsed.exists_blocks
     values_blocks = parsed.values_blocks
     df: DataFrame | None = None
@@ -4244,7 +4282,12 @@ def _compile_where(
     nullable: set[str] = set()
     if patterns:
         df, bound = _join_patterns(triples, patterns)
-    for branches in unions:
+
+    # the three join-element compilers below are shared by the early
+    # (hoisted, join-commutative) loops AND the textual timeline walk —
+    # each takes and returns the evolving (df, bound, nullable) triple
+
+    def _join_union(df, bound, nullable, branches):
         compiled = []
         union_bind_nullable: set[str] = set()
         for pats, gfilters, gexists, gbinds in branches:
@@ -4286,7 +4329,7 @@ def _compile_where(
         u_nullable = (varset - common) | union_bind_nullable
         if df is None:
             df, bound = u, set(varset)
-            nullable |= u_nullable
+            nullable = nullable | u_nullable
         else:
             shared = [v for v in sorted(varset) if v in bound]
             if shared:
@@ -4295,15 +4338,18 @@ def _compile_where(
                 )
             else:
                 df = df.crossJoin(u)
-            bound |= varset
+            bound = bound | varset
             # a shared var leaves the nullable set unless BOTH sides
             # could leave it unbound (the neither-bound piece of the
             # two-sided decomposition keeps it NULL); unshared
             # branch-local vars stay nullable
             both_null = {v for v in shared if v in nullable and v in u_nullable}
-            nullable -= set(shared) - both_null
-            nullable |= {v for v in u_nullable if v not in shared}
-    for sub in parsed.subselects:
+            nullable = (nullable - (set(shared) - both_null)) | {
+                v for v in u_nullable if v not in shared
+            }
+        return df, bound, nullable
+
+    def _join_sub(df, bound, nullable, sub):
         sdf, svars, alias_names, s_nullable = _compile_subselect(triples, sub)
         clash = sorted(alias_names & bound)
         if clash:
@@ -4320,18 +4366,23 @@ def _compile_where(
             # OPTIONAL / mixed-variable UNION) takes the compatible-join
             # decomposition, not a raw equi-join that would drop the row
             df = _compat_join(df, nullable, sdf, s_nullable, shared, "this subquery")
-            bound |= svars | alias_names
+            bound = bound | svars | alias_names
         else:
             df = df.crossJoin(sdf)
-            bound |= svars | alias_names
+            bound = bound | svars | alias_names
         # a shared var leaves the nullable set unless BOTH sides could
         # leave it unbound (two-sided decomposition); unshared nullable
         # subquery vars stay nullable
         both_null = {v for v in shared if v in nullable and v in s_nullable}
-        nullable -= set(shared) - both_null
-        nullable |= {v for v in s_nullable if v not in shared}
-    assert df is not None
-    for vars_, rows in values_blocks:
+        nullable = (nullable - (set(shared) - both_null)) | {
+            v for v in s_nullable if v not in shared
+        }
+        return df, bound, nullable
+
+    def _join_values(df, bound, nullable, block):
+        vars_, rows = block
+        if df is None:  # defensive: VALUES as the only relation so far
+            raise SparqlError("VALUES needs a graph pattern to join")
         # inline constant bindings as a tiny broadcast relation carrying
         # the same 4 term columns per variable as any pattern; an UNDEF
         # cell is NULL across all four columns (unbound in that row)
@@ -4366,13 +4417,21 @@ def _compile_where(
             # a shared variable leaves the nullable set unless BOTH
             # sides could leave it unbound
             both_null = {v for v in shared if v in nullable and v in v_nullable}
-            nullable -= set(shared) - both_null
+            nullable = nullable - (set(shared) - both_null)
         else:
             df = df.crossJoin(vdf)
-        bound |= set(vars_)
+        bound = bound | set(vars_)
         # unshared variables with UNDEF rows reach the outer query as
         # nullable (e.g. a later FILTER bound(?v) sees them unbound)
-        nullable |= {v for v in v_nullable if v not in shared}
+        nullable = nullable | {v for v in v_nullable if v not in shared}
+        return df, bound, nullable
+
+    for branches in unions:
+        df, bound, nullable = _join_union(df, bound, nullable, branches)
+    for sub in parsed.subselects:
+        df, bound, nullable = _join_sub(df, bound, nullable, sub)
+    for block in values_blocks:
+        df, bound, nullable = _join_values(df, bound, nullable, block)
 
     def _compile_optional_group(
         gpats: list[tuple], gfilters: list[tuple], nested: list[tuple],
@@ -4472,43 +4531,19 @@ def _compile_where(
         )
         return gdf, gvars, g_nullable, deferred
 
-    # patterns textually AFTER an OPTIONAL they share variables with:
-    # grouped by how many OPTIONALs preceded them, joined right after
-    # that OPTIONAL's left join (the §18.5 compatible join — the shared
-    # variable may be NULL on the left where SPARQL binds it from the
-    # pattern side). Patterns within one segment form one BGP (Join is
-    # associative/commutative inside a segment).
-    late_segments: dict[int, list[tuple]] = {}
-    for seg_idx, expanded in getattr(parsed, "late_patterns", []):
-        late_segments.setdefault(seg_idx, []).extend(expanded)
+    # ---- the textual timeline (full r4) ----
+    # OPTIONAL, MINUS, and BIND do not commute with joins on the
+    # variables they leave unbound, key on, or consume — so the parser
+    # records them, plus every join element (triple-pattern run, UNION,
+    # VALUES, subquery) sharing such a variable, in textual order, and
+    # this walk applies each at its own position: Join(LeftJoin(A,G),B),
+    # Join(Minus(A,M),B), Join(Extend(A,?v,e),B) exactly as §18.2
+    # translates the group. Join elements sharing none of those
+    # variables were hoisted into the early loops above, exact because
+    # SPARQL Join is commutative and associative.
 
-    def _join_late_segment(
-        df: DataFrame, seg_idx: int, bound: set[str], nullable: set[str]
-    ) -> DataFrame:
-        pats = late_segments.pop(seg_idx, None)
-        if pats is None:
-            return df
-        bdf, bvars = _join_patterns(triples, pats)
-        shared = sorted(
-            v for v in bvars if v in bound and not _is_internal(v)
-        )
-        if shared:
-            df = _compat_join(
-                df, nullable, bdf, set(), shared,
-                "a pattern following an OPTIONAL",
-            )
-        else:
-            df = df.crossJoin(bdf)
-        # the pattern side always binds its variables, so every shared
-        # variable leaves the nullable set (the unbound-left slices
-        # take the pattern's binding) and new variables are non-null
-        nullable -= set(shared)
-        bound |= bvars
-        return df
-
-    for seg_idx, (gpats, gfilters, nested, gexists, gbinds) in enumerate(
-        optionals, start=1
-    ):
+    def _apply_optional(df, bound, nullable, group):
+        gpats, gfilters, nested, gexists, gbinds = group
         gdf, gvars, g_nullable, deferred = _compile_optional_group(
             gpats, gfilters, nested, gexists, gbinds, bound
         )
@@ -4550,15 +4585,55 @@ def _compile_where(
         else:
             join_keys = [x for v in shared for x in _term_key(v)]
             df = df.join(gdf, on=join_keys, how="left")
-        nullable |= gvars - bound
-        bound |= gvars
-        df = _join_late_segment(df, seg_idx, bound, nullable)
-    assert not late_segments, "late pattern segment without its OPTIONAL"
+        return df, bound | gvars, nullable | (gvars - bound)
 
-    for expr, name in parsed.binds:
-        # BIND(expr AS ?v): computed per row AFTER patterns/OPTIONALs,
-        # BEFORE filters (which see ?v group-wide). Evaluation errors
-        # leave ?v unbound (NULL) with the row kept — SPARQL 1.1 §10.1.
+    def _apply_minus(df, bound, nullable, group):
+        # MINUS (SPARQL 1.1 §8.3): drop solutions compatible with some
+        # right-side solution on a NON-EMPTY shared domain. With every
+        # shared variable non-nullable this is exactly an anti join; a
+        # MINUS sharing no variable removes nothing and compiles away.
+        # The compatibility domain is the group-so-far AT THE MINUS'S
+        # TEXTUAL POINT: `snap` holds the variables bound before it,
+        # and the anti join runs HERE, at the Minus's own timeline
+        # position — an element rebinding a snapshot variable evaluates
+        # after the removal, exactly as §18.2 orders it (full r4; such
+        # elements were formerly rejected).
+        gpats, gfilters, gexists, gbinds, snap = group
+        gdf, gvars = _join_patterns(triples, gpats)
+        gdf, bnames = _apply_group_binds(gdf, gbinds, bound, "this MINUS group")
+        gvars |= bnames
+        gdf = _apply_filters(gdf, gfilters, gvars, "this MINUS group")
+        # (r4) [NOT] EXISTS inside the MINUS group: Filter(EXISTS(P), G)
+        # over the right-side solutions before the anti join —
+        # correlation through variables the group itself binds, same
+        # bottom-up scoping as the UNION-branch compilation; recursive
+        # for EXISTS-in-EXISTS
+        gdf = _apply_group_exists(
+            triples, gdf, gvars, gexists, bound, "a MINUS group"
+        )
+        shared = sorted(v for v in gvars if v in bound and v in snap)
+        if not shared:
+            return df  # disjoint domains: MINUS is a no-op by spec
+        # §8.3 compatibility with possibly-unbound OUTER variables (r4):
+        # a shared variable an earlier OPTIONAL/BIND left NULL is absent
+        # from dom(μ) — it drops out of the compatibility test instead
+        # of key-matching NULL, and a row binding NONE of the shared
+        # variables has a disjoint domain, which MINUS keeps. (The right
+        # side is never nullable here: a group BIND name colliding with
+        # an outer variable is rejected by _apply_group_binds, so every
+        # shared variable is pattern-bound on the MINUS side.)
+        maybe_null = sorted(v for v in shared if v in nullable)
+        if maybe_null:
+            return _nullable_corr_filter(
+                df, gdf, shared, maybe_null, "minus", "MINUS"
+            )
+        join_keys = [x for v in shared for x in _term_key(v)]
+        return df.join(gdf.select(*join_keys), on=join_keys, how="left_anti")
+
+    def _apply_bind(df, bound, nullable, expr, name):
+        # BIND(expr AS ?v): computed per row at its textual position,
+        # BEFORE the group filters (which see ?v group-wide). Evaluation
+        # errors leave ?v unbound (NULL), row kept — SPARQL 1.1 §10.1.
         if name in bound:
             raise SparqlError(
                 f"BIND target ?{name} is already bound in this group "
@@ -4572,8 +4647,61 @@ def _compile_where(
             .withColumn(l, F.when(val.isNotNull(), lg))
             .withColumn(d, F.when(val.isNotNull(), dt))
         )
-        bound.add(name)
-        nullable.add(name)  # may be NULL on evaluation error
+        return df, bound | {name}, nullable | {name}
+
+    # consecutive timeline pattern entries fold into ONE BGP before
+    # joining (Join is associative/commutative within the run)
+    pat_run: list[tuple] = []
+
+    def _flush_run(df, bound, nullable):
+        if not pat_run:
+            return df, bound, nullable
+        bdf, bvars = _join_patterns(triples, list(pat_run))
+        pat_run.clear()
+        shared = sorted(v for v in bvars if v in bound and not _is_internal(v))
+        if shared:
+            df = _compat_join(
+                df, nullable, bdf, set(), shared,
+                "a pattern following an OPTIONAL, MINUS, or BIND",
+            )
+        else:
+            df = df.crossJoin(bdf)
+        # the pattern side always binds its variables, so every shared
+        # variable leaves the nullable set (the unbound-left slices
+        # take the pattern's binding) and new variables are non-null
+        return df, bound | bvars, nullable - set(shared)
+
+    for t_kind, payload in getattr(parsed, "timeline", []):
+        if t_kind == "patterns":
+            pat_run.extend(payload)
+            continue
+        df, bound, nullable = _flush_run(df, bound, nullable)
+        if df is None:
+            raise SparqlError(
+                "OPTIONAL/MINUS/BIND needs a required pattern before it"
+            )
+        if t_kind == "optional":
+            df, bound, nullable = _apply_optional(df, bound, nullable, payload)
+        elif t_kind == "minus":
+            df = _apply_minus(df, bound, nullable, payload)
+        elif t_kind == "bind":
+            expr, name, _snap = payload
+            df, bound, nullable = _apply_bind(df, bound, nullable, expr, name)
+        elif t_kind == "union":
+            df, bound, nullable = _join_union(df, bound, nullable, payload)
+        elif t_kind == "values":
+            df, bound, nullable = _join_values(df, bound, nullable, payload)
+        else:
+            assert t_kind == "sub", t_kind
+            df, bound, nullable = _join_sub(df, bound, nullable, payload)
+    df, bound, nullable = _flush_run(df, bound, nullable)
+    if df is None:
+        raise SparqlError("empty graph pattern")
+
+    for expr, name in parsed.binds:
+        # hidden pre-aggregation BINDs and SELECT projection expressions
+        # — these textually follow the whole WHERE clause
+        df, bound, nullable = _apply_bind(df, bound, nullable, expr, name)
 
     flag_n = 0
 
@@ -4656,54 +4784,6 @@ def _compile_where(
             on=join_keys,
             how="left_semi" if positive else "left_anti",
         )
-    for gpats, gfilters, gexists, gbinds, snap in parsed.minus_blocks:
-        # MINUS (SPARQL 1.1 §8.3): drop solutions compatible with some
-        # right-side solution on a NON-EMPTY shared domain. With every
-        # shared variable non-nullable this is exactly an anti join; a
-        # MINUS sharing no variable removes nothing and compiles away.
-        # The domain is the group-so-far AT THE MINUS'S TEXTUAL POINT
-        # (late r4): `snap` holds the variables bound before it, so a
-        # variable first bound by a later OPTIONAL/pattern drops out of
-        # the compatibility test — LeftJoin(Minus(A, M), G), not
-        # Minus(LeftJoin(A, G), M). Exact because the parser rejects
-        # every shape that could REBIND a snapshot variable after the
-        # MINUS (patterns/UNION/VALUES/subqueries sharing its vars are
-        # guarded; BIND targets must be fresh), so the per-row removal
-        # predicate depends only on values fixed before the MINUS and
-        # commutes with the later joins.
-        gdf, gvars = _join_patterns(triples, gpats)
-        gdf, bnames = _apply_group_binds(gdf, gbinds, bound, "this MINUS group")
-        gvars |= bnames
-        gdf = _apply_filters(gdf, gfilters, gvars, "this MINUS group")
-        # (r4) [NOT] EXISTS inside the MINUS group: Filter(EXISTS(P), G)
-        # over the right-side solutions before the anti join —
-        # correlation through variables the group itself binds, same
-        # bottom-up scoping as the UNION-branch compilation; recursive
-        # for EXISTS-in-EXISTS
-        gdf = _apply_group_exists(
-            triples, gdf, gvars, gexists, bound, "a MINUS group"
-        )
-        shared = sorted(v for v in gvars if v in bound and v in snap)
-        if not shared:
-            continue  # disjoint domains: MINUS is a no-op by spec
-        # §8.3 compatibility with possibly-unbound OUTER variables (r4):
-        # a shared variable an earlier OPTIONAL/BIND left NULL is absent
-        # from dom(μ) — it drops out of the compatibility test instead
-        # of key-matching NULL, and a row binding NONE of the shared
-        # variables has a disjoint domain, which MINUS keeps. (The right
-        # side is never nullable here: a group BIND name colliding with
-        # an outer variable is rejected by _apply_group_binds, so every
-        # shared variable is pattern-bound on the MINUS side.)
-        maybe_null = sorted(v for v in shared if v in nullable)
-        if maybe_null:
-            df = _nullable_corr_filter(
-                df, gdf, shared, maybe_null, "minus", "MINUS"
-            )
-        else:
-            join_keys = [x for v in shared for x in _term_key(v)]
-            df = df.join(
-                gdf.select(*join_keys), on=join_keys, how="left_anti"
-            )
     return df, bound, nullable
 
 

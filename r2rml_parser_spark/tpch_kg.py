@@ -1399,3 +1399,75 @@ FROM customer
 WHERE CAST(SUBSTRING(c_name, 10) AS BIGINT) BETWEEN 5 AND 14
 ORDER BY 2
 """
+
+# Textual-timeline evaluation (full r4, formerly rejected shapes): a
+# pattern run textually AFTER an OPTIONAL that shares its nullable
+# variable joins at ITS textual position — Join(LeftJoin(A,G),B) per
+# §18.2. BUILDING customers bind ?n to their own nation (one row); all
+# other customers leave ?n unbound at the pattern, which is §18.5
+# compatible with EVERY nation and takes its binding (25 rows each).
+TPCH_SPARQL_TIMELINE_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?c ?n ?nn WHERE {
+  ?c a ex:Customer .
+  OPTIONAL { ?c ex:marketSegment "BUILDING" . ?c ex:inNation ?n }
+  ?n a ex:Nation .
+  ?n ex:name ?nn .
+}
+"""
+
+
+def run_tpch_sparql_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_TIMELINE_QUERY)
+
+
+TPCH_SPARQL_TIMELINE_ORACLE_SQL = f"""
+SELECT '{KG}/customer/' || c.c_custkey AS c,
+       '{KG}/nation/' || n.n_nationkey AS n,
+       n.n_name AS nn
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT '{KG}/customer/' || c.c_custkey,
+       '{KG}/nation/' || n.n_nationkey,
+       n.n_name
+FROM customer c CROSS JOIN nation n
+WHERE c.c_mktsegment <> 'BUILDING'
+"""
+
+# Join(Minus(A,M),B) in textual order (full r4) — and DISCRIMINATING:
+# the MINUS anti-joins on the group state AT ITS TEXTUAL POINT, where
+# only BUILDING customers bind ?n (their nation has an inRegion triple
+# → removed) and everyone else's ?n is unbound (disjoint §8.3 domains
+# → kept); ONLY THEN does the late pattern bind ?n to every nation. A
+# MINUS hoisted to the end would see the rebound ?n on every row and
+# empty the result.
+TPCH_SPARQL_MINUS_TIMELINE_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?c ?n ?nname WHERE {
+  ?c a ex:Customer .
+  OPTIONAL { ?c ex:marketSegment "BUILDING" . ?c ex:inNation ?n }
+  MINUS { ?n ex:inRegion ?r }
+  ?n a ex:Nation .
+  ?n ex:name ?nname .
+}
+"""
+
+
+def run_tpch_sparql_minus_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(
+        build_tpch_kg(spark, sf_dir), TPCH_SPARQL_MINUS_TIMELINE_QUERY
+    )
+
+
+TPCH_SPARQL_MINUS_TIMELINE_ORACLE_SQL = f"""
+SELECT '{KG}/customer/' || c.c_custkey AS c,
+       '{KG}/nation/' || n.n_nationkey AS n,
+       n.n_name AS nname
+FROM customer c CROSS JOIN nation n
+WHERE c.c_mktsegment <> 'BUILDING'
+"""

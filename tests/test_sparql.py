@@ -181,17 +181,32 @@ def test_required_pattern_after_optional_sharing_vars_rejected(graph):
         (EX + "p2", EX + "p1"),
         (EX + "p2", EX + "p2"),
     ]
-    # UNION after OPTIONAL sharing a var: same rejection
+    # UNION after OPTIONAL sharing a var (full r4, formerly rejected):
+    # evaluates at its textual position via the compatible join —
+    # p1's bound ?q = p2 matches the two ?q = p2 union rows, p2's
+    # UNBOUND ?q is compatible with all four and takes their binding
     q2 = """
     PREFIX ex: <http://ex.org/>
-    SELECT ?p WHERE {
+    SELECT ?p ?q ?n WHERE {
       ?p a ex:Person .
       OPTIONAL { ?p ex:knows ?q }
       { ?q ex:name ?n } UNION { ?q a ex:Person }
     }
     """
-    with pytest.raises(SparqlError, match="follows an OPTIONAL"):
-        sparql_select(graph, q2)
+    key = lambda t: (t[0], t[1], t[2] or "")  # noqa: E731
+    assert sorted(
+        ((r.p, r.q, r.n) for r in sparql_select(graph, q2).collect()), key=key
+    ) == sorted(
+        [
+            (EX + "p1", EX + "p2", "Grace"),
+            (EX + "p1", EX + "p2", None),
+            (EX + "p2", EX + "p1", "Ada"),
+            (EX + "p2", EX + "p2", "Grace"),
+            (EX + "p2", EX + "p1", None),
+            (EX + "p2", EX + "p2", None),
+        ],
+        key=key,
+    )
     # non-overlapping later patterns stay accepted (hoisting is
     # semantics-preserving when no variable is shared)
     q3 = """
@@ -933,13 +948,16 @@ def test_values_errors(graph):
 
 
 def test_values_after_optional_guard(graph):
-    # VALUES constraining an OPTIONAL-introduced var would be reordered
-    # by the normalization — rejected like any post-OPTIONAL pattern
+    # VALUES constraining an OPTIONAL-introduced var (full r4, formerly
+    # rejected): evaluates at its textual position — p1's bound ?q = p2
+    # matches the row, p2's UNBOUND ?q is compatible and takes it
     q = """PREFIX ex: <http://ex.org/>
-    SELECT ?p WHERE { ?p a ex:Person . OPTIONAL { ?p ex:knows ?q }
+    SELECT ?p ?q WHERE { ?p a ex:Person . OPTIONAL { ?p ex:knows ?q }
       VALUES ?q { <http://ex.org/p2> } }"""
-    with pytest.raises(SparqlError):
-        sparql_select(graph, q)
+    assert sorted((r.p, r.q) for r in sparql_select(graph, q).collect()) == [
+        (EX + "p1", EX + "p2"),
+        (EX + "p2", EX + "p2"),
+    ]
 
 
 def test_offset_and_limit(graph):
@@ -1459,11 +1477,14 @@ def test_minus(graph, spark):
             graph,
             "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . OPTIONAL { ?p ex:knows ?q . MINUS { ?q ex:name ?n } } }",
         )
-    with pytest.raises(SparqlError):  # pattern after MINUS sharing its var
-        sparql_select(
-            graph,
-            "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . MINUS { ?p ex:knows ?q } ?p ex:name ?q }",
-        )
+    # pattern after MINUS sharing its var (full r4, formerly rejected):
+    # the anti join runs at the MINUS's textual point (p1 removed),
+    # THEN the pattern joins — Join(Minus(A,M),B) per §18.2
+    got = sparql_select(
+        graph,
+        "PREFIX ex: <http://ex.org/> SELECT ?p ?q WHERE { ?p a ex:Person . MINUS { ?p ex:knows ?q } ?p ex:name ?q }",
+    ).collect()
+    assert [(r.p, r.q) for r in got] == [(EX + "p2", "Grace")]
     # MINUS var nullable via OPTIONAL evaluates exactly since late r4
     # (§8.3 over the bound-mask slices): p1's ?q = p2 is compatible
     # with a MINUS solution → removed; p2's ?q is unbound → disjoint
@@ -3500,3 +3521,86 @@ def test_iri_fn_resolves_against_base(graph):
     q2 = """PREFIX ex: <http://ex.org/>
     SELECT ?u WHERE { ?p ex:name ?n . FILTER (?n = "Ada") BIND(IRI("leaf") AS ?u) }"""
     assert sparql_select(graph, q2).collect()[0].u == "leaf"
+
+
+def test_bind_before_late_pattern_sees_textual_state(graph):
+    """Full r4 soundness fix: a BIND textually BEFORE a pattern that
+    rebinds an OPTIONAL-nullable variable evaluates over the
+    group-so-far — for p2, ?x is UNBOUND at the BIND (?y stays unbound
+    per §10.1) even though the later pattern then binds ?x = p2. The
+    pre-timeline engine hoisted the BIND after the late pattern and
+    silently computed ?y from the rebound value."""
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?s ?x ?y WHERE {
+      ?s a ex:Person .
+      OPTIONAL { ?s ex:knows ?x }
+      BIND(CONCAT("v:", STR(?x)) AS ?y)
+      ?t ex:knows ?x .
+    }"""
+    got = sorted(
+        ((r.s, r.x, r.y) for r in sparql_select(graph, q).collect()),
+        key=lambda t: t[0],
+    )
+    assert got == [
+        (EX + "p1", EX + "p2", "v:" + EX + "p2"),
+        (EX + "p2", EX + "p2", None),
+    ]
+
+
+def test_subquery_after_optional_sharing_vars(graph):
+    """Full r4 (formerly rejected): a { SELECT } after an OPTIONAL
+    sharing its variable joins at its textual position — p1's bound
+    ?q = p2 equi-joins, p2's UNBOUND ?q is compatible with every
+    subquery row and takes its binding."""
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?q ?c WHERE {
+      ?p a ex:Person .
+      OPTIONAL { ?p ex:knows ?q }
+      { SELECT ?q (COUNT(?z) AS ?c) WHERE { ?q ex:name ?z } GROUP BY ?q }
+    }"""
+    got = sorted((r.p, r.q, int(r.c)) for r in sparql_select(graph, q).collect())
+    assert got == [
+        (EX + "p1", EX + "p2", 1),
+        (EX + "p2", EX + "p1", 1),
+        (EX + "p2", EX + "p2", 1),
+    ]
+
+
+def test_elements_after_minus_sharing_vars(graph):
+    """Full r4 (formerly rejected): UNION and VALUES textually after a
+    MINUS whose compatibility domain they share evaluate AFTER the anti
+    join — Join(Minus(A,M),B) in textual order."""
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?n ?m WHERE {
+      ?p a ex:Person .
+      MINUS { ?p ex:knows ?q }
+      { ?p ex:name ?n } UNION { ?p ex:knows ?m }
+    }"""
+    got = [(r.p, r.n, r.m) for r in sparql_select(graph, q).collect()]
+    assert got == [(EX + "p2", "Grace", None)]
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE {
+      ?p a ex:Person .
+      MINUS { ?p ex:knows ?q }
+      VALUES ?p { <http://ex.org/p1> <http://ex.org/p2> }
+    }"""
+    assert [r.p for r in sparql_select(graph, q2).collect()] == [EX + "p2"]
+
+
+def test_minus_between_optional_and_rebinding_pattern(graph):
+    """The MINUS anti join keys on the group state AT ITS TEXTUAL
+    POINT: for p2 the OPTIONAL leaves ?q unbound, the MINUS's domain is
+    disjoint there (row kept), and only THEN does the late pattern bind
+    ?q — where a post-rebinding MINUS would have removed p2 too."""
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?q WHERE {
+      ?p a ex:Person .
+      OPTIONAL { ?p ex:knows ?q }
+      MINUS { ?q ex:name ?n }
+      ?t ex:knows ?q .
+    }"""
+    # p1: ?q = p2 bound -> MINUS right side binds ?q for p1's value
+    # (p2 has a name) -> p1 removed. p2: ?q unbound -> disjoint -> kept;
+    # late pattern then binds ?q = p2 (t = p1).
+    got = [(r.p, r.q) for r in sparql_select(graph, q).collect()]
+    assert got == [(EX + "p2", EX + "p2")]

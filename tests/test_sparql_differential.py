@@ -863,3 +863,193 @@ def test_two_sided_compat_join_differential(spark, graph, br_a, br_b, br_c, br_d
         tuple(b[v][0] if v in b else None for v in all_vars) for b in merged
     )
     assert got == want, f"query {q!r} diverged"
+
+
+# ---------------------------------------------------------------------------
+# Textual timeline differential (full r4): random element SEQUENCES —
+# patterns, OPTIONAL, MINUS, BIND, UNION, VALUES interleaved in textual
+# order — evaluated by the engine vs a naive fold of SPARQL 1.1 §18.2's
+# group translation (Join / LeftJoin / Minus / Extend applied at each
+# element's own position). The engine may REJECT a sequence (SparqlError
+# is a safe outcome, asserted nowhere below); any sequence it ACCEPTS
+# must match the naive multiset exactly — this is the guard against the
+# silent-reordering bugs the timeline walk exists to prevent.
+# ---------------------------------------------------------------------------
+
+
+def _naive_compatible(m1, m2):
+    return all(m2.get(k, v) == v for k, v in m1.items() if k in m2)
+
+
+def _naive_join(left, right):
+    return [
+        {**m1, **m2}
+        for m1 in left
+        for m2 in right
+        if _naive_compatible(m1, m2)
+    ]
+
+
+def _naive_leftjoin(left, right):
+    out = []
+    for m1 in left:
+        matches = [{**m1, **m2} for m2 in right if _naive_compatible(m1, m2)]
+        out.extend(matches if matches else [m1])
+    return out
+
+
+def _naive_minus(left, right):
+    return [
+        m1
+        for m1 in left
+        if not any(
+            _naive_compatible(m1, m2) and set(m1) & set(m2) for m2 in right
+        )
+    ]
+
+
+def naive_timeline_eval(graph, elements):
+    """Fold the element sequence per §18.2: G := Join/LeftJoin/Minus/
+    Extend(G, element) in TEXTUAL order. BIND models the engine's
+    documented STR leniency (lexical form of any bound term; unbound
+    source → target unbound, row kept)."""
+    sols = [dict()]
+    for kind, payload in elements:
+        if kind == "pattern":
+            sols = _naive_join(sols, naive_eval(graph, [payload]))
+        elif kind == "optional":
+            sols = _naive_leftjoin(sols, naive_eval(graph, [payload]))
+        elif kind == "minus":
+            sols = _naive_minus(sols, naive_eval(graph, [payload]))
+        elif kind == "union":
+            a, b = payload
+            sols = _naive_join(
+                sols, naive_eval(graph, [a]) + naive_eval(graph, [b])
+            )
+        elif kind == "bind":
+            src, tgt = payload
+            sols = [
+                {**m, tgt: (m[src][0], "literal", "", "")} if src in m else m
+                for m in sols
+            ]
+        else:
+            assert kind == "values"
+            var, consts = payload
+            rows = [{} if c is None else {var: c} for c in consts]
+            sols = _naive_join(sols, rows)
+    return sols
+
+
+def _render_element(kind, payload):
+    def fmt(term):
+        mode, v = term
+        return f"?{v}" if mode == "var" else term_sparql(v)
+
+    if kind == "pattern":
+        s, p, o = payload
+        return f"{fmt(s)} {fmt(p)} {fmt(o)} ."
+    if kind == "optional":
+        s, p, o = payload
+        return f"OPTIONAL {{ {fmt(s)} {fmt(p)} {fmt(o)} }}"
+    if kind == "minus":
+        s, p, o = payload
+        return f"MINUS {{ {fmt(s)} {fmt(p)} {fmt(o)} }}"
+    if kind == "union":
+        (s1, p1, o1), (s2, p2, o2) = payload
+        return (
+            f"{{ {fmt(s1)} {fmt(p1)} {fmt(o1)} }} UNION "
+            f"{{ {fmt(s2)} {fmt(p2)} {fmt(o2)} }}"
+        )
+    if kind == "bind":
+        src, tgt = payload
+        return f"BIND(STR(?{src}) AS ?{tgt})"
+    assert kind == "values"
+    var, consts = payload
+    cells = " ".join("UNDEF" if c is None else term_sparql(c) for c in consts)
+    return f"VALUES ?{var} {{ {cells} }}"
+
+
+if HAVE_HYP:
+    _nonb_s = st.sampled_from(
+        [("var", v) for v in VARS]
+        + [("const", t) for t in SUBJECTS if t[1] != "bnode"]
+    )
+    _el_pattern = st.tuples(_nonb_s, p_term_st, o_term_st).filter(
+        lambda pat: not any(
+            m == "const" and v[1] == "bnode" for m, v in pat
+        )
+    )
+    _el_st = st.one_of(
+        st.tuples(st.just("pattern"), _el_pattern),
+        st.tuples(st.just("optional"), _el_pattern),
+        st.tuples(st.just("minus"), _el_pattern),
+        st.tuples(st.just("union"), st.tuples(_el_pattern, _el_pattern)),
+        st.tuples(
+            st.just("bind"),
+            st.tuples(st.sampled_from(VARS), st.sampled_from(["t1", "t2"])),
+        ),
+        st.tuples(
+            st.just("values"),
+            st.tuples(
+                st.sampled_from(VARS),
+                st.lists(
+                    st.one_of(
+                        st.none(),
+                        st.sampled_from(
+                            [t for t in OBJECTS if t[1] != "bnode"]
+                        ),
+                    ),
+                    min_size=1,
+                    max_size=2,
+                ),
+            ),
+        ),
+    )
+    timeline_st = st.lists(_el_st, min_size=1, max_size=3)
+
+
+@pytest.mark.skipif(not HAVE_HYP, reason="hypothesis not installed")
+@settings(max_examples=60, deadline=None)
+@given(graph=graph_st, first=_el_pattern if HAVE_HYP else st.none(),
+       rest=timeline_st if HAVE_HYP else st.none())
+def test_textual_timeline_differential(spark, graph, first, rest):
+    from r2rml_parser_spark.plans.sparql import SparqlError
+
+    elements = [("pattern", first)] + rest
+    # distinct BIND targets (engine requires fresh variables)
+    tgts = [p[1] for k, p in elements if k == "bind"]
+    if len(tgts) != len(set(tgts)):
+        return
+    # every variable ever mentioned (projection set)
+    vars_ = sorted(
+        {
+            v
+            for k, p in elements
+            for v in (
+                [t[1] for t in p if t[0] == "var"]
+                if k in ("pattern", "optional", "minus")
+                else [t[1] for pat in p for t in pat if t[0] == "var"]
+                if k == "union"
+                else list(p[:2])
+                if k == "bind"
+                else [p[0]]
+            )
+        }
+    )
+    rows = [
+        (s[0], s[1], p, o[0], o[1], o[2] or None, o[3] or None)
+        for s, p, o in graph
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    body = " ".join(_render_element(k, p) for k, p in elements)
+    q = f"SELECT {' '.join('?' + v for v in vars_)} WHERE {{ {body} }}"
+    try:
+        out = sparql_select(g, q)
+    except SparqlError:
+        return  # rejection is always safe; mis-evaluation is the bug
+    got = Counter(tuple(r[v] for v in vars_) for r in out.collect())
+    want = Counter(
+        tuple(b[v][0] if v in b else None for v in vars_)
+        for b in naive_timeline_eval(graph, elements)
+    )
+    assert got == want, f"query {q!r} diverged"
