@@ -242,6 +242,27 @@ def q_sparql_latejoin_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tpch_sparql_latejoin(spark, sf_dir)
 
 
+def q_sparql_optcompat_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left compatible join (full r4, formerly rejected): the second
+    OPTIONAL joins on ?n, which the first OPTIONAL may have left
+    unbound — the sliced LeftJoin decomposition. All three §18.5
+    kept-μ cases fire: bound-matched, bound-unmatched (kept, ?r
+    unbound), and unbound-?n taking the group's (?n, ?r) binding."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_optcompat
+
+    return run_tpch_sparql_optcompat(spark, sf_dir)
+
+
+def q_sparql_optdisjoint_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjoint-domain OPTIONAL (full r4, formerly rejected): the group
+    shares no variable, so every group solution is compatible with
+    every outer one — a bag cross product whose multiplicity counts
+    the unprojected ?x bindings."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_optdisjoint
+
+    return run_tpch_sparql_optdisjoint(spark, sf_dir)
+
+
 def q_sparql_minus_scope_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MINUS snapshot domain (late r4): Minus evaluates at its textual
     point, so a variable first bound by a LATER OPTIONAL never keys the
@@ -710,6 +731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_minus_scope_kg": q_sparql_minus_scope_kg,
         "sparql_timeline_kg": q_sparql_timeline_kg,
         "sparql_minus_timeline_kg": q_sparql_minus_timeline_kg,
+        "sparql_optcompat_kg": q_sparql_optcompat_kg,
+        "sparql_optdisjoint_kg": q_sparql_optdisjoint_kg,
         "sparql_orderexpr_kg": q_sparql_orderexpr_kg,
         "sparql_selectexpr_kg": q_sparql_selectexpr_kg,
         "sparql_having_kg": q_sparql_having_kg,
@@ -785,6 +808,8 @@ def oracle_sql() -> dict[str, str]:
         TPCH_SPARQL_MINUS_SCOPE_ORACLE_SQL,
         TPCH_SPARQL_TIMELINE_ORACLE_SQL,
         TPCH_SPARQL_MINUS_TIMELINE_ORACLE_SQL,
+        TPCH_SPARQL_OPTCOMPAT_ORACLE_SQL,
+        TPCH_SPARQL_OPTDISJOINT_ORACLE_SQL,
         TPCH_SPARQL_ORDEREXPR_ORACLE_SQL,
         TPCH_SPARQL_SELECTEXPR_ORACLE_SQL,
         TPCH_SPARQL_HAVING_ORACLE_SQL,
@@ -848,6 +873,8 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "sparql_minus_scope_kg": TPCH_SPARQL_MINUS_SCOPE_ORACLE_SQL,
         "sparql_timeline_kg": TPCH_SPARQL_TIMELINE_ORACLE_SQL,
         "sparql_minus_timeline_kg": TPCH_SPARQL_MINUS_TIMELINE_ORACLE_SQL,
+        "sparql_optcompat_kg": TPCH_SPARQL_OPTCOMPAT_ORACLE_SQL,
+        "sparql_optdisjoint_kg": TPCH_SPARQL_OPTDISJOINT_ORACLE_SQL,
         "sparql_orderexpr_kg": TPCH_SPARQL_ORDEREXPR_ORACLE_SQL,
         "sparql_selectexpr_kg": TPCH_SPARQL_SELECTEXPR_ORACLE_SQL,
         "sparql_having_kg": TPCH_SPARQL_HAVING_ORACLE_SQL,

@@ -71,23 +71,33 @@ inverse members to its endpoint flip (``!(F|^I)`` ≡ ``!F | ^!I``,
 the spec's stated equivalence), and the set composes with
 sequences, alternation, inverses, and closures like any element
 (``!p/q``, ``!(a|b)+``),
-OPTIONAL { t1 . t2 ... } groups (compiled to left joins; must share at
-least one variable with the required patterns, and that variable must
-come from the REQUIRED part; nested OPTIONALs inside an OPTIONAL
-group compile recursively to ARBITRARY depth as LeftJoin(A, B) within
-the group — each nested group must join on variables its parent
-binds, no join key may be nullable on either side (bound only inside
-some deeper OPTIONAL), and a pattern following a nested OPTIONAL
-inside the group must not share its variables (textual-order rule) —
-a join variable another OPTIONAL may
-have left unbound would need SPARQL's unbound-is-compatible join,
-which an equi-join cannot express, so it is rejected; a group FILTER
+OPTIONAL { t1 . t2 ... } groups (compiled to left joins; a group
+sharing NO variable with the solutions-so-far is (full r4, formerly
+rejected) the disjoint-domain LeftJoin — a bag cross product when the
+group matches, pass-through with the group's variables unbound when
+it is empty — and a join variable an earlier OPTIONAL / mixed-variable
+UNION / VALUES UNDEF / BIND may have left unbound takes (full r4,
+formerly rejected) the single-sided LEFT compatible-join
+decomposition: the outer relation is sliced by which nullable keys
+are bound, each slice LEFT-joins the group on its effective keys, an
+unbound-key row takes the group's binding when matched and stays
+unbound when not — §18.5's kept-μ case exactly; nested OPTIONALs
+inside an OPTIONAL group compile recursively to ARBITRARY depth as
+LeftJoin(A, B) within the group — each nested group must join on
+variables its parent binds, no NESTED join key may be nullable on
+either side (bound only inside some deeper OPTIONAL), and a pattern
+following a nested OPTIONAL inside the group must not share its
+variables (textual-order rule); a group FILTER
 may reference variables of the immediately enclosing group/query —
 SPARQL's LeftJoin(A, G, F) with a cross-group F — compiled INTO the
 left-join condition (equi-keys ∧ F), which reproduces both the
 Filter(F, Join) and the Diff(A, G, F) halves including error→false;
-filters reaching TWO levels out are rejected, since SPARQL scopes F
-at its own LeftJoin where those variables are unbound), { A } UNION
+late r4: a cross-group F also composes with the LEFT compatible-join
+decomposition (nullable or absent join keys) as an extra ON conjunct
+per slice, G-variable references renamed so an unbound key's
+reference resolves to G's merged binding; filters reaching TWO levels
+out are rejected, since SPARQL scopes F at its own LeftJoin where
+those variables are unbound), { A } UNION
 { B } blocks (branches may bind DIFFERENT variables per SPARQL 1.1 —
 a variable missing from a branch is unbound there, padded as NULL and
 tracked; the union is a bag union, and any later join on a
@@ -4058,6 +4068,114 @@ def _compat_join(
     return out
 
 
+def _left_compat_join(
+    left: DataFrame,
+    gdf: DataFrame,
+    shared: list[str],
+    null_shared: list[str],
+    what: str = "this OPTIONAL",
+    join_filters: list[tuple] | tuple = (),
+    bound: set[str] | frozenset = frozenset(),
+) -> DataFrame:
+    """SPARQL LeftJoin(A, G, F) (§18.5) when some shared variables may
+    be UNBOUND (NULL) on the LEFT — an earlier OPTIONAL, mixed-variable
+    UNION, VALUES UNDEF row, or BIND error left them so. The
+    single-sided LEFT-OUTER twin of ``_compat_join`` (full r4;
+    formerly rejected). The right side binds every shared variable in
+    every row (the caller rejects right-nullable join keys separately).
+
+    Exact decomposition: the left relation is partitioned by which of
+    its nullable shared variables are bound — 2^k disjoint slices —
+    and each slice LEFT-joins G on its EFFECTIVE keys after dropping
+    its all-NULL term-column sets for the unbound ones, so a matched
+    row takes G's binding for them (the compatible merge) and an
+    unmatched row keeps them unbound, exactly LeftJoin's kept-μ case.
+    A slice binding NO shared variable is compatible with every G row:
+    it cross-joins a non-empty G (bag multiplicity preserved) and
+    passes through with NULL-padded G columns when G is empty. Slices
+    are disjoint and project identical column names, so the by-name
+    union preserves bag semantics.
+
+    ``join_filters`` (late r4, formerly rejected): deferred group
+    filters referencing the enclosing group's variables — SPARQL's
+    cross-group F. Each slice then takes the _left_join_group
+    treatment instead of the bare equi-join: G's columns are renamed
+    with ``_GSUF``, the ON condition is (effective-keys ∧ F) with
+    every G-variable reference in F renamed — for a slice's UNBOUND
+    shared variable the merged solution's value IS G's, so renaming is
+    not just safe but required — and error→false comes free (a NULL
+    condition is a non-match, keeping μ1 per Diff). With ``shared``
+    empty and one slice this degrades to LeftJoin(A, G, F) over
+    disjoint domains: a pure conditional left join."""
+    if len(null_shared) > _COMPAT_MAX_NULLABLE:
+        raise SparqlError(
+            f"{what} joins on {len(null_shared)} possibly-unbound "
+            f"variables ({null_shared}); the left compatible-join "
+            f"decomposition is capped at {_COMPAT_MAX_NULLABLE}"
+        )
+    if (1 << len(null_shared)) > 2:
+        # 3+ slices re-scan both subplans per piece — persist once
+        left = left.persist()
+        gdf = gdf.persist()
+    gvars_all = sorted(c for c in gdf.columns if not c.startswith("__"))
+    g_empty: bool | None = None
+    out: DataFrame | None = None
+    for mask in range(1 << len(null_shared)):
+        b = {v for i, v in enumerate(null_shared) if mask >> i & 1}
+        sl = left
+        for v in null_shared:
+            sl = sl.where(
+                F.col(v).isNotNull() if v in b else F.col(v).isNull()
+            )
+        eff = [v for v in shared if v not in null_shared or v in b]
+        unbound = [v for v in shared if v not in eff]
+        # the slice's columns for unbound shared vars are all NULL —
+        # drop them so the join brings in G's (or leaves them NULL on
+        # a non-match, which IS the unbound-μ-kept case)
+        sl = sl.drop(*[c for v in unbound for c in _term_key(v)])
+        if join_filters:
+            ren = {v: v + _GSUF for v in gvars_all}
+            sel = []
+            for v in gvars_all:
+                sel.append(F.col(v).alias(ren[v]))
+                for c_old, c_new in zip(_shadow_cols(v), _shadow_cols(ren[v])):
+                    sel.append(F.col(c_old).alias(c_new))
+            g = gdf.select(*sel)
+            cond = F.lit(True)
+            for v in eff:
+                for c_old, c_new in zip(_term_key(v), _term_key(ren[v])):
+                    cond = cond & (F.col(c_old) == F.col(c_new))
+            ext_bound = set(bound) | set(ren.values())
+            for f in join_filters:
+                cond = cond & _compile_bool(
+                    _rename_expr_vars(f, ren), ext_bound, f"{what} (join filter)"
+                )
+            joined = sl.join(g, cond, "left")
+            keep = [F.col(c) for c in sl.columns]
+            for v in gvars_all:
+                if v in eff:
+                    continue
+                keep.append(F.col(ren[v]).alias(v))
+                for c_new, c_old in zip(_shadow_cols(ren[v]), _shadow_cols(v)):
+                    keep.append(F.col(c_new).alias(c_old))
+            piece = joined.select(*keep)
+        elif eff:
+            keys = [c for v in eff for c in _term_key(v)]
+            piece = sl.join(gdf, on=keys, how="left")
+        else:
+            if g_empty is None:
+                g_empty = gdf.isEmpty()
+            if g_empty:
+                piece = sl
+                for c in gdf.columns:
+                    piece = piece.withColumn(c, F.lit(None).cast("string"))
+            else:
+                piece = sl.crossJoin(gdf)
+        out = piece if out is None else out.unionByName(piece)
+    assert out is not None
+    return out
+
+
 def _nullable_corr_filter(
     df: DataFrame,
     gdf: DataFrame,
@@ -4555,21 +4673,45 @@ def _compile_where(
                 f"OPTIONAL ({bad_outer}); SPARQL's unbound-is-compatible "
                 "join is not expressible as an equi-join"
             )
-        if not shared:
-            raise SparqlError(
-                "OPTIONAL group shares no variable with the required patterns"
-            )
         maybe_null = sorted(v for v in shared if v in nullable)
-        if maybe_null:
-            # a NULL key from an earlier OPTIONAL never equi-joins, but
-            # SPARQL's compatible-join semantics would bind it — reject
-            # rather than silently return NULL where SPARQL binds a value
-            raise SparqlError(
-                "OPTIONAL join variable(s) may be unbound by an earlier "
-                f"OPTIONAL ({maybe_null}); SPARQL's unbound-is-compatible "
-                "join is not expressible as an equi-join — restructure the "
-                "query or use SQL over register_triples_view"
+        if deferred and (maybe_null or not shared):
+            # LeftJoin(A, G, F) with a cross-group F over nullable (or
+            # absent) join keys (late r4, formerly rejected): F joins
+            # the slice decomposition as an extra ON conjunct, renamed
+            # so an unbound-left key's reference resolves to G's
+            # (merged) binding
+            deep = sorted(
+                v
+                for f in deferred
+                for v in _expr_vars(f)
+                if not _is_internal(v) and v not in gvars and v not in bound
             )
+            if deep:
+                raise SparqlError(
+                    f"an OPTIONAL filter references unbound variable(s) {deep}"
+                )
+            df = _left_compat_join(
+                df, gdf, shared, maybe_null,
+                join_filters=deferred, bound=bound,
+            )
+            return df, bound | gvars, nullable | (gvars - bound)
+        if not shared:
+            # LeftJoin with disjoint domains (full r4, formerly
+            # rejected): every group solution is compatible with every
+            # outer one — a bag cross product when G is non-empty, the
+            # outer relation unchanged (group vars unbound) when empty
+            if gdf.isEmpty():
+                for c in gdf.columns:
+                    df = df.withColumn(c, F.lit(None).cast("string"))
+                return df, bound | gvars, nullable | gvars
+            return df.crossJoin(gdf), bound | gvars, nullable | g_nullable
+        if maybe_null:
+            # LeftJoin on keys an earlier OPTIONAL/UNION/VALUES/BIND may
+            # have left unbound (full r4, formerly rejected): the exact
+            # slice decomposition — unbound-left rows take the group's
+            # binding when matched and stay unbound when not
+            df = _left_compat_join(df, gdf, shared, maybe_null)
+            return df, bound | gvars, nullable | (gvars - bound)
         if deferred:
             deep = sorted(
                 v

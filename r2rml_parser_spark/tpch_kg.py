@@ -1471,3 +1471,77 @@ SELECT '{KG}/customer/' || c.c_custkey AS c,
 FROM customer c CROSS JOIN nation n
 WHERE c.c_mktsegment <> 'BUILDING'
 """
+
+# Left compatible join (full r4, formerly rejected): the second
+# OPTIONAL joins on ?n, which the FIRST OPTIONAL may have left unbound
+# — SPARQL's unbound-is-compatible LeftJoin, evaluated by the sliced
+# decomposition (_left_compat_join). All three §18.5 kept-μ cases fire:
+# a BUILDING customer whose nation sits in region 1/2 matches (?r
+# bound), one whose nation does not is KEPT with ?r unbound, and a
+# non-BUILDING customer's unbound ?n is compatible with EVERY group
+# row — it takes the group's (?n, ?r) binding, one row per qualifying
+# nation.
+TPCH_SPARQL_OPTCOMPAT_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?c ?n ?r WHERE {
+  ?c a ex:Customer .
+  OPTIONAL { ?c ex:marketSegment "BUILDING" . ?c ex:inNation ?n }
+  OPTIONAL { ?n ex:inRegion ?r .
+             FILTER (?r = <http://kg.example/region/1> ||
+                     ?r = <http://kg.example/region/2>) }
+}
+"""
+
+
+def run_tpch_sparql_optcompat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_OPTCOMPAT_QUERY)
+
+
+TPCH_SPARQL_OPTCOMPAT_ORACLE_SQL = f"""
+SELECT '{KG}/customer/' || c.c_custkey AS c,
+       '{KG}/nation/' || n.n_nationkey AS n,
+       CASE WHEN n.n_regionkey IN (1, 2)
+            THEN '{KG}/region/' || n.n_regionkey END AS r
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT '{KG}/customer/' || c.c_custkey,
+       '{KG}/nation/' || n.n_nationkey,
+       '{KG}/region/' || n.n_regionkey
+FROM customer c CROSS JOIN nation n
+WHERE c.c_mktsegment <> 'BUILDING' AND n.n_regionkey IN (1, 2)
+"""
+
+# Disjoint-domain OPTIONAL (full r4, formerly rejected): the group
+# shares NO variable with the solutions-so-far, so every group solution
+# is §18.5-compatible with every outer one — a bag CROSS product whose
+# multiplicity counts the unprojected ?x bindings (one per region-0
+# nation), the LeftJoin(A, G) special case with an always-true
+# compatibility test.
+TPCH_SPARQL_OPTDISJOINT_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?c ?seg ?r WHERE {
+  ?c a ex:Customer .
+  ?c ex:marketSegment ?seg .
+  OPTIONAL { ?x ex:inRegion ?r . FILTER (?r = <http://kg.example/region/0>) }
+}
+"""
+
+
+def run_tpch_sparql_optdisjoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(
+        build_tpch_kg(spark, sf_dir), TPCH_SPARQL_OPTDISJOINT_QUERY
+    )
+
+
+TPCH_SPARQL_OPTDISJOINT_ORACLE_SQL = f"""
+SELECT '{KG}/customer/' || c.c_custkey AS c,
+       c.c_mktsegment AS seg,
+       '{KG}/region/0' AS r
+FROM customer c CROSS JOIN nation n
+WHERE n.n_regionkey = 0
+"""

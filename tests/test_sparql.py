@@ -108,12 +108,9 @@ def test_optional_left_join(graph):
 
 
 def test_optional_errors(graph):
-    with pytest.raises(SparqlError):  # no shared variable
-        sparql_select(
-            graph,
-            "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . OPTIONAL { ?x dc:source ?z } }",
-            {"dc": DC},
-        )
+    # (an OPTIONAL sharing no variable is a LeftJoin over disjoint
+    # domains since full r4 — exact semantics asserted in
+    # test_optional_disjoint_domains, no longer an error)
     with pytest.raises(SparqlError):  # OPTIONAL with no required part
         sparql_select(graph, "SELECT ?p WHERE { OPTIONAL { ?p ?x ?z } }")
     # (one level of nested OPTIONAL is supported since r3 —
@@ -330,9 +327,11 @@ def test_order_by_asc_desc_limit(graph):
 
 
 def test_chained_optional_nullable_join_var_rejected(graph):
-    # ?q may be NULL after the first OPTIONAL; an equi-join on it in the
-    # second OPTIONAL would silently return NULL where SPARQL binds a
-    # value — must be rejected, not approximated
+    # ?q may be NULL after the first OPTIONAL; the second OPTIONAL's
+    # LeftJoin takes the slice-decomposed LEFT compatible join (full
+    # r4, formerly rejected). p1's ?q is the IRI p2 — the note group's
+    # LITERAL "…p2" is a DIFFERENT term, no compatible row, μ kept;
+    # p2's ?q is unbound and the note group has no ?p = p2 row, kept.
     q = """
     PREFIX ex: <http://ex.org/>
     SELECT ?p ?q WHERE {
@@ -341,8 +340,128 @@ def test_chained_optional_nullable_join_var_rejected(graph):
       OPTIONAL { ?p ex:note ?q }
     }
     """
-    with pytest.raises(SparqlError):
-        sparql_select(graph, q)
+    got = sorted(
+        ((r.p, r.q) for r in sparql_select(graph, q).collect()),
+        key=lambda t: (t[0], t[1] or ""),
+    )
+    assert got == [(EX + "p1", EX + "p2"), (EX + "p2", None)]
+    # and the unbound-left slice TAKES the second group's binding when
+    # one is compatible: knows is optional-empty for p2, note then
+    # binds ?q for p1 only — p2 has no note, stays unbound
+    q2 = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?p ?q WHERE {
+      ?p a ex:Person .
+      OPTIONAL { ?p ex:name "nobody" . ?p ex:knows ?q }
+      OPTIONAL { ?p ex:note ?q }
+    }
+    """
+    got2 = sorted(
+        ((r.p, r.q) for r in sparql_select(graph, q2).collect()),
+        key=lambda t: (t[0], t[1] or ""),
+    )
+    assert got2 == [(EX + "p1", EX + "p2"), (EX + "p2", None)]
+
+
+def test_optional_disjoint_domains(graph):
+    # OPTIONAL sharing no variable (full r4, formerly rejected): every
+    # group solution is compatible — a bag cross product when the group
+    # matches, pass-through with unbound vars when it is empty
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?s WHERE { ?p a ex:Person . OPTIONAL { ?x dc:source ?s } }"""
+    got = sorted((r.p, r.s) for r in sparql_select(graph, q, {"dc": DC}).collect())
+    assert got == [
+        (EX + "p1", EX + "mapA"),
+        (EX + "p1", EX + "mapB"),
+        (EX + "p2", EX + "mapA"),
+        (EX + "p2", EX + "mapB"),
+    ]
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?z WHERE { ?p a ex:Person . OPTIONAL { ?x ex:nothing ?z } }"""
+    got2 = sorted((r.p, r.z) for r in sparql_select(graph, q2).collect())
+    assert got2 == [(EX + "p1", None), (EX + "p2", None)]
+
+
+def test_optional_crossgroup_filter_nullable_key(graph):
+    # LeftJoin(A, G, F) where the join key ?q may be unbound (earlier
+    # OPTIONAL) AND F references the enclosing group's ?p (late r4,
+    # formerly rejected): F joins the slice decomposition as an extra
+    # ON conjunct. p1 binds ?q=p2 and F(?p=p1) is true → matched with
+    # Grace; p2's unbound ?q is compatible with every G row but
+    # F(?p=p1) is false → kept, ?s unbound.
+    q = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?p ?q ?s WHERE {
+      ?p a ex:Person .
+      OPTIONAL { ?p ex:knows ?q }
+      OPTIONAL { ?q ex:name ?s . FILTER (?p = <http://ex.org/p1>) }
+    }
+    """
+    got = sorted(
+        ((r.p, r.q, r.s) for r in sparql_select(graph, q).collect()),
+        key=lambda t: (t[0], t[1] or "", t[2] or ""),
+    )
+    assert got == [(EX + "p1", EX + "p2", "Grace"), (EX + "p2", None, None)]
+    # flipped constant: p1's compatible row fails F → kept with ?s
+    # unbound; p2's unbound-?q slice passes F and matches EVERY G row,
+    # taking G's (?q, ?s) binding
+    q2 = q.replace("p1>)", "p2>)")
+    got2 = sorted(
+        ((r.p, r.q, r.s) for r in sparql_select(graph, q2).collect()),
+        key=lambda t: (t[0], t[1] or "", t[2] or ""),
+    )
+    assert got2 == [
+        (EX + "p1", EX + "p2", None),
+        (EX + "p2", EX + "p1", "Ada"),
+        (EX + "p2", EX + "p2", "Grace"),
+    ]
+
+
+def test_optional_crossgroup_filter_references_unbound_key(graph):
+    # F = (?q = ?p) references the possibly-unbound join key itself:
+    # in the unbound-?q slice the merged solution's ?q IS the group's,
+    # so the renamed reference must resolve to G's column. p1 (?q=p2):
+    # compatible row Grace fails ?q=?p → kept unbound; p2 (?q unbound):
+    # G's row (p2, Grace) satisfies ?q=?p → matched.
+    q = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?p ?q ?s WHERE {
+      ?p a ex:Person .
+      OPTIONAL { ?p ex:knows ?q }
+      OPTIONAL { ?q ex:name ?s . FILTER (?q = ?p) }
+    }
+    """
+    got = sorted(
+        ((r.p, r.q, r.s) for r in sparql_select(graph, q).collect()),
+        key=lambda t: (t[0], t[1] or "", t[2] or ""),
+    )
+    assert got == [
+        (EX + "p1", EX + "p2", None),
+        (EX + "p2", EX + "p2", "Grace"),
+    ]
+
+
+def test_optional_disjoint_crossgroup_filter(graph):
+    # disjoint-domain OPTIONAL (no shared variable) whose filter
+    # references the enclosing group — a pure conditional left join
+    # (late r4, formerly rejected): p1 passes F and cross-products the
+    # group, p2 fails and is kept with ?z unbound
+    q = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?p ?z WHERE {
+      ?p a ex:Person .
+      OPTIONAL { ?x dc:source ?z . FILTER (?p = <http://ex.org/p1>) }
+    }
+    """
+    got = sorted(
+        ((r.p, r.z) for r in sparql_select(graph, q, {"dc": DC}).collect()),
+        key=lambda t: (t[0], t[1] or ""),
+    )
+    assert got == [
+        (EX + "p1", EX + "mapA"),
+        (EX + "p1", EX + "mapB"),
+        (EX + "p2", None),
+    ]
     # sequential OPTIONALs on a REQUIRED-bound variable stay fine
     q2 = """
     PREFIX ex: <http://ex.org/>
