@@ -83,9 +83,17 @@ are bound, each slice LEFT-joins the group on its effective keys, an
 unbound-key row takes the group's binding when matched and stays
 unbound when not — §18.5's kept-μ case exactly; nested OPTIONALs
 inside an OPTIONAL group compile recursively to ARBITRARY depth as
-LeftJoin(A, B) within the group — each nested group must join on
-variables its parent binds, no NESTED join key may be nullable on
-either side (bound only inside some deeper OPTIONAL), and a pattern
+LeftJoin(A, B) within the group, and (late r4, formerly rejected) the
+nested LeftJoin takes the SAME general forms as the top-level one: a
+nested group sharing no variable with its parent is the
+disjoint-domain LeftJoin (cross product when it matches,
+pass-through-unbound when empty), a join key an EARLIER nested
+OPTIONAL in the same group left nullable takes the single-sided LEFT
+compatible-join slice decomposition, and a deferred cross-group
+filter composes with both; the one remaining nested rejection is a
+join key nullable on the NESTED side itself (bound only inside a
+deeper OPTIONAL of the nested group) — the two-sided
+unbound-compatible LEFT join — and a pattern
 following a nested OPTIONAL inside the group must not share its
 variables (textual-order rule); a group FILTER
 may reference variables of the immediately enclosing group/query —
@@ -4559,10 +4567,16 @@ def _compile_where(
         (solutions, bound vars, nullable vars, deferred filters). Each
         nested group compiles recursively and left-joins its parent in
         textual order — LeftJoin(A, B) at every level, the
-        well-designed-pattern evaluation. Join keys that may be NULL on
-        either side (bound only inside some deeper OPTIONAL) are
-        rejected: an equi-join cannot express SPARQL's
-        unbound-is-compatible join.
+        well-designed-pattern evaluation — taking the same general
+        forms as the top-level LeftJoin (late r4): disjoint domains →
+        cross product / pass-through-unbound; join keys an earlier
+        nested OPTIONAL left nullable on the PARENT side → the
+        single-sided compatible-join slice decomposition
+        (_left_compat_join), composing with deferred cross-group
+        filters. Join keys nullable on the NESTED side (bound only
+        inside a deeper OPTIONAL of the nested group) remain rejected:
+        that is the two-sided unbound-compatible LEFT join, which the
+        slice decomposition does not express.
 
         A group filter referencing variables the group itself never
         binds — but its immediate LEFT side does (``outer_vars``) — is
@@ -4579,16 +4593,12 @@ def _compile_where(
                 npats, nfilters, nnested, nexists, nbinds, gvars | outer_vars
             )
             nshared = sorted(v for v in nvars if v in gvars)
-            if not nshared:
-                raise SparqlError(
-                    "a nested OPTIONAL shares no variable with its group"
-                )
-            bad = sorted(v for v in nshared if v in g_nullable or v in n_nullable)
+            bad = sorted(v for v in nshared if v in n_nullable)
             if bad:
                 raise SparqlError(
-                    "nested OPTIONAL join variable(s) may be unbound on one "
-                    f"side ({bad}) — SPARQL's unbound-is-compatible join is "
-                    "not expressible as an equi-join"
+                    "nested OPTIONAL join variable(s) may be unbound on the "
+                    f"NESTED side ({bad}) — the two-sided unbound-compatible "
+                    "LEFT join is not expressible as a slice decomposition"
                 )
             if ndeferred:
                 deep = sorted(
@@ -4604,6 +4614,37 @@ def _compile_where(
                         "immediately enclosing group — SPARQL scopes the "
                         "filter at its own LeftJoin, where they are unbound"
                     )
+            n_maybe_null = sorted(v for v in nshared if v in g_nullable)
+            if ndeferred and (n_maybe_null or not nshared):
+                # nested LeftJoin(G, N, F) over nullable/absent join keys
+                # (late r4, formerly rejected): the same slice
+                # decomposition the top-level _apply_optional takes
+                gdf = _left_compat_join(
+                    gdf, ndf, nshared, n_maybe_null,
+                    "this nested OPTIONAL group",
+                    join_filters=ndeferred, bound=gvars,
+                )
+            elif not nshared:
+                # nested LeftJoin with disjoint domains (late r4,
+                # formerly rejected): every nested solution is
+                # compatible with every group one — a bag cross product
+                # when N is non-empty, pass-through with N's variables
+                # unbound when it is empty
+                if ndf.isEmpty():
+                    for c in ndf.columns:
+                        gdf = gdf.withColumn(c, F.lit(None).cast("string"))
+                    n_nullable = set(nvars)
+                else:
+                    gdf = gdf.crossJoin(ndf)
+            elif n_maybe_null:
+                # join keys an earlier nested OPTIONAL in the SAME group
+                # left nullable (late r4, formerly rejected): the exact
+                # single-sided slice decomposition
+                gdf = _left_compat_join(
+                    gdf, ndf, nshared, n_maybe_null,
+                    "this nested OPTIONAL group",
+                )
+            elif ndeferred:
                 gdf = _left_join_group(
                     gdf, ndf, nvars, nshared, ndeferred, gvars,
                     "this nested OPTIONAL group",

@@ -2371,11 +2371,6 @@ def test_nested_optional(graph, spark):
 
 
 def test_nested_optional_rejections(graph):
-    with pytest.raises(SparqlError):  # nested shares no var with group
-        sparql_select(
-            graph,
-            "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . OPTIONAL { ?p ex:knows ?q OPTIONAL { ?x ex:name ?n } } }",
-        )
     with pytest.raises(SparqlError):  # outer var bound only in nested
         sparql_select(
             graph,
@@ -2669,6 +2664,86 @@ def test_nested_optional_arbitrary_depth(graph):
         (EX + "p1", "Ada", EX + "p2", "Grace"),
         (EX + "p2", "Grace", None, None),
     }
+
+
+def test_nested_optional_disjoint_domain(graph):
+    # a nested OPTIONAL sharing NO variable with its group (late r4,
+    # formerly rejected): §18.5 says every group solution is compatible
+    # with every nested one — a bag cross product when the nested group
+    # matches, pass-through with its variables unbound when it is empty
+    q = """PREFIX ex: <http://ex.org/> PREFIX dc: <http://purl.org/dc/elements/1.1/>
+    SELECT ?p ?q ?x ?z WHERE {
+      ?p a ex:Person .
+      OPTIONAL { ?p ex:knows ?q OPTIONAL { ?x dc:source ?z } }
+    }"""
+    got = {(r.p, r.q, r.x, r.z) for r in sparql_select(graph, q).collect()}
+    assert got == {
+        (EX + "p1", EX + "p2", EX + "m1", EX + "mapA"),
+        (EX + "p1", EX + "p2", EX + "m2", EX + "mapB"),
+        (EX + "p2", None, None, None),  # no ex:knows → group misses
+    }
+    # empty nested group: group rows pass through, ?x/?z unbound
+    q2 = q.replace("dc:source", "ex:missing")
+    got2 = {(r.p, r.q, r.x, r.z) for r in sparql_select(graph, q2).collect()}
+    assert got2 == {
+        (EX + "p1", EX + "p2", None, None),
+        (EX + "p2", None, None, None),
+    }
+
+
+def test_nested_optional_parent_nullable_key(graph):
+    # a later nested OPTIONAL joins on ?k, which the EARLIER nested
+    # OPTIONAL in the same group may leave unbound (late r4, formerly
+    # rejected): the single-sided compatible-join decomposition — a row
+    # with ?k unbound is compatible with EVERY {?k ex:name ?kn} row and
+    # takes its bindings (the spec's famous kept-μ merge)
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?n ?k ?kn WHERE {
+      ?p a ex:Person .
+      OPTIONAL { ?p ex:name ?n
+        OPTIONAL { ?p ex:knows ?k }
+        OPTIONAL { ?k ex:name ?kn } }
+    }"""
+    got = {(r.p, r.n, r.k, r.kn) for r in sparql_select(graph, q).collect()}
+    assert got == {
+        (EX + "p1", "Ada", EX + "p2", "Grace"),
+        # p2 knows nobody → ?k unbound → compatible with both name rows
+        (EX + "p2", "Grace", EX + "p1", "Ada"),
+        (EX + "p2", "Grace", EX + "p2", "Grace"),
+    }
+
+
+def test_nested_optional_nullable_key_with_cross_group_filter(graph):
+    # the same nullable nested key PLUS a deferred filter referencing
+    # the parent group's ?n — LeftJoin(G, N, F) compiled into the slice
+    # decomposition's ON condition (late r4, formerly rejected)
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?n ?k ?kn WHERE {
+      ?p a ex:Person .
+      OPTIONAL { ?p ex:name ?n
+        OPTIONAL { ?p ex:knows ?k }
+        OPTIONAL { ?k ex:name ?kn FILTER (STR(?n) != "Grace") } }
+    }"""
+    got = {(r.p, r.n, r.k, r.kn) for r in sparql_select(graph, q).collect()}
+    assert got == {
+        (EX + "p1", "Ada", EX + "p2", "Grace"),
+        # F is false for p2's row → Diff keeps μ1: ?k/?kn stay unbound
+        (EX + "p2", "Grace", None, None),
+    }
+
+
+def test_nested_optional_nested_side_nullable_rejected(graph):
+    # the one remaining nested rejection: the join key is nullable on
+    # the NESTED side (bound only inside its deeper OPTIONAL) — the
+    # two-sided unbound-compatible LEFT join
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE {
+      ?p a ex:Person .
+      OPTIONAL { ?p ex:name ?n . ?k ex:name ?kn
+        OPTIONAL { ?p ex:knows ?q OPTIONAL { ?q ex:name ?kn } } }
+    }"""
+    with pytest.raises(SparqlError, match="NESTED side"):
+        sparql_select(graph, q)
 
 
 def test_nested_optional_textual_order_guard(graph):

@@ -1053,3 +1053,91 @@ def test_textual_timeline_differential(spark, graph, first, rest):
         for b in naive_timeline_eval(graph, elements)
     )
     assert got == want, f"query {q!r} diverged"
+
+
+# ---------------------------------------------------------------------------
+# Nested-OPTIONAL groups (late r4): { outer OPTIONAL { g OPT{n1} [OPT{n2}] } }
+# vs the naive §18.2 translation — the group relation is
+# LeftJoin(LeftJoin(BGP(g), BGP(n1)), BGP(n2)) and LeftJoins the outer
+# relation, with §18.5 unbound-is-compatible semantics at every level
+# (the naive fold treats an unbound variable as absent from dom(μ), so
+# disjoint-domain cross products and nullable-key merges come free).
+# The engine may REJECT a shape (nested-side-nullable join keys — the
+# two-sided compatible LEFT join); any sequence it ACCEPTS must match
+# the naive multiset exactly.
+# ---------------------------------------------------------------------------
+
+if HAVE_HYP:
+    _nvars = ["a", "b", "c", "d"]
+    _ng_s = st.sampled_from(
+        [("var", v) for v in _nvars]
+        + [("const", t) for t in SUBJECTS if t[1] != "bnode"]
+    )
+    _ng_p = st.sampled_from(
+        [("var", v) for v in _nvars]
+        + [("const", (p, "iri", "", "")) for p in PREDS]
+    )
+    _ng_o = st.sampled_from(
+        [("var", v) for v in _nvars]
+        + [("const", t) for t in OBJECTS if t[1] != "bnode"]
+    )
+    _ng_pat = st.tuples(_ng_s, _ng_p, _ng_o)
+
+
+def _fmt_plain_pattern(pat):
+    def fmt(term):
+        mode, v = term
+        return f"?{v}" if mode == "var" else term_sparql(v)
+
+    s, p, o = pat
+    return f"{fmt(s)} {fmt(p)} {fmt(o)}"
+
+
+@pytest.mark.skipif(not HAVE_HYP, reason="hypothesis not installed")
+@settings(max_examples=50, deadline=None)
+@given(
+    graph=graph_st,
+    outer=_ng_pat if HAVE_HYP else st.none(),
+    gbase=_ng_pat if HAVE_HYP else st.none(),
+    nested=st.lists(_ng_pat, min_size=1, max_size=2) if HAVE_HYP else st.none(),
+)
+def test_nested_optional_group_differential(spark, graph, outer, gbase, nested):
+    from r2rml_parser_spark.plans.sparql import SparqlError
+
+    vars_ = sorted(
+        {
+            v
+            for pat in [outer, gbase] + nested
+            for mode, v in pat
+            if mode == "var"
+        }
+    )
+    if not vars_:
+        return
+    rows = [
+        (s[0], s[1], p, o[0], o[1], o[2] or None, o[3] or None)
+        for s, p, o in graph
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    body = (
+        f"{_fmt_plain_pattern(outer)} . OPTIONAL {{ "
+        + _fmt_plain_pattern(gbase)
+        + " "
+        + " ".join(f"OPTIONAL {{ {_fmt_plain_pattern(n)} }}" for n in nested)
+        + " }"
+    )
+    q = f"SELECT {' '.join('?' + v for v in vars_)} WHERE {{ {body} }}"
+    try:
+        out = sparql_select(g, q)
+    except SparqlError:
+        return  # rejection is always safe; mis-evaluation is the bug
+    group = naive_eval(graph, [gbase])
+    for n in nested:
+        group = _naive_leftjoin(group, naive_eval(graph, [n]))
+    want_sols = _naive_leftjoin(naive_eval(graph, [outer]), group)
+    got = Counter(tuple(r[v] for v in vars_) for r in out.collect())
+    want = Counter(
+        tuple(b[v][0] if v in b else None for v in vars_)
+        for b in want_sols
+    )
+    assert got == want, f"query {q!r} diverged"
