@@ -263,6 +263,16 @@ def q_sparql_optdisjoint_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tpch_sparql_optdisjoint(spark, sf_dir)
 
 
+def q_sparql_nestedopt_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-OPTIONAL compatible join (late r4, formerly rejected):
+    inside the OPTIONAL group the second nested OPTIONAL joins on
+    ?nation, which the first nested OPTIONAL leaves unbound for most
+    rows — the kept-mu merge via the nested slice decomposition."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_nestedopt
+
+    return run_tpch_sparql_nestedopt(spark, sf_dir)
+
+
 def q_sparql_minus_scope_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MINUS snapshot domain (late r4): Minus evaluates at its textual
     point, so a variable first bound by a LATER OPTIONAL never keys the
@@ -733,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_minus_timeline_kg": q_sparql_minus_timeline_kg,
         "sparql_optcompat_kg": q_sparql_optcompat_kg,
         "sparql_optdisjoint_kg": q_sparql_optdisjoint_kg,
+        "sparql_nestedopt_kg": q_sparql_nestedopt_kg,
         "sparql_orderexpr_kg": q_sparql_orderexpr_kg,
         "sparql_selectexpr_kg": q_sparql_selectexpr_kg,
         "sparql_having_kg": q_sparql_having_kg,
@@ -810,6 +821,7 @@ def oracle_sql() -> dict[str, str]:
         TPCH_SPARQL_MINUS_TIMELINE_ORACLE_SQL,
         TPCH_SPARQL_OPTCOMPAT_ORACLE_SQL,
         TPCH_SPARQL_OPTDISJOINT_ORACLE_SQL,
+        TPCH_SPARQL_NESTEDOPT_ORACLE_SQL,
         TPCH_SPARQL_ORDEREXPR_ORACLE_SQL,
         TPCH_SPARQL_SELECTEXPR_ORACLE_SQL,
         TPCH_SPARQL_HAVING_ORACLE_SQL,
@@ -875,6 +887,7 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "sparql_minus_timeline_kg": TPCH_SPARQL_MINUS_TIMELINE_ORACLE_SQL,
         "sparql_optcompat_kg": TPCH_SPARQL_OPTCOMPAT_ORACLE_SQL,
         "sparql_optdisjoint_kg": TPCH_SPARQL_OPTDISJOINT_ORACLE_SQL,
+        "sparql_nestedopt_kg": TPCH_SPARQL_NESTEDOPT_ORACLE_SQL,
         "sparql_orderexpr_kg": TPCH_SPARQL_ORDEREXPR_ORACLE_SQL,
         "sparql_selectexpr_kg": TPCH_SPARQL_SELECTEXPR_ORACLE_SQL,
         "sparql_having_kg": TPCH_SPARQL_HAVING_ORACLE_SQL,

@@ -1545,3 +1545,76 @@ SELECT '{KG}/customer/' || c.c_custkey AS c,
 FROM customer c CROSS JOIN nation n
 WHERE n.n_regionkey = 0
 """
+
+
+# Nested-OPTIONAL compatible join (late r4, formerly rejected): inside
+# the OPTIONAL group, the second nested OPTIONAL joins on ?nation, which
+# the FIRST nested OPTIONAL leaves unbound for every AUTOMOBILE customer
+# outside NATION_7 — §18.5's kept-μ merge: an unbound-?nation row is
+# compatible with EVERY (nation, region) pair and takes its bindings,
+# while non-AUTOMOBILE customers miss the whole group. Exercises the
+# single-sided LEFT compatible-join slice decomposition at a nested
+# level (plans/sparql.py::_compile_optional_group).
+TPCH_SPARQL_NESTEDOPT_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?customer ?cname ?nation ?region WHERE {
+  ?customer a ex:Customer .
+  ?customer ex:name ?cname .
+  OPTIONAL {
+    ?customer ex:marketSegment "AUTOMOBILE" .
+    OPTIONAL { ?customer ex:inNation ?nation . ?nation ex:name "NATION_7" }
+    OPTIONAL { ?nation ex:inRegion ?region }
+  }
+}
+"""
+
+
+def run_tpch_sparql_nestedopt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(
+        build_tpch_kg(spark, sf_dir), TPCH_SPARQL_NESTEDOPT_QUERY
+    )
+
+
+# The naive-SQL twin: the compatible join is the LEFT JOIN whose ON
+# clause is (equi-key OR left-key-IS-NULL) with the output key
+# COALESCEd — an unbound left key matches every right row and adopts
+# its binding; a bound key equi-joins; an empty right side would leave
+# both NULL (pass-through), exactly the engine's slice decomposition.
+TPCH_SPARQL_NESTEDOPT_ORACLE_SQL = f"""
+WITH triples AS ({TPCH_KG_ORACLE_SQL}),
+cust AS (
+  SELECT t1.subj AS customer, t2.obj AS cname
+  FROM triples t1
+  JOIN triples t2 ON t2.subj = t1.subj
+  WHERE t1.pred = '{RDF_TYPE}' AND t1.obj = '{ONT}Customer' AND t1.obj_kind = 'iri'
+    AND t2.pred = '{ONT}name' AND t2.obj_kind = 'literal'
+),
+gbase AS (
+  SELECT subj AS customer FROM triples
+  WHERE pred = '{ONT}marketSegment' AND obj = 'AUTOMOBILE' AND obj_kind = 'literal'
+),
+n1 AS (
+  SELECT a.subj AS customer, a.obj AS nation
+  FROM triples a
+  JOIN triples b ON b.subj = a.obj
+  WHERE a.pred = '{ONT}inNation' AND a.obj_kind = 'iri'
+    AND b.pred = '{ONT}name' AND b.obj = 'NATION_7' AND b.obj_kind = 'literal'
+),
+n2 AS (
+  SELECT subj AS nation, obj AS region FROM triples
+  WHERE pred = '{ONT}inRegion' AND obj_kind = 'iri'
+),
+g1 AS (
+  SELECT gbase.customer, n1.nation
+  FROM gbase LEFT JOIN n1 ON n1.customer = gbase.customer
+),
+g2 AS (
+  SELECT g1.customer, COALESCE(g1.nation, n2.nation) AS nation, n2.region
+  FROM g1 LEFT JOIN n2 ON (g1.nation = n2.nation OR g1.nation IS NULL)
+)
+SELECT cust.customer AS customer, cust.cname AS cname,
+       g2.nation AS nation, g2.region AS region
+FROM cust LEFT JOIN g2 ON g2.customer = cust.customer
+"""
