@@ -273,6 +273,24 @@ def q_sparql_nestedopt_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tpch_sparql_nestedopt(spark, sf_dir)
 
 
+def q_sparql_unionopt_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL inside a UNION branch (late r4, formerly rejected):
+    the branch compiles as a group via the recursive LeftJoin
+    machinery; its OPTIONAL-nullable var is union-nullable."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_unionopt
+
+    return run_tpch_sparql_unionopt(spark, sf_dir)
+
+
+def q_sparql_twoside_left_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided compatible LEFT join (late r4, formerly the last
+    LeftJoin rejection): the shared key is nullable on the outer side
+    (earlier OPTIONAL) and the group side (its nested OPTIONAL)."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_twoside_left
+
+    return run_tpch_sparql_twoside_left(spark, sf_dir)
+
+
 def q_sparql_minus_scope_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MINUS snapshot domain (late r4): Minus evaluates at its textual
     point, so a variable first bound by a LATER OPTIONAL never keys the
@@ -744,6 +762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_optcompat_kg": q_sparql_optcompat_kg,
         "sparql_optdisjoint_kg": q_sparql_optdisjoint_kg,
         "sparql_nestedopt_kg": q_sparql_nestedopt_kg,
+        "sparql_unionopt_kg": q_sparql_unionopt_kg,
+        "sparql_twoside_left_kg": q_sparql_twoside_left_kg,
         "sparql_orderexpr_kg": q_sparql_orderexpr_kg,
         "sparql_selectexpr_kg": q_sparql_selectexpr_kg,
         "sparql_having_kg": q_sparql_having_kg,
@@ -822,6 +842,8 @@ def oracle_sql() -> dict[str, str]:
         TPCH_SPARQL_OPTCOMPAT_ORACLE_SQL,
         TPCH_SPARQL_OPTDISJOINT_ORACLE_SQL,
         TPCH_SPARQL_NESTEDOPT_ORACLE_SQL,
+        TPCH_SPARQL_UNIONOPT_ORACLE_SQL,
+        TPCH_SPARQL_TWOSIDE_LEFT_ORACLE_SQL,
         TPCH_SPARQL_ORDEREXPR_ORACLE_SQL,
         TPCH_SPARQL_SELECTEXPR_ORACLE_SQL,
         TPCH_SPARQL_HAVING_ORACLE_SQL,
@@ -888,6 +910,8 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "sparql_optcompat_kg": TPCH_SPARQL_OPTCOMPAT_ORACLE_SQL,
         "sparql_optdisjoint_kg": TPCH_SPARQL_OPTDISJOINT_ORACLE_SQL,
         "sparql_nestedopt_kg": TPCH_SPARQL_NESTEDOPT_ORACLE_SQL,
+        "sparql_unionopt_kg": TPCH_SPARQL_UNIONOPT_ORACLE_SQL,
+        "sparql_twoside_left_kg": TPCH_SPARQL_TWOSIDE_LEFT_ORACLE_SQL,
         "sparql_orderexpr_kg": TPCH_SPARQL_ORDEREXPR_ORACLE_SQL,
         "sparql_selectexpr_kg": TPCH_SPARQL_SELECTEXPR_ORACLE_SQL,
         "sparql_having_kg": TPCH_SPARQL_HAVING_ORACLE_SQL,

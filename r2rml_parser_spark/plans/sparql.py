@@ -89,11 +89,17 @@ nested group sharing no variable with its parent is the
 disjoint-domain LeftJoin (cross product when it matches,
 pass-through-unbound when empty), a join key an EARLIER nested
 OPTIONAL in the same group left nullable takes the single-sided LEFT
-compatible-join slice decomposition, and a deferred cross-group
-filter composes with both; the one remaining nested rejection is a
-join key nullable on the NESTED side itself (bound only inside a
-deeper OPTIONAL of the nested group) — the two-sided
-unbound-compatible LEFT join — and a pattern
+compatible-join slice decomposition, a deferred cross-group
+filter composes with both, and a join key nullable on the NESTED
+side itself — bound only inside a deeper OPTIONAL of the nested
+group, possibly nullable on the parent side too — takes the
+TWO-SIDED compatible LEFT join (late r4, formerly the last LeftJoin
+rejection): Join(A,G) by the two-sided slice decomposition ⊎ the
+kept-μ1 rows computed by folded anti-joins across G's bound-mask
+slices (the same forms apply at the TOP level when the OPTIONAL
+group's own nested OPTIONALs leave a shared key nullable); only the
+cross-group-filter × two-sided combination stays rejected, and a
+pattern
 following a nested OPTIONAL inside the group must not share its
 variables (textual-order rule); a group FILTER
 may reference variables of the immediately enclosing group/query —
@@ -108,7 +114,15 @@ out are rejected, since SPARQL scopes F at its own LeftJoin where
 those variables are unbound), { A } UNION
 { B } blocks (branches may bind DIFFERENT variables per SPARQL 1.1 —
 a variable missing from a branch is unbound there, padded as NULL and
-tracked; the union is a bag union, and any later join on a
+tracked; a branch may carry its own OPTIONAL groups (late r4,
+formerly rejected): the branch compiles as a group through the same
+recursive LeftJoin machinery as an OPTIONAL group — nested OPTIONALs,
+group BINDs, group EXISTS, branch-local filters — and the variables
+its OPTIONALs/BINDs may leave unbound join the union's nullable set
+so downstream joins decompose exactly, while a branch filter
+referencing a variable bound only outside the branch is rejected
+(SPARQL evaluates each branch independently, that variable unbound
+there); the union is a bag union, and any later join on a
 possibly-unbound variable takes an EXACT compatible-join
 decomposition: EACH side is partitioned by which of its nullable
 keys are bound — 2^kl × 2^kr slice pairs, kl + kr ≤ 4 — each pair
@@ -1174,6 +1188,14 @@ class _Parser:
         def _pattern_vars(pats: list[tuple]) -> set[str]:
             return {t.name for pat in pats for t in pat if isinstance(t, Var)}
 
+        def _group_all_vars(pats, nested, gbinds) -> set[str]:
+            # every variable a branch/group may bind, including its
+            # nested OPTIONALs (recursively) and BIND targets
+            out = _pattern_vars(pats) | {b[1] for b in gbinds}
+            for npats, _nf, nnested, _ne, nb in nested:
+                out |= _group_all_vars(npats, nnested, nb)
+            return out
+
         while self._peek() != ("punct", "}"):
             if self._kw_is("FILTER"):
                 self._next()
@@ -1309,36 +1331,41 @@ class _Parser:
             if self._peek() == ("punct", "{"):
                 # (r4) allow_exists: FILTER [NOT] EXISTS compiles inside
                 # UNION branches too — Filter(EXISTS(P), Branch) as a
-                # per-branch semi/anti join before the union
-                raw = [self._group(allow_exists=True, allow_bind=True)]
+                # per-branch semi/anti join before the union; (late r4)
+                # allow_nested_optional: a branch may carry its own
+                # OPTIONAL groups, compiled with the recursive LeftJoin
+                # machinery (the branch IS a group)
+                raw = [self._group(
+                    allow_nested_optional=True, allow_exists=True,
+                    allow_bind=True,
+                )]
                 while self._kw_is("UNION"):
                     self._next()
-                    raw.append(self._group(allow_exists=True, allow_bind=True))
+                    raw.append(self._group(
+                        allow_nested_optional=True, allow_exists=True,
+                        allow_bind=True,
+                    ))
                 if len(raw) < 2:
                     raise SparqlError("a braced group must be a UNION branch")
-                branches = [(pats, gf, ge, gb) for pats, gf, _n, ge, gb in raw]
+                branches = raw  # (pats, gfilters, nested, gexists, gbinds)
                 union_vars = {
                     v
-                    for pats, _, _, gb in branches
-                    for v in _pattern_vars(pats) | {b[1] for b in gb}
+                    for pats, _gf, n, _ge, gb in branches
+                    for v in _group_all_vars(pats, n, gb)
                 }
                 union_vars = {v for v in union_vars if not _is_internal(v)}
                 if union_vars & guard_vars:
                     timeline.append(("union", branches))
                 else:
                     unions.append(branches)
-                # vars not bound by EVERY branch are unbound in the
-                # missing branches; branch-BIND targets may error-NULL
+                # vars not DEFINITELY bound by every branch are unbound
+                # somewhere: missing-branch vars, branch-BIND targets
+                # (error-NULL), and branch-OPTIONAL vars are all nullable
                 per_branch = [
-                    {
-                        v
-                        for v in _pattern_vars(pats) | {b[1] for b in gb}
-                        if not _is_internal(v)
-                    }
-                    for pats, _, _, gb in branches
+                    {v for v in _pattern_vars(pats) if not _is_internal(v)}
+                    for pats, _gf, _n, _ge, _gb in branches
                 ]
                 null_vars |= union_vars - set.intersection(*per_branch)
-                null_vars |= {b[1] for _, _, _, gb in branches for b in gb}
                 seen_vars |= union_vars
                 if self._peek() == ("punct", "."):
                     self._next()
@@ -1364,7 +1391,7 @@ class _Parser:
                     # machinery applies unchanged (bag union preserves
                     # the spec's per-alternative multiplicity)
                     endpoint_vars = {t.name for t in (s, o) if isinstance(t, Var)}
-                    alt_branches = [(br, [], [], []) for br in branches]
+                    alt_branches = [(br, [], [], [], []) for br in branches]
                     if endpoint_vars & guard_vars:
                         timeline.append(("union", alt_branches))
                     else:
@@ -1719,10 +1746,11 @@ class _Parser:
         also needs variables of the immediately enclosing group
         compiles into the left-join CONDITION (LeftJoin(A, G, F) with
         cross-group F; see _left_join_group). Nested OPTIONAL
-        groups are accepted to ARBITRARY depth inside an OPTIONAL group
-        (``allow_nested_optional``; each nested entry is recursively
-        (patterns, filters, its-own-nested, its-own-exists)); inside
-        UNION/EXISTS/MINUS groups they are rejected. Returns a FOURTH
+        groups are accepted to ARBITRARY depth inside OPTIONAL groups
+        and UNION branches (``allow_nested_optional``; each nested
+        entry is recursively (patterns, filters, its-own-nested,
+        its-own-exists)); inside EXISTS/MINUS groups they are
+        rejected. Returns a FOURTH
         element: ``[NOT] EXISTS`` group filters, accepted only when
         ``allow_exists`` (OPTIONAL groups, r4 — compiled as semi/anti
         joins on the group solutions, Filter(EXISTS(P), G)); other
@@ -4090,7 +4118,8 @@ def _left_compat_join(
     UNION, VALUES UNDEF row, or BIND error left them so. The
     single-sided LEFT-OUTER twin of ``_compat_join`` (full r4;
     formerly rejected). The right side binds every shared variable in
-    every row (the caller rejects right-nullable join keys separately).
+    every row (callers route right-nullable join keys to
+    ``_left_compat_join2``, the two-sided form).
 
     Exact decomposition: the left relation is partitioned by which of
     its nullable shared variables are bound — 2^k disjoint slices —
@@ -4181,6 +4210,84 @@ def _left_compat_join(
                 piece = sl.crossJoin(gdf)
         out = piece if out is None else out.unionByName(piece)
     assert out is not None
+    return out
+
+
+def _left_compat_join2(
+    left: DataFrame,
+    left_nullable: set[str],
+    gdf: DataFrame,
+    g_nullable: set[str],
+    shared: list[str],
+    what: str = "this OPTIONAL",
+) -> DataFrame:
+    """SPARQL LeftJoin(A, G) (§18.5) when shared variables may be
+    UNBOUND (NULL) on BOTH sides (late r4, formerly rejected): keys the
+    left query's earlier OPTIONALs/UNIONs/BINDs left nullable AND keys
+    the group's own nested OPTIONALs may leave unbound.
+
+    LeftJoin(A, G) = Join(A, G) ⊎ {μ1 ∈ A with no compatible μ2 ∈ G}.
+    The Join half is the exact two-sided ``_compat_join`` slice
+    decomposition. The kept-μ1 half: slice A by which of its nullable
+    shared variables are bound (mask B); a row of that slice is
+    compatible with a G row in G's bound-mask-C slice iff they agree
+    on B ∩ C — so an A row survives iff it anti-joins EVERY G slice on
+    the pair's effective keys, computed as a fold of ``left_anti``
+    joins across the 2^kr G slices (each removes the rows with a
+    partner in that slice; multiplicity of the remainder is A's, per
+    LeftJoin). A pair with B ∩ C empty is always compatible, so a
+    non-empty such G slice eliminates the whole A slice. Survivors pad
+    G's other columns with NULL. Both halves project the same column
+    name set; the union is by name, bag-exact."""
+    l_null = sorted(v for v in shared if v in left_nullable)
+    g_null = sorted(v for v in shared if v in g_nullable)
+    if not g_null:
+        return _left_compat_join(left, gdf, shared, l_null, what)
+    if len(l_null) + len(g_null) > _COMPAT_MAX_NULLABLE:
+        raise SparqlError(
+            f"{what} joins on possibly-unbound variables needing "
+            f"{len(l_null) + len(g_null)} mask bits "
+            f"({sorted(set(l_null) | set(g_null))}); the compatible-join "
+            f"decomposition is capped at {_COMPAT_MAX_NULLABLE}"
+        )
+    # every slice pair re-scans both subplans — persist each once
+    left = left.persist()
+    gdf = gdf.persist()
+    matches = _compat_join(left, set(l_null), gdf, set(g_null), shared, what)
+    g_slices: list[tuple[set[str], DataFrame]] = []
+    for mask in range(1 << len(g_null)):
+        cb = {v for i, v in enumerate(g_null) if mask >> i & 1}
+        sl = gdf
+        for v in g_null:
+            sl = sl.where(
+                F.col(v).isNotNull() if v in cb else F.col(v).isNull()
+            )
+        g_slices.append((cb, sl))
+    g_empty: dict[int, bool] = {}
+    pad_cols = [c for c in gdf.columns if c not in left.columns]
+    out = matches
+    for mask in range(1 << len(l_null)):
+        lb = {v for i, v in enumerate(l_null) if mask >> i & 1}
+        rem = left
+        for v in l_null:
+            rem = rem.where(
+                F.col(v).isNotNull() if v in lb else F.col(v).isNull()
+            )
+        bvars = [v for v in shared if v not in l_null or v in lb]
+        for ci, (cb, g_sl) in enumerate(g_slices):
+            eff = [v for v in bvars if v not in g_null or v in cb]
+            if eff:
+                keys = [c for v in eff for c in _term_key(v)]
+                rem = rem.join(g_sl.select(*keys), on=keys, how="left_anti")
+            else:
+                if ci not in g_empty:
+                    g_empty[ci] = g_sl.isEmpty()
+                if not g_empty[ci]:
+                    rem = rem.limit(0)
+                    break
+        for c in pad_cols:
+            rem = rem.withColumn(c, F.lit(None).cast("string"))
+        out = out.unionByName(rem)
     return out
 
 
@@ -4413,38 +4520,216 @@ def _compile_where(
     # (hoisted, join-commutative) loops AND the textual timeline walk —
     # each takes and returns the evolving (df, bound, nullable) triple
 
+    def _compile_optional_group(
+        gpats: list[tuple], gfilters: list[tuple], nested: list[tuple],
+        gexists: list[tuple], gbinds: list[tuple], outer_vars: set[str],
+    ) -> tuple[DataFrame, set[str], set[str], list[tuple]]:
+        """One OPTIONAL group with arbitrarily deep nested OPTIONALs →
+        (solutions, bound vars, nullable vars, deferred filters). Each
+        nested group compiles recursively and left-joins its parent in
+        textual order — LeftJoin(A, B) at every level, the
+        well-designed-pattern evaluation — taking the same general
+        forms as the top-level LeftJoin (late r4): disjoint domains →
+        cross product / pass-through-unbound; join keys an earlier
+        nested OPTIONAL left nullable on the PARENT side → the
+        single-sided compatible-join slice decomposition
+        (_left_compat_join), composing with deferred cross-group
+        filters; join keys nullable on the NESTED side (bound only
+        inside a deeper OPTIONAL of the nested group), possibly on the
+        parent side too → the two-sided compatible LEFT join
+        (_left_compat_join2). Only the cross-group-filter × two-sided
+        combination stays rejected.
+
+        A group filter referencing variables the group itself never
+        binds — but its immediate LEFT side does (``outer_vars``) — is
+        SPARQL's LeftJoin(A, G, F) with a cross-group F: it cannot be
+        applied inside the group, so it is RETURNED and the caller
+        compiles it into the left-join condition (_left_join_group).
+        Filters reaching past the immediate left side (two levels up)
+        are rejected: SPARQL scopes F at its own LeftJoin, where such
+        variables are unbound."""
+        gdf, gvars = _join_patterns(triples, gpats)
+        g_nullable: set[str] = set()
+        for npats, nfilters, nnested, nexists, nbinds in nested:
+            ndf, nvars, n_nullable, ndeferred = _compile_optional_group(
+                npats, nfilters, nnested, nexists, nbinds, gvars | outer_vars
+            )
+            nshared = sorted(v for v in nvars if v in gvars)
+            nested_null = sorted(v for v in nshared if v in n_nullable)
+            if nested_null:
+                # join keys nullable on the NESTED side (bound only
+                # inside its own deeper OPTIONAL), possibly on the
+                # parent side too — the two-sided compatible LEFT join
+                # (late r4, formerly rejected); the deferred-filter
+                # combination stays rejected
+                if ndeferred:
+                    raise SparqlError(
+                        "a nested OPTIONAL filter referencing parent "
+                        "variables combined with nested-side possibly-"
+                        f"unbound join variable(s) ({nested_null}) is "
+                        "not supported"
+                    )
+                gdf = _left_compat_join2(
+                    gdf, g_nullable, ndf, n_nullable, nshared,
+                    "this nested OPTIONAL group",
+                )
+                g_nullable |= (nvars - gvars) | n_nullable
+                gvars |= nvars
+                continue
+            if ndeferred:
+                deep = sorted(
+                    v
+                    for f in ndeferred
+                    for v in _expr_vars(f)
+                    if not _is_internal(v) and v not in nvars and v not in gvars
+                )
+                if deep:
+                    raise SparqlError(
+                        f"a nested OPTIONAL filter references variable(s) "
+                        f"{deep} bound neither in its group nor in the "
+                        "immediately enclosing group — SPARQL scopes the "
+                        "filter at its own LeftJoin, where they are unbound"
+                    )
+            n_maybe_null = sorted(v for v in nshared if v in g_nullable)
+            if ndeferred and (n_maybe_null or not nshared):
+                # nested LeftJoin(G, N, F) over nullable/absent join keys
+                # (late r4, formerly rejected): the same slice
+                # decomposition the top-level _apply_optional takes
+                gdf = _left_compat_join(
+                    gdf, ndf, nshared, n_maybe_null,
+                    "this nested OPTIONAL group",
+                    join_filters=ndeferred, bound=gvars,
+                )
+            elif not nshared:
+                # nested LeftJoin with disjoint domains (late r4,
+                # formerly rejected): every nested solution is
+                # compatible with every group one — a bag cross product
+                # when N is non-empty, pass-through with N's variables
+                # unbound when it is empty
+                if ndf.isEmpty():
+                    for c in ndf.columns:
+                        gdf = gdf.withColumn(c, F.lit(None).cast("string"))
+                    n_nullable = set(nvars)
+                else:
+                    gdf = gdf.crossJoin(ndf)
+            elif n_maybe_null:
+                # join keys an earlier nested OPTIONAL in the SAME group
+                # left nullable (late r4, formerly rejected): the exact
+                # single-sided slice decomposition
+                gdf = _left_compat_join(
+                    gdf, ndf, nshared, n_maybe_null,
+                    "this nested OPTIONAL group",
+                )
+            elif ndeferred:
+                gdf = _left_join_group(
+                    gdf, ndf, nvars, nshared, ndeferred, gvars,
+                    "this nested OPTIONAL group",
+                )
+            else:
+                gdf = gdf.join(
+                    ndf, on=[x for v in nshared for x in _term_key(v)], how="left"
+                )
+            g_nullable |= (nvars - gvars) | n_nullable
+            gvars |= nvars
+        # (r4) group-local BINDs: over the group's own solutions
+        # (incl. nested-OPTIONAL bindings textually before them),
+        # before the group filters, which see the targets group-wide
+        gdf, bnames = _apply_group_binds(
+            gdf, gbinds, outer_vars, "this OPTIONAL group"
+        )
+        gvars |= bnames
+        g_nullable |= bnames  # §10.1: NULL on evaluation error
+        # group filter == LeftJoin(A, G, F): filters bound entirely
+        # inside the group apply over the whole group result (incl.
+        # nested-OPTIONAL bindings) — equivalent to putting them in F;
+        # filters that also need the LEFT side's variables defer to the
+        # caller's join condition
+        local: list[tuple] = []
+        deferred: list[tuple] = []
+        for f in gfilters:
+            fv = {v for v in _expr_vars(f) if not _is_internal(v)}
+            if fv <= gvars:
+                local.append(f)
+            else:
+                deferred.append(f)
+        gdf = _apply_filters(gdf, local, gvars, "this OPTIONAL group")
+        # [NOT] EXISTS group filters (r4): Filter(EXISTS(P), G) — the
+        # same semi/anti-join compilation as top-level EXISTS, applied
+        # to the GROUP's solutions. Correlation is through variables
+        # the group itself binds; an EXISTS pattern referencing an
+        # outer-only variable would need SPARQL's substitution
+        # semantics, which a semi-join on group keys cannot express.
+        # Recursive for EXISTS-in-EXISTS.
+        gdf = _apply_group_exists(
+            triples, gdf, gvars, gexists, outer_vars, "an OPTIONAL group",
+            nullable_vars=g_nullable,
+        )
+        return gdf, gvars, g_nullable, deferred
+
+
     def _join_union(df, bound, nullable, branches):
         compiled = []
-        union_bind_nullable: set[str] = set()
-        for pats, gfilters, gexists, gbinds in branches:
-            bdf, bvars = _join_patterns(triples, pats)
-            bdf, bnames = _apply_group_binds(
-                bdf, gbinds, bound, "this UNION branch"
-            )
-            bvars |= bnames
-            union_bind_nullable |= bnames
-            bdf = _apply_filters(bdf, gfilters, bvars, "this UNION branch")
-            # (r4) [NOT] EXISTS inside the branch: Filter(EXISTS(P), B)
-            # — the same semi/anti-join compilation as the top level,
-            # applied to the BRANCH's solutions (SPARQL evaluates the
-            # branch group bottom-up, so correlation is through
-            # variables the branch itself binds); recursive for
-            # EXISTS-in-EXISTS
-            bdf = _apply_group_exists(
-                triples, bdf, bvars, gexists, bound, "a UNION branch"
-            )
+        for pats, gfilters, nested, gexists, gbinds in branches:
+            if nested:
+                # (late r4, formerly rejected) OPTIONAL inside a UNION
+                # branch: the branch IS a group — compile it with the
+                # same recursive LeftJoin machinery as an OPTIONAL
+                # group; variables its OPTIONALs may leave unbound are
+                # branch-nullable and flow into the union's nullable
+                # set. Branch filters must be branch-local: SPARQL
+                # evaluates each branch independently, so an outer
+                # variable is unbound inside it.
+                bdf, bvars, b_nullable, bdeferred = _compile_optional_group(
+                    pats, gfilters, nested, gexists, gbinds, bound
+                )
+                if bdeferred:
+                    deep = sorted({
+                        v
+                        for f in bdeferred
+                        for v in _expr_vars(f)
+                        if not _is_internal(v) and v not in bvars
+                    })
+                    raise SparqlError(
+                        f"a UNION branch filter references variable(s) "
+                        f"{deep} not bound in the branch — SPARQL scopes "
+                        "branch filters to the branch, where they are "
+                        "unbound"
+                    )
+            else:
+                bdf, bvars = _join_patterns(triples, pats)
+                bdf, bnames = _apply_group_binds(
+                    bdf, gbinds, bound, "this UNION branch"
+                )
+                bvars |= bnames
+                b_nullable = set(bnames)
+                bdf = _apply_filters(bdf, gfilters, bvars, "this UNION branch")
+                # (r4) [NOT] EXISTS inside the branch: Filter(EXISTS(P), B)
+                # — the same semi/anti-join compilation as the top level,
+                # applied to the BRANCH's solutions (SPARQL evaluates the
+                # branch group bottom-up, so correlation is through
+                # variables the branch itself binds); recursive for
+                # EXISTS-in-EXISTS
+                bdf = _apply_group_exists(
+                    triples, bdf, bvars, gexists, bound, "a UNION branch"
+                )
             # path-expansion internals are branch-local: project them
             # away before the union (bag semantics keep multiplicity)
-            compiled.append((bdf, {v for v in bvars if not _is_internal(v)}))
+            compiled.append((
+                bdf,
+                {v for v in bvars if not _is_internal(v)},
+                {v for v in b_nullable if not _is_internal(v)},
+            ))
         # branches may bind DIFFERENT variables (SPARQL 1.1 UNION):
         # a variable missing from a branch is unbound there — padded
         # with NULL term columns, and tracked as nullable so every
         # later join either decomposes (compatible join) or rejects
-        varset = set().union(*(vs for _, vs in compiled))
-        common = set.intersection(*(vs for _, vs in compiled))
+        varset = set().union(*(vs for _, vs, _nn in compiled))
+        # definitely bound in EVERY branch (not via an OPTIONAL/BIND
+        # that may leave it NULL) → never unbound after the union
+        definite = set.intersection(*(vs - nn for _, vs, nn in compiled))
         cols = [x for v in sorted(varset) for x in _term_key(v)]
         padded = []
-        for bdf, vs in compiled:
+        for bdf, vs, _nn in compiled:
             for v in sorted(varset - vs):
                 for c in _term_key(v):
                     bdf = bdf.withColumn(c, F.lit(None).cast("string"))
@@ -4452,7 +4737,7 @@ def _compile_where(
         u = padded[0]
         for bdf in padded[1:]:
             u = u.unionByName(bdf)  # bag union (SPARQL UNION)
-        u_nullable = (varset - common) | union_bind_nullable
+        u_nullable = varset - definite
         if df is None:
             df, bound = u, set(varset)
             nullable = nullable | u_nullable
@@ -4559,137 +4844,6 @@ def _compile_where(
     for block in values_blocks:
         df, bound, nullable = _join_values(df, bound, nullable, block)
 
-    def _compile_optional_group(
-        gpats: list[tuple], gfilters: list[tuple], nested: list[tuple],
-        gexists: list[tuple], gbinds: list[tuple], outer_vars: set[str],
-    ) -> tuple[DataFrame, set[str], set[str], list[tuple]]:
-        """One OPTIONAL group with arbitrarily deep nested OPTIONALs →
-        (solutions, bound vars, nullable vars, deferred filters). Each
-        nested group compiles recursively and left-joins its parent in
-        textual order — LeftJoin(A, B) at every level, the
-        well-designed-pattern evaluation — taking the same general
-        forms as the top-level LeftJoin (late r4): disjoint domains →
-        cross product / pass-through-unbound; join keys an earlier
-        nested OPTIONAL left nullable on the PARENT side → the
-        single-sided compatible-join slice decomposition
-        (_left_compat_join), composing with deferred cross-group
-        filters. Join keys nullable on the NESTED side (bound only
-        inside a deeper OPTIONAL of the nested group) remain rejected:
-        that is the two-sided unbound-compatible LEFT join, which the
-        slice decomposition does not express.
-
-        A group filter referencing variables the group itself never
-        binds — but its immediate LEFT side does (``outer_vars``) — is
-        SPARQL's LeftJoin(A, G, F) with a cross-group F: it cannot be
-        applied inside the group, so it is RETURNED and the caller
-        compiles it into the left-join condition (_left_join_group).
-        Filters reaching past the immediate left side (two levels up)
-        are rejected: SPARQL scopes F at its own LeftJoin, where such
-        variables are unbound."""
-        gdf, gvars = _join_patterns(triples, gpats)
-        g_nullable: set[str] = set()
-        for npats, nfilters, nnested, nexists, nbinds in nested:
-            ndf, nvars, n_nullable, ndeferred = _compile_optional_group(
-                npats, nfilters, nnested, nexists, nbinds, gvars | outer_vars
-            )
-            nshared = sorted(v for v in nvars if v in gvars)
-            bad = sorted(v for v in nshared if v in n_nullable)
-            if bad:
-                raise SparqlError(
-                    "nested OPTIONAL join variable(s) may be unbound on the "
-                    f"NESTED side ({bad}) — the two-sided unbound-compatible "
-                    "LEFT join is not expressible as a slice decomposition"
-                )
-            if ndeferred:
-                deep = sorted(
-                    v
-                    for f in ndeferred
-                    for v in _expr_vars(f)
-                    if not _is_internal(v) and v not in nvars and v not in gvars
-                )
-                if deep:
-                    raise SparqlError(
-                        f"a nested OPTIONAL filter references variable(s) "
-                        f"{deep} bound neither in its group nor in the "
-                        "immediately enclosing group — SPARQL scopes the "
-                        "filter at its own LeftJoin, where they are unbound"
-                    )
-            n_maybe_null = sorted(v for v in nshared if v in g_nullable)
-            if ndeferred and (n_maybe_null or not nshared):
-                # nested LeftJoin(G, N, F) over nullable/absent join keys
-                # (late r4, formerly rejected): the same slice
-                # decomposition the top-level _apply_optional takes
-                gdf = _left_compat_join(
-                    gdf, ndf, nshared, n_maybe_null,
-                    "this nested OPTIONAL group",
-                    join_filters=ndeferred, bound=gvars,
-                )
-            elif not nshared:
-                # nested LeftJoin with disjoint domains (late r4,
-                # formerly rejected): every nested solution is
-                # compatible with every group one — a bag cross product
-                # when N is non-empty, pass-through with N's variables
-                # unbound when it is empty
-                if ndf.isEmpty():
-                    for c in ndf.columns:
-                        gdf = gdf.withColumn(c, F.lit(None).cast("string"))
-                    n_nullable = set(nvars)
-                else:
-                    gdf = gdf.crossJoin(ndf)
-            elif n_maybe_null:
-                # join keys an earlier nested OPTIONAL in the SAME group
-                # left nullable (late r4, formerly rejected): the exact
-                # single-sided slice decomposition
-                gdf = _left_compat_join(
-                    gdf, ndf, nshared, n_maybe_null,
-                    "this nested OPTIONAL group",
-                )
-            elif ndeferred:
-                gdf = _left_join_group(
-                    gdf, ndf, nvars, nshared, ndeferred, gvars,
-                    "this nested OPTIONAL group",
-                )
-            else:
-                gdf = gdf.join(
-                    ndf, on=[x for v in nshared for x in _term_key(v)], how="left"
-                )
-            g_nullable |= (nvars - gvars) | n_nullable
-            gvars |= nvars
-        # (r4) group-local BINDs: over the group's own solutions
-        # (incl. nested-OPTIONAL bindings textually before them),
-        # before the group filters, which see the targets group-wide
-        gdf, bnames = _apply_group_binds(
-            gdf, gbinds, outer_vars, "this OPTIONAL group"
-        )
-        gvars |= bnames
-        g_nullable |= bnames  # §10.1: NULL on evaluation error
-        # group filter == LeftJoin(A, G, F): filters bound entirely
-        # inside the group apply over the whole group result (incl.
-        # nested-OPTIONAL bindings) — equivalent to putting them in F;
-        # filters that also need the LEFT side's variables defer to the
-        # caller's join condition
-        local: list[tuple] = []
-        deferred: list[tuple] = []
-        for f in gfilters:
-            fv = {v for v in _expr_vars(f) if not _is_internal(v)}
-            if fv <= gvars:
-                local.append(f)
-            else:
-                deferred.append(f)
-        gdf = _apply_filters(gdf, local, gvars, "this OPTIONAL group")
-        # [NOT] EXISTS group filters (r4): Filter(EXISTS(P), G) — the
-        # same semi/anti-join compilation as top-level EXISTS, applied
-        # to the GROUP's solutions. Correlation is through variables
-        # the group itself binds; an EXISTS pattern referencing an
-        # outer-only variable would need SPARQL's substitution
-        # semantics, which a semi-join on group keys cannot express.
-        # Recursive for EXISTS-in-EXISTS.
-        gdf = _apply_group_exists(
-            triples, gdf, gvars, gexists, outer_vars, "an OPTIONAL group",
-            nullable_vars=g_nullable,
-        )
-        return gdf, gvars, g_nullable, deferred
-
     # ---- the textual timeline (full r4) ----
     # OPTIONAL, MINUS, and BIND do not commute with joins on the
     # variables they leave unbound, key on, or consume — so the parser
@@ -4707,14 +4861,24 @@ def _compile_where(
             gpats, gfilters, nested, gexists, gbinds, bound
         )
         shared = sorted(v for v in gvars if v in bound)
-        bad_outer = sorted(v for v in shared if v in g_nullable)
-        if bad_outer:
-            raise SparqlError(
-                "OPTIONAL join variable(s) bound only inside a nested "
-                f"OPTIONAL ({bad_outer}); SPARQL's unbound-is-compatible "
-                "join is not expressible as an equi-join"
-            )
         maybe_null = sorted(v for v in shared if v in nullable)
+        group_null = sorted(v for v in shared if v in g_nullable)
+        if group_null:
+            # join keys the GROUP's own nested OPTIONALs may leave
+            # unbound — possibly nullable on the outer side too — take
+            # the two-sided compatible LEFT join (late r4, formerly
+            # rejected); the cross-group-filter combination stays
+            # rejected (F would need renaming per slice PAIR)
+            if deferred:
+                raise SparqlError(
+                    "an OPTIONAL filter referencing outer variables "
+                    "combined with group-side possibly-unbound join "
+                    f"variable(s) ({group_null}) is not supported"
+                )
+            df = _left_compat_join2(
+                df, set(maybe_null), gdf, g_nullable, shared
+            )
+            return df, bound | gvars, nullable | (gvars - bound)
         if deferred and (maybe_null or not shared):
             # LeftJoin(A, G, F) with a cross-group F over nullable (or
             # absent) join keys (late r4, formerly rejected): F joins

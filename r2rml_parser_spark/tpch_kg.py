@@ -1618,3 +1618,92 @@ SELECT cust.customer AS customer, cust.cname AS cname,
        g2.nation AS nation, g2.region AS region
 FROM cust LEFT JOIN g2 ON g2.customer = cust.customer
 """
+
+
+# OPTIONAL inside a UNION branch (late r4, formerly rejected): branch 1
+# is nations with an OPTIONAL fan-out to their FURNITURE customers
+# (?extra unbound for nations with none), branch 2 is MACHINERY
+# customers (?extra unbound by domain). The branch compiles as a group
+# through the recursive LeftJoin machinery; the union pads/tracks
+# ?extra as nullable.
+TPCH_SPARQL_UNIONOPT_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?e ?name ?extra WHERE {
+  { ?e a ex:Nation . ?e ex:name ?name
+    OPTIONAL { ?c ex:inNation ?e . ?c ex:marketSegment "FURNITURE" .
+               ?c ex:name ?extra } }
+  UNION
+  { ?e a ex:Customer . ?e ex:name ?name . ?e ex:marketSegment "MACHINERY" }
+}
+"""
+
+
+def run_tpch_sparql_unionopt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(
+        build_tpch_kg(spark, sf_dir), TPCH_SPARQL_UNIONOPT_QUERY
+    )
+
+
+TPCH_SPARQL_UNIONOPT_ORACLE_SQL = f"""
+SELECT '{KG}/nation/' || n.n_nationkey AS e, n.n_name AS name, c.c_name AS extra
+FROM nation n LEFT JOIN customer c
+  ON c.c_nationkey = n.n_nationkey AND c.c_mktsegment = 'FURNITURE'
+UNION ALL
+SELECT '{KG}/customer/' || c_custkey, c_name, NULL
+FROM customer WHERE c_mktsegment = 'MACHINERY'
+"""
+
+
+# Two-sided compatible LEFT join (late r4, formerly the last LeftJoin
+# rejection): ?nat is nullable on the OUTER side (the first OPTIONAL
+# binds it only for NATION_3 customers) AND on the GROUP side (the
+# second group binds it only inside its nested OPTIONAL, for BUILDING
+# customers whose nation sits in region 1). §18.5: a row with ?nat
+# unbound on either side is compatible and the merge adopts the bound
+# side's value; customers outside BUILDING keep the group unbound.
+TPCH_SPARQL_TWOSIDE_LEFT_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?c ?cname ?nat ?seg WHERE {
+  ?c a ex:Customer . ?c ex:name ?cname .
+  OPTIONAL { ?c ex:inNation ?nat . ?nat ex:name "NATION_3" }
+  OPTIONAL { ?c ex:marketSegment "BUILDING" . ?c ex:segment ?seg
+             OPTIONAL { ?c ex:inNation ?nat . ?nat ex:inRegion <http://kg.example/region/1> } }
+}
+"""
+
+
+def run_tpch_sparql_twoside_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(
+        build_tpch_kg(spark, sf_dir), TPCH_SPARQL_TWOSIDE_LEFT_QUERY
+    )
+
+
+# The naive-SQL twin: each customer has at most ONE group row, so
+# LeftJoin(A, G) is a LEFT JOIN whose ON clause is the §18.5
+# compatibility test itself — equality on the clean key ?c plus
+# (nat-unbound-left OR nat-unbound-right OR equal) — with the output
+# ?nat COALESCEd across the sides.
+TPCH_SPARQL_TWOSIDE_LEFT_ORACLE_SQL = f"""
+WITH lhs AS (
+  SELECT '{KG}/customer/' || c.c_custkey AS c, c.c_name AS cname,
+         CASE WHEN n.n_name = 'NATION_3'
+              THEN '{KG}/nation/' || n.n_nationkey END AS nat
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+grp AS (
+  SELECT '{KG}/customer/' || c.c_custkey AS c, c.c_mktsegment AS seg,
+         CASE WHEN n.n_regionkey = 1
+              THEN '{KG}/nation/' || n.n_nationkey END AS nat
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE c.c_mktsegment = 'BUILDING'
+)
+SELECT lhs.c AS c, lhs.cname AS cname,
+       COALESCE(lhs.nat, grp.nat) AS nat, grp.seg AS seg
+FROM lhs LEFT JOIN grp
+  ON grp.c = lhs.c
+ AND (lhs.nat IS NULL OR grp.nat IS NULL OR lhs.nat = grp.nat)
+"""

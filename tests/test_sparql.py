@@ -2370,19 +2370,31 @@ def test_nested_optional(graph, spark):
     assert got2 == {(EX + "a", EX + "x", None)}
 
 
-def test_nested_optional_rejections(graph):
-    with pytest.raises(SparqlError):  # outer var bound only in nested
-        sparql_select(
-            graph,
-            "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . ?z ex:name ?n . OPTIONAL { ?p ex:knows ?q OPTIONAL { ?q ex:name ?n } } }",
-        )
-    # depth-2 nesting is accepted since r4 (recursive LeftJoin) —
-    # covered by test_nested_optional_arbitrary_depth
-    with pytest.raises(SparqlError):  # still rejected inside UNION
-        sparql_select(
-            graph,
-            "PREFIX ex: <http://ex.org/> SELECT ?p WHERE { { ?p a ex:Person . OPTIONAL { ?p ex:knows ?q } } UNION { ?p ex:name ?x } }",
-        )
+def test_optional_group_side_nullable_outer_key(graph):
+    # formerly rejected as "outer var bound only in nested": the shared
+    # key ?n is bound on the OUTER side but only inside the GROUP's
+    # nested OPTIONAL — now the two-sided compatible LEFT join
+    # (late r4). The group relation is {(p=p1, q=p2, n="Grace"@en)};
+    # outer rows whose ?n is a DIFFERENT term (or whose ?p has no
+    # group row) are kept-μ1 with ?q unbound, the one compatible row
+    # merges ?q. (Depth-2 nesting: test_nested_optional_arbitrary_depth;
+    # OPTIONAL inside UNION: test_optional_inside_union_branch.)
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?z ?n ?q WHERE {
+      ?p a ex:Person . ?z ex:name ?n .
+      OPTIONAL { ?p ex:knows ?q OPTIONAL { ?q ex:name ?n } }
+    }"""
+    got = sorted(
+        (r.p, r.z, r.n, r.q) for r in sparql_select(graph, q).collect()
+    )
+    assert got == sorted(
+        [
+            (EX + "p1", EX + "p1", "Ada", None),       # n mismatch → kept
+            (EX + "p1", EX + "p2", "Grace", EX + "p2"),  # compatible
+            (EX + "p2", EX + "p1", "Ada", None),       # no group row
+            (EX + "p2", EX + "p2", "Grace", None),     # no group row
+        ]
+    )
 
 
 def test_strbefore_strafter_encode(graph, spark):
@@ -2732,17 +2744,133 @@ def test_nested_optional_nullable_key_with_cross_group_filter(graph):
     }
 
 
-def test_nested_optional_nested_side_nullable_rejected(graph):
-    # the one remaining nested rejection: the join key is nullable on
-    # the NESTED side (bound only inside its deeper OPTIONAL) — the
-    # two-sided unbound-compatible LEFT join
+def test_nested_optional_nested_side_nullable(graph):
+    # (late r4, formerly the last LeftJoin rejection) the join key ?kn
+    # is nullable on the NESTED side — bound only inside the nested
+    # group's own deeper OPTIONAL — so the nested LeftJoin takes the
+    # TWO-sided compatible join: matched parent rows adopt ?q, the
+    # rest are kept-μ1 with ?q unbound
     q = """PREFIX ex: <http://ex.org/>
-    SELECT ?p WHERE {
+    SELECT ?p ?n ?k ?kn ?q WHERE {
       ?p a ex:Person .
       OPTIONAL { ?p ex:name ?n . ?k ex:name ?kn
         OPTIONAL { ?p ex:knows ?q OPTIONAL { ?q ex:name ?kn } } }
     }"""
-    with pytest.raises(SparqlError, match="NESTED side"):
+    got = {
+        (r.p, r.n, r.k, r.kn, r.q)
+        for r in sparql_select(graph, q).collect()
+    }
+    # nested relation is {(p=p1, q=p2, kn=Grace)}; of the 2×2 parent
+    # rows only (p1, Ada, k=p2, kn=Grace) is compatible on (p, kn)
+    assert got == {
+        (EX + "p1", "Ada", EX + "p1", "Ada", None),
+        (EX + "p1", "Ada", EX + "p2", "Grace", EX + "p2"),
+        (EX + "p2", "Grace", EX + "p1", "Ada", None),
+        (EX + "p2", "Grace", EX + "p2", "Grace", None),
+    }
+
+
+def test_optional_two_sided_compat_join(graph, spark):
+    # top-level two-sided compatible LEFT join (late r4, formerly
+    # rejected): ?x nullable on the OUTER side (earlier OPTIONAL) and
+    # on the GROUP side (its own nested OPTIONAL)
+    rows = [
+        ("u:a", "iri", EX + "q", "v1", "literal", None, None),
+        ("u:b", "iri", EX + "q", "v2", "literal", None, None),
+        ("u:a", "iri", EX + "k", "x1", "literal", None, None),
+        ("u:a", "iri", EX + "m", "m1", "literal", None, None),
+        ("u:b", "iri", EX + "m", "m2", "literal", None, None),
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    q = f"""SELECT ?s ?v ?x ?m WHERE {{
+      ?s <{EX}q> ?v
+      OPTIONAL {{ ?s <{EX}k> ?x }}
+      OPTIONAL {{ ?s <{EX}m> ?m OPTIONAL {{ ?s <{EX}k> ?x }} }}
+    }}"""
+    got = {(r.s, r.v, r.x, r.m) for r in sparql_select(g, q).collect()}
+    # u:a: x bound both sides (x1 = x1) → merge; u:b: x unbound on
+    # BOTH sides → compatible, stays unbound, takes ?m
+    assert got == {
+        ("u:a", "v1", "x1", "m1"),
+        ("u:b", "v2", None, "m2"),
+    }
+    # kept-μ1 half: a graph where the group never matches the outer ?s
+    rows2 = rows[:3] + [("u:c", "iri", EX + "m", "m9", "literal", None, None)]
+    g2 = spark.createDataFrame(rows2, ", ".join(f"{c} string" for c in COLS))
+    got2 = {(r.s, r.v, r.x, r.m) for r in sparql_select(g2, q).collect()}
+    assert got2 == {
+        ("u:a", "v1", "x1", None),
+        ("u:b", "v2", None, None),
+    }
+
+
+def test_optional_two_sided_with_filter_rejected(graph):
+    # the cross-group-filter × two-sided combination stays rejected
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE {
+      ?p a ex:Person . ?p ex:name ?n .
+      OPTIONAL { ?p ex:knows ?q }
+      OPTIONAL { ?p ex:note ?w OPTIONAL { ?p ex:knows ?q }
+                 FILTER (STR(?w) != STR(?n)) }
+    }"""
+    with pytest.raises(SparqlError):
+        sparql_select(graph, q)
+
+
+def test_optional_inside_union_branch(graph):
+    # (late r4, formerly rejected) a UNION branch carrying its own
+    # OPTIONAL: the branch compiles as a group via the recursive
+    # LeftJoin machinery; ?q is branch-nullable and union-nullable
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?n ?q WHERE {
+      { ?p ex:name ?n OPTIONAL { ?p ex:knows ?q } }
+      UNION
+      { ?p a ex:Person . ?p ex:note ?n }
+    }"""
+    got = sorted(
+        (r.p, r.n, r.q) for r in sparql_select(graph, q).collect()
+    )
+    assert got == [
+        (EX + "p1", "Ada", EX + "p2"),       # branch 1: OPTIONAL hit
+        (EX + "p1", EX + "p2", None),        # branch 2: ?q unbound
+        (EX + "p2", "Grace", None),          # branch 1: OPTIONAL miss
+    ]
+    # ...and a later join on the branch-OPTIONAL-nullable ?q takes the
+    # compatible-join decomposition: the ?q-unbound rows adopt the
+    # pattern's binding, the bound row equi-joins
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?n ?q ?qn WHERE {
+      { ?p ex:name ?n OPTIONAL { ?p ex:knows ?q } }
+      UNION
+      { ?p a ex:Person . ?p ex:note ?n }
+      ?q ex:name ?qn
+    }"""
+    got2 = sorted(
+        (r.p, r.n, r.q, r.qn) for r in sparql_select(graph, q2).collect()
+    )
+    assert got2 == sorted(
+        [
+            (EX + "p1", "Ada", EX + "p2", "Grace"),
+            (EX + "p1", EX + "p2", EX + "p1", "Ada"),
+            (EX + "p1", EX + "p2", EX + "p2", "Grace"),
+            (EX + "p2", "Grace", EX + "p1", "Ada"),
+            (EX + "p2", "Grace", EX + "p2", "Grace"),
+        ]
+    )
+
+
+def test_optional_inside_union_branch_filter_scope(graph):
+    # a branch filter referencing a variable bound only OUTSIDE the
+    # branch is rejected (SPARQL scopes branch filters to the branch,
+    # where that variable is unbound), not evaluated against the outer
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE {
+      ?z ex:note ?w .
+      { ?p ex:name ?n OPTIONAL { ?p ex:knows ?q } FILTER (?n != ?w) }
+      UNION
+      { ?p a ex:Person }
+    }"""
+    with pytest.raises(SparqlError):
         sparql_select(graph, q)
 
 

@@ -1141,3 +1141,123 @@ def test_nested_optional_group_differential(spark, graph, outer, gbase, nested):
         for b in want_sols
     )
     assert got == want, f"query {q!r} diverged"
+
+
+# ---------------------------------------------------------------------------
+# OPTIONAL inside a UNION branch (late r4, formerly rejected):
+# { outer . { a OPTIONAL { ao } } UNION { b } } vs the naive §18.2
+# translation — Join(outer, Union(LeftJoin(a, ao), b)) with §18.5
+# compatibility (branch-OPTIONAL vars are nullable through the union).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(not HAVE_HYP, reason="hypothesis not installed")
+@settings(max_examples=40, deadline=None)
+@given(
+    graph=graph_st,
+    outer=_ng_pat if HAVE_HYP else st.none(),
+    abase=_ng_pat if HAVE_HYP else st.none(),
+    aopt=_ng_pat if HAVE_HYP else st.none(),
+    bbase=_ng_pat if HAVE_HYP else st.none(),
+)
+def test_optional_in_union_branch_differential(
+    spark, graph, outer, abase, aopt, bbase
+):
+    from r2rml_parser_spark.plans.sparql import SparqlError
+
+    vars_ = sorted(
+        {
+            v
+            for pat in [outer, abase, aopt, bbase]
+            for mode, v in pat
+            if mode == "var"
+        }
+    )
+    if not vars_:
+        return
+    rows = [
+        (s[0], s[1], p, o[0], o[1], o[2] or None, o[3] or None)
+        for s, p, o in graph
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    body = (
+        f"{_fmt_plain_pattern(outer)} . "
+        f"{{ {_fmt_plain_pattern(abase)} OPTIONAL {{ {_fmt_plain_pattern(aopt)} }} }} "
+        f"UNION {{ {_fmt_plain_pattern(bbase)} }}"
+    )
+    q = f"SELECT {' '.join('?' + v for v in vars_)} WHERE {{ {body} }}"
+    try:
+        out = sparql_select(g, q)
+    except SparqlError:
+        return  # rejection is always safe; mis-evaluation is the bug
+    branch_a = _naive_leftjoin(naive_eval(graph, [abase]), naive_eval(graph, [aopt]))
+    union = branch_a + naive_eval(graph, [bbase])
+    want_sols = _naive_join(naive_eval(graph, [outer]), union)
+    got = Counter(tuple(r[v] for v in vars_) for r in out.collect())
+    want = Counter(
+        tuple(b[v][0] if v in b else None for v in vars_)
+        for b in want_sols
+    )
+    assert got == want, f"query {q!r} diverged"
+
+
+# ---------------------------------------------------------------------------
+# Two-sided compatible LEFT join (late r4): { outer OPTIONAL { p1 }
+# OPTIONAL { g OPTIONAL { n1 OPTIONAL { n2 } } } } — join keys may be
+# nullable on the OUTER side (the first flat OPTIONAL) and on the GROUP
+# side (its depth-2 nested OPTIONAL chain) at once. Naive §18.2 fold:
+# LeftJoin(LeftJoin(LeftJoin(outer, p1), LeftJoin(g, LeftJoin(n1, n2))))
+# with unbound-is-compatible semantics throughout.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(not HAVE_HYP, reason="hypothesis not installed")
+@settings(max_examples=40, deadline=None)
+@given(
+    graph=graph_st,
+    outer=_ng_pat if HAVE_HYP else st.none(),
+    p1=_ng_pat if HAVE_HYP else st.none(),
+    gbase=_ng_pat if HAVE_HYP else st.none(),
+    n1=_ng_pat if HAVE_HYP else st.none(),
+    n2=_ng_pat if HAVE_HYP else st.none(),
+)
+def test_two_sided_leftjoin_differential(spark, graph, outer, p1, gbase, n1, n2):
+    from r2rml_parser_spark.plans.sparql import SparqlError
+
+    vars_ = sorted(
+        {
+            v
+            for pat in [outer, p1, gbase, n1, n2]
+            for mode, v in pat
+            if mode == "var"
+        }
+    )
+    if not vars_:
+        return
+    rows = [
+        (s[0], s[1], p, o[0], o[1], o[2] or None, o[3] or None)
+        for s, p, o in graph
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    body = (
+        f"{_fmt_plain_pattern(outer)} . "
+        f"OPTIONAL {{ {_fmt_plain_pattern(p1)} }} "
+        f"OPTIONAL {{ {_fmt_plain_pattern(gbase)} "
+        f"OPTIONAL {{ {_fmt_plain_pattern(n1)} "
+        f"OPTIONAL {{ {_fmt_plain_pattern(n2)} }} }} }}"
+    )
+    q = f"SELECT {' '.join('?' + v for v in vars_)} WHERE {{ {body} }}"
+    try:
+        out = sparql_select(g, q)
+    except SparqlError:
+        return  # rejection is always safe; mis-evaluation is the bug
+    inner = _naive_leftjoin(naive_eval(graph, [n1]), naive_eval(graph, [n2]))
+    group = _naive_leftjoin(naive_eval(graph, [gbase]), inner)
+    sols = _naive_leftjoin(naive_eval(graph, [outer]), naive_eval(graph, [p1]))
+    want_sols = _naive_leftjoin(sols, group)
+    got = Counter(tuple(r[v] for v in vars_) for r in out.collect())
+    want = Counter(
+        tuple(b[v][0] if v in b else None for v in vars_)
+        for b in want_sols
+    )
+    assert got == want, f"query {q!r} diverged"
