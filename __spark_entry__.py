@@ -291,6 +291,15 @@ def q_sparql_twoside_left_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tpch_sparql_twoside_left(spark, sf_dir)
 
 
+def q_sparql_minusopt_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINUS with a nested OPTIONAL (late r4, formerly rejected): the
+    shared key is nullable on both sides — the two-sided SPARQL 8.3
+    slice decomposition where disjoint-domain pairs remove nothing."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_minusopt
+
+    return run_tpch_sparql_minusopt(spark, sf_dir)
+
+
 def q_sparql_minus_scope_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MINUS snapshot domain (late r4): Minus evaluates at its textual
     point, so a variable first bound by a LATER OPTIONAL never keys the
@@ -764,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_nestedopt_kg": q_sparql_nestedopt_kg,
         "sparql_unionopt_kg": q_sparql_unionopt_kg,
         "sparql_twoside_left_kg": q_sparql_twoside_left_kg,
+        "sparql_minusopt_kg": q_sparql_minusopt_kg,
         "sparql_orderexpr_kg": q_sparql_orderexpr_kg,
         "sparql_selectexpr_kg": q_sparql_selectexpr_kg,
         "sparql_having_kg": q_sparql_having_kg,
@@ -844,6 +854,7 @@ def oracle_sql() -> dict[str, str]:
         TPCH_SPARQL_NESTEDOPT_ORACLE_SQL,
         TPCH_SPARQL_UNIONOPT_ORACLE_SQL,
         TPCH_SPARQL_TWOSIDE_LEFT_ORACLE_SQL,
+        TPCH_SPARQL_MINUSOPT_ORACLE_SQL,
         TPCH_SPARQL_ORDEREXPR_ORACLE_SQL,
         TPCH_SPARQL_SELECTEXPR_ORACLE_SQL,
         TPCH_SPARQL_HAVING_ORACLE_SQL,
@@ -912,6 +923,7 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "sparql_nestedopt_kg": TPCH_SPARQL_NESTEDOPT_ORACLE_SQL,
         "sparql_unionopt_kg": TPCH_SPARQL_UNIONOPT_ORACLE_SQL,
         "sparql_twoside_left_kg": TPCH_SPARQL_TWOSIDE_LEFT_ORACLE_SQL,
+        "sparql_minusopt_kg": TPCH_SPARQL_MINUSOPT_ORACLE_SQL,
         "sparql_orderexpr_kg": TPCH_SPARQL_ORDEREXPR_ORACLE_SQL,
         "sparql_selectexpr_kg": TPCH_SPARQL_SELECTEXPR_ORACLE_SQL,
         "sparql_having_kg": TPCH_SPARQL_HAVING_ORACLE_SQL,

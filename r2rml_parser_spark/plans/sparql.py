@@ -222,10 +222,17 @@ solutions before the union/anti-join, correlated through variables
 that group itself binds) — MINUS { t1 ... }
 (SPARQL 1.1 §8.3: an anti join on the shared term keys; a MINUS
 sharing no variable with
-the rest of the query removes nothing and compiles away, and a
+the rest of the query removes nothing and compiles away, a
 shared variable an earlier OPTIONAL may have left unbound slices
 like EXISTS's — with the all-unbound slice KEPT, §8.3's
-disjoint-domain rule (late r4)) —
+disjoint-domain rule (late r4) — and the MINUS group may carry its
+own nested OPTIONALs (late r4): a shared key they leave nullable
+takes the TWO-sided §8.3 slice decomposition, where a slice pair
+with no effective key has disjoint domains and removes nothing;
+EXISTS probe groups accept nested OPTIONALs too — LeftJoin never
+removes a probe solution, so the existence test is unchanged, and a
+correlation key bound only inside the probe's OPTIONAL is rejected,
+needing §18.6 substitution) —
 BIND(expr AS ?v) at the top
 level of WHERE and (r4) INSIDE OPTIONAL/UNION/MINUS groups (evaluated
 over the group's own solutions in textual order, visible to the
@@ -1257,7 +1264,13 @@ class _Parser:
                 continue
             if self._kw_is("MINUS"):
                 self._next()
-                mp, mf, _, me, mb = self._group(allow_exists=True, allow_bind=True)
+                # (late r4) the MINUS group may carry nested OPTIONALs;
+                # a shared key they leave nullable takes the two-sided
+                # §8.3 slice decomposition (_minus_compat_anti)
+                mp, mf, mn, me, mb = self._group(
+                    allow_nested_optional=True, allow_exists=True,
+                    allow_bind=True,
+                )
                 # snapshot of the variables bound textually BEFORE the
                 # MINUS: §8.3 evaluates Minus at its textual point, so
                 # its compatibility domain is the group-so-far — a
@@ -1266,7 +1279,7 @@ class _Parser:
                 # timeline position, so a later element REBINDING a
                 # snapshot variable (full r4; formerly rejected) joins
                 # AFTER the removal, exactly as §18.2 translates it.
-                group = (mp, mf, me, mb, set(seen_vars))
+                group = (mp, mf, mn, me, mb, set(seen_vars))
                 timeline.append(("minus", group))
                 # only the variables in its compatibility domain —
                 # group vars ∩ the snapshot — matter to later elements:
@@ -1275,7 +1288,7 @@ class _Parser:
                 # Minus on the timeline; a group var NOT seen before
                 # the MINUS never keys the anti join (snapshot domain)
                 # and later bindings of it are harmless
-                mvars = _pattern_vars(group[0]) | {b[1] for b in mb}
+                mvars = _group_all_vars(mp, mn, mb)
                 keyed = mvars & seen_vars
                 guard_vars |= keyed
                 if self._peek() == ("punct", "."):
@@ -1746,16 +1759,18 @@ class _Parser:
         also needs variables of the immediately enclosing group
         compiles into the left-join CONDITION (LeftJoin(A, G, F) with
         cross-group F; see _left_join_group). Nested OPTIONAL
-        groups are accepted to ARBITRARY depth inside OPTIONAL groups
-        and UNION branches (``allow_nested_optional``; each nested
-        entry is recursively (patterns, filters, its-own-nested,
-        its-own-exists)); inside EXISTS/MINUS groups they are
-        rejected. Returns a FOURTH
+        groups are accepted to ARBITRARY depth inside OPTIONAL groups,
+        UNION branches, EXISTS probes, and MINUS groups
+        (``allow_nested_optional``; each nested entry is recursively
+        (patterns, filters, its-own-nested, its-own-exists)). Returns a FOURTH
         element: ``[NOT] EXISTS`` group filters, accepted only when
         ``allow_exists`` (OPTIONAL groups, r4 — compiled as semi/anti
         joins on the group solutions, Filter(EXISTS(P), G)); other
         group kinds keep the rejection (the [:2]-slicing callers never
-        see the tail elements). The well-designed-pattern conditions
+        see the tail elements). Late r4: EXISTS probe groups and MINUS
+        groups parse with ``allow_nested_optional`` too — the compile
+        layer routes their nullable keys (or rejects, for EXISTS
+        correlation keys). The well-designed-pattern conditions
         are enforced at compile (nullable join keys rejected) and here
         (textual-order rule for patterns following a nested OPTIONAL).
         Returns a FIFTH element: group-local BINDs as (expr, name,
@@ -2437,9 +2452,13 @@ class _Parser:
                 if k2 != "kw" or str(v2).upper() != "EXISTS":
                     raise SparqlError("expected EXISTS after NOT in FILTER")
             # (r4) the probe group may itself carry FILTER [NOT]
-            # EXISTS — nested existence tests compile recursively
-            g = self._group(allow_exists=True)
-            return ("exists", positive, (g[0], g[1], g[3]))
+            # EXISTS — nested existence tests compile recursively —
+            # and (late r4) OPTIONAL groups: LeftJoin never removes a
+            # probe solution, so the existence test is unchanged
+            # unless a correlation key is OPTIONAL-nullable (rejected
+            # at compile)
+            g = self._group(allow_nested_optional=True, allow_exists=True)
+            return ("exists", positive, (g[0], g[1], g[2], g[3]))
         if k == "kw":
             self._next()
             call = self._call_of(str(v))
@@ -2473,20 +2492,58 @@ def _apply_group_exists(
     group's solution relation as semi/anti joins correlated through
     variables the group itself binds. Recursive (r4): the probe group
     may carry its own nested EXISTS filters, compiled the same way
-    over ITS solutions before the outer semi/anti join. An EXISTS
-    correlating only through variables bound outside the group would
-    need SPARQL's substitution semantics — rejected, as is a join
-    variable a nested OPTIONAL may have left unbound."""
+    over ITS solutions before the outer semi/anti join, and (late r4)
+    nested OPTIONAL groups — LeftJoin never removes a probe solution,
+    so the existence test's key set and emptiness are unchanged. An
+    EXISTS correlating only through variables bound outside the group
+    would need SPARQL's substitution semantics — rejected, as is a
+    join variable a nested OPTIONAL (of the GROUP or of the PROBE) may
+    have left unbound."""
     for positive, payload in gexists:
-        epats, efilters, eexists = payload
-        edf, evars = _join_patterns(triples, epats)
-        edf = _apply_filters(edf, efilters, evars, "this EXISTS group")
-        if eexists:
-            edf = _apply_group_exists(
-                triples, edf, evars, eexists, outer_bound | gvars,
-                "this nested EXISTS group",
+        epats, efilters, enested, eexists = payload
+        if enested:
+            # (late r4) OPTIONAL inside the probe: compile the probe as
+            # a group via the recursive LeftJoin machinery. LeftJoin
+            # preserves every base solution, so the existence test —
+            # key set AND emptiness — is unchanged unless a
+            # correlation key is bound only inside the probe's
+            # OPTIONAL, which needs §18.6 substitution (rejected
+            # below). Probe filters must be probe-local.
+            edf, evars, e_nullable, edeferred = _compile_optional_group(
+                triples, epats, efilters, enested, eexists, [],
+                outer_bound | gvars,
             )
+            if edeferred:
+                deep = sorted({
+                    v
+                    for f in edeferred
+                    for v in _expr_vars(f)
+                    if not _is_internal(v) and v not in evars
+                })
+                raise SparqlError(
+                    f"an EXISTS filter references variable(s) {deep} "
+                    "not bound in the probe group — SPARQL's §18.6 "
+                    "substitution for that correlation is not "
+                    "expressible here"
+                )
+        else:
+            edf, evars = _join_patterns(triples, epats)
+            edf = _apply_filters(edf, efilters, evars, "this EXISTS group")
+            e_nullable = set()
+            if eexists:
+                edf = _apply_group_exists(
+                    triples, edf, evars, eexists, outer_bound | gvars,
+                    "this nested EXISTS group",
+                )
         eshared = sorted(v for v in evars if v in gvars)
+        probe_null = sorted(v for v in eshared if v in e_nullable)
+        if probe_null:
+            raise SparqlError(
+                f"an EXISTS inside {scope} correlates through "
+                f"variable(s) {probe_null} its own OPTIONAL may leave "
+                "unbound — §18.6 substitution over a nullable probe "
+                "key is not expressible as a semi-join"
+            )
         outer_corr = sorted(
             v for v in evars
             if not _is_internal(v) and v in outer_bound and v not in gvars
@@ -4356,6 +4413,73 @@ def _nullable_corr_filter(
     return out
 
 
+def _minus_compat_anti(
+    df: DataFrame,
+    l_null_shared: list[str],
+    gdf: DataFrame,
+    g_null_shared: list[str],
+    shared: list[str],
+    what: str = "MINUS",
+) -> DataFrame:
+    """SPARQL §8.3 Minus when shared variables may be UNBOUND on the
+    OUTER side AND on the MINUS side — the group's own nested OPTIONAL
+    or BIND left them so (late r4, formerly rejected). μ1 is removed
+    iff some μ2 is compatible over a NON-EMPTY overlap domain: per
+    slice pair (outer bound-mask × group bound-mask) the overlap is
+    the pair's effective keys, so an outer slice anti-joins each group
+    slice on those keys in sequence — a pair with NO effective key has
+    disjoint domains and is SKIPPED (§8.3 removes nothing there; this
+    is where Minus differs from the compatible join's
+    always-compatible case). Survivors of every pair are kept; anti
+    joins preserve outer multiplicity and slices are disjoint, so the
+    by-name union is bag-exact."""
+    l_null = sorted(l_null_shared)
+    g_null = sorted(g_null_shared)
+    if len(l_null) + len(g_null) > _COMPAT_MAX_NULLABLE:
+        raise SparqlError(
+            f"{what} joins on possibly-unbound variables needing "
+            f"{len(l_null) + len(g_null)} mask bits "
+            f"({sorted(set(l_null) | set(g_null))}); the slice "
+            f"decomposition is capped at {_COMPAT_MAX_NULLABLE}"
+        )
+    if (1 << len(l_null)) * (1 << len(g_null)) > 2:
+        df = df.persist()
+        gdf = gdf.persist()
+    g_slices: list[tuple[set[str], DataFrame]] = []
+    for mask in range(1 << len(g_null)):
+        cb = {v for i, v in enumerate(g_null) if mask >> i & 1}
+        sl = gdf
+        for v in g_null:
+            sl = sl.where(
+                F.col(v).isNotNull() if v in cb else F.col(v).isNull()
+            )
+        g_slices.append((cb, sl))
+    pieces: list[DataFrame] = []
+    for mask in range(1 << len(l_null)):
+        lb = {v for i, v in enumerate(l_null) if mask >> i & 1}
+        sl = df
+        for v in l_null:
+            sl = sl.where(
+                F.col(v).isNotNull() if v in lb else F.col(v).isNull()
+            )
+        for cb, g_sl in g_slices:
+            eff = [
+                v
+                for v in shared
+                if (v not in l_null or v in lb)
+                and (v not in g_null or v in cb)
+            ]
+            if not eff:
+                continue  # disjoint domains: this pair removes nothing
+            keys = [c for v in eff for c in _term_key(v)]
+            sl = sl.join(g_sl.select(*keys), on=keys, how="left_anti")
+        pieces.append(sl)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _attach_nullable_flag(
     df: DataFrame,
     gdf: DataFrame,
@@ -4499,6 +4623,154 @@ def _apply_group_binds(
     return df, names
 
 
+def _compile_optional_group(
+    triples: DataFrame,
+    gpats: list[tuple], gfilters: list[tuple], nested: list[tuple],
+    gexists: list[tuple], gbinds: list[tuple], outer_vars: set[str],
+) -> tuple[DataFrame, set[str], set[str], list[tuple]]:
+    """One OPTIONAL group with arbitrarily deep nested OPTIONALs →
+    (solutions, bound vars, nullable vars, deferred filters). Each
+    nested group compiles recursively and left-joins its parent in
+    textual order — LeftJoin(A, B) at every level, the
+    well-designed-pattern evaluation — taking the same general
+    forms as the top-level LeftJoin (late r4): disjoint domains →
+    cross product / pass-through-unbound; join keys an earlier
+    nested OPTIONAL left nullable on the PARENT side → the
+    single-sided compatible-join slice decomposition
+    (_left_compat_join), composing with deferred cross-group
+    filters; join keys nullable on the NESTED side (bound only
+    inside a deeper OPTIONAL of the nested group), possibly on the
+    parent side too → the two-sided compatible LEFT join
+    (_left_compat_join2). Only the cross-group-filter × two-sided
+    combination stays rejected.
+
+    A group filter referencing variables the group itself never
+    binds — but its immediate LEFT side does (``outer_vars``) — is
+    SPARQL's LeftJoin(A, G, F) with a cross-group F: it cannot be
+    applied inside the group, so it is RETURNED and the caller
+    compiles it into the left-join condition (_left_join_group).
+    Filters reaching past the immediate left side (two levels up)
+    are rejected: SPARQL scopes F at its own LeftJoin, where such
+    variables are unbound."""
+    gdf, gvars = _join_patterns(triples, gpats)
+    g_nullable: set[str] = set()
+    for npats, nfilters, nnested, nexists, nbinds in nested:
+        ndf, nvars, n_nullable, ndeferred = _compile_optional_group(
+            triples, npats, nfilters, nnested, nexists, nbinds, gvars | outer_vars
+        )
+        nshared = sorted(v for v in nvars if v in gvars)
+        nested_null = sorted(v for v in nshared if v in n_nullable)
+        if nested_null:
+            # join keys nullable on the NESTED side (bound only
+            # inside its own deeper OPTIONAL), possibly on the
+            # parent side too — the two-sided compatible LEFT join
+            # (late r4, formerly rejected); the deferred-filter
+            # combination stays rejected
+            if ndeferred:
+                raise SparqlError(
+                    "a nested OPTIONAL filter referencing parent "
+                    "variables combined with nested-side possibly-"
+                    f"unbound join variable(s) ({nested_null}) is "
+                    "not supported"
+                )
+            gdf = _left_compat_join2(
+                gdf, g_nullable, ndf, n_nullable, nshared,
+                "this nested OPTIONAL group",
+            )
+            g_nullable |= (nvars - gvars) | n_nullable
+            gvars |= nvars
+            continue
+        if ndeferred:
+            deep = sorted(
+                v
+                for f in ndeferred
+                for v in _expr_vars(f)
+                if not _is_internal(v) and v not in nvars and v not in gvars
+            )
+            if deep:
+                raise SparqlError(
+                    f"a nested OPTIONAL filter references variable(s) "
+                    f"{deep} bound neither in its group nor in the "
+                    "immediately enclosing group — SPARQL scopes the "
+                    "filter at its own LeftJoin, where they are unbound"
+                )
+        n_maybe_null = sorted(v for v in nshared if v in g_nullable)
+        if ndeferred and (n_maybe_null or not nshared):
+            # nested LeftJoin(G, N, F) over nullable/absent join keys
+            # (late r4, formerly rejected): the same slice
+            # decomposition the top-level _apply_optional takes
+            gdf = _left_compat_join(
+                gdf, ndf, nshared, n_maybe_null,
+                "this nested OPTIONAL group",
+                join_filters=ndeferred, bound=gvars,
+            )
+        elif not nshared:
+            # nested LeftJoin with disjoint domains (late r4,
+            # formerly rejected): every nested solution is
+            # compatible with every group one — a bag cross product
+            # when N is non-empty, pass-through with N's variables
+            # unbound when it is empty
+            if ndf.isEmpty():
+                for c in ndf.columns:
+                    gdf = gdf.withColumn(c, F.lit(None).cast("string"))
+                n_nullable = set(nvars)
+            else:
+                gdf = gdf.crossJoin(ndf)
+        elif n_maybe_null:
+            # join keys an earlier nested OPTIONAL in the SAME group
+            # left nullable (late r4, formerly rejected): the exact
+            # single-sided slice decomposition
+            gdf = _left_compat_join(
+                gdf, ndf, nshared, n_maybe_null,
+                "this nested OPTIONAL group",
+            )
+        elif ndeferred:
+            gdf = _left_join_group(
+                gdf, ndf, nvars, nshared, ndeferred, gvars,
+                "this nested OPTIONAL group",
+            )
+        else:
+            gdf = gdf.join(
+                ndf, on=[x for v in nshared for x in _term_key(v)], how="left"
+            )
+        g_nullable |= (nvars - gvars) | n_nullable
+        gvars |= nvars
+    # (r4) group-local BINDs: over the group's own solutions
+    # (incl. nested-OPTIONAL bindings textually before them),
+    # before the group filters, which see the targets group-wide
+    gdf, bnames = _apply_group_binds(
+        gdf, gbinds, outer_vars, "this OPTIONAL group"
+    )
+    gvars |= bnames
+    g_nullable |= bnames  # §10.1: NULL on evaluation error
+    # group filter == LeftJoin(A, G, F): filters bound entirely
+    # inside the group apply over the whole group result (incl.
+    # nested-OPTIONAL bindings) — equivalent to putting them in F;
+    # filters that also need the LEFT side's variables defer to the
+    # caller's join condition
+    local: list[tuple] = []
+    deferred: list[tuple] = []
+    for f in gfilters:
+        fv = {v for v in _expr_vars(f) if not _is_internal(v)}
+        if fv <= gvars:
+            local.append(f)
+        else:
+            deferred.append(f)
+    gdf = _apply_filters(gdf, local, gvars, "this OPTIONAL group")
+    # [NOT] EXISTS group filters (r4): Filter(EXISTS(P), G) — the
+    # same semi/anti-join compilation as top-level EXISTS, applied
+    # to the GROUP's solutions. Correlation is through variables
+    # the group itself binds; an EXISTS pattern referencing an
+    # outer-only variable would need SPARQL's substitution
+    # semantics, which a semi-join on group keys cannot express.
+    # Recursive for EXISTS-in-EXISTS.
+    gdf = _apply_group_exists(
+        triples, gdf, gvars, gexists, outer_vars, "an OPTIONAL group",
+        nullable_vars=g_nullable,
+    )
+    return gdf, gvars, g_nullable, deferred
+
+
 def _compile_where(
     triples: DataFrame, parsed: SimpleNamespace
 ) -> tuple[DataFrame, set[str], set[str]]:
@@ -4520,153 +4792,6 @@ def _compile_where(
     # (hoisted, join-commutative) loops AND the textual timeline walk —
     # each takes and returns the evolving (df, bound, nullable) triple
 
-    def _compile_optional_group(
-        gpats: list[tuple], gfilters: list[tuple], nested: list[tuple],
-        gexists: list[tuple], gbinds: list[tuple], outer_vars: set[str],
-    ) -> tuple[DataFrame, set[str], set[str], list[tuple]]:
-        """One OPTIONAL group with arbitrarily deep nested OPTIONALs →
-        (solutions, bound vars, nullable vars, deferred filters). Each
-        nested group compiles recursively and left-joins its parent in
-        textual order — LeftJoin(A, B) at every level, the
-        well-designed-pattern evaluation — taking the same general
-        forms as the top-level LeftJoin (late r4): disjoint domains →
-        cross product / pass-through-unbound; join keys an earlier
-        nested OPTIONAL left nullable on the PARENT side → the
-        single-sided compatible-join slice decomposition
-        (_left_compat_join), composing with deferred cross-group
-        filters; join keys nullable on the NESTED side (bound only
-        inside a deeper OPTIONAL of the nested group), possibly on the
-        parent side too → the two-sided compatible LEFT join
-        (_left_compat_join2). Only the cross-group-filter × two-sided
-        combination stays rejected.
-
-        A group filter referencing variables the group itself never
-        binds — but its immediate LEFT side does (``outer_vars``) — is
-        SPARQL's LeftJoin(A, G, F) with a cross-group F: it cannot be
-        applied inside the group, so it is RETURNED and the caller
-        compiles it into the left-join condition (_left_join_group).
-        Filters reaching past the immediate left side (two levels up)
-        are rejected: SPARQL scopes F at its own LeftJoin, where such
-        variables are unbound."""
-        gdf, gvars = _join_patterns(triples, gpats)
-        g_nullable: set[str] = set()
-        for npats, nfilters, nnested, nexists, nbinds in nested:
-            ndf, nvars, n_nullable, ndeferred = _compile_optional_group(
-                npats, nfilters, nnested, nexists, nbinds, gvars | outer_vars
-            )
-            nshared = sorted(v for v in nvars if v in gvars)
-            nested_null = sorted(v for v in nshared if v in n_nullable)
-            if nested_null:
-                # join keys nullable on the NESTED side (bound only
-                # inside its own deeper OPTIONAL), possibly on the
-                # parent side too — the two-sided compatible LEFT join
-                # (late r4, formerly rejected); the deferred-filter
-                # combination stays rejected
-                if ndeferred:
-                    raise SparqlError(
-                        "a nested OPTIONAL filter referencing parent "
-                        "variables combined with nested-side possibly-"
-                        f"unbound join variable(s) ({nested_null}) is "
-                        "not supported"
-                    )
-                gdf = _left_compat_join2(
-                    gdf, g_nullable, ndf, n_nullable, nshared,
-                    "this nested OPTIONAL group",
-                )
-                g_nullable |= (nvars - gvars) | n_nullable
-                gvars |= nvars
-                continue
-            if ndeferred:
-                deep = sorted(
-                    v
-                    for f in ndeferred
-                    for v in _expr_vars(f)
-                    if not _is_internal(v) and v not in nvars and v not in gvars
-                )
-                if deep:
-                    raise SparqlError(
-                        f"a nested OPTIONAL filter references variable(s) "
-                        f"{deep} bound neither in its group nor in the "
-                        "immediately enclosing group — SPARQL scopes the "
-                        "filter at its own LeftJoin, where they are unbound"
-                    )
-            n_maybe_null = sorted(v for v in nshared if v in g_nullable)
-            if ndeferred and (n_maybe_null or not nshared):
-                # nested LeftJoin(G, N, F) over nullable/absent join keys
-                # (late r4, formerly rejected): the same slice
-                # decomposition the top-level _apply_optional takes
-                gdf = _left_compat_join(
-                    gdf, ndf, nshared, n_maybe_null,
-                    "this nested OPTIONAL group",
-                    join_filters=ndeferred, bound=gvars,
-                )
-            elif not nshared:
-                # nested LeftJoin with disjoint domains (late r4,
-                # formerly rejected): every nested solution is
-                # compatible with every group one — a bag cross product
-                # when N is non-empty, pass-through with N's variables
-                # unbound when it is empty
-                if ndf.isEmpty():
-                    for c in ndf.columns:
-                        gdf = gdf.withColumn(c, F.lit(None).cast("string"))
-                    n_nullable = set(nvars)
-                else:
-                    gdf = gdf.crossJoin(ndf)
-            elif n_maybe_null:
-                # join keys an earlier nested OPTIONAL in the SAME group
-                # left nullable (late r4, formerly rejected): the exact
-                # single-sided slice decomposition
-                gdf = _left_compat_join(
-                    gdf, ndf, nshared, n_maybe_null,
-                    "this nested OPTIONAL group",
-                )
-            elif ndeferred:
-                gdf = _left_join_group(
-                    gdf, ndf, nvars, nshared, ndeferred, gvars,
-                    "this nested OPTIONAL group",
-                )
-            else:
-                gdf = gdf.join(
-                    ndf, on=[x for v in nshared for x in _term_key(v)], how="left"
-                )
-            g_nullable |= (nvars - gvars) | n_nullable
-            gvars |= nvars
-        # (r4) group-local BINDs: over the group's own solutions
-        # (incl. nested-OPTIONAL bindings textually before them),
-        # before the group filters, which see the targets group-wide
-        gdf, bnames = _apply_group_binds(
-            gdf, gbinds, outer_vars, "this OPTIONAL group"
-        )
-        gvars |= bnames
-        g_nullable |= bnames  # §10.1: NULL on evaluation error
-        # group filter == LeftJoin(A, G, F): filters bound entirely
-        # inside the group apply over the whole group result (incl.
-        # nested-OPTIONAL bindings) — equivalent to putting them in F;
-        # filters that also need the LEFT side's variables defer to the
-        # caller's join condition
-        local: list[tuple] = []
-        deferred: list[tuple] = []
-        for f in gfilters:
-            fv = {v for v in _expr_vars(f) if not _is_internal(v)}
-            if fv <= gvars:
-                local.append(f)
-            else:
-                deferred.append(f)
-        gdf = _apply_filters(gdf, local, gvars, "this OPTIONAL group")
-        # [NOT] EXISTS group filters (r4): Filter(EXISTS(P), G) — the
-        # same semi/anti-join compilation as top-level EXISTS, applied
-        # to the GROUP's solutions. Correlation is through variables
-        # the group itself binds; an EXISTS pattern referencing an
-        # outer-only variable would need SPARQL's substitution
-        # semantics, which a semi-join on group keys cannot express.
-        # Recursive for EXISTS-in-EXISTS.
-        gdf = _apply_group_exists(
-            triples, gdf, gvars, gexists, outer_vars, "an OPTIONAL group",
-            nullable_vars=g_nullable,
-        )
-        return gdf, gvars, g_nullable, deferred
-
-
     def _join_union(df, bound, nullable, branches):
         compiled = []
         for pats, gfilters, nested, gexists, gbinds in branches:
@@ -4680,7 +4805,7 @@ def _compile_where(
                 # evaluates each branch independently, so an outer
                 # variable is unbound inside it.
                 bdf, bvars, b_nullable, bdeferred = _compile_optional_group(
-                    pats, gfilters, nested, gexists, gbinds, bound
+                    triples, pats, gfilters, nested, gexists, gbinds, bound
                 )
                 if bdeferred:
                     deep = sorted({
@@ -4858,7 +4983,7 @@ def _compile_where(
     def _apply_optional(df, bound, nullable, group):
         gpats, gfilters, nested, gexists, gbinds = group
         gdf, gvars, g_nullable, deferred = _compile_optional_group(
-            gpats, gfilters, nested, gexists, gbinds, bound
+            triples, gpats, gfilters, nested, gexists, gbinds, bound
         )
         shared = sorted(v for v in gvars if v in bound)
         maybe_null = sorted(v for v in shared if v in nullable)
@@ -4945,19 +5070,43 @@ def _compile_where(
         # position — an element rebinding a snapshot variable evaluates
         # after the removal, exactly as §18.2 orders it (full r4; such
         # elements were formerly rejected).
-        gpats, gfilters, gexists, gbinds, snap = group
-        gdf, gvars = _join_patterns(triples, gpats)
-        gdf, bnames = _apply_group_binds(gdf, gbinds, bound, "this MINUS group")
-        gvars |= bnames
-        gdf = _apply_filters(gdf, gfilters, gvars, "this MINUS group")
-        # (r4) [NOT] EXISTS inside the MINUS group: Filter(EXISTS(P), G)
-        # over the right-side solutions before the anti join —
-        # correlation through variables the group itself binds, same
-        # bottom-up scoping as the UNION-branch compilation; recursive
-        # for EXISTS-in-EXISTS
-        gdf = _apply_group_exists(
-            triples, gdf, gvars, gexists, bound, "a MINUS group"
-        )
+        gpats, gfilters, gnested, gexists, gbinds, snap = group
+        if gnested:
+            # (late r4) nested OPTIONALs inside the MINUS group: the
+            # right side compiles as a group; its OPTIONAL-nullable
+            # variables feed the two-sided §8.3 decomposition below.
+            # Group filters must be group-local (a filter referencing
+            # outer variables would need substitution scoping).
+            gdf, gvars, m_nullable, mdeferred = _compile_optional_group(
+                triples, gpats, gfilters, gnested, gexists, gbinds, bound
+            )
+            if mdeferred:
+                deep = sorted({
+                    v
+                    for f in mdeferred
+                    for v in _expr_vars(f)
+                    if not _is_internal(v) and v not in gvars
+                })
+                raise SparqlError(
+                    f"a MINUS filter references variable(s) {deep} not "
+                    "bound in the group"
+                )
+        else:
+            gdf, gvars = _join_patterns(triples, gpats)
+            gdf, bnames = _apply_group_binds(
+                gdf, gbinds, bound, "this MINUS group"
+            )
+            gvars |= bnames
+            m_nullable = set(bnames)
+            gdf = _apply_filters(gdf, gfilters, gvars, "this MINUS group")
+            # (r4) [NOT] EXISTS inside the MINUS group: Filter(EXISTS(P), G)
+            # over the right-side solutions before the anti join —
+            # correlation through variables the group itself binds, same
+            # bottom-up scoping as the UNION-branch compilation; recursive
+            # for EXISTS-in-EXISTS
+            gdf = _apply_group_exists(
+                triples, gdf, gvars, gexists, bound, "a MINUS group"
+            )
         shared = sorted(v for v in gvars if v in bound and v in snap)
         if not shared:
             return df  # disjoint domains: MINUS is a no-op by spec
@@ -4965,11 +5114,17 @@ def _compile_where(
         # a shared variable an earlier OPTIONAL/BIND left NULL is absent
         # from dom(μ) — it drops out of the compatibility test instead
         # of key-matching NULL, and a row binding NONE of the shared
-        # variables has a disjoint domain, which MINUS keeps. (The right
-        # side is never nullable here: a group BIND name colliding with
-        # an outer variable is rejected by _apply_group_binds, so every
-        # shared variable is pattern-bound on the MINUS side.)
+        # variables has a disjoint domain, which MINUS keeps. A shared
+        # variable nullable on the MINUS side too — its nested OPTIONAL
+        # left it so (late r4) — takes the two-sided slice
+        # decomposition, where a slice pair with NO effective key has
+        # disjoint domains and removes nothing.
         maybe_null = sorted(v for v in shared if v in nullable)
+        group_null = sorted(v for v in shared if v in m_nullable)
+        if group_null:
+            return _minus_compat_anti(
+                df, maybe_null, gdf, group_null, shared, "MINUS"
+            )
         if maybe_null:
             return _nullable_corr_filter(
                 df, gdf, shared, maybe_null, "minus", "MINUS"
@@ -5095,19 +5250,48 @@ def _compile_where(
     df = _apply_filters(df, filters, bound)
     if flag_n:
         df = df.drop(*[f"__exists_flag{i}" for i in range(1, flag_n + 1)])
-    for positive, (gpats, gfilters, gexists_inner) in exists_blocks:
+    for positive, (gpats, gfilters, gnested, gexists_inner) in exists_blocks:
         # FILTER [NOT] EXISTS → semi/anti join on the shared term keys:
         # per-row existence test, never multiplies outer rows, and the
         # probe side stays a pruned pattern join Catalyst can broadcast
-        gdf, gvars = _join_patterns(triples, gpats)
-        gdf = _apply_filters(gdf, gfilters, gvars, "this EXISTS group")
-        if gexists_inner:
-            # (r4) EXISTS nested inside EXISTS: filter the probe
-            # group's own solutions recursively before the outer join
-            gdf = _apply_group_exists(
-                triples, gdf, gvars, gexists_inner, bound, "an EXISTS group"
+        if gnested:
+            # (late r4) OPTIONAL inside the probe — see
+            # _apply_group_exists: LeftJoin preserves every base
+            # solution, so keys/emptiness are unchanged; a correlation
+            # key bound only inside the probe's OPTIONAL is rejected
+            gdf, gvars, ex_nullable, ex_deferred = _compile_optional_group(
+                triples, gpats, gfilters, gnested, gexists_inner, [], bound
             )
+            if ex_deferred:
+                deep = sorted({
+                    v
+                    for f in ex_deferred
+                    for v in _expr_vars(f)
+                    if not _is_internal(v) and v not in gvars
+                })
+                raise SparqlError(
+                    f"a FILTER EXISTS filter references variable(s) "
+                    f"{deep} not bound in the probe group"
+                )
+        else:
+            gdf, gvars = _join_patterns(triples, gpats)
+            gdf = _apply_filters(gdf, gfilters, gvars, "this EXISTS group")
+            ex_nullable = set()
+            if gexists_inner:
+                # (r4) EXISTS nested inside EXISTS: filter the probe
+                # group's own solutions recursively before the outer join
+                gdf = _apply_group_exists(
+                    triples, gdf, gvars, gexists_inner, bound, "an EXISTS group"
+                )
         shared = sorted(v for v in gvars if v in bound)
+        probe_null = sorted(v for v in shared if v in ex_nullable)
+        if probe_null:
+            raise SparqlError(
+                f"FILTER EXISTS correlates through variable(s) "
+                f"{probe_null} its own OPTIONAL may leave unbound — "
+                "§18.6 substitution over a nullable probe key is not "
+                "expressible as a semi-join"
+            )
         if not shared:
             # uncorrelated existence test = a per-query CONSTANT
             # (§18.6: substituting nothing leaves the pattern as-is):

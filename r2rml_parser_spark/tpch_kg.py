@@ -1707,3 +1707,54 @@ FROM lhs LEFT JOIN grp
   ON grp.c = lhs.c
  AND (lhs.nat IS NULL OR grp.nat IS NULL OR lhs.nat = grp.nat)
 """
+
+
+# MINUS with a nested OPTIONAL (late r4, formerly rejected): the only
+# shared variable ?nat is nullable on BOTH sides — bound on the outer
+# side just for NATION_6 customers, and on the MINUS side just for
+# AUTOMOBILE customers whose nation sits in region 1 — so the engine
+# takes the two-sided §8.3 slice decomposition (_minus_compat_anti):
+# a slice pair with no effective key has DISJOINT domains and removes
+# nothing (outer ?nat-unbound rows are always kept; M rows with ?nat
+# unbound never remove), while the bound-bound pair anti-joins on ?nat.
+TPCH_SPARQL_MINUSOPT_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?c ?cname ?nat WHERE {
+  ?c a ex:Customer . ?c ex:name ?cname .
+  OPTIONAL { ?c ex:inNation ?nat . ?nat ex:name "NATION_6" }
+  MINUS { ?m ex:marketSegment "AUTOMOBILE"
+          OPTIONAL { ?m ex:inNation ?nat . ?nat ex:inRegion <http://kg.example/region/1> } }
+}
+"""
+
+
+def run_tpch_sparql_minusopt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(
+        build_tpch_kg(spark, sf_dir), TPCH_SPARQL_MINUSOPT_QUERY
+    )
+
+
+# The naive-SQL twin of §8.3 over the single shared variable: an outer
+# row is removed iff its ?nat is BOUND and some M row binds the SAME
+# ?nat (non-empty overlap + compatibility); unbound-?nat rows on either
+# side fall into disjoint-domain pairs, which Minus keeps.
+TPCH_SPARQL_MINUSOPT_ORACLE_SQL = f"""
+WITH lhs AS (
+  SELECT '{KG}/customer/' || c.c_custkey AS c, c.c_name AS cname,
+         CASE WHEN n.n_name = 'NATION_6'
+              THEN '{KG}/nation/' || n.n_nationkey END AS nat
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+m AS (
+  SELECT CASE WHEN n.n_regionkey = 1
+              THEN '{KG}/nation/' || n.n_nationkey END AS nat
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE c.c_mktsegment = 'AUTOMOBILE'
+)
+SELECT lhs.c AS c, lhs.cname AS cname, lhs.nat AS nat
+FROM lhs
+WHERE lhs.nat IS NULL
+   OR NOT EXISTS (SELECT 1 FROM m WHERE m.nat = lhs.nat)
+"""

@@ -3926,3 +3926,59 @@ def test_minus_between_optional_and_rebinding_pattern(graph):
     # late pattern then binds ?q = p2 (t = p1).
     got = [(r.p, r.q) for r in sparql_select(graph, q).collect()]
     assert got == [(EX + "p2", EX + "p2")]
+
+
+def test_exists_probe_with_optional(graph, spark):
+    # (late r4, formerly rejected) OPTIONAL inside an EXISTS probe:
+    # LeftJoin never removes a probe solution, so the existence test
+    # is identical with or without the OPTIONAL
+    rows = [
+        ("u:a", "iri", EX + "q", "v1", "literal", None, None),
+        ("u:b", "iri", EX + "q", "v2", "literal", None, None),
+        ("u:a", "iri", EX + "k", "x1", "literal", None, None),
+        ("x1", "literal", EX + "n", "ada", "literal", None, None),
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    q = f"""SELECT ?s ?v WHERE {{ ?s <{EX}q> ?v
+      FILTER EXISTS {{ ?s <{EX}k> ?x OPTIONAL {{ ?x <{EX}n> ?n }} }} }}"""
+    assert {(r.s, r.v) for r in sparql_select(g, q).collect()} == {("u:a", "v1")}
+    qn = q.replace("FILTER EXISTS", "FILTER NOT EXISTS")
+    assert {(r.s, r.v) for r in sparql_select(g, qn).collect()} == {("u:b", "v2")}
+    # correlation through a key bound only inside the probe's OPTIONAL
+    # needs §18.6 substitution — rejected, not mis-evaluated
+    qbad = f"""SELECT ?s ?v ?n WHERE {{ ?s <{EX}q> ?v . ?z <{EX}n> ?n
+      FILTER EXISTS {{ ?s <{EX}k> ?x OPTIONAL {{ ?x <{EX}n> ?n }} }} }}"""
+    with pytest.raises(SparqlError, match="probe"):
+        sparql_select(g, qbad)
+
+
+def test_minus_with_nested_optional(graph, spark):
+    # (late r4, formerly rejected) nested OPTIONAL inside MINUS; the
+    # shared key ?x is nullable on BOTH sides → two-sided §8.3 slices
+    rows = [
+        ("u:a", "iri", EX + "q", "v1", "literal", None, None),
+        ("u:b", "iri", EX + "q", "v2", "literal", None, None),
+        ("u:a", "iri", EX + "k", "x1", "literal", None, None),
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    # clean shared key only: u:a has a p:k row → removed
+    q = f"""SELECT ?s ?v WHERE {{ ?s <{EX}q> ?v
+      MINUS {{ ?s <{EX}k> ?x OPTIONAL {{ ?x <{EX}n> ?n }} }} }}"""
+    assert {(r.s, r.v) for r in sparql_select(g, q).collect()} == {("u:b", "v2")}
+    # two-sided: ?x unbound on the outer side for u:b and on the MINUS
+    # side for the m=u:b row; both outer rows find a §8.3-compatible
+    # M row on a non-empty domain (s, v agree; unbound x drops out)
+    q2 = f"""SELECT ?s ?v ?x WHERE {{ ?s <{EX}q> ?v
+      OPTIONAL {{ ?s <{EX}k> ?x }}
+      MINUS {{ ?m <{EX}q> "v1" OPTIONAL {{ ?m <{EX}k> ?x }} . ?s <{EX}q> ?v }} }}"""
+    assert sparql_select(g, q2).count() == 0
+    # ...and the disjoint-domain slice pair removes NOTHING: an M row
+    # binding only ?x (unbound there) keeps the all-unbound outer row
+    q3 = f"""SELECT ?s ?v ?x WHERE {{ ?s <{EX}q> ?v
+      OPTIONAL {{ ?s <{EX}miss> ?x }}
+      MINUS {{ ?m <{EX}q> "v1" OPTIONAL {{ ?m <{EX}k> ?x }} }} }}"""
+    # shared = {x} only; outer x always unbound, M row has x=x1 bound →
+    # overlap empty for the (unbound, bound) pair... and for the
+    # (unbound, unbound) pair too → nothing removed
+    got3 = {(r.s, r.v, r.x) for r in sparql_select(g, q3).collect()}
+    assert got3 == {("u:a", "v1", None), ("u:b", "v2", None)}

@@ -1261,3 +1261,77 @@ def test_two_sided_leftjoin_differential(spark, graph, outer, p1, gbase, n1, n2)
         for b in want_sols
     )
     assert got == want, f"query {q!r} diverged"
+
+
+# ---------------------------------------------------------------------------
+# OPTIONAL inside EXISTS probes and MINUS groups (late r4):
+# { outer OPTIONAL { p1 } FILTER [NOT] EXISTS { e1 OPTIONAL { e2 } } }
+# and { outer OPTIONAL { p1 } MINUS { m1 OPTIONAL { m2 } } } vs naive
+# §18.6 / §8.3 folds over the probe/group relation LeftJoin(e1, e2).
+# ---------------------------------------------------------------------------
+
+
+def _naive_exists_keep(sols, probe, positive):
+    out = []
+    for m1 in sols:
+        hit = any(_naive_compatible(m1, m2) for m2 in probe)
+        if hit == positive:
+            out.append(m1)
+    return out
+
+
+@pytest.mark.skipif(not HAVE_HYP, reason="hypothesis not installed")
+@settings(max_examples=30, deadline=None)
+@given(
+    graph=graph_st,
+    outer=_ng_pat if HAVE_HYP else st.none(),
+    p1=_ng_pat if HAVE_HYP else st.none(),
+    e1=_ng_pat if HAVE_HYP else st.none(),
+    e2=_ng_pat if HAVE_HYP else st.none(),
+    positive=st.booleans() if HAVE_HYP else st.none(),
+    minus=st.booleans() if HAVE_HYP else st.none(),
+)
+def test_exists_minus_optional_probe_differential(
+    spark, graph, outer, p1, e1, e2, positive, minus
+):
+    from r2rml_parser_spark.plans.sparql import SparqlError
+
+    vars_ = sorted(
+        {v for pat in [outer, p1] for mode, v in pat if mode == "var"}
+    )
+    if not vars_:
+        return
+    rows = [
+        (s[0], s[1], p, o[0], o[1], o[2] or None, o[3] or None)
+        for s, p, o in graph
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    probe_body = (
+        f"{_fmt_plain_pattern(e1)} OPTIONAL {{ {_fmt_plain_pattern(e2)} }}"
+    )
+    if minus:
+        tail = f"MINUS {{ {probe_body} }}"
+    else:
+        kw = "EXISTS" if positive else "NOT EXISTS"
+        tail = f"FILTER {kw} {{ {probe_body} }}"
+    body = (
+        f"{_fmt_plain_pattern(outer)} . "
+        f"OPTIONAL {{ {_fmt_plain_pattern(p1)} }} {tail}"
+    )
+    q = f"SELECT {' '.join('?' + v for v in vars_)} WHERE {{ {body} }}"
+    try:
+        out = sparql_select(g, q)
+    except SparqlError:
+        return  # rejection is always safe; mis-evaluation is the bug
+    probe = _naive_leftjoin(naive_eval(graph, [e1]), naive_eval(graph, [e2]))
+    sols = _naive_leftjoin(naive_eval(graph, [outer]), naive_eval(graph, [p1]))
+    if minus:
+        want_sols = _naive_minus(sols, probe)
+    else:
+        want_sols = _naive_exists_keep(sols, probe, positive)
+    got = Counter(tuple(r[v] for v in vars_) for r in out.collect())
+    want = Counter(
+        tuple(b[v][0] if v in b else None for v in vars_)
+        for b in want_sols
+    )
+    assert got == want, f"query {q!r} diverged"
