@@ -201,15 +201,17 @@ left join against the group's distinct shared term keys (never
 multiplies rows; an EXISTS sharing no variable is evaluated once as a
 constant, and possibly-unbound shared variables take the same
 slice decomposition, each slice attaching its flag on its effective
-keys; r4: FILTER [NOT] EXISTS also compiles INSIDE OPTIONAL
+keys; late r4: the boolean-expression probe group also accepts
+nested OPTIONALs and statement-level FILTER [NOT] EXISTS of its own,
+compiled through the shared group compiler before the flag join;
+r4: FILTER [NOT] EXISTS also compiles INSIDE OPTIONAL
 groups at any nesting depth — Filter(EXISTS(P), G) as a semi/anti
 join on the group's solutions, correlated through variables the
 group itself binds; an EXISTS inside a group correlating only with
 outer-bound variables is rejected (its §18.6 substitution would need
 the outer relation at bottom-up group compile time), as is EXISTS
-nested inside a BIND
-expression or inside a boolean-expression EXISTS (the ``exists_e``
-flag form); a group EXISTS sharing nothing is a constant over the
+nested inside a BIND expression; a group EXISTS sharing nothing is a
+constant over the
 group, and one joining on nested-OPTIONAL-nullable variables takes
 the slice decomposition (late r4);
 a statement-level FILTER [NOT] EXISTS nested inside
@@ -2393,7 +2395,11 @@ class _Parser:
                     raise SparqlError(
                         "expected EXISTS after NOT in a boolean expression"
                     )
-            node = ("exists_e", self._group()[:2])
+            # (late r4) the boolean-expression probe accepts nested
+            # OPTIONALs and statement-level FILTER [NOT] EXISTS too —
+            # compiled through the shared group compiler at flag time
+            g = self._group(allow_nested_optional=True, allow_exists=True)
+            node = ("exists_e", (g[0], g[1], g[2], g[3]))
             return node if positive else ("not", node)
         if (
             k == "kw"
@@ -5208,19 +5214,58 @@ def _compile_where(
     flag_n = 0
 
     def _attach_exists_flag(node):
-        """Replace every ``("exists_e", (pats, filters))`` node in a
-        FILTER AST with a ``("flag", col)`` reference to a precomputed
-        boolean column: the group compiles to its distinct shared term
-        keys and LEFT-joins the solutions (never multiplying rows), so
-        EXISTS composes inside any boolean expression. An EXISTS group
-        sharing no variable is a constant — evaluated once here."""
+        """Replace every ``("exists_e", (pats, filters, nested,
+        inner-exists))`` node in a FILTER AST with a ``("flag", col)``
+        reference to a precomputed boolean column: the group compiles
+        to its distinct shared term keys and LEFT-joins the solutions
+        (never multiplying rows), so EXISTS composes inside any
+        boolean expression. An EXISTS group sharing no variable is a
+        constant — evaluated once here. (Late r4) the probe may carry
+        nested OPTIONALs / its own FILTER EXISTS, via the shared group
+        compiler."""
         nonlocal df, flag_n
         if isinstance(node, tuple):
             if node and node[0] == "exists_e":
-                gpats, gfilters = node[1]
-                gdf, gvars = _join_patterns(triples, gpats)
-                gdf = _apply_filters(gdf, gfilters, gvars, "this EXISTS group")
+                gpats, gfilters, gnested, ge_inner = node[1]
+                if gnested or ge_inner:
+                    # (late r4) nested OPTIONALs / statement-level
+                    # EXISTS inside the boolean-expression probe:
+                    # compile through the shared group compiler —
+                    # LeftJoin preserves every base solution, so the
+                    # flag is unchanged unless a correlation key is
+                    # probe-OPTIONAL-nullable (rejected below)
+                    gdf, gvars, e_nullable, edeferred = (
+                        _compile_optional_group(
+                            triples, gpats, gfilters, gnested, ge_inner,
+                            [], bound,
+                        )
+                    )
+                    if edeferred:
+                        deep = sorted({
+                            v
+                            for f in edeferred
+                            for v in _expr_vars(f)
+                            if not _is_internal(v) and v not in gvars
+                        })
+                        raise SparqlError(
+                            f"an EXISTS filter references variable(s) "
+                            f"{deep} not bound in the probe group"
+                        )
+                else:
+                    gdf, gvars = _join_patterns(triples, gpats)
+                    gdf = _apply_filters(
+                        gdf, gfilters, gvars, "this EXISTS group"
+                    )
+                    e_nullable = set()
                 shared = sorted(v for v in gvars if v in bound)
+                probe_null = sorted(v for v in shared if v in e_nullable)
+                if probe_null:
+                    raise SparqlError(
+                        f"an expression EXISTS correlates through "
+                        f"variable(s) {probe_null} its own OPTIONAL may "
+                        "leave unbound — §18.6 substitution over a "
+                        "nullable probe key is not expressible"
+                    )
                 if not shared:
                     return ("const", not gdf.isEmpty())
                 maybe_null = sorted(v for v in shared if v in nullable)

@@ -3086,17 +3086,43 @@ def test_exists_in_optional_rejections(graph):
       FILTER EXISTS { ?p ex:name ?n . FILTER EXISTS { ?p ex:knows ?q } }
     }"""
     assert [r.p for r in sparql_select(graph, q_nested).collect()] == [EX + "p1"]
-    # ...but inside a boolean-expression EXISTS it stays rejected
-    with pytest.raises(SparqlError, match="nested inside this braced group"):
-        sparql_select(
-            graph,
-            """PREFIX ex: <http://ex.org/>
-            SELECT ?p WHERE {
-              ?p a ex:Person .
-              FILTER (EXISTS { ?p ex:name ?n .
-                               FILTER EXISTS { ?p ex:knows ?q } } || ?p = ?p)
-            }""",
-        )
+    # ...and inside a boolean-expression EXISTS it compiles too
+    # (late r4, formerly rejected): the || arm makes every row pass,
+    # while flipping it to && keeps only the probe's hit
+    q_bool = """PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE {
+      ?p a ex:Person .
+      FILTER (EXISTS { ?p ex:name ?n .
+                       FILTER EXISTS { ?p ex:knows ?q } } || ?p = ?p)
+    }"""
+    assert {r.p for r in sparql_select(graph, q_bool).collect()} == {
+        EX + "p1",
+        EX + "p2",
+    }
+    q_and = q_bool.replace("|| ?p = ?p", "&& ?p = ?p")
+    assert {r.p for r in sparql_select(graph, q_and).collect()} == {EX + "p1"}
+
+
+def test_exists_in_boolean_expression_with_optional(graph):
+    # (late r4) OPTIONAL inside a boolean-expression EXISTS probe:
+    # the LeftJoin never changes the probe's key set, so the flag is
+    # identical with or without the OPTIONAL
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE {
+      ?p a ex:Person .
+      FILTER (EXISTS { ?p ex:knows ?q OPTIONAL { ?q ex:name ?qn } }
+              || STRSTARTS(STR(?p), "nope"))
+    }"""
+    assert [r.p for r in sparql_select(graph, q).collect()] == [EX + "p1"]
+    # probe-OPTIONAL-nullable correlation key → rejected
+    qbad = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?qn WHERE {
+      ?p a ex:Person . ?z ex:name ?qn .
+      FILTER (EXISTS { ?p ex:knows ?q OPTIONAL { ?q ex:name ?qn } }
+              || STRSTARTS(STR(?p), "nope"))
+    }"""
+    with pytest.raises(SparqlError, match="probe"):
+        sparql_select(graph, qbad)
 
 
 def test_exists_inside_minus_group(graph):
