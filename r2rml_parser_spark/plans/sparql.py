@@ -201,9 +201,11 @@ left join against the group's distinct shared term keys (never
 multiplies rows; an EXISTS sharing no variable is evaluated once as a
 constant, and possibly-unbound shared variables take the same
 slice decomposition, each slice attaching its flag on its effective
-keys; late r4: the boolean-expression probe group also accepts
-nested OPTIONALs and statement-level FILTER [NOT] EXISTS of its own,
-compiled through the shared group compiler before the flag join;
+keys; late r4: every EXISTS probe group — standalone and
+boolean-expression — also accepts nested OPTIONALs, group BINDs, and
+statement-level FILTER [NOT] EXISTS of its own, all compiled through
+the shared group compiler (LeftJoin/Extend never remove a probe
+solution, so the existence test is unchanged);
 r4: FILTER [NOT] EXISTS also compiles INSIDE OPTIONAL
 groups at any nesting depth — Filter(EXISTS(P), G) as a semi/anti
 join on the group's solutions, correlated through variables the
@@ -2398,8 +2400,11 @@ class _Parser:
             # (late r4) the boolean-expression probe accepts nested
             # OPTIONALs and statement-level FILTER [NOT] EXISTS too —
             # compiled through the shared group compiler at flag time
-            g = self._group(allow_nested_optional=True, allow_exists=True)
-            node = ("exists_e", (g[0], g[1], g[2], g[3]))
+            g = self._group(
+                allow_nested_optional=True, allow_exists=True,
+                allow_bind=True,
+            )
+            node = ("exists_e", g)
             return node if positive else ("not", node)
         if (
             k == "kw"
@@ -2463,8 +2468,11 @@ class _Parser:
             # probe solution, so the existence test is unchanged
             # unless a correlation key is OPTIONAL-nullable (rejected
             # at compile)
-            g = self._group(allow_nested_optional=True, allow_exists=True)
-            return ("exists", positive, (g[0], g[1], g[2], g[3]))
+            g = self._group(
+                allow_nested_optional=True, allow_exists=True,
+                allow_bind=True,
+            )
+            return ("exists", positive, g)
         if k == "kw":
             self._next()
             call = self._call_of(str(v))
@@ -2506,41 +2514,31 @@ def _apply_group_exists(
     join variable a nested OPTIONAL (of the GROUP or of the PROBE) may
     have left unbound."""
     for positive, payload in gexists:
-        epats, efilters, enested, eexists = payload
-        if enested:
-            # (late r4) OPTIONAL inside the probe: compile the probe as
-            # a group via the recursive LeftJoin machinery. LeftJoin
-            # preserves every base solution, so the existence test —
-            # key set AND emptiness — is unchanged unless a
-            # correlation key is bound only inside the probe's
-            # OPTIONAL, which needs §18.6 substitution (rejected
-            # below). Probe filters must be probe-local.
-            edf, evars, e_nullable, edeferred = _compile_optional_group(
-                triples, epats, efilters, enested, eexists, [],
-                outer_bound | gvars,
+        epats, efilters, enested, eexists, ebinds = payload
+        # (late r4) OPTIONAL inside the probe: compile the probe as
+        # a group via the recursive LeftJoin machinery. LeftJoin
+        # preserves every base solution, so the existence test —
+        # key set AND emptiness — is unchanged unless a
+        # correlation key is bound only inside the probe's
+        # OPTIONAL, which needs §18.6 substitution (rejected
+        # below). Probe filters must be probe-local.
+        edf, evars, e_nullable, edeferred = _compile_optional_group(
+            triples, epats, efilters, enested, eexists, ebinds,
+            outer_bound | gvars,
+        )
+        if edeferred:
+            deep = sorted({
+                v
+                for f in edeferred
+                for v in _expr_vars(f)
+                if not _is_internal(v) and v not in evars
+            })
+            raise SparqlError(
+                f"an EXISTS filter references variable(s) {deep} "
+                "not bound in the probe group — SPARQL's §18.6 "
+                "substitution for that correlation is not "
+                "expressible here"
             )
-            if edeferred:
-                deep = sorted({
-                    v
-                    for f in edeferred
-                    for v in _expr_vars(f)
-                    if not _is_internal(v) and v not in evars
-                })
-                raise SparqlError(
-                    f"an EXISTS filter references variable(s) {deep} "
-                    "not bound in the probe group — SPARQL's §18.6 "
-                    "substitution for that correlation is not "
-                    "expressible here"
-                )
-        else:
-            edf, evars = _join_patterns(triples, epats)
-            edf = _apply_filters(edf, efilters, evars, "this EXISTS group")
-            e_nullable = set()
-            if eexists:
-                edf = _apply_group_exists(
-                    triples, edf, evars, eexists, outer_bound | gvars,
-                    "this nested EXISTS group",
-                )
         eshared = sorted(v for v in evars if v in gvars)
         probe_null = sorted(v for v in eshared if v in e_nullable)
         if probe_null:
@@ -5226,37 +5224,30 @@ def _compile_where(
         nonlocal df, flag_n
         if isinstance(node, tuple):
             if node and node[0] == "exists_e":
-                gpats, gfilters, gnested, ge_inner = node[1]
-                if gnested or ge_inner:
-                    # (late r4) nested OPTIONALs / statement-level
-                    # EXISTS inside the boolean-expression probe:
-                    # compile through the shared group compiler —
-                    # LeftJoin preserves every base solution, so the
-                    # flag is unchanged unless a correlation key is
-                    # probe-OPTIONAL-nullable (rejected below)
-                    gdf, gvars, e_nullable, edeferred = (
-                        _compile_optional_group(
-                            triples, gpats, gfilters, gnested, ge_inner,
-                            [], bound,
-                        )
+                gpats, gfilters, gnested, ge_inner, ge_binds = node[1]
+                # (late r4) nested OPTIONALs / statement-level
+                # EXISTS inside the boolean-expression probe:
+                # compile through the shared group compiler —
+                # LeftJoin preserves every base solution, so the
+                # flag is unchanged unless a correlation key is
+                # probe-OPTIONAL-nullable (rejected below)
+                gdf, gvars, e_nullable, edeferred = (
+                    _compile_optional_group(
+                        triples, gpats, gfilters, gnested, ge_inner,
+                        ge_binds, bound,
                     )
-                    if edeferred:
-                        deep = sorted({
-                            v
-                            for f in edeferred
-                            for v in _expr_vars(f)
-                            if not _is_internal(v) and v not in gvars
-                        })
-                        raise SparqlError(
-                            f"an EXISTS filter references variable(s) "
-                            f"{deep} not bound in the probe group"
-                        )
-                else:
-                    gdf, gvars = _join_patterns(triples, gpats)
-                    gdf = _apply_filters(
-                        gdf, gfilters, gvars, "this EXISTS group"
+                )
+                if edeferred:
+                    deep = sorted({
+                        v
+                        for f in edeferred
+                        for v in _expr_vars(f)
+                        if not _is_internal(v) and v not in gvars
+                    })
+                    raise SparqlError(
+                        f"an EXISTS filter references variable(s) "
+                        f"{deep} not bound in the probe group"
                     )
-                    e_nullable = set()
                 shared = sorted(v for v in gvars if v in bound)
                 probe_null = sorted(v for v in shared if v in e_nullable)
                 if probe_null:
@@ -5295,39 +5286,29 @@ def _compile_where(
     df = _apply_filters(df, filters, bound)
     if flag_n:
         df = df.drop(*[f"__exists_flag{i}" for i in range(1, flag_n + 1)])
-    for positive, (gpats, gfilters, gnested, gexists_inner) in exists_blocks:
+    for positive, (gpats, gfilters, gnested, gexists_inner, gbinds_e) in exists_blocks:
         # FILTER [NOT] EXISTS → semi/anti join on the shared term keys:
         # per-row existence test, never multiplies outer rows, and the
         # probe side stays a pruned pattern join Catalyst can broadcast
-        if gnested:
-            # (late r4) OPTIONAL inside the probe — see
-            # _apply_group_exists: LeftJoin preserves every base
-            # solution, so keys/emptiness are unchanged; a correlation
-            # key bound only inside the probe's OPTIONAL is rejected
-            gdf, gvars, ex_nullable, ex_deferred = _compile_optional_group(
-                triples, gpats, gfilters, gnested, gexists_inner, [], bound
+        # (late r4) OPTIONAL/BIND inside the probe — see
+        # _apply_group_exists: LeftJoin/Extend preserve every base
+        # solution, so keys/emptiness are unchanged; a correlation
+        # key bound only inside the probe's OPTIONAL is rejected
+        gdf, gvars, ex_nullable, ex_deferred = _compile_optional_group(
+            triples, gpats, gfilters, gnested, gexists_inner,
+            gbinds_e, bound,
+        )
+        if ex_deferred:
+            deep = sorted({
+                v
+                for f in ex_deferred
+                for v in _expr_vars(f)
+                if not _is_internal(v) and v not in gvars
+            })
+            raise SparqlError(
+                f"a FILTER EXISTS filter references variable(s) "
+                f"{deep} not bound in the probe group"
             )
-            if ex_deferred:
-                deep = sorted({
-                    v
-                    for f in ex_deferred
-                    for v in _expr_vars(f)
-                    if not _is_internal(v) and v not in gvars
-                })
-                raise SparqlError(
-                    f"a FILTER EXISTS filter references variable(s) "
-                    f"{deep} not bound in the probe group"
-                )
-        else:
-            gdf, gvars = _join_patterns(triples, gpats)
-            gdf = _apply_filters(gdf, gfilters, gvars, "this EXISTS group")
-            ex_nullable = set()
-            if gexists_inner:
-                # (r4) EXISTS nested inside EXISTS: filter the probe
-                # group's own solutions recursively before the outer join
-                gdf = _apply_group_exists(
-                    triples, gdf, gvars, gexists_inner, bound, "an EXISTS group"
-                )
         shared = sorted(v for v in gvars if v in bound)
         probe_null = sorted(v for v in shared if v in ex_nullable)
         if probe_null:

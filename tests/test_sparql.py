@@ -1770,12 +1770,15 @@ def test_bind_rejections(graph):
             "PREFIX ex: <http://ex.org/> SELECT ?g WHERE { ?p ex:name ?n . BIND(STR(?zz) AS ?g) }",
         )
     # BIND inside OPTIONAL/UNION/MINUS groups compiles since r4
-    # (test_bind_inside_groups); inside an EXISTS group it stays rejected
-    with pytest.raises(SparqlError):
-        sparql_select(
+    # (test_bind_inside_groups); inside an EXISTS probe too (late r4 —
+    # Extend never removes a probe solution, so existence is unchanged)
+    assert [
+        r.p
+        for r in sparql_select(
             graph,
             'PREFIX ex: <http://ex.org/> SELECT ?p WHERE { ?p a ex:Person . FILTER EXISTS { ?p ex:knows ?q . BIND("x" AS ?z) } }',
-        )
+        ).collect()
+    ] == [EX + "p1"]
     # a BIND-derived variable in a later EXISTS evaluates exactly
     # since late r4 (the nullable-key slicing covers BIND targets):
     # ?v = STR(?n) is a SIMPLE literal, so "Ada" matches p1's plain
@@ -4008,3 +4011,24 @@ def test_minus_with_nested_optional(graph, spark):
     # (unbound, unbound) pair too → nothing removed
     got3 = {(r.s, r.v, r.x) for r in sparql_select(g, q3).collect()}
     assert got3 == {("u:a", "v1", None), ("u:b", "v2", None)}
+
+
+def test_exists_probe_with_bind(graph):
+    # (late r4) BIND inside an EXISTS probe: Extend never removes a
+    # probe solution; the bind can feed the probe's own filter
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE {
+      ?p a ex:Person .
+      FILTER EXISTS { ?p ex:name ?n . BIND(STRLEN(?n) AS ?l)
+                      FILTER (?l > 3) }
+    }"""
+    # "Grace" (5) passes, "Ada" (3) does not
+    assert [r.p for r in sparql_select(graph, q).collect()] == [EX + "p2"]
+    # a probe BIND target colliding with an outer variable is rejected
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?l WHERE {
+      ?p a ex:Person . ?p ex:name ?l .
+      FILTER EXISTS { ?p ex:name ?n . BIND(STRLEN(?n) AS ?l) }
+    }"""
+    with pytest.raises(SparqlError, match="collides"):
+        sparql_select(graph, q2)
