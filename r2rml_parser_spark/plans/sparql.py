@@ -249,7 +249,21 @@ lang-tagged/typed literals from a simple-literal argument; any other
 argument is a type error → unbound), COALESCE(e1, e2, ...) (first
 non-error value, term components follow the winning argument), and
 IF(boolexpr, then, else) (any FILTER boolean as the condition; a
-condition ERROR makes the IF an error → unbound) over them, nested; evaluated after patterns/OPTIONALs and visible to
+condition ERROR makes the IF an error → unbound) over them, nested,
+and (late r4, formerly rejected) BOOLEAN-valued expressions as
+values per §17.2 — BIND(?x > 5 AS ?b), SELECT ((?a = ?b) AS ?same),
+any comparison/builtin-test/&&/||/! ladder, and [NOT] EXISTS { … }
+bare or anywhere in the ladder (BIND(EXISTS { ?p :knows ?o } AS
+?k), IF(NOT EXISTS {…}, "leaf", "hub")) — minting
+"true"/"false"^^xsd:boolean terms, an evaluation error → unbound;
+the EXISTS probe flags against the relation AT THE BIND'S OWN
+timeline point, so §18.6 substitutes exactly dom(μ) of the
+group-so-far: a probe variable a textually LATER pattern binds
+stays probe-local (the guard exempts exists_e subtrees), a
+nullable correlation key takes the same slice decomposition as
+FILTER-expression EXISTS, and EXISTS in GROUP binds (OPTIONAL/
+UNION/MINUS, compiled bottom-up before the outer relation exists)
+stays rejected; evaluated after patterns/OPTIONALs and visible to
 FILTERs/projection/ORDER BY/CONSTRUCT templates; per SPARQL 1.1
 §10.1 an evaluation error leaves ?v unbound with the row KEPT; using
 ?v in a later triple pattern or group is rejected via the
@@ -497,6 +511,46 @@ def _expr_vars(node) -> set[str]:
         if isinstance(n, Var) or isinstance(n, (LangOf, DtypeOf, StrOf)):
             out.add(n.name)
         elif isinstance(n, tuple):
+            if len(n) == 3 and n[0] == "bool":
+                out.add(n[2])
+            else:
+                for x in n:
+                    walk(x)
+        elif isinstance(n, list):
+            for x in n:
+                walk(x)
+
+    walk(node)
+    return out
+
+
+def _has_exists_e(node) -> bool:
+    """Does an expression AST contain an ``("exists_e", …)`` node?"""
+    if isinstance(node, tuple):
+        if node and node[0] == "exists_e":
+            return True
+        return any(_has_exists_e(x) for x in node)
+    if isinstance(node, list):
+        return any(_has_exists_e(x) for x in node)
+    return False
+
+
+def _expr_input_vars(node) -> set[str]:
+    """Like ``_expr_vars`` but EXCLUDING variables that appear only
+    inside ``("exists_e", ...)`` probe groups. Per §18.6 an EXISTS in a
+    BIND expression substitutes only the variables in dom(μ) at the
+    Extend's own evaluation point — a probe variable not bound by the
+    group-so-far is probe-LOCAL there, even if a textually later
+    pattern binds the same name — so probe variables are not inputs
+    the textual-order guard should require (late r4)."""
+    out: set[str] = set()
+
+    def walk(n):
+        if isinstance(n, Var) or isinstance(n, (LangOf, DtypeOf, StrOf)):
+            out.add(n.name)
+        elif isinstance(n, tuple):
+            if n and n[0] == "exists_e":
+                return
             if len(n) == 3 and n[0] == "bool":
                 out.add(n[2])
             else:
@@ -1602,7 +1656,14 @@ class _Parser:
             if kind_ != "bind":
                 continue
             expr, _name, snap = payload_
-            later = sorted(v for v in _expr_vars(expr) if v not in snap and v in seen_vars)
+            # exists_e probe variables are exempt: a probe variable not
+            # in dom(μ) at the BIND's own point is probe-local per
+            # §18.6 substitution, even if a later pattern binds the
+            # same name (_expr_input_vars docstring)
+            later = sorted(
+                v for v in _expr_input_vars(expr)
+                if v not in snap and v in seen_vars
+            )
             if later:
                 raise SparqlError(
                     f"BIND expression references variable(s) {later} first "
@@ -2019,13 +2080,19 @@ class _Parser:
                 # resolves per §17.4.2.6 (late r4)
                 return ("iri_fn", args[0], self.base)
             return ("concat", args)
-        # fallback: a full value expression — arithmetic with standard
-        # precedence, parenthesized groups included ((?a + 1) * 2). A
-        # boolean-valued result (bound(?x), a comparison group) is not
-        # a BIND/projection value and is rejected, as before the
-        # unified ladder (where the operand parser couldn't produce
-        # one at all).
-        return self._require_value(self._additive_expr(), "BIND/projection")
+        # fallback: the FULL expression ladder — arithmetic with
+        # standard precedence, parenthesized groups ((?a + 1) * 2),
+        # and (late r4, formerly rejected) BOOLEAN-valued expressions:
+        # comparisons, builtin tests, &&/||/! combinations, and [NOT]
+        # EXISTS { … }. A boolean value is an xsd:boolean term per
+        # §17.2 (effective boolean values are terms like any other), so
+        # BIND(?x > 5 AS ?b) binds "true"/"false"^^xsd:boolean and an
+        # evaluation ERROR leaves ?b unbound (§10.1) — the same
+        # three-valued NULL the FILTER compiler already produces.
+        node = self._or_expr()
+        if self._is_bool_node(node):
+            return ("bool_val", node)
+        return node
 
     _VALUE_FUNCS = (
         "ucase", "lcase", "strlen", "substr", "replace",
@@ -3651,6 +3718,19 @@ def _eval_bind_expr(node, bound: set[str], scope: str = "BIND"):
         if node[0] == "strlang":
             return val, F.lit("literal"), F.lit(second), F.lit("")
         return val, F.lit("literal"), F.lit(""), F.lit(second)
+    if isinstance(node, tuple) and node and node[0] == "bool_val":
+        # boolean expression as a VALUE (late r4): BIND(?x > 5 AS ?b),
+        # BIND(EXISTS { … } AS ?b), SELECT ((?a = ?b) AS ?same).
+        # The FILTER compiler's Kleene three-valued column IS the
+        # SPARQL semantics: TRUE → "true"^^xsd:boolean, FALSE →
+        # "false", NULL (= evaluation error) → unbound per §10.1.
+        # exists_e nodes inside were flag-substituted by the caller
+        # (_apply_bind) before this point.
+        cond = _compile_bool(node[1], bound, scope)
+        return (
+            F.when(cond, F.lit("true")).when(~cond, F.lit("false")),
+            F.lit("literal"), F.lit(""), F.lit(_XSD + "boolean"),
+        )
     return _term_parts(node, bound, scope)
 
 
@@ -3705,7 +3785,8 @@ def _compile_bool(node, bound: set[str], scope: str = "the query") -> "F.Column"
         if tag == "exists_e":
             raise SparqlError(
                 f"EXISTS inside a boolean expression is only supported in "
-                f"FILTER clauses at the top level of WHERE, not in {scope}"
+                f"FILTER clauses and BIND/projection expressions at the "
+                f"top level of WHERE, not in {scope}"
             )
         if tag == "same":
             # RDF term identity: all four components equal; an unbound
@@ -4607,6 +4688,13 @@ def _apply_group_binds(
                 "bound outside the group — SPARQL's compatibility join on "
                 "it is not expressible here; rename the BIND target"
             )
+        if _has_exists_e(expr):
+            raise SparqlError(
+                f"EXISTS inside a BIND expression is only supported at "
+                f"the top level of WHERE, not in {scope} — the group "
+                "compiles bottom-up, before the relation the probe "
+                "would flag against exists"
+            )
         refs = {v for v in _expr_vars(expr) if not _is_internal(v)}
         bad = sorted(refs - set(seen))
         if bad:
@@ -5136,6 +5224,91 @@ def _compile_where(
         join_keys = [x for v in shared for x in _term_key(v)]
         return df.join(gdf.select(*join_keys), on=join_keys, how="left_anti")
 
+    exists_flag_n = [0]
+
+    def _flag_exists(df, bound, nullable, node, flags):
+        """Replace every ``("exists_e", (pats, filters, nested,
+        inner-exists, binds))`` node in an expression AST with a
+        ``("flag", col)`` reference to a precomputed boolean column:
+        the probe group compiles to its distinct shared term keys and
+        LEFT-joins the solutions (never multiplying rows), so EXISTS
+        composes inside any boolean expression — FILTERs and (late r4)
+        BIND/projection expressions, at each one's own evaluation
+        point on the timeline. An EXISTS group sharing no variable
+        with the bound-so-far set is a constant — evaluated once here;
+        variables the group-so-far does NOT bind are probe-local per
+        §18.6 (substitution only covers dom(μ)). Returns (df, node);
+        attached flag column names accumulate in ``flags`` for the
+        caller to drop."""
+        if isinstance(node, tuple):
+            if node and node[0] == "exists_e":
+                gpats, gfilters, gnested, ge_inner, ge_binds = node[1]
+                # (late r4) nested OPTIONALs / statement-level
+                # EXISTS inside the boolean-expression probe:
+                # compile through the shared group compiler —
+                # LeftJoin preserves every base solution, so the
+                # flag is unchanged unless a correlation key is
+                # probe-OPTIONAL-nullable (rejected below)
+                gdf, gvars, e_nullable, edeferred = (
+                    _compile_optional_group(
+                        triples, gpats, gfilters, gnested, ge_inner,
+                        ge_binds, bound,
+                    )
+                )
+                if edeferred:
+                    deep = sorted({
+                        v
+                        for f in edeferred
+                        for v in _expr_vars(f)
+                        if not _is_internal(v) and v not in gvars
+                    })
+                    raise SparqlError(
+                        f"an EXISTS filter references variable(s) "
+                        f"{deep} not bound in the probe group"
+                    )
+                shared = sorted(v for v in gvars if v in bound)
+                probe_null = sorted(v for v in shared if v in e_nullable)
+                if probe_null:
+                    raise SparqlError(
+                        f"an expression EXISTS correlates through "
+                        f"variable(s) {probe_null} its own OPTIONAL may "
+                        "leave unbound — §18.6 substitution over a "
+                        "nullable probe key is not expressible"
+                    )
+                if not shared:
+                    return df, ("const", not gdf.isEmpty())
+                exists_flag_n[0] += 1
+                flag = f"__exists_flag{exists_flag_n[0]}"
+                maybe_null = sorted(v for v in shared if v in nullable)
+                if maybe_null:
+                    # §18.6 substitution with possibly-unbound outer
+                    # variables (r4): per-slice flag attachment
+                    df = _attach_nullable_flag(
+                        df, gdf, shared, maybe_null, flag
+                    )
+                else:
+                    keys = [x for v in shared for x in _term_key(v)]
+                    marker = gdf.select(*keys).dropDuplicates().withColumn(
+                        flag, F.lit(True)
+                    )
+                    df = df.join(marker, on=keys, how="left").withColumn(
+                        flag, F.coalesce(F.col(flag), F.lit(False))
+                    )
+                flags.append(flag)
+                return df, ("flag", flag)
+            parts = []
+            for x in node:
+                df, nx = _flag_exists(df, bound, nullable, x, flags)
+                parts.append(nx)
+            return df, tuple(parts)
+        if isinstance(node, list):
+            parts = []
+            for x in node:
+                df, nx = _flag_exists(df, bound, nullable, x, flags)
+                parts.append(nx)
+            return df, parts
+        return df, node
+
     def _apply_bind(df, bound, nullable, expr, name):
         # BIND(expr AS ?v): computed per row at its textual position,
         # BEFORE the group filters (which see ?v group-wide). Evaluation
@@ -5145,6 +5318,13 @@ def _compile_where(
                 f"BIND target ?{name} is already bound in this group "
                 "(SPARQL requires a fresh variable)"
             )
+        # (late r4) [NOT] EXISTS inside the BIND expression — bare
+        # (BIND(EXISTS {…} AS ?b)), inside IF() conditions, or anywhere
+        # in a boolean ladder: flag-substituted against the relation AT
+        # THIS timeline point, so the probe sees exactly the
+        # group-so-far bindings §18.6 substitutes from
+        bind_flags: list[str] = []
+        df, expr = _flag_exists(df, bound, nullable, expr, bind_flags)
         val, kind, lg, dt = _eval_bind_expr(expr, bound)
         k, l, d = _shadow_cols(name)
         df = (
@@ -5153,6 +5333,8 @@ def _compile_where(
             .withColumn(l, F.when(val.isNotNull(), lg))
             .withColumn(d, F.when(val.isNotNull(), dt))
         )
+        if bind_flags:
+            df = df.drop(*bind_flags)
         return df, bound | {name}, nullable | {name}
 
     # consecutive timeline pattern entries fold into ONE BGP before
@@ -5209,83 +5391,18 @@ def _compile_where(
         # — these textually follow the whole WHERE clause
         df, bound, nullable = _apply_bind(df, bound, nullable, expr, name)
 
-    flag_n = 0
-
-    def _attach_exists_flag(node):
-        """Replace every ``("exists_e", (pats, filters, nested,
-        inner-exists))`` node in a FILTER AST with a ``("flag", col)``
-        reference to a precomputed boolean column: the group compiles
-        to its distinct shared term keys and LEFT-joins the solutions
-        (never multiplying rows), so EXISTS composes inside any
-        boolean expression. An EXISTS group sharing no variable is a
-        constant — evaluated once here. (Late r4) the probe may carry
-        nested OPTIONALs / its own FILTER EXISTS, via the shared group
-        compiler."""
-        nonlocal df, flag_n
-        if isinstance(node, tuple):
-            if node and node[0] == "exists_e":
-                gpats, gfilters, gnested, ge_inner, ge_binds = node[1]
-                # (late r4) nested OPTIONALs / statement-level
-                # EXISTS inside the boolean-expression probe:
-                # compile through the shared group compiler —
-                # LeftJoin preserves every base solution, so the
-                # flag is unchanged unless a correlation key is
-                # probe-OPTIONAL-nullable (rejected below)
-                gdf, gvars, e_nullable, edeferred = (
-                    _compile_optional_group(
-                        triples, gpats, gfilters, gnested, ge_inner,
-                        ge_binds, bound,
-                    )
-                )
-                if edeferred:
-                    deep = sorted({
-                        v
-                        for f in edeferred
-                        for v in _expr_vars(f)
-                        if not _is_internal(v) and v not in gvars
-                    })
-                    raise SparqlError(
-                        f"an EXISTS filter references variable(s) "
-                        f"{deep} not bound in the probe group"
-                    )
-                shared = sorted(v for v in gvars if v in bound)
-                probe_null = sorted(v for v in shared if v in e_nullable)
-                if probe_null:
-                    raise SparqlError(
-                        f"an expression EXISTS correlates through "
-                        f"variable(s) {probe_null} its own OPTIONAL may "
-                        "leave unbound — §18.6 substitution over a "
-                        "nullable probe key is not expressible"
-                    )
-                if not shared:
-                    return ("const", not gdf.isEmpty())
-                maybe_null = sorted(v for v in shared if v in nullable)
-                if maybe_null:
-                    # §18.6 substitution with possibly-unbound outer
-                    # variables (r4): per-slice flag attachment
-                    flag_n += 1
-                    flag = f"__exists_flag{flag_n}"
-                    df = _attach_nullable_flag(
-                        df, gdf, shared, maybe_null, flag
-                    )
-                    return ("flag", flag)
-                flag_n += 1
-                flag = f"__exists_flag{flag_n}"
-                keys = [x for v in shared for x in _term_key(v)]
-                marker = gdf.select(*keys).dropDuplicates().withColumn(
-                    flag, F.lit(True)
-                )
-                df = df.join(marker, on=keys, how="left").withColumn(
-                    flag, F.coalesce(F.col(flag), F.lit(False))
-                )
-                return ("flag", flag)
-            return tuple(_attach_exists_flag(x) for x in node)
-        return node
-
-    filters = [_attach_exists_flag(f) for f in filters]
-    df = _apply_filters(df, filters, bound)
-    if flag_n:
-        df = df.drop(*[f"__exists_flag{i}" for i in range(1, flag_n + 1)])
+    # [NOT] EXISTS inside boolean FILTER expressions: flag-substituted
+    # against the final WHERE relation (all filters evaluate over the
+    # whole group per §18.2), through the same _flag_exists helper the
+    # timeline BINDs use
+    filter_flags: list[str] = []
+    flagged_filters = []
+    for f in filters:
+        df, nf = _flag_exists(df, bound, nullable, f, filter_flags)
+        flagged_filters.append(nf)
+    df = _apply_filters(df, flagged_filters, bound)
+    if filter_flags:
+        df = df.drop(*filter_flags)
     for positive, (gpats, gfilters, gnested, gexists_inner, gbinds_e) in exists_blocks:
         # FILTER [NOT] EXISTS → semi/anti join on the shared term keys:
         # per-row existence test, never multiplies outer rows, and the

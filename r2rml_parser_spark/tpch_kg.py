@@ -1758,3 +1758,52 @@ FROM lhs
 WHERE lhs.nat IS NULL
    OR NOT EXISTS (SELECT 1 FROM m WHERE m.nat = lhs.nat)
 """
+
+
+# Boolean-valued BIND expressions (§17.2, late r4): a bare EXISTS probe
+# and a comparison ladder each minting "true"/"false"^^xsd:boolean
+# terms at the BIND's own timeline point.
+TPCH_SPARQL_BOOLBIND_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?nation ?nname ?hasauto ?longname WHERE {
+  ?nation a ex:Nation .
+  ?nation ex:name ?nname .
+  BIND(EXISTS { ?c ex:inNation ?nation .
+                ?c ex:marketSegment "AUTOMOBILE" } AS ?hasauto)
+  BIND(STRLEN(?nname) > 8 AS ?longname)
+}
+"""
+
+
+def run_tpch_sparql_boolbind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(
+        build_tpch_kg(spark, sf_dir), TPCH_SPARQL_BOOLBIND_QUERY
+    )
+
+
+# DuckDB twin: EXISTS → CASE WHEN EXISTS(...), the comparison →
+# CASE WHEN length(...) — both rendered as the engine's canonical
+# 'true'/'false' lexical forms.
+TPCH_SPARQL_BOOLBIND_ORACLE_SQL = f"""
+WITH triples AS ({TPCH_KG_ORACLE_SQL}),
+nat AS (
+  SELECT t1.subj AS nation, t1.subj_kind AS nk, t2.obj AS nname
+  FROM triples t1
+  JOIN triples t2 ON t2.subj = t1.subj AND t2.subj_kind = t1.subj_kind
+  WHERE t1.pred = '{RDF_TYPE}' AND t1.obj = '{ONT}Nation' AND t1.obj_kind = 'iri'
+    AND t2.pred = '{ONT}name' AND t2.obj_kind = 'literal'
+)
+SELECT nation, nname,
+  CASE WHEN EXISTS (
+    SELECT 1 FROM triples e1
+    JOIN triples e2 ON e2.subj = e1.subj AND e2.subj_kind = e1.subj_kind
+    WHERE e1.pred = '{ONT}inNation' AND e1.obj = nat.nation
+      AND e1.obj_kind = nat.nk
+      AND e2.pred = '{ONT}marketSegment' AND e2.obj = 'AUTOMOBILE'
+      AND e2.obj_kind = 'literal'
+  ) THEN 'true' ELSE 'false' END AS hasauto,
+  CASE WHEN length(nname) > 8 THEN 'true' ELSE 'false' END AS longname
+FROM nat
+"""

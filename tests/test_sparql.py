@@ -4032,3 +4032,137 @@ def test_exists_probe_with_bind(graph):
     }"""
     with pytest.raises(SparqlError, match="collides"):
         sparql_select(graph, q2)
+
+
+# ---------------------------------------------------------------------------
+# boolean-valued BIND / projection expressions (§17.2 — late r4)
+
+
+def test_bind_boolean_comparison_value(graph):
+    """BIND(?x > n AS ?b) binds "true"/"false"^^xsd:boolean terms."""
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?big ?dt WHERE {
+      ?p ex:name ?n .
+      BIND(STRLEN(?n) > 3 AS ?big)
+      BIND(datatype(?big) AS ?dt)
+    }"""
+    got = {(r.p, r.big, r.dt) for r in sparql_select(graph, q).collect()}
+    xsd_bool = "http://www.w3.org/2001/XMLSchema#boolean"
+    assert got == {
+        (EX + "p1", "false", xsd_bool),   # Ada (3)
+        (EX + "p2", "true", xsd_bool),    # Grace (5)
+    }
+
+
+def test_bind_boolean_error_is_unbound(graph):
+    """A type-error inside a boolean BIND leaves the target unbound
+    (row kept, §10.1) — unlike FILTER where the row would drop."""
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?b WHERE {
+      ?p ex:knows ?o .
+      BIND(?o > 5 AS ?b)
+    }"""
+    rows = sparql_select(graph, q).collect()
+    assert [(r.p, r.b) for r in rows] == [(EX + "p1", None)]
+
+
+def test_projection_expression_boolean(graph):
+    """SELECT ((expr) AS ?b) — boolean projection expression."""
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ((STRLEN(?n) = 3) AS ?three) WHERE { ?p ex:name ?n }"""
+    got = {(r.p, r.three) for r in sparql_select(graph, q).collect()}
+    assert got == {(EX + "p1", "true"), (EX + "p2", "false")}
+
+
+def test_bind_bare_exists(graph):
+    """BIND(EXISTS { … } AS ?k): the probe flags each solution at the
+    BIND's own timeline point."""
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?k WHERE {
+      ?p a ex:Person .
+      BIND(EXISTS { ?p ex:knows ?o } AS ?k)
+    }"""
+    got = {(r.p, r.k) for r in sparql_select(graph, q).collect()}
+    assert got == {(EX + "p1", "true"), (EX + "p2", "false")}
+
+
+def test_bind_if_with_exists_condition(graph):
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?lab WHERE {
+      ?p a ex:Person .
+      BIND(IF(NOT EXISTS { ?p ex:knows ?o }, "leaf", "hub") AS ?lab)
+    }"""
+    got = {(r.p, r.lab) for r in sparql_select(graph, q).collect()}
+    assert got == {(EX + "p1", "hub"), (EX + "p2", "leaf")}
+
+
+def test_bind_exists_probe_var_bound_later_is_probe_local(graph):
+    """A probe variable a textually LATER pattern binds stays
+    probe-LOCAL at the BIND's own evaluation point (§18.6 substitutes
+    only dom(μ) of the group-so-far) — accepted, not reordered."""
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?k ?n WHERE {
+      ?p a ex:Person .
+      BIND(EXISTS { ?p ex:name ?n } AS ?k)
+      ?p ex:name ?n
+    }"""
+    got = {(r.p, r.k, r.n) for r in sparql_select(graph, q).collect()}
+    assert got == {
+        (EX + "p1", "true", "Ada"),
+        (EX + "p2", "true", "Grace"),
+    }
+
+
+def test_bind_exists_nullable_correlation(graph):
+    """EXISTS in a BIND correlating through an OPTIONAL-nullable outer
+    variable: the bound slice tests on the key, the unbound slice
+    reduces to probe non-emptiness (§18.6 — substituting nothing
+    leaves the pattern free)."""
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?k WHERE {
+      ?p a ex:Person .
+      OPTIONAL { ?p ex:knows ?o }
+      BIND(EXISTS { ?o ex:name ?nm } AS ?k)
+    }"""
+    got = {(r.p, r.k) for r in sparql_select(graph, q).collect()}
+    # p1: ?o = p2 which has a name → true.  p2: ?o unbound → the probe
+    # pattern is fully free and the graph has name triples → true.
+    assert got == {(EX + "p1", "true"), (EX + "p2", "true")}
+
+
+def test_bind_exists_in_group_rejected(graph):
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?k WHERE {
+      ?p a ex:Person .
+      OPTIONAL { ?p ex:name ?nm .
+                 BIND(EXISTS { ?p ex:knows ?o } AS ?k) }
+    }"""
+    with pytest.raises(SparqlError, match="top level of WHERE"):
+        sparql_select(graph, q)
+
+
+def test_bind_boolean_filtering_on_result(graph):
+    """The minted xsd:boolean term participates in term-equality."""
+    q = """PREFIX ex: <http://ex.org/>
+    PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+    SELECT ?p WHERE {
+      ?p a ex:Person .
+      BIND(EXISTS { ?p ex:knows ?o } AS ?k)
+      FILTER (?k = "true"^^xsd:boolean)
+    }"""
+    assert [r.p for r in sparql_select(graph, q).collect()] == [EX + "p1"]
+
+
+def test_subquery_bind_boolean(graph):
+    """Boolean BINDs (incl. EXISTS) inside { SELECT } subqueries run
+    through the same timeline machinery."""
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?k WHERE {
+      { SELECT ?p ?k WHERE {
+          ?p a ex:Person .
+          BIND(EXISTS { ?p ex:knows ?o } AS ?k)
+      } }
+      ?p ex:name ?n .
+    }"""
+    got = {(r.p, r.k) for r in sparql_select(graph, q).collect()}
+    assert got == {(EX + "p1", "true"), (EX + "p2", "false")}
