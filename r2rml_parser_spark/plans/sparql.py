@@ -175,7 +175,16 @@ precedence ladder where a bracketted group is a primary holding
 either a boolean or a value expression (``(?a + 1) * 2 > ?b``); a
 boolean used as an arithmetic/comparison operand is a parse-time
 type error; ``-5`` adjacent to the sign is a negative literal, spaced
-``- 5`` is subtraction). All of these compose inside one FILTER
+``- 5`` is subtraction). A VALUE in boolean position takes its
+§17.2.2 EFFECTIVE BOOLEAN VALUE (late r4, formerly rejected) —
+``FILTER(?x)``, ``?a && ?b``, ``!?flag``, ``IF(?v, …, …)``:
+xsd:boolean literals by lexical form ("true"/"1"; an INVALID
+boolean lexical is false per spec, not an error), numeric-typed
+literals by value ≠ 0 (invalid lexical → false, ±INF → true, NaN →
+false, matching XPath fn:boolean), plain/lang-tagged/xsd:string
+literals by non-emptiness, and every other term (IRI, bnode, other
+datatype, unbound) a type error → row dropped / error-propagated.
+All of these compose inside one FILTER
 with ``!``, ``&&``, ``||`` and parentheses (SPARQL Expression
 grammar, standard precedence); Spark's Kleene three-valued booleans
 reproduce SPARQL's error propagation exactly (TRUE || error = TRUE,
@@ -243,7 +252,17 @@ over the group's own solutions in textual order, visible to the
 group's filters/EXISTS, nullable to the outer query; expressions
 referencing outer-only or textually-later variables and targets
 colliding with outer variables are rejected, not mis-evaluated) (expr: any FILTER operand — terms, variables,
-lang()/datatype()/STR(), string functions, arithmetic — plus
+lang()/datatype()/STR(), string functions, arithmetic, and the
+§17.4 generator builtins (late r4): NOW() (one xsd:dateTime instant
+per QUERY, captured at parse — every NOW() in the query returns the
+same value per §17.4.1.5, and the datetime accessors compose over
+it), RAND() (xsd:double in [0,1) per row), UUID()/STRUUID()
+(urn:uuid IRI / plain uuid string, fresh per row via Spark's
+nondeterministic uuid()), and BNODE()/BNODE(simple literal) (fresh
+bnode per row / the same salted-md5 label for the same argument
+within one query execution — documented as query-scoped where the
+spec scopes it per solution; a non-simple-literal argument is a
+type error → unbound) — plus
 CONCAT(...), IRI()/URI(), STRLANG(e, "tag") / STRDT(e, <dt>) (mint
 lang-tagged/typed literals from a simple-literal argument; any other
 argument is a type error → unbound), COALESCE(e1, e2, ...) (first
@@ -662,6 +681,12 @@ class _Parser:
         # aggregate-over-expression arguments (SUM(?a * ?b)) and
         # GROUP BY (expr AS ?v) sugar — merged into parsed.binds
         self._agg_prebinds: list[tuple] = []
+        # per-QUERY generator state (late r4): NOW() returns the same
+        # instant for every call in one query per §17.4.1.5 (captured
+        # lazily at first parse), and BNODE(arg) labels are salted per
+        # query execution so distinct queries mint distinct bnodes
+        self._now_lexical: str | None = None
+        self._bnode_salt: str | None = None
 
     def _peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else ("eof", None)
@@ -1978,6 +2003,7 @@ class _Parser:
     _BOOL_TAGS = frozenset((
         "or", "and", "not", "cmp", "bool", "sfunc", "regex",
         "langmatches", "same", "exists", "exists_e", "flag", "const",
+        "ebv",
     ))
 
     @classmethod
@@ -1998,11 +2024,13 @@ class _Parser:
         return node
 
     def _require_bool(self, node, op: str):
+        # (late r4) a VALUE operand takes its EFFECTIVE BOOLEAN VALUE
+        # per §17.2.2 — FILTER(?x), ?a && ?b, !?flag — instead of a
+        # parse rejection: xsd:boolean by lexical form, numerics by
+        # value != 0 (invalid lexical → false), plain/xsd:string by
+        # non-emptiness, everything else a type error
         if not self._is_bool_node(node):
-            raise SparqlError(
-                f"operand of {op!r} must be boolean-valued "
-                "(a comparison, builtin test, or &&/||/! combination)"
-            )
+            return ("ebv", node)
         return node
 
     def _bind_expr(self):
@@ -2244,6 +2272,48 @@ class _Parser:
             if self._next() != ("punct", ")"):
                 raise SparqlError(f"xsd:{target}() needs ')'")
             return ("xsdcast", target, arg)
+        if (
+            kind == "kw"
+            and str(val).lower() in ("now", "rand", "uuid", "struuid")
+            and self._peek2() == ("punct", "(")
+        ):
+            # §17.4 generator builtins (late r4): nullary calls
+            fn = str(val).lower()
+            self._next()
+            self._next()  # (
+            if self._next() != ("punct", ")"):
+                raise SparqlError(f"{fn.upper()}() takes no arguments")
+            if fn == "now":
+                # one instant per QUERY (§17.4.1.5) — every NOW() in
+                # this parse returns the same xsd:dateTime lexical
+                if self._now_lexical is None:
+                    from datetime import datetime, timezone
+
+                    self._now_lexical = (
+                        datetime.now(timezone.utc)
+                        .strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
+                    )
+                return ("genfn", "now", self._now_lexical)
+            return ("genfn", fn, None)
+        if (
+            kind == "kw"
+            and str(val).lower() == "bnode"
+            and self._peek2() == ("punct", "(")
+        ):
+            # §17.4.2.9 BNODE() / BNODE(simple literal) (late r4)
+            self._next()
+            self._next()  # (
+            if self._bnode_salt is None:
+                import uuid as _uuid
+
+                self._bnode_salt = _uuid.uuid4().hex
+            if self._peek() == ("punct", ")"):
+                self._next()
+                return ("bnodefn", None, self._bnode_salt)
+            arg = self._bind_expr()
+            if self._next() != ("punct", ")"):
+                raise SparqlError("BNODE() needs ')'")
+            return ("bnodefn", arg, self._bnode_salt)
         if kind == "num":
             self._next()
             # bare number → numeric literal: forces numeric comparison
@@ -2381,16 +2451,15 @@ class _Parser:
     def _bool_expr(self) -> tuple:
         node = self._or_expr()
         if not self._is_bool_node(node):
-            raise SparqlError(
-                "FILTER/HAVING expression must be boolean-valued "
-                "(a comparison, builtin test, or &&/||/! combination)"
-            )
+            # §17.2.2 effective boolean value (late r4, formerly a
+            # parse rejection): FILTER(?x), IF(?flag, …, …)
+            return ("ebv", node)
         return node
 
     def _or_expr(self):
         node = self._and_expr()
         while self._peek() == ("op", "||"):
-            self._require_bool(node, "||")
+            node = self._require_bool(node, "||")
             self._next()
             node = ("or", node, self._require_bool(self._and_expr(), "||"))
         return node
@@ -2398,7 +2467,7 @@ class _Parser:
     def _and_expr(self):
         node = self._unary_expr()
         while self._peek() == ("op", "&&"):
-            self._require_bool(node, "&&")
+            node = self._require_bool(node, "&&")
             self._next()
             node = ("and", node, self._require_bool(self._unary_expr(), "&&"))
         return node
@@ -3560,6 +3629,66 @@ def _term_parts(term, bound: set[str], scope: str = "the query"):
                 _decimal_lexical(val_n), F.lit("literal"),
                 F.lit(""), F.lit(_XSD + target),
             )
+        if tag == "genfn":
+            # §17.4 generator builtins (late r4). NOW() is a
+            # parse-time constant (same instant for the whole query,
+            # §17.4.1.5); RAND/UUID/STRUUID evaluate per row via
+            # Spark's nondeterministic expressions (never NULL, so
+            # the shadow columns' isNotNull() re-evaluations stay
+            # consistent).
+            fn, payload = rest
+            if fn == "now":
+                return (
+                    F.lit(payload), F.lit("literal"), F.lit(""),
+                    F.lit(_XSD + "dateTime"),
+                )
+            if fn == "rand":
+                # xsd:double in [0, 1); plain decimal notation is a
+                # valid double lexical form
+                return (
+                    F.rand().cast("string"), F.lit("literal"),
+                    F.lit(""), F.lit(_XSD + "double"),
+                )
+            if fn == "uuid":
+                return (
+                    F.concat(F.lit("urn:uuid:"), F.expr("uuid()")),
+                    F.lit("iri"), F.lit(""), F.lit(""),
+                )
+            assert fn == "struuid", fn
+            return F.expr("uuid()"), F.lit("literal"), F.lit(""), F.lit("")
+        if tag == "bnodefn":
+            # §17.4.2.9: BNODE() mints a fresh bnode per row;
+            # BNODE(simple literal) returns the SAME bnode for the
+            # same argument within one query execution (stronger than
+            # the spec's per-solution scope — documented determinism,
+            # label = md5 of the salted argument), distinct across
+            # queries via the per-query salt. A non-simple-literal
+            # argument is a type error → unbound.
+            arg, salt = rest
+            if arg is None:
+                return (
+                    F.concat(
+                        F.lit("gb"),
+                        F.regexp_replace(
+                            F.expr("uuid()"), F.lit("-"), F.lit("")
+                        ),
+                    ),
+                    F.lit("bnode"), F.lit(""), F.lit(""),
+                )
+            v, k, lg, dt = _term_parts(arg, bound, scope)
+            ok = F.when(
+                (k == F.lit("literal"))
+                & (F.coalesce(lg, F.lit("?")) == "")
+                & F.coalesce(dt, F.lit("?")).isin("", XSD_STRING),
+                v,
+            )
+            return (
+                F.when(
+                    ok.isNotNull(),
+                    F.concat(F.lit("gb"), F.md5(F.concat(F.lit(salt), ok))),
+                ),
+                F.lit("bnode"), F.lit(""), F.lit(""),
+            )
         raise SparqlError(f"unsupported operand form {tag!r} in {scope}")
     if isinstance(term, Var):
         _check(term.name, "FILTER/BIND")
@@ -3787,6 +3916,40 @@ def _compile_bool(node, bound: set[str], scope: str = "the query") -> "F.Column"
                 f"EXISTS inside a boolean expression is only supported in "
                 f"FILTER clauses and BIND/projection expressions at the "
                 f"top level of WHERE, not in {scope}"
+            )
+        if tag == "ebv":
+            # §17.2.2 effective boolean value of a VALUE operand
+            # (late r4): xsd:boolean → by lexical form ("true"/"1";
+            # an INVALID boolean lexical is false per spec), numeric
+            # datatypes → value != 0 with invalid-lexical → false
+            # (±INF true, NaN fails the cast → false, matching XPath),
+            # plain/lang-tagged/xsd:string literals → non-empty, and
+            # any other term (IRI, bnode, other datatype, unbound) is
+            # a type error → NULL → row dropped / error-propagated
+            # through the Kleene connectives.
+            v, k, lg, dt = _eval_bind_expr(node[1], bound, scope)
+            d = F.coalesce(dt, F.lit(""))
+            n = v.try_cast(_DECIMAL)
+            return (
+                F.when(
+                    v.isNull() | (k != F.lit("literal")),
+                    F.lit(None).cast("boolean"),
+                )
+                .when(
+                    d == F.lit(_XSD + "boolean"),
+                    v.isin("true", "1"),
+                )
+                .when(
+                    d.isin(*sorted(XSD_NUMERIC)),
+                    F.when(v.isin("INF", "+INF", "-INF"), F.lit(True))
+                    .when(n.isNotNull(), n != F.lit(0).cast(_DECIMAL))
+                    .otherwise(F.lit(False)),
+                )
+                .when(
+                    (d == "") | (d == F.lit(XSD_STRING)),
+                    F.length(v) > 0,
+                )
+                .otherwise(F.lit(None).cast("boolean"))
             )
         if tag == "same":
             # RDF term identity: all four components equal; an unbound

@@ -2163,20 +2163,22 @@ def test_expression_type_errors_rejected(numeric_graph):
             "PREFIX ex: <http://ex.org/> SELECT ?s WHERE "
             "{ ?s ex:age ?n . FILTER ((?n > 1) + 2 > 0) }",
         )
-    # bare value where FILTER needs a boolean
-    with pytest.raises(SparqlError):
-        sparql_select(
-            numeric_graph,
-            "PREFIX ex: <http://ex.org/> SELECT ?s WHERE "
-            "{ ?s ex:age ?n . FILTER (?n + 1) }",
-        )
-    # value operand of &&
-    with pytest.raises(SparqlError):
-        sparql_select(
-            numeric_graph,
-            "PREFIX ex: <http://ex.org/> SELECT ?s WHERE "
-            "{ ?s ex:age ?n . FILTER ((?n = 9) && ?n) }",
-        )
+    # bare value in FILTER: formerly rejected, now the §17.2.2
+    # effective boolean value (late r4) — ?n + 1 is nonzero for every
+    # age here, so all three rows pass
+    got = sparql_select(
+        numeric_graph,
+        "PREFIX ex: <http://ex.org/> SELECT ?s WHERE "
+        "{ ?s ex:age ?n . FILTER (?n + 1) }",
+    )
+    assert sorted(r.s for r in got.collect()) == [EX + "a", EX + "b", EX + "c"]
+    # value operand of &&: EBV too — (?n = 9) && EBV(?n) keeps only a
+    got = sparql_select(
+        numeric_graph,
+        "PREFIX ex: <http://ex.org/> SELECT ?s WHERE "
+        "{ ?s ex:age ?n . FILTER ((?n = 9) && ?n) }",
+    )
+    assert [r.s for r in got.collect()] == [EX + "a"]
     # boolean as comparison operand
     with pytest.raises(SparqlError):
         sparql_select(
@@ -4166,3 +4168,164 @@ def test_subquery_bind_boolean(graph):
     }"""
     got = {(r.p, r.k) for r in sparql_select(graph, q).collect()}
     assert got == {(EX + "p1", "true"), (EX + "p2", "false")}
+
+
+# ---------------------------------------------------------------------------
+# §17.2.2 effective boolean value (late r4)
+
+
+@pytest.fixture(scope="module")
+def ebv_graph(spark):
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    rows = [
+        (EX + "a", "iri", EX + "flag", "true", "literal", None, XSD + "boolean"),
+        (EX + "b", "iri", EX + "flag", "false", "literal", None, XSD + "boolean"),
+        # INVALID boolean lexical: EBV is false per spec, not an error
+        (EX + "c", "iri", EX + "flag", "maybe", "literal", None, XSD + "boolean"),
+        (EX + "d", "iri", EX + "num", "0", "literal", None, XSD + "int"),
+        (EX + "e", "iri", EX + "num", "7", "literal", None, XSD + "int"),
+        # INVALID numeric lexical: EBV false
+        (EX + "f", "iri", EX + "num", "x", "literal", None, XSD + "int"),
+        (EX + "g", "iri", EX + "s", "", "literal", None, None),
+        (EX + "h", "iri", EX + "s", "hi", "literal", None, None),
+        # IRI object: EBV is a TYPE ERROR -> row dropped
+        (EX + "i", "iri", EX + "ref", EX + "a", "iri", None, None),
+        (EX + "j", "iri", EX + "num", "INF", "literal", None, XSD + "double"),
+        (EX + "h", "iri", EX + "greet", "bonjour", "literal", "fr", None),
+    ]
+    return spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+
+
+def test_ebv_boolean_lexical(ebv_graph):
+    q = "SELECT ?s WHERE { ?s <http://ex.org/flag> ?v . FILTER(?v) }"
+    assert sorted(r.s for r in sparql_select(ebv_graph, q).collect()) == [EX + "a"]
+    # !EBV: false and invalid-lexical both negate to true
+    q2 = "SELECT ?s WHERE { ?s <http://ex.org/flag> ?v . FILTER(!?v) }"
+    assert sorted(r.s for r in sparql_select(ebv_graph, q2).collect()) == [
+        EX + "b", EX + "c",
+    ]
+
+
+def test_ebv_numeric(ebv_graph):
+    q = "SELECT ?s WHERE { ?s <http://ex.org/num> ?v . FILTER(?v) }"
+    # 0 -> false, invalid "x" -> false, 7 and INF -> true
+    assert sorted(r.s for r in sparql_select(ebv_graph, q).collect()) == [
+        EX + "e", EX + "j",
+    ]
+
+
+def test_ebv_string_and_lang(ebv_graph):
+    q = "SELECT ?s WHERE { ?s <http://ex.org/s> ?v . FILTER(?v) }"
+    assert [r.s for r in sparql_select(ebv_graph, q).collect()] == [EX + "h"]
+    # lang-tagged literals are plain literals for EBV: length test
+    q2 = "SELECT ?s WHERE { ?s <http://ex.org/greet> ?v . FILTER(?v) }"
+    assert [r.s for r in sparql_select(ebv_graph, q2).collect()] == [EX + "h"]
+
+
+def test_ebv_iri_is_type_error(ebv_graph):
+    q = "SELECT ?s WHERE { ?s <http://ex.org/ref> ?v . FILTER(?v) }"
+    assert sparql_select(ebv_graph, q).count() == 0
+    # ...and !EBV(iri) is still an error -> dropped (not negated true)
+    q2 = "SELECT ?s WHERE { ?s <http://ex.org/ref> ?v . FILTER(!?v) }"
+    assert sparql_select(ebv_graph, q2).count() == 0
+
+
+def test_ebv_in_connectives_and_if(ebv_graph):
+    # error || true = true: the IRI row survives through the || short
+    q = ("SELECT ?s WHERE { ?s <http://ex.org/ref> ?v . "
+         "FILTER(?v || ?s = <http://ex.org/i>) }")
+    assert [r.s for r in sparql_select(ebv_graph, q).collect()] == [EX + "i"]
+    # IF over an EBV condition; invalid numeric -> false branch
+    q2 = ('SELECT ?s ?lab WHERE { ?s <http://ex.org/num> ?v . '
+          'BIND(IF(?v, "nz", "z") AS ?lab) }')
+    got = {(r.s, r.lab) for r in sparql_select(ebv_graph, q2).collect()}
+    assert got == {
+        (EX + "d", "z"), (EX + "e", "nz"), (EX + "f", "z"), (EX + "j", "nz"),
+    }
+
+
+def test_ebv_arithmetic_operand(ebv_graph):
+    # EBV of a derived numeric: ?v - 7 is 0 (false) for e, nonzero for
+    # d; error rows (invalid lexical entering arithmetic) drop
+    q = "SELECT ?s WHERE { ?s <http://ex.org/num> ?v . FILTER(?v - 7) }"
+    assert [r.s for r in sparql_select(ebv_graph, q).collect()] == [EX + "d"]
+
+
+def test_ebv_bind_boolean_value(ebv_graph):
+    # (?v && ?v) as a BIND value: EBV feeds the boolean ladder, the
+    # result minted as an xsd:boolean term; error -> unbound
+    q = ('SELECT ?s ?b WHERE { ?s <http://ex.org/num> ?v . '
+         'BIND((?v && ?v) AS ?b) }')
+    got = {(r.s, r.b) for r in sparql_select(ebv_graph, q).collect()}
+    assert got == {
+        (EX + "d", "false"), (EX + "e", "true"),
+        (EX + "f", "false"), (EX + "j", "true"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# §17.4 generator builtins: NOW / RAND / UUID / STRUUID / BNODE (late r4)
+
+
+def test_now_same_instant_and_datetime(graph):
+    import re
+
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?t ?y WHERE {
+      ?p ex:name ?n .
+      BIND(NOW() AS ?t) BIND(NOW() AS ?t2)
+      FILTER(?t = ?t2)
+      BIND(YEAR(?t) AS ?y) BIND(datatype(?t) AS ?dt)
+      FILTER(?dt = <http://www.w3.org/2001/XMLSchema#dateTime>)
+    }"""
+    rows = sparql_select(graph, q).collect()
+    assert len(rows) == 2  # every row passes: one instant per query
+    assert re.match(r"\d{4}-\d\d-\d\dT\d\d:\d\d:\d\d\.\d{3}Z$", rows[0].t)
+    assert int(rows[0].y) >= 2026
+
+
+def test_uuid_struuid_shapes(graph):
+    import re
+
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?u ?su WHERE {
+      ?p ex:name ?n .
+      BIND(UUID() AS ?u) BIND(STRUUID() AS ?su)
+      FILTER(isIRI(?u) && isLiteral(?su))
+    }"""
+    rows = sparql_select(graph, q).collect()
+    assert len(rows) == 2
+    assert all(r.u.startswith("urn:uuid:") for r in rows)
+    assert len({r.u for r in rows}) == 2  # fresh per row
+    assert all(re.match(r"[0-9a-f-]{36}$", r.su) for r in rows)
+
+
+def test_rand_double_in_unit_interval(graph):
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?r WHERE {
+      ?p ex:name ?n .
+      BIND(RAND() AS ?r)
+      FILTER(?r >= 0 && ?r < 1)
+      FILTER(datatype(?r) = <http://www.w3.org/2001/XMLSchema#double>)
+    }"""
+    assert sparql_select(graph, q).count() == 2
+
+
+def test_bnode_fresh_and_keyed(graph):
+    # BNODE(): fresh blank node per row; BNODE("x"): same label for
+    # the same simple-literal argument within one query; a
+    # lang-tagged argument is a type error -> unbound
+    q = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?b ?k1 ?k2 ?bl WHERE {
+      ?p ex:name ?n .
+      BIND(BNODE() AS ?b) BIND(BNODE("x") AS ?k1) BIND(BNODE("x") AS ?k2)
+      BIND(BNODE(?n) AS ?bl)
+      FILTER(isBlank(?b) && isBlank(?k1))
+    }"""
+    rows = sparql_select(graph, q).collect()
+    assert len(rows) == 2
+    assert len({r.b for r in rows}) == 2          # fresh per row
+    assert all(r.k1 == r.k2 for r in rows)        # keyed: same arg, same bnode
+    by_p = {r.p: r for r in rows}
+    assert by_p[EX + "p1"].bl is not None         # "Ada" is simple
+    assert by_p[EX + "p2"].bl is None             # "Grace"@en -> type error
