@@ -189,6 +189,15 @@ def q_sparql_groupbind_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tpch_sparql_groupbind(spark, sf_dir)
 
 
+def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity PageRank over the generated KG (iterative DataFrame
+    joins, exact-integer arithmetic so the DuckDB unrolled-CTE twin
+    is bit-for-bit — operators/pagerank.py)."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_pagerank
+
+    return run_tpch_pagerank(spark, sf_dir)
+
+
 def q_sparql_boolbind_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean-valued BIND expressions (§17.2, late r4): a bare EXISTS
     probe (flagged at the BIND's own timeline point) and a comparison
@@ -770,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_npspath_kg": q_sparql_npspath_kg,
         "sparql_groupbind_kg": q_sparql_groupbind_kg,
         "sparql_boolbind_kg": q_sparql_boolbind_kg,
+        "kg_pagerank": q_kg_pagerank,
         "sparql_arith_kg": q_sparql_arith_kg,
         "sparql_values_kg": q_sparql_values_kg,
         "sparql_aggdistinct_kg": q_sparql_aggdistinct_kg,
@@ -852,6 +862,7 @@ def oracle_sql() -> dict[str, str]:
         TPCH_SPARQL_NPSPATH_ORACLE_SQL,
         TPCH_SPARQL_GROUPBIND_ORACLE_SQL,
         TPCH_SPARQL_BOOLBIND_ORACLE_SQL,
+        TPCH_PAGERANK_ORACLE_SQL,
         TPCH_SPARQL_ARITH_ORACLE_SQL,
         TPCH_SPARQL_VALUES_ORACLE_SQL,
         TPCH_SPARQL_AGGDISTINCT_ORACLE_SQL,
@@ -922,6 +933,7 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "sparql_npspath_kg": TPCH_SPARQL_NPSPATH_ORACLE_SQL,
         "sparql_groupbind_kg": TPCH_SPARQL_GROUPBIND_ORACLE_SQL,
         "sparql_boolbind_kg": TPCH_SPARQL_BOOLBIND_ORACLE_SQL,
+        "kg_pagerank": TPCH_PAGERANK_ORACLE_SQL,
         "sparql_arith_kg": TPCH_SPARQL_ARITH_ORACLE_SQL,
         "sparql_values_kg": TPCH_SPARQL_VALUES_ORACLE_SQL,
         "sparql_aggdistinct_kg": TPCH_SPARQL_AGGDISTINCT_ORACLE_SQL,

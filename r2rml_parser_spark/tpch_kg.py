@@ -1807,3 +1807,29 @@ SELECT nation, nname,
   CASE WHEN length(nname) > 8 THEN 'true' ELSE 'false' END AS longname
 FROM nat
 """
+
+
+def run_tpch_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity PageRank over the generated KG's IRI→IRI link structure
+    (5 exact-integer iterations — operators/pagerank.py docstring for
+    the determinism argument the DuckDB twin replays)."""
+    from r2rml_parser_spark.operators.pagerank import (
+        kg_entity_edges,
+        pagerank,
+    )
+
+    return pagerank(kg_entity_edges(build_tpch_kg(spark, sf_dir)), iterations=5)
+
+
+def tpch_pagerank_oracle_sql() -> str:
+    from r2rml_parser_spark.operators.pagerank import pagerank_oracle_sql
+
+    edges = (
+        f"SELECT DISTINCT subj AS src, obj AS dst"
+        f" FROM ({TPCH_KG_ORACLE_SQL})"
+        f" WHERE subj_kind = 'iri' AND obj_kind = 'iri' AND subj <> obj"
+    )
+    return pagerank_oracle_sql(edges, iterations=5)
+
+
+TPCH_PAGERANK_ORACLE_SQL = tpch_pagerank_oracle_sql()

@@ -863,3 +863,64 @@ def test_scrub_pii(spark):
     assert (out[5].n_email, out[5].n_phone, out[5].n_ipv4) == (0, 0, 0)
     # passthrough columns survive
     assert out[1].source == "s"
+
+
+def test_pagerank_exact_integer_vs_duckdb(spark):
+    """The scaled-integer formulation is bit-exact against the DuckDB
+    unrolled-CTE twin (no float summation order anywhere)."""
+    import duckdb
+
+    from r2rml_parser_spark.operators.pagerank import (
+        pagerank,
+        pagerank_oracle_sql,
+    )
+
+    E = [("a", "b"), ("c", "b"), ("d", "b"), ("b", "a"), ("e", "a"), ("a", "c")]
+    edges = spark.createDataFrame(E, "src string, dst string")
+    got = {(r.node, r.rank) for r in pagerank(edges, iterations=5).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(src VARCHAR, dst VARCHAR)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", E)
+    want = set(
+        map(tuple, con.execute(
+            pagerank_oracle_sql("SELECT DISTINCT src, dst FROM e", iterations=5)
+        ).fetchall())
+    )
+    assert got == want
+    ranks = dict(got)
+    # the hub b (3 in-edges) and its target a outrank the leaves
+    assert ranks["b"] > ranks["c"] > ranks["d"]
+    assert ranks["a"] > ranks["c"]
+    # d and e have no in-edges: exactly the base term, equal
+    assert ranks["d"] == ranks["e"]
+
+
+def test_pagerank_dangling_and_empty(spark):
+    from r2rml_parser_spark.operators.pagerank import pagerank
+
+    # b is dangling (no out-edges): keeps rank, redistributes nothing
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    ranks = dict(
+        (r.node, r.rank) for r in pagerank(edges, iterations=3).collect()
+    )
+    assert set(ranks) == {"a", "b"}
+    assert ranks["b"] > ranks["a"]
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty, iterations=2).count() == 0
+
+
+def test_kg_entity_edges_filters_terms(spark):
+    from r2rml_parser_spark.operators.pagerank import kg_entity_edges
+
+    COLS = "subj subj_kind pred obj obj_kind lang dtype".split()
+    rows = [
+        ("u:a", "iri", "u:p", "u:b", "iri", None, None),
+        ("u:a", "iri", "u:p", "u:b", "iri", None, None),   # dup -> once
+        ("u:a", "iri", "u:p", "lit", "literal", None, None),  # literal out
+        ("u:a", "iri", "u:p", "u:a", "iri", None, None),   # self-loop out
+        ("b1", "bnode", "u:p", "u:b", "iri", None, None),  # bnode subj out
+    ]
+    t = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    got = [(r.src, r.dst) for r in kg_entity_edges(t).collect()]
+    assert got == [("u:a", "u:b")]
