@@ -632,6 +632,14 @@ def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- text analysis -----------------------------------------------------
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (corpus-global smoothed idf;
+    rounded-doubles oracle, window ordered on the rounded score)."""
+    from r2rml_parser_spark.operators.keywords import tfidf_keywords
+
+    return tfidf_keywords(_docs(spark, sf_dir), 3)
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from r2rml_parser_spark.operators.textstats import quality_stats
 
@@ -821,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_pairs": q_neardup_pairs,
         "simhash_groups": q_simhash_groups,
         "text_quality": q_text_quality,
+        "tfidf_keywords": q_tfidf_keywords,
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
@@ -1031,6 +1040,9 @@ FROM n
         "neardup_pairs": oracles.neardup_pairs_sql(0.8),
         "simhash_groups": oracles.simhash_groups_sql(),
         "text_quality": oracles.text_quality_sql(),
+        "tfidf_keywords": __import__(
+            "r2rml_parser_spark.operators.keywords", fromlist=["x"]
+        ).tfidf_keywords_oracle_sql(3),
         "lang_id": oracles.lang_id_sql(),
         "token_counts": oracles.token_counts_sql(),
         "fingerprints": oracles.fingerprints_sql(),

@@ -924,3 +924,38 @@ def test_kg_entity_edges_filters_terms(spark):
     t = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
     got = [(r.src, r.dst) for r in kg_entity_edges(t).collect()]
     assert got == [("u:a", "u:b")]
+
+
+def test_tfidf_keywords_vs_duckdb(spark):
+    """tf × smoothed-idf top-k is bit-exact against the DuckDB twin
+    (rounded doubles, window ordered on the rounded score)."""
+    import duckdb
+
+    from r2rml_parser_spark.operators.keywords import (
+        tfidf_keywords,
+        tfidf_keywords_oracle_sql,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "quantum entanglement of the cat"),
+        (4, ""),  # empty text: no tokens, no rows
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc, r.token, r.score) for r in tfidf_keywords(docs, 2).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = set(map(tuple, con.execute(tfidf_keywords_oracle_sql(2)).fetchall()))
+    assert got == want
+    by_doc = {}
+    for d, t, s in got:
+        by_doc.setdefault(d, []).append(t)
+    assert 4 not in by_doc                      # empty doc yields nothing
+    # doc 3's distinctive vocabulary wins its top-2
+    assert "entanglement" in by_doc[3]
+    # tf beats a weak idf: "the" (tf=2) outranks the singletons in
+    # docs 1-2, but the doc-specific token still makes the top-2
+    assert "mat" in by_doc[1] and "dog" in by_doc[2]
