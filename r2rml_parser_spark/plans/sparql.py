@@ -244,8 +244,12 @@ takes the TWO-sided §8.3 slice decomposition, where a slice pair
 with no effective key has disjoint domains and removes nothing;
 EXISTS probe groups accept nested OPTIONALs too — LeftJoin never
 removes a probe solution, so the existence test is unchanged, and a
-correlation key bound only inside the probe's OPTIONAL is rejected,
-needing §18.6 substitution) —
+correlation key bound only inside the probe's OPTIONAL leaves the
+correlation when the probe carries no top-level filter/nested EXISTS
+(existence is then provably independent of it — nothing can remove a
+probe base solution; late r4, formerly rejected), the rejection
+remaining only for probes whose filters/EXISTS could consume the
+substituted key) —
 BIND(expr AS ?v) at the top
 level of WHERE and (r4) INSIDE OPTIONAL/UNION/MINUS groups (evaluated
 over the group's own solutions in textual order, visible to the
@@ -2647,8 +2651,17 @@ def _apply_group_exists(
     so the existence test's key set and emptiness are unchanged. An
     EXISTS correlating only through variables bound outside the group
     would need SPARQL's substitution semantics — rejected, as is a
-    join variable a nested OPTIONAL (of the GROUP or of the PROBE) may
-    have left unbound."""
+    join variable a nested OPTIONAL of the GROUP may have left
+    unbound. A correlation key bound only inside the PROBE's own
+    OPTIONAL (late r4, formerly rejected): with no top-level probe
+    filter and no nested probe EXISTS, nothing can remove a probe
+    base solution — LeftJoin keeps every required-part row, Extend
+    never drops — so §18.6 substitution of that key constrains only
+    the OPTIONAL's extensions, never emptiness; existence is
+    INDEPENDENT of the key and it simply leaves the correlation. With
+    probe filters/EXISTS present (they CAN remove rows whose
+    OPTIONAL bindings the substitution would constrain) the rejection
+    stands."""
     for positive, payload in gexists:
         epats, efilters, enested, eexists, ebinds = payload
         # (late r4) OPTIONAL inside the probe: compile the probe as
@@ -2678,12 +2691,23 @@ def _apply_group_exists(
         eshared = sorted(v for v in evars if v in gvars)
         probe_null = sorted(v for v in eshared if v in e_nullable)
         if probe_null:
-            raise SparqlError(
-                f"an EXISTS inside {scope} correlates through "
-                f"variable(s) {probe_null} its own OPTIONAL may leave "
-                "unbound — §18.6 substitution over a nullable probe "
-                "key is not expressible as a semi-join"
-            )
+            if efilters or eexists:
+                raise SparqlError(
+                    f"an EXISTS inside {scope} correlates through "
+                    f"variable(s) {probe_null} its own OPTIONAL may leave "
+                    "unbound — §18.6 substitution over a nullable probe "
+                    "key is not expressible as a semi-join when the "
+                    "probe carries top-level filters or nested EXISTS"
+                )
+            # (late r4) exact refinement: with NO top-level probe
+            # filter and NO nested probe EXISTS, nothing can REMOVE a
+            # probe base solution — LeftJoin keeps every required-part
+            # row and Extend never drops — so substituting the
+            # OPTIONAL-only key constrains only the OPTIONAL's
+            # extensions, never emptiness: existence is INDEPENDENT of
+            # that key. Drop it from the correlation instead of
+            # rejecting.
+            eshared = [v for v in eshared if v not in e_nullable]
         outer_corr = sorted(
             v for v in evars
             if not _is_internal(v) and v in outer_bound and v not in gvars
@@ -5432,12 +5456,21 @@ def _compile_where(
                 shared = sorted(v for v in gvars if v in bound)
                 probe_null = sorted(v for v in shared if v in e_nullable)
                 if probe_null:
-                    raise SparqlError(
-                        f"an expression EXISTS correlates through "
-                        f"variable(s) {probe_null} its own OPTIONAL may "
-                        "leave unbound — §18.6 substitution over a "
-                        "nullable probe key is not expressible"
-                    )
+                    if gfilters or ge_inner:
+                        raise SparqlError(
+                            f"an expression EXISTS correlates through "
+                            f"variable(s) {probe_null} its own OPTIONAL may "
+                            "leave unbound — §18.6 substitution over a "
+                            "nullable probe key is not expressible when "
+                            "the probe carries top-level filters or "
+                            "nested EXISTS"
+                        )
+                    # (late r4) no top-level probe filter / nested
+                    # EXISTS → nothing removes a probe base solution,
+                    # so existence is independent of the OPTIONAL-only
+                    # key: drop it from the correlation
+                    # (_apply_group_exists docstring for the argument)
+                    shared = [v for v in shared if v not in e_nullable]
                 if not shared:
                     return df, ("const", not gdf.isEmpty())
                 exists_flag_n[0] += 1
@@ -5592,12 +5625,19 @@ def _compile_where(
         shared = sorted(v for v in gvars if v in bound)
         probe_null = sorted(v for v in shared if v in ex_nullable)
         if probe_null:
-            raise SparqlError(
-                f"FILTER EXISTS correlates through variable(s) "
-                f"{probe_null} its own OPTIONAL may leave unbound — "
-                "§18.6 substitution over a nullable probe key is not "
-                "expressible as a semi-join"
-            )
+            if gfilters or gexists_inner:
+                raise SparqlError(
+                    f"FILTER EXISTS correlates through variable(s) "
+                    f"{probe_null} its own OPTIONAL may leave unbound — "
+                    "§18.6 substitution over a nullable probe key is not "
+                    "expressible as a semi-join when the probe carries "
+                    "top-level filters or nested EXISTS"
+                )
+            # (late r4) no top-level probe filter / nested EXISTS →
+            # existence is independent of the OPTIONAL-only key
+            # (_apply_group_exists docstring): drop it from the
+            # correlation instead of rejecting
+            shared = [v for v in shared if v not in ex_nullable]
         if not shared:
             # uncorrelated existence test = a per-query CONSTANT
             # (§18.6: substituting nothing leaves the pattern as-is):

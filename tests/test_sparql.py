@@ -3119,11 +3119,25 @@ def test_exists_in_boolean_expression_with_optional(graph):
               || STRSTARTS(STR(?p), "nope"))
     }"""
     assert [r.p for r in sparql_select(graph, q).collect()] == [EX + "p1"]
-    # probe-OPTIONAL-nullable correlation key → rejected
-    qbad = """PREFIX ex: <http://ex.org/>
+    # probe-OPTIONAL-nullable correlation key (late r4, formerly
+    # rejected): with no top-level probe filter, existence is
+    # independent of ?qn — the probe reduces to "?p knows something"
+    # and the flag matches §18.6 substitution exactly
+    qnull = """PREFIX ex: <http://ex.org/>
     SELECT ?p ?qn WHERE {
       ?p a ex:Person . ?z ex:name ?qn .
       FILTER (EXISTS { ?p ex:knows ?q OPTIONAL { ?q ex:name ?qn } }
+              || STRSTARTS(STR(?p), "nope"))
+    }"""
+    got = {(r.p, r.qn) for r in sparql_select(graph, qnull).collect()}
+    assert got == {(EX + "p1", "Ada"), (EX + "p1", "Grace")}
+    # ...but a top-level probe FILTER can consume the substituted key:
+    # the rejection stands there
+    qbad = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?qn WHERE {
+      ?p a ex:Person . ?z ex:name ?qn .
+      FILTER (EXISTS { ?p ex:knows ?q OPTIONAL { ?q ex:name ?qn }
+                       FILTER (STRLEN(?qn) > 1) }
               || STRSTARTS(STR(?p), "nope"))
     }"""
     with pytest.raises(SparqlError, match="probe"):
@@ -3976,9 +3990,18 @@ def test_exists_probe_with_optional(graph, spark):
     qn = q.replace("FILTER EXISTS", "FILTER NOT EXISTS")
     assert {(r.s, r.v) for r in sparql_select(g, qn).collect()} == {("u:b", "v2")}
     # correlation through a key bound only inside the probe's OPTIONAL
-    # needs §18.6 substitution — rejected, not mis-evaluated
-    qbad = f"""SELECT ?s ?v ?n WHERE {{ ?s <{EX}q> ?v . ?z <{EX}n> ?n
+    # (late r4, formerly rejected): no top-level probe filter →
+    # existence is independent of ?n, the probe reduces to "?s has a
+    # k row" — exactly what §18.6 substitution of (?s, ?n) computes
+    qnull = f"""SELECT ?s ?v ?n WHERE {{ ?s <{EX}q> ?v . ?z <{EX}n> ?n
       FILTER EXISTS {{ ?s <{EX}k> ?x OPTIONAL {{ ?x <{EX}n> ?n }} }} }}"""
+    got = {(r.s, r.v, r.n) for r in sparql_select(g, qnull).collect()}
+    assert got == {("u:a", "v1", "ada")}
+    # with a top-level probe filter the substituted key could remove
+    # probe solutions — the rejection stands
+    qbad = f"""SELECT ?s ?v ?n WHERE {{ ?s <{EX}q> ?v . ?z <{EX}n> ?n
+      FILTER EXISTS {{ ?s <{EX}k> ?x OPTIONAL {{ ?x <{EX}n> ?n }}
+                       FILTER (STRLEN(?n) > 0) }} }}"""
     with pytest.raises(SparqlError, match="probe"):
         sparql_select(g, qbad)
 
@@ -4329,3 +4352,33 @@ def test_bnode_fresh_and_keyed(graph):
     by_p = {r.p: r for r in rows}
     assert by_p[EX + "p1"].bl is not None         # "Ada" is simple
     assert by_p[EX + "p2"].bl is None             # "Grace"@en -> type error
+
+
+def test_group_exists_probe_nullable_key_refinement(graph, spark):
+    """EXISTS inside an OPTIONAL group whose probe OPTIONAL binds a
+    group variable: no top-level probe filter → the nullable key
+    leaves the correlation (existence independent), with a probe
+    filter → still rejected (_apply_group_exists site)."""
+    rows = [
+        ("u:a", "iri", EX + "q", "v1", "literal", None, None),
+        ("u:b", "iri", EX + "q", "v2", "literal", None, None),
+        ("u:a", "iri", EX + "k", "x1", "literal", None, None),
+        ("u:a", "iri", EX + "m", "m1", "literal", None, None),
+        ("u:b", "iri", EX + "m", "m2", "literal", None, None),
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    q = f"""SELECT ?s ?v ?m WHERE {{ ?s <{EX}q> ?v
+      OPTIONAL {{ ?s <{EX}m> ?m
+                  FILTER EXISTS {{ ?s <{EX}k> ?x
+                                   OPTIONAL {{ ?y <{EX}q> ?m }} }} }} }}"""
+    # probe existence = "?s has a k row": u:a yes (keeps m1), u:b no
+    # (its OPTIONAL row is filtered away -> m unbound)
+    got = {(r.s, r.v, r.m) for r in sparql_select(g, q).collect()}
+    assert got == {("u:a", "v1", "m1"), ("u:b", "v2", None)}
+    qbad = f"""SELECT ?s ?v ?m WHERE {{ ?s <{EX}q> ?v
+      OPTIONAL {{ ?s <{EX}m> ?m
+                  FILTER EXISTS {{ ?s <{EX}k> ?x
+                                   OPTIONAL {{ ?y <{EX}q> ?m }}
+                                   FILTER (STRLEN(?m) > 0) }} }} }}"""
+    with pytest.raises(SparqlError, match="probe"):
+        sparql_select(g, qbad)
