@@ -189,6 +189,24 @@ def q_sparql_groupbind_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tpch_sparql_groupbind(spark, sf_dir)
 
 
+def q_sparql_ebv_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§17.2.2 effective boolean values (late r4): numeric EBV of a
+    bare arithmetic FILTER operand, a boolean-comparison BIND, and
+    EBV of the minted xsd:boolean composing with ||."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_ebv
+
+    return run_tpch_sparql_ebv(spark, sf_dir)
+
+
+def q_sparql_existsnull_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-OPTIONAL-nullable EXISTS correlation key (late r4): the
+    inert key leaves the correlation — NOT EXISTS reduces to the
+    required part's existence, keeping exactly the nation subjects."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_existsnull
+
+    return run_tpch_sparql_existsnull(spark, sf_dir)
+
+
 def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity PageRank over the generated KG (iterative DataFrame
     joins, exact-integer arithmetic so the DuckDB unrolled-CTE twin
@@ -788,6 +806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_groupbind_kg": q_sparql_groupbind_kg,
         "sparql_boolbind_kg": q_sparql_boolbind_kg,
         "kg_pagerank": q_kg_pagerank,
+        "sparql_ebv_kg": q_sparql_ebv_kg,
+        "sparql_existsnull_kg": q_sparql_existsnull_kg,
         "sparql_arith_kg": q_sparql_arith_kg,
         "sparql_values_kg": q_sparql_values_kg,
         "sparql_aggdistinct_kg": q_sparql_aggdistinct_kg,
@@ -872,6 +892,8 @@ def oracle_sql() -> dict[str, str]:
         TPCH_SPARQL_GROUPBIND_ORACLE_SQL,
         TPCH_SPARQL_BOOLBIND_ORACLE_SQL,
         TPCH_PAGERANK_ORACLE_SQL,
+        TPCH_SPARQL_EBV_ORACLE_SQL,
+        TPCH_SPARQL_EXISTSNULL_ORACLE_SQL,
         TPCH_SPARQL_ARITH_ORACLE_SQL,
         TPCH_SPARQL_VALUES_ORACLE_SQL,
         TPCH_SPARQL_AGGDISTINCT_ORACLE_SQL,
@@ -943,6 +965,8 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "sparql_groupbind_kg": TPCH_SPARQL_GROUPBIND_ORACLE_SQL,
         "sparql_boolbind_kg": TPCH_SPARQL_BOOLBIND_ORACLE_SQL,
         "kg_pagerank": TPCH_PAGERANK_ORACLE_SQL,
+        "sparql_ebv_kg": TPCH_SPARQL_EBV_ORACLE_SQL,
+        "sparql_existsnull_kg": TPCH_SPARQL_EXISTSNULL_ORACLE_SQL,
         "sparql_arith_kg": TPCH_SPARQL_ARITH_ORACLE_SQL,
         "sparql_values_kg": TPCH_SPARQL_VALUES_ORACLE_SQL,
         "sparql_aggdistinct_kg": TPCH_SPARQL_AGGDISTINCT_ORACLE_SQL,

@@ -1833,3 +1833,60 @@ def tpch_pagerank_oracle_sql() -> str:
 
 
 TPCH_PAGERANK_ORACLE_SQL = tpch_pagerank_oracle_sql()
+
+
+# §17.2.2 effective boolean values (late r4): a bare arithmetic value
+# in FILTER (numeric EBV), a boolean BIND, and EBV of the minted
+# xsd:boolean term composing with || in one query.
+TPCH_SPARQL_EBV_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?c ?nm ?big WHERE {
+  ?c a ex:Customer .
+  ?c ex:name ?nm .
+  ?c ex:custkey ?k .
+  FILTER(?k - 7)
+  BIND((?k > 100) AS ?big)
+  FILTER(?big || ?k < 50)
+}
+"""
+
+
+def run_tpch_sparql_ebv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_EBV_QUERY)
+
+
+TPCH_SPARQL_EBV_ORACLE_SQL = f"""
+SELECT '{KG}/customer/' || c_custkey AS c, c_name AS nm,
+       CASE WHEN c_custkey > 100 THEN 'true' ELSE 'false' END AS big
+FROM customer
+WHERE c_custkey <> 7 AND (c_custkey > 100 OR c_custkey < 50)
+"""
+
+
+# Probe-OPTIONAL-nullable EXISTS correlation key (late r4 refinement):
+# ?nm is bound on the outer side and only inside the probe's OPTIONAL;
+# with no top-level probe filter, existence is independent of ?nm and
+# the probe reduces to "?x has an inNation edge" — NOT EXISTS keeps
+# exactly the nation-named subjects.
+TPCH_SPARQL_EXISTSNULL_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?x ?nm WHERE {
+  ?x ex:name ?nm .
+  FILTER NOT EXISTS { ?x ex:inNation ?n OPTIONAL { ?n ex:name ?nm } }
+}
+"""
+
+
+def run_tpch_sparql_existsnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(
+        build_tpch_kg(spark, sf_dir), TPCH_SPARQL_EXISTSNULL_QUERY
+    )
+
+
+TPCH_SPARQL_EXISTSNULL_ORACLE_SQL = f"""
+SELECT '{KG}/nation/' || n_nationkey AS x, n_name AS nm FROM nation
+"""
