@@ -1335,3 +1335,125 @@ def test_exists_minus_optional_probe_differential(
         for b in want_sols
     )
     assert got == want, f"query {q!r} diverged"
+
+
+# ---------------------------------------------------------------------------
+# Effective-boolean-value / boolean-value differential (§17.2.2 +
+# §17.2, late r4): random boolean expression TREES over comparisons,
+# bare-value EBV leaves (?n and (?n - c)), and !/&&/|| connectives,
+# evaluated by the engine BOTH as a FILTER (error -> row dropped) and
+# as a BIND value (true/false xsd:boolean, error -> unbound), against
+# a direct Kleene three-valued Python evaluation of the same AST.
+# The value set includes an INVALID xsd:integer lexical, which pins
+# the spec's asymmetry: EBV of the invalid literal is FALSE, while a
+# comparison or arithmetic over it is an ERROR.
+if HAVE_HYP:
+    bool_leaf_st = st.one_of(
+        st.just(("ebv",)),
+        st.tuples(st.just("ebv_arith"), st.integers(min_value=0, max_value=9)),
+        st.tuples(
+            st.just("cmp"),
+            st.sampled_from(["<", "<=", ">", ">=", "=", "!="]),
+            st.integers(min_value=-2, max_value=9),
+        ),
+    )
+    bool_expr_st = st.recursive(
+        bool_leaf_st,
+        lambda ch: st.one_of(
+            st.tuples(st.just("not"), ch),
+            st.tuples(st.sampled_from(["&&", "||"]), ch, ch),
+        ),
+        max_leaves=6,
+    )
+
+
+def render_bool(ast) -> str:
+    if ast == ("ebv",):
+        return "?n"
+    if ast[0] == "ebv_arith":
+        return f"(?n - {ast[1]})"
+    if ast[0] == "cmp":
+        return f"(?n {ast[1]} {ast[2]})"
+    if ast[0] == "not":
+        return f"(!{render_bool(ast[1])})"
+    op, a, b = ast
+    return f"({render_bool(a)} {op} {render_bool(b)})"
+
+
+def eval_bool(ast, lexical: str):
+    """Three-valued: True / False / None (= SPARQL error)."""
+    try:
+        n = int(lexical)
+    except ValueError:
+        n = None
+    if ast == ("ebv",):
+        # EBV of a numeric-typed literal: invalid lexical -> FALSE
+        return n != 0 if n is not None else False
+    if ast[0] == "ebv_arith":
+        # arithmetic first (error on invalid), then EBV of the result
+        return None if n is None else (n - ast[1]) != 0
+    if ast[0] == "cmp":
+        if n is None:
+            return None
+        _, op, c = ast
+        return {
+            "<": n < c, "<=": n <= c, ">": n > c,
+            ">=": n >= c, "=": n == c, "!=": n != c,
+        }[op]
+    if ast[0] == "not":
+        x = eval_bool(ast[1], lexical)
+        return None if x is None else not x
+    op, a, b = ast
+    av, bv = eval_bool(a, lexical), eval_bool(b, lexical)
+    if op == "&&":
+        if av is False or bv is False:
+            return False
+        if av is None or bv is None:
+            return None
+        return True
+    if av is True or bv is True:
+        return True
+    if av is None or bv is None:
+        return None
+    return False
+
+
+@pytest.mark.skipif(not HAVE_HYP, reason="hypothesis not installed")
+@settings(max_examples=20, deadline=None)
+@given(ast=bool_expr_st if HAVE_HYP else st.none())
+def test_boolean_expression_differential(spark, ast):
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+    values = ["0", "7", "9", "zz"]  # zz: invalid integer lexical
+    rows = [
+        (EX + f"s{i}", "iri", EX + "age", v, "literal", None, XSD_INT)
+        for i, v in enumerate(values)
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    expr = render_bool(ast)
+    # as a FILTER: keep iff True (error -> dropped)
+    # the SPARQL grammar requires a BrackettedExpression after FILTER
+    qf = (
+        "PREFIX ex: <http://ex.org/> SELECT ?s WHERE "
+        f"{{ ?s ex:age ?n . FILTER ({expr}) }}"
+    )
+    got_f = sorted(r.s for r in sparql_select(g, qf).collect())
+    want_f = sorted(
+        EX + f"s{i}" for i, v in enumerate(values)
+        if eval_bool(ast, v) is True
+    )
+    assert got_f == want_f, f"FILTER query {qf!r} diverged"
+    # as a BIND value: true/false term, error -> unbound (row kept).
+    # Only for BOOLEAN-topped ASTs — a bare ?n / (?n - c) as a BIND
+    # value is a TERM COPY / derived numeric in SPARQL, not an EBV
+    # coercion (EBV applies in boolean contexts only).
+    if ast[0] in ("not", "&&", "||", "cmp"):
+        qb = (
+            "PREFIX ex: <http://ex.org/> SELECT ?s ?b WHERE "
+            f"{{ ?s ex:age ?n . BIND({expr} AS ?b) }}"
+        )
+        got_b = {(r.s, r.b) for r in sparql_select(g, qb).collect()}
+        tv = {True: "true", False: "false", None: None}
+        want_b = {
+            (EX + f"s{i}", tv[eval_bool(ast, v)]) for i, v in enumerate(values)
+        }
+        assert got_b == want_b, f"BIND query {qb!r} diverged"
