@@ -311,7 +311,8 @@ partition first via ``isEmpty``) — DESCRIBE <iri>/?v via
 with recursive bnode closure, the ARQ default; returns a triples DF) — CONSTRUCT { tpl } WHERE { ... }
 via ``sparql_construct`` (template fan-out as a bag union over one
 pass of the solutions; returns a new 7-column triples DF; invalid
-instantiations skipped per SPARQL 1.1 §16.2) — GROUP BY ?vars with
+instantiations skipped per SPARQL 1.1 §16.2; the §10.2.3
+CONSTRUCT WHERE { BGP } template-free shorthand accepted, late r4) — GROUP BY ?vars with
 aggregates COUNT([DISTINCT] ?v|*), SUM/AVG([DISTINCT] ?v) (r4:
 DISTINCT dedups by full TERM per §18.5.1 — "1"^^xsd:int and
 "1.0"^^xsd:decimal are distinct terms and BOTH add — then folds the
@@ -1167,12 +1168,22 @@ class _Parser:
                 raise SparqlError("expected '{'")
         elif form == "CONSTRUCT":
             items = None
-            template = self._template()
-            k, kw = self._next()
-            if k != "kw" or str(kw).upper() != "WHERE":
-                raise SparqlError("CONSTRUCT needs a WHERE clause")
-            if self._next() != ("punct", "{"):
-                raise SparqlError("expected '{'")
+            if self._kw_is("WHERE"):
+                # §10.2.3 CONSTRUCT WHERE { ... } shorthand: no
+                # template — the WHERE pattern (a plain BGP by the
+                # shorthand's grammar) doubles as the template,
+                # validated and copied at the end of the parse
+                template = None
+                self._next()
+                if self._next() != ("punct", "{"):
+                    raise SparqlError("expected '{'")
+            else:
+                template = self._template()
+                k, kw = self._next()
+                if k != "kw" or str(kw).upper() != "WHERE":
+                    raise SparqlError("CONSTRUCT needs a WHERE clause")
+                if self._next() != ("punct", "{"):
+                    raise SparqlError("expected '{'")
         else:
             if self._kw_is("DISTINCT"):
                 distinct = True
@@ -1723,6 +1734,36 @@ class _Parser:
                     post_binds.append((expr, name))
         else:
             binds.extend(select_binds)
+        if form == "CONSTRUCT" and template is None:
+            # §10.2.3 CONSTRUCT WHERE shorthand: the pattern doubles as
+            # the template — restricted by the shorthand's grammar to a
+            # plain BGP (no FILTER/OPTIONAL/UNION/VALUES/BIND/subquery,
+            # no property paths, no literal subjects)
+            if (
+                filters or unions or exists_blocks or values_blocks
+                or subselects or binds or timeline or group_by or having
+            ):
+                raise SparqlError(
+                    "CONSTRUCT WHERE { ... } is the template-free "
+                    "shorthand: the pattern must be a plain basic graph "
+                    "pattern (no FILTER/OPTIONAL/UNION/VALUES/BIND/"
+                    "subquery) — use CONSTRUCT { tpl } WHERE { ... } "
+                    "for anything richer"
+                )
+            for s, p, o in patterns:
+                if not isinstance(p, (Iri, Var)) or any(
+                    _is_internal(v) for v in _pattern_vars([(s, p, o)])
+                ):
+                    raise SparqlError(
+                        "CONSTRUCT WHERE requires plain triple patterns "
+                        "— property paths are not allowed by the "
+                        "shorthand"
+                    )
+                if isinstance(s, Lit):
+                    raise SparqlError(
+                        "a CONSTRUCT subject cannot be a literal"
+                    )
+            template = list(patterns)
         return SimpleNamespace(
             form=form, items=items, distinct=distinct, patterns=patterns,
             timeline=timeline,

@@ -4382,3 +4382,31 @@ def test_group_exists_probe_nullable_key_refinement(graph, spark):
                                    FILTER (STRLEN(?m) > 0) }} }} }}"""
     with pytest.raises(SparqlError, match="probe"):
         sparql_select(g, qbad)
+
+
+def test_construct_where_shorthand(graph):
+    """§10.2.3 CONSTRUCT WHERE { BGP }: the pattern doubles as the
+    template; solution-join semantics and term components carry."""
+    from r2rml_parser_spark.plans.sparql import sparql_construct
+
+    q = """PREFIX ex: <http://ex.org/>
+    CONSTRUCT WHERE { ?s ex:name ?n . ?s ex:knows ?o }"""
+    got = {(r.subj, r.pred, r.obj, r.lang) for r in
+           sparql_construct(graph, q).collect()}
+    # only p1 has both name and knows
+    assert got == {
+        (EX + "p1", EX + "name", "Ada", None),
+        (EX + "p1", EX + "knows", EX + "p2", None),
+    }
+    # lang tags survive the round trip
+    q2 = "PREFIX ex: <http://ex.org/> CONSTRUCT WHERE { ?s ex:name ?n }"
+    langs = {(r.obj, r.lang) for r in sparql_construct(graph, q2).collect()}
+    assert langs == {("Ada", None), ("Grace", "en")}
+    # the shorthand is BGP-only
+    for bad in (
+        "PREFIX ex: <http://ex.org/> CONSTRUCT WHERE { ?s ex:name ?n FILTER(?n) }",
+        "PREFIX ex: <http://ex.org/> CONSTRUCT WHERE { ?s ex:name ?n OPTIONAL { ?s ex:knows ?o } }",
+        "PREFIX ex: <http://ex.org/> CONSTRUCT WHERE { ?s ex:knows+ ?o }",
+    ):
+        with pytest.raises(SparqlError):
+            sparql_construct(graph, bad)
