@@ -62,6 +62,11 @@ def tfidf_keywords(
         doc_tokens(docs, text_col=text_col, id_col=id_col)
         .groupBy("doc", "token")
         .agg(F.count("*").alias("tf"))
+        # tf feeds BOTH the df table and the scored join: persist the
+        # collapsed relation so the corpus-sized tokenize+shuffle runs
+        # once, not once per consumer (the plan shows no ReusedExchange
+        # without it — 2 corpus scans at 100 TB)
+        .persist()
     )
     n_docs = docs.agg(F.count("*").alias("n"))
     df_tbl = tf.groupBy("token").agg(F.count("*").alias("df"))
