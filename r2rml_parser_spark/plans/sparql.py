@@ -284,9 +284,12 @@ timeline point, so §18.6 substitutes exactly dom(μ) of the
 group-so-far: a probe variable a textually LATER pattern binds
 stays probe-local (the guard exempts exists_e subtrees), a
 nullable correlation key takes the same slice decomposition as
-FILTER-expression EXISTS, and EXISTS in GROUP binds (OPTIONAL/
-UNION/MINUS, compiled bottom-up before the outer relation exists)
-stays rejected; evaluated after patterns/OPTIONALs and visible to
+FILTER-expression EXISTS; EXISTS in GROUP binds (OPTIONAL/UNION/
+MINUS) compiles too (late r4) — the probe flags against the GROUP'S
+own solutions at the bind's textual point, bottom-up scoping exactly
+like group FILTER EXISTS (variables the group-so-far does not bind
+are probe-local; nullable keys slice; the inert-probe-key
+refinement applies); evaluated after patterns/OPTIONALs and visible to
 FILTERs/projection/ORDER BY/CONSTRUCT templates; per SPARQL 1.1
 §10.1 an evaluation error leaves ?v unbound with the row KEPT; using
 ?v in a later triple pattern or group is rejected via the
@@ -417,6 +420,7 @@ table).
 
 from __future__ import annotations
 
+import itertools
 import re
 from dataclasses import dataclass
 from types import SimpleNamespace
@@ -4890,11 +4894,98 @@ def _left_join_group(
     return joined.select(*keep)
 
 
+_EXISTS_FLAG_SEQ = itertools.count(1)
+
+
+def _attach_expr_exists_flags(
+    triples: DataFrame,
+    df: DataFrame,
+    bound: set[str],
+    nullable: set[str],
+    node,
+    flags: list[str],
+    scope: str,
+):
+    """Replace ``("exists_e", …)`` nodes in an expression AST with
+    ``("flag", col)`` references attached to ``df`` (the module-level
+    twin of ``_compile_where``'s ``_flag_exists`` closure, used for
+    GROUP-local binds, late r4): the probe compiles bottom-up against
+    ``bound`` — the group-so-far at the bind's textual point, outer
+    variables being out of scope there — and correlates by a
+    key-distinct left-join flag that never multiplies rows. Returns
+    (df, node); attached flag column names accumulate in ``flags``."""
+    if isinstance(node, tuple):
+        if node and node[0] == "exists_e":
+            gpats, gfilters, gnested, ge_inner, ge_binds = node[1]
+            gdf, gvars, e_nullable, edeferred = _compile_optional_group(
+                triples, gpats, gfilters, gnested, ge_inner, ge_binds, bound
+            )
+            if edeferred:
+                deep = sorted({
+                    v
+                    for f in edeferred
+                    for v in _expr_vars(f)
+                    if not _is_internal(v) and v not in gvars
+                })
+                raise SparqlError(
+                    f"an EXISTS filter references variable(s) {deep} "
+                    "not bound in the probe group"
+                )
+            shared = sorted(v for v in gvars if v in bound)
+            probe_null = sorted(v for v in shared if v in e_nullable)
+            if probe_null:
+                if gfilters or ge_inner:
+                    raise SparqlError(
+                        f"an EXISTS in {scope} correlates through "
+                        f"variable(s) {probe_null} its own OPTIONAL may "
+                        "leave unbound — §18.6 substitution over a "
+                        "nullable probe key is not expressible when the "
+                        "probe carries top-level filters or nested EXISTS"
+                    )
+                # inert key: existence independent (_apply_group_exists
+                # docstring) — drop it from the correlation
+                shared = [v for v in shared if v not in e_nullable]
+            if not shared:
+                return df, ("const", not gdf.isEmpty())
+            flag = f"__exists_flag_g{next(_EXISTS_FLAG_SEQ)}"
+            maybe_null = sorted(v for v in shared if v in nullable)
+            if maybe_null:
+                df = _attach_nullable_flag(df, gdf, shared, maybe_null, flag)
+            else:
+                keys = [x for v in shared for x in _term_key(v)]
+                marker = gdf.select(*keys).dropDuplicates().withColumn(
+                    flag, F.lit(True)
+                )
+                df = df.join(marker, on=keys, how="left").withColumn(
+                    flag, F.coalesce(F.col(flag), F.lit(False))
+                )
+            flags.append(flag)
+            return df, ("flag", flag)
+        parts = []
+        for x in node:
+            df, nx = _attach_expr_exists_flags(
+                triples, df, bound, nullable, x, flags, scope
+            )
+            parts.append(nx)
+        return df, tuple(parts)
+    if isinstance(node, list):
+        parts = []
+        for x in node:
+            df, nx = _attach_expr_exists_flags(
+                triples, df, bound, nullable, x, flags, scope
+            )
+            parts.append(nx)
+        return df, parts
+    return df, node
+
+
 def _apply_group_binds(
     df: DataFrame,
     gbinds: list[tuple],
     outer_bound: set[str],
     scope: str,
+    triples: DataFrame | None = None,
+    nullable: set[str] | None = None,
 ) -> tuple[DataFrame, set[str]]:
     """Group-local BINDs (r4): evaluated over the group's own solutions
     in textual order — each (expr, name, seen) entry recorded the
@@ -4905,9 +4996,17 @@ def _apply_group_binds(
     colliding with an outer variable is rejected too: SPARQL would
     make it a compatibility-join variable at the enclosing
     LeftJoin/Union/Minus, which the equi-join key sets here do not
-    carry. Returns (df, bind names) — callers add the names to the
-    group's variables and to the nullable set (§10.1: an evaluation
-    error leaves the variable unbound with the row kept)."""
+    carry. (Late r4) [NOT] EXISTS inside a group-bind expression
+    compiles when ``triples`` is provided: the probe flags against the
+    group's own solutions at the bind's textual point, exactly like a
+    group-level FILTER EXISTS — correlation through variables the
+    group binds (bottom-up scoping; a probe referencing outer-only
+    variables is rejected via the group-so-far check below), nullable
+    correlation keys through the slice decomposition via ``nullable``
+    (earlier bind targets are always included). Returns (df, bind
+    names) — callers add the names to the group's variables and to
+    the nullable set (§10.1: an evaluation error leaves the variable
+    unbound with the row kept)."""
     names: set[str] = set()
     for expr, name, seen in gbinds:
         if name in outer_bound:
@@ -4916,20 +5015,24 @@ def _apply_group_binds(
                 "bound outside the group — SPARQL's compatibility join on "
                 "it is not expressible here; rename the BIND target"
             )
-        if _has_exists_e(expr):
-            raise SparqlError(
-                f"EXISTS inside a BIND expression is only supported at "
-                f"the top level of WHERE, not in {scope} — the group "
-                "compiles bottom-up, before the relation the probe "
-                "would flag against exists"
-            )
-        refs = {v for v in _expr_vars(expr) if not _is_internal(v)}
+        refs = {v for v in _expr_input_vars(expr) if not _is_internal(v)}
         bad = sorted(refs - set(seen))
         if bad:
             raise SparqlError(
                 f"a BIND in {scope} references variable(s) {bad} bound "
                 "outside the group or textually later — SPARQL evaluates "
                 "BIND over the group-so-far"
+            )
+        bind_flags: list[str] = []
+        if _has_exists_e(expr):
+            if triples is None:
+                raise SparqlError(
+                    f"EXISTS inside a BIND expression is not supported "
+                    f"in {scope}"
+                )
+            df, expr = _attach_expr_exists_flags(
+                triples, df, set(seen),
+                (nullable or set()) | names, expr, bind_flags, scope,
             )
         val, kind, lg, dt = _eval_bind_expr(expr, set(seen), scope)
         k, l, d = _shadow_cols(name)
@@ -4939,6 +5042,8 @@ def _apply_group_binds(
             .withColumn(l, F.when(val.isNotNull(), lg))
             .withColumn(d, F.when(val.isNotNull(), dt))
         )
+        if bind_flags:
+            df = df.drop(*bind_flags)
         names.add(name)
     return df, names
 
@@ -5059,7 +5164,8 @@ def _compile_optional_group(
     # (incl. nested-OPTIONAL bindings textually before them),
     # before the group filters, which see the targets group-wide
     gdf, bnames = _apply_group_binds(
-        gdf, gbinds, outer_vars, "this OPTIONAL group"
+        gdf, gbinds, outer_vars, "this OPTIONAL group",
+        triples=triples, nullable=set(g_nullable),
     )
     gvars |= bnames
     g_nullable |= bnames  # §10.1: NULL on evaluation error
@@ -5143,7 +5249,8 @@ def _compile_where(
             else:
                 bdf, bvars = _join_patterns(triples, pats)
                 bdf, bnames = _apply_group_binds(
-                    bdf, gbinds, bound, "this UNION branch"
+                    bdf, gbinds, bound, "this UNION branch",
+                    triples=triples, nullable=set(),
                 )
                 bvars |= bnames
                 b_nullable = set(bnames)
@@ -5414,7 +5521,8 @@ def _compile_where(
         else:
             gdf, gvars = _join_patterns(triples, gpats)
             gdf, bnames = _apply_group_binds(
-                gdf, gbinds, bound, "this MINUS group"
+                gdf, gbinds, bound, "this MINUS group",
+                triples=triples, nullable=set(),
             )
             gvars |= bnames
             m_nullable = set(bnames)

@@ -4155,15 +4155,38 @@ def test_bind_exists_nullable_correlation(graph):
     assert got == {(EX + "p1", "true"), (EX + "p2", "true")}
 
 
-def test_bind_exists_in_group_rejected(graph):
+def test_bind_exists_in_groups(graph):
+    """(Late r4, formerly rejected) EXISTS inside group-local BINDs:
+    the probe flags against the group's own solutions at the bind's
+    textual point — bottom-up scoping, like group FILTER EXISTS."""
     q = """PREFIX ex: <http://ex.org/>
     SELECT ?p ?k WHERE {
       ?p a ex:Person .
       OPTIONAL { ?p ex:name ?nm .
                  BIND(EXISTS { ?p ex:knows ?o } AS ?k) }
     }"""
-    with pytest.raises(SparqlError, match="top level of WHERE"):
-        sparql_select(graph, q)
+    got = {(r.p, r.k) for r in sparql_select(graph, q).collect()}
+    assert got == {(EX + "p1", "true"), (EX + "p2", "false")}
+    # UNION branches: bag semantics across branches
+    q2 = """PREFIX ex: <http://ex.org/>
+    SELECT ?p ?k WHERE {
+      { ?p ex:name ?nm . BIND(EXISTS { ?p ex:knows ?o } AS ?k) }
+      UNION
+      { ?p ex:knows ?q2 . BIND(NOT EXISTS { ?q2 ex:knows ?o } AS ?k) }
+    }"""
+    got2 = sorted((r.p, r.k) for r in sparql_select(graph, q2).collect())
+    assert got2 == [
+        (EX + "p1", "true"), (EX + "p1", "true"), (EX + "p2", "false"),
+    ]
+    # MINUS groups: the bound flag feeds the group filter before the
+    # anti join
+    q3 = """PREFIX ex: <http://ex.org/>
+    SELECT ?p WHERE {
+      ?p a ex:Person .
+      MINUS { ?p ex:name ?nm . BIND(EXISTS { ?p ex:knows ?o } AS ?k)
+              FILTER(?k) }
+    }"""
+    assert [r.p for r in sparql_select(graph, q3).collect()] == [EX + "p2"]
 
 
 def test_bind_boolean_filtering_on_result(graph):
