@@ -1457,3 +1457,60 @@ def test_boolean_expression_differential(spark, ast):
             (EX + f"s{i}", tv[eval_bool(ast, v)]) for i, v in enumerate(values)
         }
         assert got_b == want_b, f"BIND query {qb!r} diverged"
+
+
+# ---------------------------------------------------------------------------
+# BIND(EXISTS { probe } AS ?k) differential (late r4): random required
+# BGPs × random probe BGPs over the shared variable pool, engine flags
+# vs direct §18.6 substitution over the naive evaluator's solutions —
+# a probe variable the required part binds correlates, one it does not
+# bind stays probe-local. Covers both outcomes of the flag join and
+# random degrees of correlation (0, 1, or 2 shared variables).
+
+
+@pytest.mark.skipif(not HAVE_HYP, reason="hypothesis not installed")
+@settings(max_examples=12, deadline=None)
+@given(graph=graph_st, patterns=query_st, probe=query_st)
+def test_bind_exists_differential(spark, graph, patterns, probe):
+    for pats in (patterns, probe):
+        for pat in pats:
+            for mode, v in pat:
+                if mode == "const" and v[1] == "bnode":
+                    return
+    vars_ = used_vars(patterns)
+    if not vars_:
+        return
+    rows = [
+        (s[0], s[1], p, o[0], o[1], o[2] or None, o[3] or None)
+        for s, p, o in graph
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+
+    def fmt(term):
+        mode, v = term
+        return f"?{v}" if mode == "var" else term_sparql(v)
+
+    req = " ".join(f"{fmt(s)} {fmt(p)} {fmt(o)} ." for s, p, o in patterns)
+    prb = " ".join(f"{fmt(s)} {fmt(p)} {fmt(o)} ." for s, p, o in probe)
+    q = (
+        f"SELECT {' '.join('?' + v for v in vars_)} ?kk WHERE "
+        f"{{ {req} BIND(EXISTS {{ {prb} }} AS ?kk) }}"
+    )
+    got = Counter(
+        tuple(r[v] for v in vars_) + (r.kk,)
+        for r in sparql_select(g, q).collect()
+    )
+    want = Counter()
+    for b in naive_eval(graph, patterns):
+        # §18.6: substitute dom(μ) into the probe — a probe variable
+        # bound by μ becomes a constant, the rest stay variables
+        substituted = [
+            tuple(
+                ("const", b[v]) if mode == "var" and v in b else (mode, v)
+                for mode, v in pat
+            )
+            for pat in probe
+        ]
+        k = "true" if naive_eval(graph, substituted) else "false"
+        want[tuple(b[v][0] for v in vars_) + (k,)] += 1
+    assert got == want, f"query {q!r} diverged"
