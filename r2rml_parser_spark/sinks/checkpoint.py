@@ -395,6 +395,26 @@ class GraphStore:
 
         return sparql_ask(self.read(), sparql, prefixes)
 
+    def construct(
+        self, sparql: str, prefixes: dict[str, str] | None = None
+    ) -> DataFrame:
+        """SPARQL CONSTRUCT over the persisted store — returns a new
+        7-column triples DF (composes with every sink and query, incl.
+        writing back to another GraphStore). All four query forms are
+        store-native (late r4)."""
+        from r2rml_parser_spark.plans.sparql import sparql_construct
+
+        return sparql_construct(self.read(), sparql, prefixes)
+
+    def describe(
+        self, sparql: str, prefixes: dict[str, str] | None = None
+    ) -> DataFrame:
+        """SPARQL DESCRIBE over the persisted store — concise bounded
+        description as a 7-column triples DF."""
+        from r2rml_parser_spark.plans.sparql import sparql_describe
+
+        return sparql_describe(self.read(), sparql, prefixes)
+
 
 class IncrementalRunner:
     """Per-mapping incremental execution with skip + resume.

@@ -299,3 +299,28 @@ def test_store_query_and_ask(spark, engine, tmp_path):
     assert got == {("http://x/a/1", "x"), ("http://x/a/2", "y")}
     assert store.ask('PREFIX ex: <http://ex.org/> ASK { ?s ex:v "z" }') is True
     assert store.ask('PREFIX ex: <http://ex.org/> ASK { ?s ex:v "nope" }') is False
+
+
+def test_store_construct_and_describe(spark, engine, tmp_path):
+    """All four query forms are store-native (late r4): CONSTRUCT and
+    DESCRIBE return 7-column triples DFs straight off the clustered
+    store, composing with every sink."""
+    store = GraphStore(spark, str(tmp_path / "g4"))
+    IncrementalRunner(engine, store).run()
+    derived = store.construct(
+        "PREFIX ex: <http://ex.org/> "
+        "CONSTRUCT { ?s ex:w ?v } WHERE { ?s ex:v ?v }"
+    )
+    assert derived.columns == [
+        "subj", "subj_kind", "pred", "obj", "obj_kind", "lang", "dtype"
+    ]
+    got = {(r.subj, r.pred, r.obj) for r in derived.collect()}
+    assert got == {
+        ("http://x/a/1", "http://ex.org/w", "x"),
+        ("http://x/a/2", "http://ex.org/w", "y"),
+        ("http://x/b/9", "http://ex.org/w", "z"),
+    }
+    desc = store.describe("DESCRIBE <http://x/a/1>")
+    assert {(r.subj, r.pred, r.obj) for r in desc.collect()} == {
+        ("http://x/a/1", "http://ex.org/v", "x"),
+    }
