@@ -650,6 +650,14 @@ def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- text analysis -----------------------------------------------------
 
+def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-50 tokens by occurrence count with
+    document frequency (deterministic head, two-phase counts)."""
+    from r2rml_parser_spark.operators.keywords import token_frequencies
+
+    return token_frequencies(_docs(spark, sf_dir), 50)
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF keywords per document (corpus-global smoothed idf;
     rounded-doubles oracle, window ordered on the rounded score)."""
@@ -850,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_groups": q_simhash_groups,
         "text_quality": q_text_quality,
         "tfidf_keywords": q_tfidf_keywords,
+        "token_frequencies": q_token_frequencies,
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
@@ -1067,6 +1076,9 @@ FROM n
         "tfidf_keywords": __import__(
             "r2rml_parser_spark.operators.keywords", fromlist=["x"]
         ).tfidf_keywords_oracle_sql(3),
+        "token_frequencies": __import__(
+            "r2rml_parser_spark.operators.keywords", fromlist=["x"]
+        ).token_frequencies_oracle_sql(50),
         "lang_id": oracles.lang_id_sql(),
         "token_counts": oracles.token_counts_sql(),
         "fingerprints": oracles.fingerprints_sql(),

@@ -116,3 +116,44 @@ SELECT doc, token, score FROM (
   FROM scored
 ) WHERE rn <= {k}
 """
+
+
+def token_frequencies(
+    docs: DataFrame,
+    k: int = 50,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus vocabulary head: top-``k`` tokens by total occurrence
+    count with document frequency — the table stopword lists, Zipf
+    sanity checks, and dataset cards are built from. One corpus-sized
+    shuffle (two-phase count per token over the (doc, token) collapse),
+    deterministic (count desc, token asc) head."""
+    per_doc = (
+        doc_tokens(docs, text_col=text_col, id_col=id_col)
+        .groupBy("doc", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    totals = per_doc.groupBy("token").agg(
+        F.sum("tf").alias("n_occurrences"),
+        F.count("*").alias("n_docs"),
+    )
+    return (
+        totals.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
+def token_frequencies_oracle_sql(k: int = 50, table: str = "documents") -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS doc,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+  FROM {table}
+),
+per_doc AS (SELECT doc, token, COUNT(*) AS tf FROM toks GROUP BY doc, token)
+SELECT token, SUM(tf) AS n_occurrences, COUNT(*) AS n_docs
+FROM per_doc GROUP BY token
+ORDER BY n_occurrences DESC, token LIMIT {k}
+"""
