@@ -303,7 +303,11 @@ the outer query as typed xsd:integer/xsd:decimal derived literals in
 their natural numeric Spark types (numeric ORDER BY/comparisons), MIN/MAX/SAMPLE/GROUP_CONCAT aliases
 carry unknown term components — term-sensitive tests on them are
 type errors; an alias colliding with an outer variable is rejected;
-subquery DISTINCT dedups by full term; (r4) §18.2.4.4 SELECT
+subquery DISTINCT dedups by full term; subquery ORDER BY sorts
+the WHERE relation BEFORE projection per §18.2.5 — non-projected
+variables order, so { SELECT ?s … ORDER BY DESC(?v) LIMIT k } is the
+top-k idiom (late r4; DISTINCT restricts to projected variables, the
+spec's own rule); (r4) §18.2.4.4 SELECT
 expressions over aggregate aliases and raw-aggregate HAVING/hidden
 aliases run INSIDE subqueries through the same post-aggregation
 channel as the main query, the expression alias reaching the outer
@@ -5850,6 +5854,7 @@ def _compile_subselect(
     post_names = {n for _, n in post_binds}
     df, bound, sub_nullable = _compile_where(triples, sub)
     items = sub.items
+    plain_src: DataFrame | None = None  # set on the plain-projection path
     if items is None:
         plain = sorted(v for v in bound if not _is_internal(v))
         aliases: list[tuple] = []
@@ -5933,6 +5938,7 @@ def _compile_subselect(
                 raise SparqlError(f"projected variables never bound: {missing}")
             out = df.select(*[c for v in plain for c in _term_key(v)])
             proj = plain
+            plain_src = df  # pre-projection relation for §18.2.5 ORDER
     if sub.distinct:
         out = out.dropDuplicates()
     if sub.order:
@@ -5943,9 +5949,29 @@ def _compile_subselect(
                 "subqueries — ORDER BY a projected variable/alias"
             )
         missing_order = [v for v, _ in sub.order if v not in proj]
-        if missing_order:
+        if missing_order and plain_src is not None and not sub.distinct:
+            # §18.2.5 (late r4, formerly rejected): ORDER BY evaluates
+            # over the WHERE relation BEFORE projection, so a
+            # non-projected variable may sort — the top-k-per-subquery
+            # idiom { SELECT ?s ... ORDER BY DESC(?v) LIMIT k }.
+            # Order the full relation, then project: Catalyst keeps
+            # Sort under Project, and the following LIMIT takes the
+            # first k of the sorted projection. Under DISTINCT the
+            # spec itself restricts conditions to projected variables
+            # (as at the top level), and in the aggregate branch
+            # non-projected variables no longer exist.
+            unbound_ = [v for v, _ in sub.order if v not in bound]
+            if unbound_:
+                raise SparqlError(
+                    f"ORDER BY variables never bound: {unbound_}"
+                )
+            out = plain_src.orderBy(*_order_keys(sub.order)).select(
+                *[c for v in plain for c in _term_key(v)]
+            )
+        elif missing_order:
             raise SparqlError(f"ORDER BY variables must be projected: {missing_order}")
-        out = out.orderBy(*_order_keys(sub.order))
+        else:
+            out = out.orderBy(*_order_keys(sub.order))
     if sub.offset is not None:
         out = out.offset(sub.offset)
     if sub.limit is not None:

@@ -4433,3 +4433,44 @@ def test_construct_where_shorthand(graph):
     ):
         with pytest.raises(SparqlError):
             sparql_construct(graph, bad)
+
+
+def test_subquery_order_nonprojected_topk(spark):
+    """§18.2.5 inside { SELECT } (late r4, formerly rejected): ORDER BY
+    evaluates over the WHERE relation BEFORE projection, so a
+    non-projected variable sorts — the top-k subquery idiom."""
+    from r2rml_parser_spark.plans.sparql import sparql_select as sq
+
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+    rows = [
+        (EX + "a", "iri", EX + "score", "3", "literal", None, XSD_INT),
+        (EX + "b", "iri", EX + "score", "9", "literal", None, XSD_INT),
+        (EX + "c", "iri", EX + "score", "5", "literal", None, XSD_INT),
+        (EX + "a", "iri", EX + "nm", "A", "literal", None, None),
+        (EX + "b", "iri", EX + "nm", "B", "literal", None, None),
+        (EX + "c", "iri", EX + "nm", "C", "literal", None, None),
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    q = """SELECT ?s ?n WHERE {
+      { SELECT ?s WHERE { ?s <http://ex.org/score> ?v }
+        ORDER BY DESC(?v) LIMIT 2 }
+      ?s <http://ex.org/nm> ?n }"""
+    got = sorted((r.s, r.n) for r in sq(g, q).collect())
+    assert got == [(EX + "b", "B"), (EX + "c", "C")]
+    # OFFSET composes: the middle score only
+    q2 = """SELECT ?s WHERE {
+      { SELECT ?s WHERE { ?s <http://ex.org/score> ?v }
+        ORDER BY ?v OFFSET 1 LIMIT 1 } }"""
+    assert [r.s for r in sq(g, q2).collect()] == [EX + "c"]
+    # DISTINCT keeps the spec's own projected-only restriction
+    q3 = """SELECT ?s WHERE {
+      { SELECT DISTINCT ?s WHERE { ?s <http://ex.org/score> ?v }
+        ORDER BY DESC(?v) LIMIT 1 } }"""
+    with pytest.raises(SparqlError, match="projected"):
+        sq(g, q3)
+    # never-bound order variables still rejected
+    q4 = """SELECT ?s WHERE {
+      { SELECT ?s WHERE { ?s <http://ex.org/score> ?v }
+        ORDER BY DESC(?zz) LIMIT 1 } }"""
+    with pytest.raises(SparqlError, match="never bound"):
+        sq(g, q4)
