@@ -306,8 +306,9 @@ type errors; an alias colliding with an outer variable is rejected;
 subquery DISTINCT dedups by full term; subquery ORDER BY sorts
 the WHERE relation BEFORE projection per §18.2.5 — non-projected
 variables order, so { SELECT ?s … ORDER BY DESC(?v) LIMIT k } is the
-top-k idiom (late r4; DISTINCT restricts to projected variables, the
-spec's own rule); (r4) §18.2.4.4 SELECT
+top-k idiom, and full ORDER BY value EXPRESSIONS sort there too —
+ORDER BY DESC(STRLEN(?v)) LIMIT k (late r4; DISTINCT restricts to
+projected variables, the spec's own rule); (r4) §18.2.4.4 SELECT
 expressions over aggregate aliases and raw-aggregate HAVING/hidden
 aliases run INSIDE subqueries through the same post-aggregation
 channel as the main query, the expression alias reaching the outer
@@ -5943,30 +5944,41 @@ def _compile_subselect(
         out = out.dropDuplicates()
     if sub.order:
         exprs_used = [c for c, _ in sub.order if not isinstance(c, str)]
-        if exprs_used:
-            raise SparqlError(
-                "ORDER BY expressions are not supported inside { SELECT } "
-                "subqueries — ORDER BY a projected variable/alias"
-            )
-        missing_order = [v for v, _ in sub.order if v not in proj]
-        if missing_order and plain_src is not None and not sub.distinct:
+        missing_order = [
+            v for v, _ in sub.order if isinstance(v, str) and v not in proj
+        ]
+        if (
+            (exprs_used or missing_order)
+            and plain_src is not None
+            and not sub.distinct
+        ):
             # §18.2.5 (late r4, formerly rejected): ORDER BY evaluates
-            # over the WHERE relation BEFORE projection, so a
-            # non-projected variable may sort — the top-k-per-subquery
-            # idiom { SELECT ?s ... ORDER BY DESC(?v) LIMIT k }.
-            # Order the full relation, then project: Catalyst keeps
-            # Sort under Project, and the following LIMIT takes the
-            # first k of the sorted projection. Under DISTINCT the
-            # spec itself restricts conditions to projected variables
-            # (as at the top level), and in the aggregate branch
-            # non-projected variables no longer exist.
-            unbound_ = [v for v, _ in sub.order if v not in bound]
+            # over the WHERE relation BEFORE projection, so
+            # non-projected variables AND full value expressions may
+            # sort — the top-k-per-subquery idiom { SELECT ?s ...
+            # ORDER BY DESC(STRLEN(?v)) LIMIT k }. Order the full
+            # relation through the shared expression-aware sorter,
+            # then project: Catalyst keeps Sort under Project, and the
+            # following LIMIT takes the head of the sorted projection.
+            # Under DISTINCT the spec itself restricts conditions to
+            # projected variables (as at the top level), and in the
+            # aggregate branch non-projected variables no longer exist.
+            refs = set(missing_order)
+            for c in exprs_used:
+                refs |= {v for v in _expr_vars(c) if not _is_internal(v)}
+            unbound_ = sorted(v for v in refs if v not in bound)
             if unbound_:
                 raise SparqlError(
                     f"ORDER BY variables never bound: {unbound_}"
                 )
-            out = plain_src.orderBy(*_order_keys(sub.order)).select(
-                *[c for v in plain for c in _term_key(v)]
+            out = _apply_order(
+                plain_src, sub.order, bound, "subquery ORDER BY"
+            ).select(*[c for v in plain for c in _term_key(v)])
+        elif exprs_used:
+            raise SparqlError(
+                "ORDER BY expressions inside { SELECT } subqueries are "
+                "supported on the plain-projection path only — under "
+                "DISTINCT/aggregates ORDER BY a projected variable/alias"
             )
         elif missing_order:
             raise SparqlError(f"ORDER BY variables must be projected: {missing_order}")

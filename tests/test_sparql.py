@@ -4474,3 +4474,22 @@ def test_subquery_order_nonprojected_topk(spark):
         ORDER BY DESC(?zz) LIMIT 1 } }"""
     with pytest.raises(SparqlError, match="never bound"):
         sq(g, q4)
+
+
+def test_subquery_order_expression(spark):
+    """ORDER BY expressions inside subqueries (plain-projection path,
+    late r4): DESC(STRLEN(?n)) over a non-projected variable."""
+    from r2rml_parser_spark.plans.sparql import sparql_select as sq
+
+    rows = [
+        (EX + "a", "iri", EX + "nm", "Al", "literal", None, None),
+        (EX + "b", "iri", EX + "nm", "Beatrice", "literal", None, None),
+        (EX + "c", "iri", EX + "nm", "Cyn", "literal", None, None),
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    q = """SELECT ?s WHERE {
+      { SELECT ?s WHERE { ?s <http://ex.org/nm> ?n }
+        ORDER BY DESC(STRLEN(?n)) LIMIT 1 } }"""
+    assert [r.s for r in sq(g, q).collect()] == [EX + "b"]
+    q2 = q.replace("DESC(STRLEN(?n))", "STRLEN(?n)")
+    assert [r.s for r in sq(g, q2).collect()] == [EX + "a"]
