@@ -47,6 +47,11 @@ HEADLINE = [
     # aggregate-subquery-join over the freshly built TPC-H KG — build +
     # query, timing the query surface itself
     "sparql_subquery_kg",
+    # r4 session-2 additions (new keys; earlier names unchanged): the
+    # corpus keyword extractor (tokenize + tf/df + per-doc window) and
+    # entity PageRank (KG build + 5 integer-exact iterative rounds)
+    "tfidf_keywords",
+    "kg_pagerank",
 ]
 
 
