@@ -650,6 +650,14 @@ def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- text analysis -----------------------------------------------------
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (60-token windows, 12-token
+    overlap): shuffle-free per-document fan-out, exact DuckDB twin."""
+    from r2rml_parser_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), 60, 12)
+
+
 def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary head: top-50 tokens by occurrence count with
     document frequency (deterministic head, two-phase counts)."""
@@ -859,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "tfidf_keywords": q_tfidf_keywords,
         "token_frequencies": q_token_frequencies,
+        "chunk_docs": q_chunk_docs,
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
@@ -1079,6 +1088,9 @@ FROM n
         "token_frequencies": __import__(
             "r2rml_parser_spark.operators.keywords", fromlist=["x"]
         ).token_frequencies_oracle_sql(50),
+        "chunk_docs": __import__(
+            "r2rml_parser_spark.operators.chunking", fromlist=["x"]
+        ).chunk_documents_oracle_sql(60, 12),
         "lang_id": oracles.lang_id_sql(),
         "token_counts": oracles.token_counts_sql(),
         "fingerprints": oracles.fingerprints_sql(),

@@ -959,3 +959,49 @@ def test_tfidf_keywords_vs_duckdb(spark):
     # tf beats a weak idf: "the" (tf=2) outranks the singletons in
     # docs 1-2, but the doc-specific token still makes the top-2
     assert "mat" in by_doc[1] and "dog" in by_doc[2]
+
+
+def test_chunk_documents_vs_duckdb(spark):
+    """Overlapping token-window chunking is bit-exact against the
+    DuckDB twin; boundary cases: short doc (one chunk), exact-fit,
+    overlap continuity, blank doc (no chunks)."""
+    import duckdb
+
+    from r2rml_parser_spark.operators.chunking import (
+        chunk_documents,
+        chunk_documents_oracle_sql,
+    )
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(25))),  # 25 tokens
+        (2, "one two three"),                        # short: one chunk
+        (3, " ".join(f"x{i}" for i in range(10))),   # exact fit
+        (4, "   "),                                  # blank: no chunks
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc, r.chunk_id, r.chunk_text, r.n_tokens)
+        for r in chunk_documents(docs, 10, 3).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = set(
+        map(tuple, con.execute(chunk_documents_oracle_sql(10, 3)).fetchall())
+    )
+    assert got == want
+    by_doc = {}
+    for d, c, t, n in got:
+        by_doc.setdefault(d, {})[c] = (t.split(), n)
+    # doc 1: stride 7 -> ceil((25-3)/7) = 4 chunks; overlap continuity
+    assert sorted(by_doc[1]) == [0, 1, 2, 3]
+    assert by_doc[1][0][0][7:] == by_doc[1][1][0][:3]   # 3-token overlap
+    assert by_doc[1][3][1] == 25 - 3 * 7                # last truncates
+    assert sorted(by_doc[2]) == [0] and by_doc[2][0][1] == 3
+    assert sorted(by_doc[3]) == [0] and by_doc[3][0][1] == 10
+    assert 4 not in by_doc
+    # invalid config
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, 10, 10)
