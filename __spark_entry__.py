@@ -216,6 +216,15 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tpch_pagerank(spark, sf_dir)
 
 
+def q_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered negative sampling over KG edges (KGE training pairs):
+    corrupt entity = entities[md5(s|p|o|slot) mod N], collisions and
+    already-true edges filtered - fully deterministic, DuckDB-exact."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_negatives
+
+    return run_tpch_negatives(spark, sf_dir)
+
+
 def q_sparql_boolbind_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean-valued BIND expressions (§17.2, late r4): a bare EXISTS
     probe (flagged at the BIND's own timeline point) and a comparison
@@ -822,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_groupbind_kg": q_sparql_groupbind_kg,
         "sparql_boolbind_kg": q_sparql_boolbind_kg,
         "kg_pagerank": q_kg_pagerank,
+        "kg_negatives": q_kg_negatives,
         "sparql_ebv_kg": q_sparql_ebv_kg,
         "sparql_existsnull_kg": q_sparql_existsnull_kg,
         "sparql_arith_kg": q_sparql_arith_kg,
@@ -910,6 +920,7 @@ def oracle_sql() -> dict[str, str]:
         TPCH_SPARQL_GROUPBIND_ORACLE_SQL,
         TPCH_SPARQL_BOOLBIND_ORACLE_SQL,
         TPCH_PAGERANK_ORACLE_SQL,
+        TPCH_NEGATIVES_ORACLE_SQL,
         TPCH_SPARQL_EBV_ORACLE_SQL,
         TPCH_SPARQL_EXISTSNULL_ORACLE_SQL,
         TPCH_SPARQL_ARITH_ORACLE_SQL,
@@ -983,6 +994,7 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "sparql_groupbind_kg": TPCH_SPARQL_GROUPBIND_ORACLE_SQL,
         "sparql_boolbind_kg": TPCH_SPARQL_BOOLBIND_ORACLE_SQL,
         "kg_pagerank": TPCH_PAGERANK_ORACLE_SQL,
+        "kg_negatives": TPCH_NEGATIVES_ORACLE_SQL,
         "sparql_ebv_kg": TPCH_SPARQL_EBV_ORACLE_SQL,
         "sparql_existsnull_kg": TPCH_SPARQL_EXISTSNULL_ORACLE_SQL,
         "sparql_arith_kg": TPCH_SPARQL_ARITH_ORACLE_SQL,

@@ -1,0 +1,134 @@
+"""Deterministic negative sampling over KG edges — KGE training pairs.
+
+The knowledge-graph-embedding training-data op (TransE-style corrupt
+triples; no reference counterpart — r2rml-parser emits triples and
+stops): for each true IRI→IRI edge, mint ``k`` corrupted twins by
+replacing the tail (or head) with a pseudo-randomly chosen entity,
+FILTERED against the true edge set (the standard "filtered setting").
+
+Determinism is the design constraint, as everywhere in this repo: the
+corrupt entity for (s, p, o, slot j) is ``entities[H(s|p|o|j) mod N]``
+where H is the first 15 hex digits of md5 as an integer (60 bits —
+both engines parse it exactly) and entities are indexed by a
+``row_number`` over their sorted IRIs. The DuckDB twin replays every
+step; no RNG state anywhere, so re-runs and resumes regenerate the
+same negatives.
+
+Scale shape: the entity table is dimension-sized (it rides a
+broadcast-eligible join keyed on the computed index, plus a one-row
+count relation); the only corpus-sized operations are the md5
+projection and the final LEFT ANTI join against the true edge set —
+one shuffle, partial-aggregation-free, AQE-skew-safe (keys are
+near-uniform md5 outputs). The entity indexing is one
+vocabulary-sized sort (row_number over sorted IRIs), the usual
+dimension-build cost. Collisions (corrupt == original, or the
+corrupted edge already true) are FILTERED OUT rather than retried —
+deterministic and join-free, at the cost of occasionally fewer than
+``k`` negatives per edge (the filtered-setting convention; slots are
+preserved so the drop is auditable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hex15_int(col: "F.Column") -> "F.Column":
+    """First 15 hex digits of md5 as a BIGINT (60 bits, exact in both
+    engines: Spark conv(,16,10), DuckDB ('0x'||h)::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def kg_true_edges(triples: DataFrame) -> DataFrame:
+    """Distinct (s, p, o) IRI→IRI edges of a 7-column triples DF."""
+    return (
+        triples.where((F.col("subj_kind") == "iri") & (F.col("obj_kind") == "iri"))
+        .select(F.col("subj").alias("s"), F.col("pred").alias("p"),
+                F.col("obj").alias("o"))
+        .dropDuplicates()
+    )
+
+
+def negative_samples(
+    triples: DataFrame, k: int = 2, corrupt: str = "tail"
+) -> DataFrame:
+    """(s, p, o, slot, neg) — up to ``k`` filtered corrupted twins per
+    true edge; ``neg`` replaces the tail (``corrupt="tail"``) or head
+    (``"head"``). See module docstring for the determinism recipe."""
+    if corrupt not in ("tail", "head"):
+        raise ValueError("corrupt must be 'tail' or 'head'")
+    edges = kg_true_edges(triples)
+    entities = (
+        edges.select(F.col("s").alias("entity"))
+        .unionByName(edges.select(F.col("o").alias("entity")))
+        .dropDuplicates()
+    )
+    w = Window.orderBy("entity")
+    indexed = entities.withColumn("idx", F.row_number().over(w))
+    n_ent = indexed.agg(F.count("*").alias("n"))
+    slots = edges.select(
+        "s", "p", "o",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("slot"),
+    ).crossJoin(F.broadcast(n_ent))
+    keyed = slots.withColumn(
+        "idx",
+        (
+            _hex15_int(
+                F.concat_ws("|", F.col("s"), F.col("p"), F.col("o"),
+                            F.col("slot").cast("string"))
+            ) % F.col("n")
+        ).cast("int") + 1,
+    )
+    cand = keyed.join(indexed, "idx").select(
+        "s", "p", "o", "slot", F.col("entity").alias("neg")
+    )
+    kept_col = "o" if corrupt == "tail" else "s"
+    cand = cand.where(F.col("neg") != F.col(kept_col))
+    if corrupt == "tail":
+        # filtered setting: (s, p, neg) must not itself be a true edge
+        return cand.join(
+            edges.select("s", "p", F.col("o").alias("neg")),
+            ["s", "p", "neg"], "left_anti",
+        ).select("s", "p", "o", "slot", "neg")
+    # head corruption: (neg, p, o) must not be a true edge
+    return cand.join(
+        edges.select(F.col("s").alias("neg"), "p", "o"),
+        ["neg", "p", "o"], "left_anti",
+    ).select("s", "p", "o", "slot", "neg")
+
+
+def negative_samples_oracle_sql(
+    edges_sql: str, k: int = 2, corrupt: str = "tail"
+) -> str:
+    """DuckDB twin over an (s, p, o) edge relation (already distinct)."""
+    kept = "o" if corrupt == "tail" else "s"
+    anti_on = (
+        "t.s = c.s AND t.p = c.p AND t.o = c.neg"
+        if corrupt == "tail"
+        else "t.s = c.neg AND t.p = c.p AND t.o = c.o"
+    )
+    return f"""
+WITH edges AS ({edges_sql}),
+entities AS (SELECT DISTINCT entity FROM
+  (SELECT s AS entity FROM edges UNION ALL SELECT o FROM edges)),
+indexed AS (SELECT entity, row_number() OVER (ORDER BY entity) AS idx
+            FROM entities),
+nn AS (SELECT COUNT(*) AS n FROM indexed),
+slots AS (SELECT s, p, o, unnest(generate_series(0, {k - 1})) AS slot
+          FROM edges),
+keyed AS (
+  SELECT s, p, o, slot,
+         (('0x' || substr(md5(s || '|' || p || '|' || o || '|' ||
+                              CAST(slot AS VARCHAR)), 1, 15))::BIGINT
+          % nn.n) + 1 AS idx
+  FROM slots, nn
+),
+cand AS (
+  SELECT k2.s, k2.p, k2.o, k2.slot, i.entity AS neg
+  FROM keyed k2 JOIN indexed i USING (idx)
+  WHERE i.entity <> k2.{kept}
+)
+SELECT c.s, c.p, c.o, c.slot, c.neg FROM cand c
+WHERE NOT EXISTS (SELECT 1 FROM edges t WHERE {anti_on})
+"""

@@ -1890,3 +1890,28 @@ def run_tpch_sparql_existsnull(spark: SparkSession, sf_dir: str) -> DataFrame:
 TPCH_SPARQL_EXISTSNULL_ORACLE_SQL = f"""
 SELECT '{KG}/nation/' || n_nationkey AS x, n_name AS nm FROM nation
 """
+
+
+def run_tpch_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic filtered negative sampling over the generated
+    KG's IRI→IRI edges (KGE training pairs — operators/negatives.py
+    for the md5-index recipe the DuckDB twin replays)."""
+    from r2rml_parser_spark.operators.negatives import negative_samples
+
+    return negative_samples(build_tpch_kg(spark, sf_dir), k=2)
+
+
+def tpch_negatives_oracle_sql() -> str:
+    from r2rml_parser_spark.operators.negatives import (
+        negative_samples_oracle_sql,
+    )
+
+    edges = (
+        f"SELECT DISTINCT subj AS s, pred AS p, obj AS o"
+        f" FROM ({TPCH_KG_ORACLE_SQL})"
+        f" WHERE subj_kind = 'iri' AND obj_kind = 'iri'"
+    )
+    return negative_samples_oracle_sql(edges, k=2)
+
+
+TPCH_NEGATIVES_ORACLE_SQL = tpch_negatives_oracle_sql()

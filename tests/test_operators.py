@@ -1005,3 +1005,40 @@ def test_chunk_documents_vs_duckdb(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(docs, 10, 10)
+
+
+def test_negative_samples_filtered_and_deterministic(spark):
+    """Filtered negative sampling: no corrupt twin equals its original
+    or any true edge; regeneration is identical (no RNG state); head
+    corruption is the symmetric form."""
+    from r2rml_parser_spark.operators.negatives import negative_samples
+
+    COLS = "subj subj_kind pred obj obj_kind lang dtype".split()
+    E = "http://x/"
+    tr_rows = [
+        (E + a, "iri", E + "p", E + b, "iri", None, None)
+        for a, b in [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")]
+    ] + [(E + "a", "iri", E + "p", "lit", "literal", None, None)]
+    tr = spark.createDataFrame(tr_rows, ", ".join(f"{c} string" for c in COLS))
+    true_edges = {(E + a, E + "p", E + b)
+                  for a, b in [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")]}
+    out = {(r.s, r.p, r.o, r.slot, r.neg)
+           for r in negative_samples(tr, k=3).collect()}
+    assert out  # some negatives survive the filter
+    for s, p, o, slot, neg in out:
+        assert neg != o
+        assert (s, p, neg) not in true_edges
+        assert (s, p, o) in true_edges          # originals are true
+    # deterministic: a second evaluation is identical
+    again = {(r.s, r.p, r.o, r.slot, r.neg)
+             for r in negative_samples(tr, k=3).collect()}
+    assert again == out
+    # head mode: (neg, p, o) never true, neg != s
+    hout = {(r.s, r.p, r.o, r.slot, r.neg)
+            for r in negative_samples(tr, k=3, corrupt="head").collect()}
+    for s, p, o, slot, neg in hout:
+        assert neg != s and (neg, p, o) not in true_edges
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        negative_samples(tr, corrupt="both")
