@@ -97,8 +97,12 @@ TWO-SIDED compatible LEFT join (late r4, formerly the last LeftJoin
 rejection): Join(A,G) by the two-sided slice decomposition ⊎ the
 kept-μ1 rows computed by folded anti-joins across G's bound-mask
 slices (the same forms apply at the TOP level when the OPTIONAL
-group's own nested OPTIONALs leave a shared key nullable); only the
-cross-group-filter × two-sided combination stays rejected, and a
+group's own nested OPTIONALs leave a shared key nullable); the
+cross-group-filter × two-sided combination composes too (late r4
+session 2 — the LAST formerly-rejected LeftJoin form): F filters the
+merged Join half and rides every Diff anti join as a per-pair ON
+conjunct with slice-wise renames, so NO LeftJoin form is rejected
+any more, and a
 pattern
 following a nested OPTIONAL inside the group must not share its
 variables (textual-order rule); a group FILTER
@@ -4599,6 +4603,8 @@ def _left_compat_join2(
     g_nullable: set[str],
     shared: list[str],
     what: str = "this OPTIONAL",
+    join_filters: list[tuple] | tuple = (),
+    bound: set[str] | frozenset = frozenset(),
 ) -> DataFrame:
     """SPARQL LeftJoin(A, G) (§18.5) when shared variables may be
     UNBOUND (NULL) on BOTH sides (late r4, formerly rejected): keys the
@@ -4617,7 +4623,24 @@ def _left_compat_join2(
     LeftJoin). A pair with B ∩ C empty is always compatible, so a
     non-empty such G slice eliminates the whole A slice. Survivors pad
     G's other columns with NULL. Both halves project the same column
-    name set; the union is by name, bag-exact."""
+    name set; the union is by name, bag-exact.
+
+    ``join_filters`` (late r4 session 2 — the LAST formerly-rejected
+    LeftJoin form): SPARQL's cross-group F composes with the
+    two-sided decomposition too. LeftJoin(A, G, F) = Filter(F,
+    Join(A, G)) ⊎ Diff(A, G, F). The Join half applies F OVER THE
+    MERGED solution after ``_compat_join`` (every variable resolves
+    by name there; an unbound merge value makes F an error → row
+    dropped, exactly Filter's semantics). The Diff half's per-pair
+    anti joins carry (effective-keys ∧ F) as the removal condition,
+    with F's references renamed PER LEFT-SLICE: a shared variable the
+    slice leaves unbound resolves to G's (renamed) column — the
+    merged binding — and one bound on the left resolves to the left
+    column; a reference into a G slice that also leaves it unbound
+    compiles over NULL columns → error → not-satisfied → μ1 kept, the
+    Diff's error→false case. A pair with no effective key and F
+    present anti-joins on F alone (a conditional cross anti join)
+    instead of the constant-emptiness shortcut."""
     l_null = sorted(v for v in shared if v in left_nullable)
     g_null = sorted(v for v in shared if v in g_nullable)
     if not g_null:
@@ -4633,6 +4656,14 @@ def _left_compat_join2(
     left = left.persist()
     gdf = gdf.persist()
     matches = _compat_join(left, set(l_null), gdf, set(g_null), shared, what)
+    gvars_all = sorted(c for c in gdf.columns if not c.startswith("__"))
+    left_vars = {c for c in left.columns if not c.startswith("__")}
+    if join_filters:
+        # Filter(F, Join): every variable resolves by name in the
+        # merged relation; an unbound merge value errors F → dropped
+        ext = set(bound) | set(gvars_all) | left_vars
+        for f in join_filters:
+            matches = matches.where(_compile_bool(f, ext, what))
     g_slices: list[tuple[set[str], DataFrame]] = []
     for mask in range(1 << len(g_null)):
         cb = {v for i, v in enumerate(g_null) if mask >> i & 1}
@@ -4653,17 +4684,56 @@ def _left_compat_join2(
                 F.col(v).isNotNull() if v in lb else F.col(v).isNull()
             )
         bvars = [v for v in shared if v not in l_null or v in lb]
-        for ci, (cb, g_sl) in enumerate(g_slices):
-            eff = [v for v in bvars if v not in g_null or v in cb]
-            if eff:
-                keys = [c for v in eff for c in _term_key(v)]
-                rem = rem.join(g_sl.select(*keys), on=keys, how="left_anti")
-            else:
-                if ci not in g_empty:
-                    g_empty[ci] = g_sl.isEmpty()
-                if not g_empty[ci]:
-                    rem = rem.limit(0)
-                    break
+        if join_filters:
+            # Diff(A, G, F): μ1 is removed iff SOME compatible μ2
+            # also satisfies F — the anti join carries
+            # (effective-keys ∧ F) with F's references renamed for
+            # THIS left slice: unbound-left shared vars and G-only
+            # vars resolve to G's renamed columns (the merged
+            # binding), left-bound vars to the left columns
+            ren = {
+                v: v + _GSUF
+                for v in gvars_all
+                if (v in set(l_null) - lb) or v not in left_vars
+            }
+            ren_all = {v: v + _GSUF for v in gvars_all}
+            for cb, g_sl in g_slices:
+                eff = [v for v in bvars if v not in g_null or v in cb]
+                sel = []
+                for v in gvars_all:
+                    sel.append(F.col(v).alias(ren_all[v]))
+                    for c_old, c_new in zip(
+                        _shadow_cols(v), _shadow_cols(ren_all[v])
+                    ):
+                        sel.append(F.col(c_old).alias(c_new))
+                g_r = g_sl.select(*sel)
+                cond = F.lit(True)
+                for v in eff:
+                    for c_old, c_new in zip(
+                        _term_key(v), _term_key(ren_all[v])
+                    ):
+                        cond = cond & (F.col(c_old) == F.col(c_new))
+                ext = set(bound) | left_vars | set(ren_all.values())
+                for f in join_filters:
+                    cond = cond & _compile_bool(
+                        _rename_expr_vars(f, ren), ext,
+                        f"{what} (join filter)",
+                    )
+                rem = rem.join(g_r, on=cond, how="left_anti")
+        else:
+            for ci, (cb, g_sl) in enumerate(g_slices):
+                eff = [v for v in bvars if v not in g_null or v in cb]
+                if eff:
+                    keys = [c for v in eff for c in _term_key(v)]
+                    rem = rem.join(
+                        g_sl.select(*keys), on=keys, how="left_anti"
+                    )
+                else:
+                    if ci not in g_empty:
+                        g_empty[ci] = g_sl.isEmpty()
+                    if not g_empty[ci]:
+                        rem = rem.limit(0)
+                        break
         for c in pad_cols:
             rem = rem.withColumn(c, F.lit(None).cast("string"))
         out = out.unionByName(rem)
@@ -5071,8 +5141,9 @@ def _compile_optional_group(
     filters; join keys nullable on the NESTED side (bound only
     inside a deeper OPTIONAL of the nested group), possibly on the
     parent side too → the two-sided compatible LEFT join
-    (_left_compat_join2). Only the cross-group-filter × two-sided
-    combination stays rejected.
+    (_left_compat_join2), composing with deferred cross-group
+    filters in every form (late r4 session 2) — no LeftJoin form is
+    rejected any more.
 
     A group filter referencing variables the group itself never
     binds — but its immediate LEFT side does (``outer_vars``) — is
@@ -5094,18 +5165,13 @@ def _compile_optional_group(
             # join keys nullable on the NESTED side (bound only
             # inside its own deeper OPTIONAL), possibly on the
             # parent side too — the two-sided compatible LEFT join
-            # (late r4, formerly rejected); the deferred-filter
-            # combination stays rejected
-            if ndeferred:
-                raise SparqlError(
-                    "a nested OPTIONAL filter referencing parent "
-                    "variables combined with nested-side possibly-"
-                    f"unbound join variable(s) ({nested_null}) is "
-                    "not supported"
-                )
+            # (late r4, formerly rejected); a deferred cross-group
+            # filter composes as the per-pair ON conjunct (session 2
+            # — the last formerly-rejected LeftJoin form)
             gdf = _left_compat_join2(
                 gdf, g_nullable, ndf, n_nullable, nshared,
                 "this nested OPTIONAL group",
+                join_filters=ndeferred, bound=gvars | nvars,
             )
             g_nullable |= (nvars - gvars) | n_nullable
             gvars |= nvars
@@ -5424,16 +5490,12 @@ def _compile_where(
             # join keys the GROUP's own nested OPTIONALs may leave
             # unbound — possibly nullable on the outer side too — take
             # the two-sided compatible LEFT join (late r4, formerly
-            # rejected); the cross-group-filter combination stays
-            # rejected (F would need renaming per slice PAIR)
-            if deferred:
-                raise SparqlError(
-                    "an OPTIONAL filter referencing outer variables "
-                    "combined with group-side possibly-unbound join "
-                    f"variable(s) ({group_null}) is not supported"
-                )
+            # rejected); a deferred cross-group filter composes as the
+            # per-slice-pair ON conjunct (session 2 — the last
+            # formerly-rejected LeftJoin form)
             df = _left_compat_join2(
-                df, set(maybe_null), gdf, g_nullable, shared
+                df, set(maybe_null), gdf, g_nullable, shared,
+                join_filters=deferred, bound=bound | gvars,
             )
             return df, bound | gvars, nullable | (gvars - bound)
         if deferred and (maybe_null or not shared):

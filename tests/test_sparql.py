@@ -2809,17 +2809,31 @@ def test_optional_two_sided_compat_join(graph, spark):
     }
 
 
-def test_optional_two_sided_with_filter_rejected(graph):
-    # the cross-group-filter × two-sided combination stays rejected
+def test_optional_two_sided_with_filter(graph):
+    """(Late r4 session 2, formerly the last rejected LeftJoin form)
+    cross-group filter × two-sided compatible LEFT join: ?q is
+    nullable on BOTH sides (outer O1 and the group's own nested
+    OPTIONAL) and the deferred F references outer ?n."""
     q = """PREFIX ex: <http://ex.org/>
-    SELECT ?p WHERE {
+    SELECT ?p ?n ?q ?w WHERE {
       ?p a ex:Person . ?p ex:name ?n .
       OPTIONAL { ?p ex:knows ?q }
       OPTIONAL { ?p ex:note ?w OPTIONAL { ?p ex:knows ?q }
                  FILTER (STR(?w) != STR(?n)) }
     }"""
-    with pytest.raises(SparqlError):
-        sparql_select(graph, q)
+    got = {(r.p, r.n, r.q, r.w) for r in sparql_select(graph, q).collect()}
+    assert got == {
+        (EX + "p1", "Ada", EX + "p2", EX + "p2"),  # F true → joined
+        (EX + "p2", "Grace", None, None),          # no group row
+    }
+    # F blocks p1's only match: the Diff half keeps the row with the
+    # group's variables unbound (never drops it)
+    q2 = q.replace("!=", "=")
+    got2 = {(r.p, r.n, r.q, r.w) for r in sparql_select(graph, q2).collect()}
+    assert got2 == {
+        (EX + "p1", "Ada", EX + "p2", None),
+        (EX + "p2", "Grace", None, None),
+    }
 
 
 def test_optional_inside_union_branch(graph):
@@ -4493,3 +4507,36 @@ def test_subquery_order_expression(spark):
     assert [r.s for r in sq(g, q).collect()] == [EX + "b"]
     q2 = q.replace("DESC(STRLEN(?n))", "STRLEN(?n)")
     assert [r.s for r in sq(g, q2).collect()] == [EX + "a"]
+
+
+def test_two_sided_leftjoin_with_crossgroup_filter(spark):
+    """The LAST formerly-rejected LeftJoin form (late r4 session 2):
+    a cross-group OPTIONAL filter composing with the TWO-SIDED
+    compatible LEFT join (shared key nullable on the group side).
+    F filters the Join half over the merged solution and rides the
+    Diff anti joins, so an F-blocked match KEEPS μ1 with the group
+    unbound (never drops it)."""
+    rows = [
+        ("u:a", "iri", EX + "q", "v1", "literal", None, None),
+        ("u:b", "iri", EX + "q", "v2", "literal", None, None),
+        ("u:a", "iri", EX + "k", "x1", "literal", None, None),
+        ("x1", "literal", EX + "n", "ada", "literal", None, None),
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    base = f"""SELECT ?s ?v ?w ?x WHERE {{ ?s <{EX}q> ?v . ?zz <{EX}n> ?w
+      OPTIONAL {{ ?s <{EX}k> ?x OPTIONAL {{ ?x <{EX}n> ?w }}
+                  FILTER(COND) }} }}"""
+    # F true everywhere: u:a joins (w agrees through the group's own
+    # nested OPTIONAL), u:b passes through unbound
+    q = base.replace("COND", '?v != "no"')
+    got = {(r.s, r.v, r.w, r.x) for r in sparql_select(g, q).collect()}
+    assert got == {("u:a", "v1", "ada", "x1"), ("u:b", "v2", "ada", None)}
+    # F blocks u:a's only match: the Diff half KEEPS the row unbound
+    q2 = base.replace("COND", '?v != "v1"')
+    got2 = {(r.s, r.v, r.w, r.x) for r in sparql_select(g, q2).collect()}
+    assert got2 == {("u:a", "v1", "ada", None), ("u:b", "v2", "ada", None)}
+    # F referencing the group-nullable shared key itself: the
+    # slice-wise rename resolves it to the merged binding
+    q3 = base.replace("COND", '?w = "ada" && ?v != "no"')
+    got3 = {(r.s, r.v, r.w, r.x) for r in sparql_select(g, q3).collect()}
+    assert got3 == {("u:a", "v1", "ada", "x1"), ("u:b", "v2", "ada", None)}

@@ -1514,3 +1514,81 @@ def test_bind_exists_differential(spark, graph, patterns, probe):
         k = "true" if naive_eval(graph, substituted) else "false"
         want[tuple(b[v][0] for v in vars_) + (k,)] += 1
     assert got == want, f"query {q!r} diverged"
+
+
+# ---------------------------------------------------------------------------
+# Cross-group filter × two-sided compatible LEFT join (late r4
+# session 2 — the last formerly-rejected LeftJoin form): random
+# { outer OPTIONAL { p1 } OPTIONAL { gbase OPTIONAL { n1 }
+#   FILTER (STR(?fa) != STR(?fb)) } }
+# vs a naive LeftJoin(A, G, F) fold where F evaluates over the MERGED
+# solution with error-as-false (an unbound reference fails F, keeping
+# μ1 — the Diff half). The random variable pool makes the filter
+# group-local, cross-group, outer-only, or unbound by chance, and the
+# group's own nested OPTIONAL makes shared keys two-sided-nullable.
+
+
+def _naive_leftjoin_f(left, right, f):
+    out = []
+    for m1 in left:
+        matches = [
+            {**m1, **m2}
+            for m2 in right
+            if _naive_compatible(m1, m2) and f({**m1, **m2})
+        ]
+        out.extend(matches if matches else [m1])
+    return out
+
+
+@pytest.mark.skipif(not HAVE_HYP, reason="hypothesis not installed")
+@settings(max_examples=30, deadline=None)
+@given(
+    graph=graph_st,
+    outer=_ng_pat if HAVE_HYP else st.none(),
+    p1=_ng_pat if HAVE_HYP else st.none(),
+    gbase=_ng_pat if HAVE_HYP else st.none(),
+    n1=_ng_pat if HAVE_HYP else st.none(),
+    fa=st.sampled_from(VARS) if HAVE_HYP else st.none(),
+    fb=st.sampled_from(VARS) if HAVE_HYP else st.none(),
+)
+def test_two_sided_leftjoin_filter_differential(
+    spark, graph, outer, p1, gbase, n1, fa, fb
+):
+    from r2rml_parser_spark.plans.sparql import SparqlError
+
+    vars_ = sorted(
+        {v for pat in [outer, p1, gbase, n1] for mode, v in pat if mode == "var"}
+    )
+    if not vars_:
+        return
+    rows = [
+        (s[0], s[1], p, o[0], o[1], o[2] or None, o[3] or None)
+        for s, p, o in graph
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    body = (
+        f"{_fmt_plain_pattern(outer)} . "
+        f"OPTIONAL {{ {_fmt_plain_pattern(p1)} }} "
+        f"OPTIONAL {{ {_fmt_plain_pattern(gbase)} "
+        f"OPTIONAL {{ {_fmt_plain_pattern(n1)} }} "
+        f"FILTER (STR(?{fa}) != STR(?{fb})) }}"
+    )
+    q = f"SELECT {' '.join('?' + v for v in vars_)} WHERE {{ {body} }}"
+    try:
+        out = sparql_select(g, q)
+    except SparqlError:
+        return  # rejection is always safe; mis-evaluation is the bug
+
+    def f(m):
+        if fa not in m or fb not in m:
+            return False  # STR of unbound → error → false
+        return m[fa][0] != m[fb][0]
+
+    group = _naive_leftjoin(naive_eval(graph, [gbase]), naive_eval(graph, [n1]))
+    sols = _naive_leftjoin(naive_eval(graph, [outer]), naive_eval(graph, [p1]))
+    want_sols = _naive_leftjoin_f(sols, group, f)
+    got = Counter(tuple(r[v] for v in vars_) for r in out.collect())
+    want = Counter(
+        tuple(b[v][0] if v in b else None for v in vars_) for b in want_sols
+    )
+    assert got == want, f"query {q!r} diverged"
