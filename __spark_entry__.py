@@ -207,6 +207,15 @@ def q_sparql_existsnull_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tpch_sparql_existsnull(spark, sf_dir)
 
 
+def q_sparql_twoside_filter_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-group filter x two-sided compatible LEFT join (late r4
+    session 2, the last formerly-rejected LeftJoin form): deferred F
+    over the outer ?cname, shared ?nat nullable on both sides."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_twoside_filter
+
+    return run_tpch_sparql_twoside_filter(spark, sf_dir)
+
+
 def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity PageRank over the generated KG (iterative DataFrame
     joins, exact-integer arithmetic so the DuckDB unrolled-CTE twin
@@ -832,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_boolbind_kg": q_sparql_boolbind_kg,
         "kg_pagerank": q_kg_pagerank,
         "kg_negatives": q_kg_negatives,
+        "sparql_twoside_filter_kg": q_sparql_twoside_filter_kg,
         "sparql_ebv_kg": q_sparql_ebv_kg,
         "sparql_existsnull_kg": q_sparql_existsnull_kg,
         "sparql_arith_kg": q_sparql_arith_kg,
@@ -921,6 +931,7 @@ def oracle_sql() -> dict[str, str]:
         TPCH_SPARQL_BOOLBIND_ORACLE_SQL,
         TPCH_PAGERANK_ORACLE_SQL,
         TPCH_NEGATIVES_ORACLE_SQL,
+        TPCH_SPARQL_TWOSIDE_FILTER_ORACLE_SQL,
         TPCH_SPARQL_EBV_ORACLE_SQL,
         TPCH_SPARQL_EXISTSNULL_ORACLE_SQL,
         TPCH_SPARQL_ARITH_ORACLE_SQL,
@@ -995,6 +1006,7 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "sparql_boolbind_kg": TPCH_SPARQL_BOOLBIND_ORACLE_SQL,
         "kg_pagerank": TPCH_PAGERANK_ORACLE_SQL,
         "kg_negatives": TPCH_NEGATIVES_ORACLE_SQL,
+        "sparql_twoside_filter_kg": TPCH_SPARQL_TWOSIDE_FILTER_ORACLE_SQL,
         "sparql_ebv_kg": TPCH_SPARQL_EBV_ORACLE_SQL,
         "sparql_existsnull_kg": TPCH_SPARQL_EXISTSNULL_ORACLE_SQL,
         "sparql_arith_kg": TPCH_SPARQL_ARITH_ORACLE_SQL,

@@ -1915,3 +1915,54 @@ def tpch_negatives_oracle_sql() -> str:
 
 
 TPCH_NEGATIVES_ORACLE_SQL = tpch_negatives_oracle_sql()
+
+
+# Cross-group filter × two-sided compatible LEFT join (late r4
+# session 2 — the last formerly-rejected LeftJoin form): the deferred
+# F references the OUTER-bound ?cname, and the shared key ?nat is
+# nullable on both sides.
+TPCH_SPARQL_TWOSIDE_FILTER_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?c ?cname ?nat ?seg WHERE {
+  ?c a ex:Customer . ?c ex:name ?cname .
+  OPTIONAL { ?c ex:inNation ?nat . ?nat ex:name "NATION_3" }
+  OPTIONAL { ?c ex:marketSegment "BUILDING" . ?c ex:segment ?seg
+             OPTIONAL { ?c ex:inNation ?nat . ?nat ex:inRegion <http://kg.example/region/1> }
+             FILTER(STRSTARTS(?cname, "Customer#0000000")) }
+}
+"""
+
+
+def run_tpch_sparql_twoside_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(
+        build_tpch_kg(spark, sf_dir), TPCH_SPARQL_TWOSIDE_FILTER_QUERY
+    )
+
+
+# F references only outer variables, so LeftJoin(A, G, F) matches iff
+# compatibility AND F(mu1): the same LEFT JOIN as the unfiltered twin
+# with F as one more ON conjunct; a blocked customer keeps its row
+# with the group's columns NULL (the Diff half).
+TPCH_SPARQL_TWOSIDE_FILTER_ORACLE_SQL = f"""
+WITH lhs AS (
+  SELECT '{KG}/customer/' || c.c_custkey AS c, c.c_name AS cname,
+         CASE WHEN n.n_name = 'NATION_3'
+              THEN '{KG}/nation/' || n.n_nationkey END AS nat
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+grp AS (
+  SELECT '{KG}/customer/' || c.c_custkey AS c, c.c_mktsegment AS seg,
+         CASE WHEN n.n_regionkey = 1
+              THEN '{KG}/nation/' || n.n_nationkey END AS nat
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE c.c_mktsegment = 'BUILDING'
+)
+SELECT lhs.c AS c, lhs.cname AS cname,
+       COALESCE(lhs.nat, grp.nat) AS nat, grp.seg AS seg
+FROM lhs LEFT JOIN grp
+  ON grp.c = lhs.c
+ AND (lhs.nat IS NULL OR grp.nat IS NULL OR lhs.nat = grp.nat)
+ AND lhs.cname LIKE 'Customer#0000000%'
+"""
