@@ -2504,6 +2504,18 @@ MALFORMED = [
     "SELECT ?x WHERE { ?s ?p ?x . FILTER regex(?x, 'p', ) }",
     "SELECT ?x WHERE { ?s ?p ?x . FILTER regex(?x, 'p', 'Z') }",
     "SELECT ?x WHERE { ?s ?p ?x } HAVING (COUNT(?x) ",
+    # late-r4 session-2 surface: malformed generator builtins,
+    # CONSTRUCT WHERE, and boolean-value forms reject cleanly
+    "SELECT ?x WHERE { ?s ?p ?x . BIND(NOW(1) AS ?t) }",
+    "SELECT ?x WHERE { ?s ?p ?x . BIND(RAND(?x) AS ?r) }",
+    "SELECT ?x WHERE { ?s ?p ?x . BIND(UUID( AS ?u) }",
+    "SELECT ?x WHERE { ?s ?p ?x . BIND(BNODE('a' AS ?b) }",
+    "CONSTRUCT WHERE { ?s ?p ?x FILTER(?x) }",
+    "CONSTRUCT WHERE { ?s ?p ?x OPTIONAL { ?x ?q ?y } }",
+    "CONSTRUCT WHERE { 'lit' ?p ?x }",
+    "SELECT ?x WHERE { ?s ?p ?x . FILTER((?x > 1) + 2) }",
+    "SELECT ?x WHERE { ?s ?p ?x . BIND((?x > 1) = (?x < 2) AS ?b) }",
+    "SELECT ?x WHERE { ?s ?p ?x . FILTER(?x &&) }",
 ]
 
 
