@@ -1592,3 +1592,62 @@ def test_two_sided_leftjoin_filter_differential(
         tuple(b[v][0] if v in b else None for v in vars_) for b in want_sols
     )
     assert got == want, f"query {q!r} diverged"
+
+
+# ---------------------------------------------------------------------------
+# EXISTS inside GROUP-local BINDs (late r4 session 2): random
+# { outer OPTIONAL { g1 . BIND(EXISTS { e1 } AS ?kk) } } vs a naive
+# fold — Extend the group's solutions with the §18.6-substituted
+# existence flag, then LeftJoin. Probe variables the group binds
+# correlate; the rest are probe-local.
+
+
+@pytest.mark.skipif(not HAVE_HYP, reason="hypothesis not installed")
+@settings(max_examples=20, deadline=None)
+@given(
+    graph=graph_st,
+    outer=_ng_pat if HAVE_HYP else st.none(),
+    g1=_ng_pat if HAVE_HYP else st.none(),
+    e1=_ng_pat if HAVE_HYP else st.none(),
+)
+def test_group_bind_exists_differential(spark, graph, outer, g1, e1):
+    from r2rml_parser_spark.plans.sparql import SparqlError
+
+    vars_ = sorted(
+        {v for pat in [outer, g1] for mode, v in pat if mode == "var"}
+    )
+    if not vars_:
+        return
+    rows = [
+        (s[0], s[1], p, o[0], o[1], o[2] or None, o[3] or None)
+        for s, p, o in graph
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    body = (
+        f"{_fmt_plain_pattern(outer)} . "
+        f"OPTIONAL {{ {_fmt_plain_pattern(g1)} "
+        f"BIND(EXISTS {{ {_fmt_plain_pattern(e1)} }} AS ?kk) }}"
+    )
+    q = f"SELECT {' '.join('?' + v for v in vars_)} ?kk WHERE {{ {body} }}"
+    try:
+        out = sparql_select(g, q)
+    except SparqlError:
+        return  # rejection is always safe; mis-evaluation is the bug
+    gsols = []
+    for b in naive_eval(graph, [g1]):
+        substituted = [tuple(
+            ("const", b[v]) if mode == "var" and v in b else (mode, v)
+            for mode, v in e1
+        )]
+        k = "true" if naive_eval(graph, substituted) else "false"
+        gsols.append({**b, "kk": (k, "literal", "", "")})
+    want_sols = _naive_leftjoin(naive_eval(graph, [outer]), gsols)
+    got = Counter(
+        tuple(r[v] for v in vars_) + (r.kk,) for r in out.collect()
+    )
+    want = Counter(
+        tuple(b[v][0] if v in b else None for v in vars_)
+        + (b["kk"][0] if "kk" in b else None,)
+        for b in want_sols
+    )
+    assert got == want, f"query {q!r} diverged"
