@@ -360,7 +360,9 @@ single implicit group); raw aggregate calls likewise compose inside
 SELECT expressions (``(SUM(?x)/COUNT(?x) AS ?mean)``) and ORDER BY
 conditions (``ORDER BY DESC(COUNT(?s))``), all compiled as a
 post-aggregation filter/extension on the naturally-typed output
-columns; composes with !/&&/||.
+columns; composes with !/&&/||, and HAVING(?alias) takes the alias's
+§17.2.2 effective boolean value (numeric aliases by value ≠ 0,
+lexical keys by the value-aware dispatch, late r4).
 
 FILTER comparison semantics: =/!= compare the TERM (lexical form,
 kind, lang tag, datatype IRI) unless an operand is a bare number or
@@ -4166,6 +4168,26 @@ def _compile_having(node, proj: list[str]) -> "F.Column":
         return ~_compile_having(node[1], proj)
     if tag == "const":
         return F.lit(bool(node[1]))
+    if tag == "ebv" and isinstance(node[1], Var):
+        # §17.2.2 effective boolean value of a projected alias/key
+        # (late r4): HAVING(?cnt) ≡ count ≠ 0. Aggregate aliases carry
+        # natural numeric types (exact); a lexical group key takes the
+        # engine's value-aware dispatch — numeric-parsing → value ≠ 0,
+        # otherwise non-empty — the same documented approximation the
+        # ordering operators use on untyped lexicals.
+        name = node[1].name
+        if name not in proj:
+            raise SparqlError(
+                f"HAVING variable ?{name} is not a projected alias or "
+                "group key"
+            )
+        col = F.col(name)
+        num = col.cast("string").try_cast(_DECIMAL)
+        return (
+            F.when(col.isNull(), F.lit(None).cast("boolean"))
+            .when(num.isNotNull(), num != F.lit(0).cast(_DECIMAL))
+            .otherwise(F.length(col.cast("string")) > 0)
+        )
     if tag == "cmp":
         _, left, op, right = node
 

@@ -4552,3 +4552,29 @@ def test_two_sided_leftjoin_with_crossgroup_filter(spark):
     q3 = base.replace("COND", '?w = "ada" && ?v != "no"')
     got3 = {(r.s, r.v, r.w, r.x) for r in sparql_select(g, q3).collect()}
     assert got3 == {("u:a", "v1", "ada", "x1"), ("u:b", "v2", "ada", None)}
+
+
+def test_having_ebv(spark):
+    """HAVING(?alias) takes the §17.2.2 effective boolean value of the
+    projected alias (late r4): a zero SUM drops its group; composes
+    with raw aggregates through ||."""
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+    rows = [
+        (EX + "a", "iri", EX + "v", "1", "literal", None, XSD_INT),
+        (EX + "a", "iri", EX + "v", "-1", "literal", None, XSD_INT),
+        (EX + "b", "iri", EX + "v", "5", "literal", None, XSD_INT),
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    q = """SELECT ?s (SUM(?v) AS ?t) WHERE { ?s <http://ex.org/v> ?v }
+    GROUP BY ?s HAVING(?t)"""
+    assert [r.s for r in sparql_select(g, q).collect()] == [EX + "b"]
+    q2 = """SELECT ?s (SUM(?v) AS ?t) WHERE { ?s <http://ex.org/v> ?v }
+    GROUP BY ?s HAVING(?t || COUNT(?v) > 1)"""
+    assert sorted(r.s for r in sparql_select(g, q2).collect()) == [
+        EX + "a", EX + "b",
+    ]
+    # unprojected variable still rejected
+    q3 = """SELECT ?s (SUM(?v) AS ?t) WHERE { ?s <http://ex.org/v> ?v }
+    GROUP BY ?s HAVING(?zz)"""
+    with pytest.raises(SparqlError, match="projected"):
+        sparql_select(g, q3)
