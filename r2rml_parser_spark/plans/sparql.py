@@ -3998,39 +3998,10 @@ def _compile_bool(node, bound: set[str], scope: str = "the query") -> "F.Column"
                 f"top level of WHERE, not in {scope}"
             )
         if tag == "ebv":
-            # §17.2.2 effective boolean value of a VALUE operand
-            # (late r4): xsd:boolean → by lexical form ("true"/"1";
-            # an INVALID boolean lexical is false per spec), numeric
-            # datatypes → value != 0 with invalid-lexical → false
-            # (±INF true, NaN fails the cast → false, matching XPath),
-            # plain/lang-tagged/xsd:string literals → non-empty, and
-            # any other term (IRI, bnode, other datatype, unbound) is
-            # a type error → NULL → row dropped / error-propagated
-            # through the Kleene connectives.
+            # §17.2.2 effective boolean value of a VALUE operand —
+            # shared dispatch in _ebv_of_term.
             v, k, lg, dt = _eval_bind_expr(node[1], bound, scope)
-            d = F.coalesce(dt, F.lit(""))
-            n = v.try_cast(_DECIMAL)
-            return (
-                F.when(
-                    v.isNull() | (k != F.lit("literal")),
-                    F.lit(None).cast("boolean"),
-                )
-                .when(
-                    d == F.lit(_XSD + "boolean"),
-                    v.isin("true", "1"),
-                )
-                .when(
-                    d.isin(*sorted(XSD_NUMERIC)),
-                    F.when(v.isin("INF", "+INF", "-INF"), F.lit(True))
-                    .when(n.isNotNull(), n != F.lit(0).cast(_DECIMAL))
-                    .otherwise(F.lit(False)),
-                )
-                .when(
-                    (d == "") | (d == F.lit(XSD_STRING)),
-                    F.length(v) > 0,
-                )
-                .otherwise(F.lit(None).cast("boolean"))
-            )
+            return _ebv_of_term(v, k, dt)
         if tag == "same":
             # RDF term identity: all four components equal; an unbound
             # variable yields NULL components → error → row dropped
@@ -4153,28 +4124,90 @@ def _compile_bool(node, bound: set[str], scope: str = "the query") -> "F.Column"
     return compile_node(node)
 
 
-def _compile_having(node, proj: list[str]) -> "F.Column":
+def _ebv_of_term(v, k, dt) -> "F.Column":
+    """§17.2.2 effective boolean value of a term given (value, kind,
+    dtype) columns.
+
+    xsd:boolean → by lexical form ("true"/"1"; an INVALID boolean
+    lexical is false per spec). xsd:float/xsd:double → ±INF true, NaN
+    false, otherwise the DOUBLE value ≠ 0 (r5 ADVICE fix: a
+    decimal(38,12) cast nulled overflow lexicals like "1e30" and zeroed
+    magnitudes < 1e-12, silently dropping rows the spec keeps; and INF
+    is only a valid lexical for the two floating types). The
+    integer/decimal family → decimal value ≠ 0 with invalid-lexical
+    (including "INF") → false. Plain/lang-tagged/xsd:string literals →
+    non-empty. Any other term (IRI, bnode, other datatype, unbound) is
+    a type error → NULL → row dropped / error-propagated through the
+    Kleene connectives.
+
+    Caveat: Spark's string→double cast also accepts "Infinity"/"Inf"
+    spellings that are not valid XSD lexicals; those over-accept as
+    true instead of the spec's invalid-lexical → false."""
+    d = F.coalesce(dt, F.lit(""))
+    floaty = (_XSD + "float", _XSD + "double")
+    n = v.try_cast(_DECIMAL)
+    nd = v.try_cast("double")
+    return (
+        F.when(
+            v.isNull() | (k != F.lit("literal")),
+            F.lit(None).cast("boolean"),
+        )
+        .when(
+            d == F.lit(_XSD + "boolean"),
+            v.isin("true", "1"),
+        )
+        .when(
+            d.isin(*floaty),
+            F.when(v.isin("INF", "+INF", "-INF"), F.lit(True))
+            .when(F.isnan(nd), F.lit(False))
+            .when(nd.isNotNull(), nd != F.lit(0.0))
+            .otherwise(F.lit(False)),
+        )
+        .when(
+            d.isin(*sorted(XSD_NUMERIC - set(floaty))),
+            F.when(n.isNotNull(), n != F.lit(0).cast(_DECIMAL))
+            .otherwise(F.lit(False)),
+        )
+        .when(
+            (d == "") | (d == F.lit(XSD_STRING)),
+            F.length(v) > 0,
+        )
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+def _compile_having(
+    node, proj: list[str], cols: set[str] | None = None
+) -> "F.Column":
     """HAVING expression over the aggregated relation: operands are
     projected aliases / group keys (natural column types — aggregate
     aliases are numeric, group keys lexical strings) and constants;
     composes with !/&&/|| like any FILTER. Referencing an unprojected
-    variable is rejected."""
+    variable is rejected. ``cols`` is the aggregated frame's column
+    set: when a group key kept its term shadows (keep_term_keys), EBV
+    takes the exact §17.2.2 dispatch instead of the lexical heuristic."""
     tag = node[0]
     if tag == "or":
-        return _compile_having(node[1], proj) | _compile_having(node[2], proj)
+        return _compile_having(node[1], proj, cols) | _compile_having(
+            node[2], proj, cols
+        )
     if tag == "and":
-        return _compile_having(node[1], proj) & _compile_having(node[2], proj)
+        return _compile_having(node[1], proj, cols) & _compile_having(
+            node[2], proj, cols
+        )
     if tag == "not":
-        return ~_compile_having(node[1], proj)
+        return ~_compile_having(node[1], proj, cols)
     if tag == "const":
         return F.lit(bool(node[1]))
     if tag == "ebv" and isinstance(node[1], Var):
-        # §17.2.2 effective boolean value of a projected alias/key
-        # (late r4): HAVING(?cnt) ≡ count ≠ 0. Aggregate aliases carry
-        # natural numeric types (exact); a lexical group key takes the
-        # engine's value-aware dispatch — numeric-parsing → value ≠ 0,
-        # otherwise non-empty — the same documented approximation the
-        # ordering operators use on untyped lexicals.
+        # §17.2.2 effective boolean value of a projected alias/key:
+        # HAVING(?cnt) ≡ count ≠ 0. Aggregate aliases carry natural
+        # numeric types (exact). A group key with term shadows in
+        # scope gets the engine's full EBV dispatch (numeric EBV only
+        # for numeric-TYPED keys; plain/xsd:string by non-emptiness —
+        # so a plain-literal key "0" is TRUE per spec, r5 ADVICE fix).
+        # Without shadows (bare-aggregate path) the value-aware
+        # numeric-parsing heuristic remains, documented.
         name = node[1].name
         if name not in proj:
             raise SparqlError(
@@ -4182,6 +4215,9 @@ def _compile_having(node, proj: list[str]) -> "F.Column":
                 "group key"
             )
         col = F.col(name)
+        sk, _sl, sd = _shadow_cols(name)
+        if cols is not None and sk in cols:
+            return _ebv_of_term(col, F.col(sk), F.col(sd))
         num = col.cast("string").try_cast(_DECIMAL)
         return (
             F.when(col.isNull(), F.lit(None).cast("boolean"))
@@ -5956,7 +5992,7 @@ def _compile_subselect(
                 df, agg_items, sub.group_by, bound, keep_term_keys=True
             )
             if sub.having is not None:
-                out = out.where(_compile_having(sub.having, aproj))
+                out = out.where(_compile_having(sub.having, aproj, set(out.columns)))
             # shadow-mint every aggregate alias (projected AND hidden)
             # BEFORE the expression pass — post-binds read aliases
             # through their shadow columns like any BIND input
@@ -6112,7 +6148,7 @@ def _compile(triples: DataFrame, parsed: SimpleNamespace) -> DataFrame:
             ] + list(hidden_aggs)
             out, proj = _aggregate(df, agg_items, group_by, bound, keep_term_keys=True)
             if parsed.having is not None:
-                out = out.where(_compile_having(parsed.having, proj))
+                out = out.where(_compile_having(parsed.having, proj, set(out.columns)))
             aliases = [it for it in agg_items if it[0] == "agg"]
             nil = F.lit(None).cast("string")
             for _, func, _d, _v, alias, _sep in aliases:
@@ -6177,9 +6213,21 @@ def _compile(triples: DataFrame, parsed: SimpleNamespace) -> DataFrame:
                     order_done = True
             out = out.select(*proj)
         else:
-            out, proj = _aggregate(df, items, group_by, bound)
             if parsed.having is not None:
-                out = out.where(_compile_having(parsed.having, proj))
+                # keep group-key term shadows through the aggregation so
+                # HAVING's EBV/comparison dispatch is term-aware (a
+                # PLAIN-literal key "0" is EBV-true by non-emptiness,
+                # a numeric-TYPED key "0" is false — r5 ADVICE fix),
+                # then project down to the plain output columns.
+                out, proj = _aggregate(
+                    df, items, group_by, bound, keep_term_keys=True
+                )
+                out = out.where(
+                    _compile_having(parsed.having, proj, set(out.columns))
+                )
+                out = out.select(*proj)
+            else:
+                out, proj = _aggregate(df, items, group_by, bound)
     else:
         proj = (
             sorted(v for v in bound if not _is_internal(v))

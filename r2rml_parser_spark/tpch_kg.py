@@ -57,6 +57,24 @@ def build_tpch_kg(spark: SparkSession, sf_dir: str, lineage: bool = False) -> Da
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 ONT = f"{KG}/ontology#"
 
+
+def _decimal_cols_as_strings(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Render decimal(38,12) aggregate columns as fixed-scale-12 strings.
+
+    The driver hash compares pandas-materialized values: Spark decimals
+    arrive as ``decimal.Decimal`` objects while DuckDB's DECIMAL/HUGEINT
+    collapse to float64, so bit-identical values hash differently. Both
+    sides therefore project decimal aggregates through the same textual
+    rendering (Spark ``CAST(... AS STRING)`` of decimal(38,12) ==
+    DuckDB ``CAST(... AS VARCHAR)`` of DECIMAL(38,12): fixed 12-digit
+    scale, no exponent). Bigint aggregates (COUNT) stay typed — int64
+    round-trips identically on both sides."""
+    from pyspark.sql import functions as F
+
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast("string"))
+    return df
+
 # SPARQL over the generated KG (the reference's own test pattern:
 # ComplianceTests.java:147-168 runs a SELECT over the model it just
 # generated). Five-pattern BGP + regex FILTER: class slice (broadcast),
@@ -1008,20 +1026,37 @@ SELECT ?nation_name (SUM(?k) AS ?twice) (SUM(DISTINCT ?k) AS ?once)
 def run_tpch_sparql_aggdistinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from r2rml_parser_spark.plans.sparql import sparql_select
 
-    return sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_AGGDISTINCT_QUERY)
+    out = sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_AGGDISTINCT_QUERY)
+    return _decimal_cols_as_strings(out, ["twice", "once", "mean"])
 
 
 # DuckDB twin: custkeys are unique per customer, so the term-dedup
 # halves the doubled bag exactly — SUM(DISTINCT) = SUM over customers,
-# AVG(DISTINCT) = plain AVG. COUNT-style casts pin DECIMAL(38,12) to
-# match the engine's canonical decimal aggregate type.
+# AVG(DISTINCT) = plain AVG. Decimal aggregates render as fixed-scale-12
+# strings on BOTH sides (see _decimal_cols_as_strings) so the driver's
+# value hash compares representation-stable text, and the AVG replays
+# Spark's decimal(38,12) HALF_UP division exactly via HUGEINT
+# arithmetic ((2*s*10^12 + cnt) // (2*cnt) is half-up for s,cnt > 0)
+# instead of DuckDB's own float/decimal division rounding.
 TPCH_SPARQL_AGGDISTINCT_ORACLE_SQL = f"""
-SELECT n.n_name AS nation_name,
-       CAST(2 * SUM(c.c_custkey) AS DECIMAL(38,12)) AS twice,
-       CAST(SUM(c.c_custkey) AS DECIMAL(38,12)) AS once,
-       CAST(AVG(c.c_custkey) AS DECIMAL(38,12)) AS mean
-FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
-GROUP BY n.n_name
+WITH agg AS (
+  SELECT n.n_name AS nation_name,
+         CAST(SUM(c.c_custkey) AS HUGEINT) AS s,
+         CAST(COUNT(*) AS HUGEINT) AS cnt
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name
+),
+halfup AS (
+  SELECT nation_name, s, cnt,
+         (s * 2000000000000 + cnt) // (2 * cnt) AS q
+  FROM agg
+)
+SELECT nation_name,
+       CAST(CAST(2 * s AS DECIMAL(38,12)) AS VARCHAR) AS twice,
+       CAST(CAST(s AS DECIMAL(38,12)) AS VARCHAR) AS once,
+       CAST(q // 1000000000000 AS VARCHAR) || '.' ||
+         lpad(CAST(q % 1000000000000 AS VARCHAR), 12, '0') AS mean
+FROM halfup
 ORDER BY nation_name
 """
 
@@ -1045,7 +1080,8 @@ SELECT ?p (SUM(?o) AS ?total) (MIN(?o) AS ?lo) (MAX(?o) AS ?hi)
 def run_tpch_sparql_aggsem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from r2rml_parser_spark.plans.sparql import sparql_select
 
-    return sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_AGGSEM_QUERY)
+    out = sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_AGGSEM_QUERY)
+    return _decimal_cols_as_strings(out, ["total"])
 
 
 # DuckDB twin over the same triples relation: the group-error gate is
@@ -1063,7 +1099,8 @@ SELECT pred AS p,
        CASE WHEN COUNT(CASE WHEN try_cast(obj AS DECIMAL(38,12)) IS NULL
                             THEN 1 END) > 0
             THEN NULL
-            ELSE CAST(SUM(try_cast(obj AS DECIMAL(38,12))) AS DECIMAL(38,12))
+            ELSE CAST(CAST(SUM(try_cast(obj AS DECIMAL(38,12)))
+                           AS DECIMAL(38,12)) AS VARCHAR)
        END AS total,
        (min({_AGGSEM_STRUCT_KEY})).v AS lo,
        (max({_AGGSEM_STRUCT_KEY})).v AS hi,
@@ -1194,13 +1231,14 @@ SELECT ?nation_name (COUNT(?c) AS ?n) (SUM(?k) AS ?s) (?s - ?n AS ?adj)
 def run_tpch_sparql_selectexpr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from r2rml_parser_spark.plans.sparql import sparql_select
 
-    return sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_SELECTEXPR_QUERY)
+    out = sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_SELECTEXPR_QUERY)
+    return _decimal_cols_as_strings(out, ["s"])
 
 
 TPCH_SPARQL_SELECTEXPR_ORACLE_SQL = f"""
 SELECT n.n_name AS nation_name,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(c.c_custkey) AS DECIMAL(38,12)) AS s,
+       CAST(CAST(SUM(c.c_custkey) AS DECIMAL(38,12)) AS VARCHAR) AS s,
        CAST(CAST(SUM(c.c_custkey) - COUNT(*) AS BIGINT) AS VARCHAR) AS adj,
        UPPER(n.n_name) AS up
 FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -1255,12 +1293,13 @@ SELECT ?nation_name (SUM(?k * 2 + 1) AS ?rev) (COUNT(*) AS ?n) WHERE {
 def run_tpch_sparql_aggexpr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from r2rml_parser_spark.plans.sparql import sparql_select
 
-    return sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_AGGEXPR_QUERY)
+    out = sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_AGGEXPR_QUERY)
+    return _decimal_cols_as_strings(out, ["rev"])
 
 
 TPCH_SPARQL_AGGEXPR_ORACLE_SQL = f"""
 SELECT n.n_name AS nation_name,
-       CAST(SUM(2 * c.c_custkey + 1) AS DECIMAL(38,12)) AS rev,
+       CAST(CAST(SUM(2 * c.c_custkey + 1) AS DECIMAL(38,12)) AS VARCHAR) AS rev,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
 GROUP BY n.n_name

@@ -1042,3 +1042,32 @@ def test_negative_samples_filtered_and_deterministic(spark):
 
     with _pytest.raises(ValueError):
         negative_samples(tr, corrupt="both")
+
+
+def test_distributed_rank_matches_global_row_number(spark):
+    """r5 (VERDICT #3): the range-partitioned two-pass entity index
+    equals row_number() OVER (ORDER BY entity) exactly — same total
+    order, no vocabulary-sized single-task WindowExec. Pinned over a
+    shuffled vocabulary larger than the shuffle-partition count so
+    multiple range partitions carry rows and the offsets matter."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from r2rml_parser_spark.operators.negatives import _distributed_rank
+
+    ents = [f"http://x/e{i:04d}" for i in range(257)]
+    # deterministic shuffle so input order != entity order
+    ents_shuffled = sorted(ents, key=lambda e: hash(e) % 101)
+    df = spark.createDataFrame(
+        [(e,) for e in ents_shuffled], "entity string"
+    ).repartition(16)
+    got = {
+        (r.entity, r.idx) for r in _distributed_rank(df).collect()
+    }
+    want_df = df.withColumn(
+        "idx", F.row_number().over(Window.orderBy("entity"))
+    )
+    want = {(r.entity, r.idx) for r in want_df.collect()}
+    assert got == want
+    # and it is a dense 1..N ranking
+    assert sorted(i for _, i in got) == list(range(1, 258))

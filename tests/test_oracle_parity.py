@@ -37,20 +37,37 @@ def duck():
 
 
 def _canon(v):
+    """EXACT canonicalization — no rounding.
+
+    r4 post-mortem (VERDICT "What's wrong" #4): the old ``round(v, 9)``
+    here was looser than the driver's value hash, so five dtype/rounding
+    divergences sailed through an "82/82 green" local sweep and surfaced
+    only in CORRECTNESS_r04.json. The driver hashes pandas-materialized
+    values, where representation matters: int64 != float64, Decimal !=
+    float, scale-12 Decimal != scale-0 Decimal. Mirror that by keying on
+    (type, exact repr) so pytest fails exactly where the driver fails."""
     if v is None:
         return "\x00<NULL>"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
-    if hasattr(v, "__float__") and not isinstance(v, (int, bool)):
-        return round(float(v), 9)
-    return v
+        return ("float", repr(v))
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
+    if isinstance(v, (str, bytes)):
+        return v
+    return (type(v).__name__, str(v))
 
 
 def _rows(cols, data):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_canon(r[i]) for i in order) for r in data)
+    # key=repr: canon values are heterogeneous (str / tuple / int), which
+    # Python won't order directly in a NULL-and-number column.
+    return sorted(
+        (tuple(_canon(r[i]) for i in order) for r in data), key=repr
+    )
 
 
 @pytest.mark.parametrize("name", ORACLED)

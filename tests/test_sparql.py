@@ -2488,7 +2488,9 @@ MALFORMED = [
     "SELECT ?x WHERE { ?s ex:p/ ?o }",
     "SELECT ?x WHERE { ?s ^ ?o }",
     "SELECT ?x WHERE { ?s !( ?o }",
-    "CONSTRUCT WHERE { ?s ?p ?o }",
+    # NOTE: "CONSTRUCT WHERE { ?s ?p ?o }" is VALID §10.2.3 shorthand
+    # since late r4 — only the truly malformed variant stays here
+    "CONSTRUCT WHERE",
     "DESCRIBE",
     "ASK",
     'SELECT ?x WHERE { ?s ?p "unterminated }',
@@ -4286,6 +4288,35 @@ def test_ebv_numeric(ebv_graph):
     ]
 
 
+def test_ebv_float_double_edges(spark):
+    """r5 ADVICE (medium): §17.2.2 over the floating datatypes must use
+    DOUBLE semantics, not decimal(38,12) — overflow ("1e30") and
+    sub-1e-12 magnitudes ("1e-13") are non-zero → EBV true; "NaN" is
+    false; ±INF is true ONLY for xsd:float/xsd:double, while "INF" with
+    an integer/decimal datatype is an INVALID lexical → false."""
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    rows = [
+        (EX + "big", "iri", EX + "v", "1e30", "literal", None, XSD + "double"),
+        (EX + "tiny", "iri", EX + "v", "1e-13", "literal", None, XSD + "double"),
+        (EX + "nan", "iri", EX + "v", "NaN", "literal", None, XSD + "double"),
+        (EX + "zero", "iri", EX + "v", "0.0E0", "literal", None, XSD + "double"),
+        (EX + "neginf", "iri", EX + "v", "-INF", "literal", None, XSD + "float"),
+        (EX + "intinf", "iri", EX + "v", "INF", "literal", None, XSD + "integer"),
+        (EX + "decinf", "iri", EX + "v", "-INF", "literal", None, XSD + "decimal"),
+        (EX + "one", "iri", EX + "v", "1", "literal", None, XSD + "integer"),
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    q = "SELECT ?s WHERE { ?s <http://ex.org/v> ?v . FILTER(?v) }"
+    assert sorted(r.s for r in sparql_select(g, q).collect()) == sorted(
+        [EX + "big", EX + "tiny", EX + "neginf", EX + "one"]
+    )
+    # the negation keeps exactly the EBV-false rows (no type errors here)
+    q2 = "SELECT ?s WHERE { ?s <http://ex.org/v> ?v . FILTER(!?v) }"
+    assert sorted(r.s for r in sparql_select(g, q2).collect()) == sorted(
+        [EX + "nan", EX + "zero", EX + "intinf", EX + "decinf"]
+    )
+
+
 def test_ebv_string_and_lang(ebv_graph):
     q = "SELECT ?s WHERE { ?s <http://ex.org/s> ?v . FILTER(?v) }"
     assert [r.s for r in sparql_select(ebv_graph, q).collect()] == [EX + "h"]
@@ -4578,3 +4609,32 @@ def test_having_ebv(spark):
     GROUP BY ?s HAVING(?zz)"""
     with pytest.raises(SparqlError, match="projected"):
         sparql_select(g, q3)
+
+
+def test_having_ebv_group_key_term_aware(spark):
+    """r5 ADVICE: HAVING(?key) on a GROUP-BY key dispatches on the
+    key's TERM type — a plain-literal "0" is EBV-true (non-empty
+    string per §17.2.2), a numeric-typed "0" is false, and an IRI key
+    is a type error → group dropped."""
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+    rows = [
+        # plain-literal keys: "0" (non-empty -> TRUE) and "" (FALSE)
+        (EX + "a", "iri", EX + "k", "0", "literal", None, None),
+        (EX + "b", "iri", EX + "k", "", "literal", None, None),
+        # numeric-typed keys: "0" (FALSE) and "2" (TRUE)
+        (EX + "c", "iri", EX + "k", "0", "literal", None, XSD_INT),
+        (EX + "d", "iri", EX + "k", "2", "literal", None, XSD_INT),
+        # IRI-valued key: EBV type error -> dropped
+        (EX + "e", "iri", EX + "k", EX + "x", "iri", None, None),
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    q = """SELECT ?v (COUNT(?s) AS ?n) WHERE { ?s <http://ex.org/k> ?v }
+    GROUP BY ?v HAVING(?v)"""
+    got = {(r.v, r.n) for r in sparql_select(g, q).collect()}
+    assert got == {("0", 1), ("2", 1)}
+    # ...and the surviving plain "0" is the UNTYPED one: check via the
+    # hidden-agg branch too (raw COUNT in HAVING forces keep_term_keys)
+    q2 = """SELECT ?v (COUNT(?s) AS ?n) WHERE { ?s <http://ex.org/k> ?v }
+    GROUP BY ?v HAVING(?v && COUNT(?s) > 0)"""
+    got2 = {(r.v, r.n) for r in sparql_select(g, q2).collect()}
+    assert got2 == {("0", 1), ("2", 1)}
