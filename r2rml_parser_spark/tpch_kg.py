@@ -2005,3 +2005,129 @@ FROM lhs LEFT JOIN grp
  AND (lhs.nat IS NULL OR grp.nat IS NULL OR lhs.nat = grp.nat)
  AND lhs.cname LIKE 'Customer#0000000%'
 """
+
+
+# ---------------------------------------------------------------------------
+# Named graphs (r5): rr:graphMap materialized as an 8-column quad
+# relation + SPARQL GRAPH compilation — beyond the reference's log-only
+# rr:graphMap stub (Parser.java:241-270). Customer triples land in
+# per-nation provenance graphs (template graph map over the FK), nation
+# triples in one constant reference graph.
+
+TPCH_QUADS_MAPPING_TTL = f"""
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix ex:  <{KG}/ontology#> .
+
+<#CustomerMap> a rr:TriplesMap;
+  rr:logicalTable [ rr:tableName "customer" ];
+  rr:subjectMap [ rr:template "{KG}/customer/{{c_custkey}}"; rr:class ex:Customer;
+                  rr:graphMap [ rr:template "{KG}/graph/nation/{{c_nationkey}}" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:custkey; rr:objectMap [ rr:column "c_custkey" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:inNation;
+    rr:objectMap [ a rr:RefObjectMap; rr:parentTriplesMap <#NationMap>;
+                   rr:joinCondition [ rr:child "c_nationkey"; rr:parent "n_nationkey" ] ] ] .
+
+<#NationMap> a rr:TriplesMap;
+  rr:logicalTable [ rr:tableName "nation" ];
+  rr:subjectMap [ rr:template "{KG}/nation/{{n_nationkey}}"; rr:class ex:Nation ];
+  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rr:column "n_name" ];
+                          rr:graph <{KG}/graph/ref> ] .
+"""
+
+
+def build_tpch_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sources = {
+        "customer": spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        "nation": spark.read.parquet(f"{sf_dir}/nation.parquet"),
+    }
+    doc = parse_mapping_document(TPCH_QUADS_MAPPING_TTL)
+    engine = MappingEngine(spark, doc, sources=sources, base_ns=KG)
+    engine.register_sources()
+    return engine.quads()
+
+
+# GRAPH ?g + aggregation: per-provenance-graph triple counts — the
+# "which graph did this come from" query a lineage-tracking KG pipeline
+# runs first. Customers contribute class + custkey + inNation per row.
+TPCH_SPARQL_GRAPH_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?g (COUNT(?s) AS ?n) WHERE {
+  GRAPH ?g { ?s ex:custkey ?k }
+} GROUP BY ?g ORDER BY ?g
+"""
+
+
+def run_tpch_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(build_tpch_quads(spark, sf_dir), TPCH_SPARQL_GRAPH_QUERY)
+
+
+TPCH_SPARQL_GRAPH_ORACLE_SQL = f"""
+SELECT '{KG}/graph/nation/' || c_nationkey AS g,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM customer
+GROUP BY c_nationkey
+ORDER BY g
+"""
+
+# GRAPH <iri> slice joined with a GRAPH ?g block: nation names live
+# only in the constant reference graph, the inNation edges in the
+# per-nation graphs — the join crosses graph boundaries through the
+# shared ?nat variable while ?g carries which provenance graph matched.
+TPCH_SPARQL_GRAPHIRI_QUERY = f"""
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?g ?nm (COUNT(?c) AS ?n) WHERE {{
+  GRAPH ?g {{ ?c ex:inNation ?nat }}
+  GRAPH <{KG}/graph/ref> {{ ?nat ex:name ?nm }}
+}} GROUP BY ?g ?nm ORDER BY ?g
+"""
+
+
+def run_tpch_sparql_graphiri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(build_tpch_quads(spark, sf_dir), TPCH_SPARQL_GRAPHIRI_QUERY)
+
+
+TPCH_SPARQL_GRAPHIRI_ORACLE_SQL = f"""
+SELECT '{KG}/graph/nation/' || c.c_nationkey AS g,
+       n.n_name AS nm,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY c.c_nationkey, n.n_name
+ORDER BY g
+"""
+
+
+# Bounded path quantifier p{n,m} (r5 — the last path-grammar gap vs
+# ARQ, UtilImpl.java:163): (inNation|inRegion){1,2} from each customer
+# reaches its nation in one step and its region in two — the
+# alternation-of-fixed-sequences desugaring (§9.3 bag union) through
+# the ordinary UNION machinery.
+TPCH_SPARQL_PATHN_QUERY = """
+PREFIX ex: <http://kg.example/ontology#>
+SELECT ?c ?x WHERE {
+  ?c a ex:Customer .
+  ?c (ex:inNation|ex:inRegion){1,2} ?x .
+}
+"""
+
+
+def run_tpch_sparql_pathn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from r2rml_parser_spark.plans.sparql import sparql_select
+
+    return sparql_select(build_tpch_kg(spark, sf_dir), TPCH_SPARQL_PATHN_QUERY)
+
+
+# one step lands on the nation, two steps on the region; no other
+# length-<=2 combination exists (regions have no outgoing edges).
+TPCH_SPARQL_PATHN_ORACLE_SQL = f"""
+SELECT '{KG}/customer/' || c_custkey AS c,
+       '{KG}/nation/' || c_nationkey AS x
+FROM customer
+UNION ALL
+SELECT '{KG}/customer/' || c.c_custkey,
+       '{KG}/region/' || n.n_regionkey
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+"""

@@ -4638,3 +4638,60 @@ def test_having_ebv_group_key_term_aware(spark):
     GROUP BY ?v HAVING(?v && COUNT(?s) > 0)"""
     got2 = {(r.v, r.n) for r in sparql_select(g, q2).collect()}
     assert got2 == {("0", 1), ("2", 1)}
+
+
+# ---------------------------------------------------------------------------
+# p{n,m} bounded path quantifier (r5)
+
+
+def test_path_range_exact_and_bounded(chain_graph):
+    """{n} and {n,m} desugar to the alternation of fixed sequences."""
+    q = "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ex:a ex:next{2} ?o }"
+    assert [r.o for r in sparql_select(chain_graph, q).collect()] == [EX + "c"]
+    q2 = "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ex:a ex:next{1,3} ?o }"
+    assert sorted(r.o for r in sparql_select(chain_graph, q2).collect()) == [
+        EX + "b", EX + "c", EX + "d",
+    ]
+
+
+def test_path_range_unbounded(chain_graph):
+    """{n,} = n mandatory steps chained into the * closure."""
+    q = "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ex:a ex:next{2,} ?o }"
+    assert sorted(r.o for r in sparql_select(chain_graph, q).collect()) == [
+        EX + "c", EX + "d",
+    ]
+
+
+def test_path_range_over_group_and_inverse(chain_graph):
+    """Quantifiers compose with parenthesized groups and inverse
+    elements like any other path primary."""
+    q = ("PREFIX ex: <http://ex.org/> "
+         "SELECT ?o WHERE { ex:a (ex:next/ex:next){1,2} ?o }")
+    # 2 steps -> c, 4 steps -> nothing (chain ends at d + label leaf)
+    assert [r.o for r in sparql_select(chain_graph, q).collect()] == [EX + "c"]
+    q2 = ("PREFIX ex: <http://ex.org/> "
+          "SELECT ?s WHERE { ex:d ^ex:next{2} ?s }")
+    assert [r.s for r in sparql_select(chain_graph, q2).collect()] == [EX + "b"]
+
+
+def test_path_range_in_sequence(chain_graph):
+    """A quantified element inside a longer sequence chains through
+    the fresh internal variables like any element."""
+    q = ("PREFIX ex: <http://ex.org/> "
+         "SELECT ?l WHERE { ex:a ex:next{1,3}/ex:label ?l }")
+    assert [r.l for r in sparql_select(chain_graph, q).collect()] == ["leaf"]
+
+
+def test_path_range_rejections(chain_graph):
+    for bad, msg in [
+        ("ex:next{0,2}", "zero-repetition"),
+        ("ex:next{3,2}", "upper bound"),
+        ("ex:next{1,99}", "plan-size"),
+        ("ex:next{}", "integer"),
+        ("ex:next{1,2", "'}'"),
+    ]:
+        with pytest.raises(SparqlError):
+            sparql_select(
+                chain_graph,
+                f"PREFIX ex: <http://ex.org/> SELECT ?o WHERE {{ ex:a {bad} ?o }}",
+            )
