@@ -113,9 +113,13 @@ Filter(F, Join) and the Diff(A, G, F) halves including error→false;
 late r4: a cross-group F also composes with the LEFT compatible-join
 decomposition (nullable or absent join keys) as an extra ON conjunct
 per slice, G-variable references renamed so an unbound key's
-reference resolves to G's merged binding; filters reaching TWO levels
-out are rejected, since SPARQL scopes F at its own LeftJoin where
-those variables are unbound), { A } UNION
+reference resolves to G's merged binding; r5: filters reaching TWO
+levels out — or referencing variables bound NOWHERE — evaluate with
+those references UNBOUND at the filter's own LeftJoin per §18.2
+scoping (fresh always-NULL term columns: value tests error→false,
+bound() false, !bound() true), pinned by a hypothesis differential;
+only the combined cross-group + unbound form and EXISTS-carrying
+unscoped filters keep a clean rejection), { A } UNION
 { B } blocks (branches may bind DIFFERENT variables per SPARQL 1.1 —
 a variable missing from a branch is unbound there, padded as NULL and
 tracked; a branch may carry its own OPTIONAL groups (late r4,
@@ -124,9 +128,9 @@ recursive LeftJoin machinery as an OPTIONAL group — nested OPTIONALs,
 group BINDs, group EXISTS, branch-local filters — and the variables
 its OPTIONALs/BINDs may leave unbound join the union's nullable set
 so downstream joins decompose exactly, while a branch filter
-referencing a variable bound only outside the branch is rejected
-(SPARQL evaluates each branch independently, that variable unbound
-there); the union is a bag union, and any later join on a
+referencing a variable bound only outside the branch evaluates with
+it UNBOUND (r5, formerly rejected — SPARQL evaluates each branch
+independently, so the reference NULL-substitutes); the union is a bag union, and any later join on a
 possibly-unbound variable takes an EXACT compatible-join
 decomposition: EACH side is partitioned by which of its nullable
 keys are bound — 2^kl × 2^kr slice pairs, kl + kr ≤ 4 — each pair
@@ -5405,6 +5409,56 @@ def _apply_group_binds(
     return df, names
 
 
+def _null_substitute_unscoped(
+    df: DataFrame, filters: list[tuple], scoped: set[str], scope: str
+) -> tuple[DataFrame, list[tuple], set[str], list[str]]:
+    """§18.2 filter scoping (r5, closing the VERDICT r4 residue): a
+    filter variable bound neither in its own group nor in the scope the
+    caller passes (the immediate left side for OPTIONAL groups; nothing
+    for UNION branches, which evaluate independently) is UNBOUND where
+    SPARQL evaluates F — even if some textually-outer level binds the
+    same name. Formerly these forms were REJECTED; now the reference is
+    rewritten to a fresh always-NULL term column, so the ordinary
+    unbound semantics apply exactly: value tests error → false,
+    ``bound()`` false, ``!bound()`` true, ``COALESCE`` falls through.
+
+    Filters carrying [NOT] EXISTS keep the rejection: renaming would
+    also rewrite probe-pattern occurrences, and §18.6 substitution
+    treats an out-of-scope probe variable as probe-local, not unbound.
+
+    Returns (df-with-null-columns, rewritten filters, internal names to
+    extend the bound set with, columns to drop after the filters run)."""
+    out: list[tuple] = []
+    extra: set[str] = set()
+    drop: list[str] = []
+    nil = F.lit(None).cast("string")
+    for f in filters:
+        refs = {v for v in _expr_input_vars(f) if not _is_internal(v)}
+        unscoped = sorted(refs - scoped)
+        if unscoped:
+            if _has_exists_e(f):
+                raise SparqlError(
+                    f"a filter in {scope} references variable(s) "
+                    f"{unscoped} bound outside its scope AND contains "
+                    "EXISTS — the §18.6 probe substitution for that "
+                    "combination is not supported; bind the variable "
+                    "inside the group or hoist the filter"
+                )
+            mapping = {v: f"__unb_{v}" for v in unscoped}
+            f = _rename_expr_vars(f, mapping)
+            for nv in mapping.values():
+                extra.add(nv)
+                if nv not in df.columns:
+                    k, l, d = _shadow_cols(nv)
+                    df = (
+                        df.withColumn(nv, nil).withColumn(k, nil)
+                        .withColumn(l, nil).withColumn(d, nil)
+                    )
+                    drop += [nv, k, l, d]
+        out.append(f)
+    return df, out, extra, drop
+
+
 def _compile_optional_group(
     triples: DataFrame,
     gpats: list[tuple], gfilters: list[tuple], nested: list[tuple],
@@ -5441,6 +5495,45 @@ def _compile_optional_group(
         ndf, nvars, n_nullable, ndeferred = _compile_optional_group(
             triples, npats, nfilters, nnested, nexists, nbinds, gvars | outer_vars
         )
+        if ndeferred:
+            # (r5, formerly the "two levels up" rejection) classify the
+            # nested group's deferred filters by what they actually
+            # reach: refs confined to the nested group + THIS group
+            # stay deferred (true LeftJoin(G,N,F) cross-group F); refs
+            # to variables bound at NEITHER level are UNBOUND at the
+            # nested LeftJoin per §18.2 — when the filter's in-scope
+            # refs stay inside the nested group it applies to N itself
+            # with the unbound refs NULL-substituted (local filters
+            # commute into N for well-designed patterns); a filter
+            # mixing THIS group's vars with unbound refs keeps a clean
+            # rejection.
+            still, nlocal = [], []
+            for f in ndeferred:
+                fv = {v for v in _expr_vars(f) if not _is_internal(v)}
+                deepv = fv - nvars - gvars
+                if not deepv:
+                    still.append(f)
+                elif fv & gvars:
+                    raise SparqlError(
+                        f"a nested OPTIONAL filter references both the "
+                        f"enclosing group's variables and variable(s) "
+                        f"{sorted(deepv)} bound further out or nowhere "
+                        "— unbound there per §18.2 scoping; this "
+                        "combined form is not supported, split the "
+                        "filter"
+                    )
+                else:
+                    nlocal.append(f)
+            if nlocal:
+                ndf, nlocal, unb_names, unb_cols = _null_substitute_unscoped(
+                    ndf, nlocal, nvars, "this nested OPTIONAL group"
+                )
+                ndf = _apply_filters(
+                    ndf, nlocal, nvars | unb_names,
+                    "this nested OPTIONAL group",
+                )
+                ndf = ndf.drop(*unb_cols)
+            ndeferred = still
         nshared = sorted(v for v in nvars if v in gvars)
         nested_null = sorted(v for v in nshared if v in n_nullable)
         if nested_null:
@@ -5458,20 +5551,6 @@ def _compile_optional_group(
             g_nullable |= (nvars - gvars) | n_nullable
             gvars |= nvars
             continue
-        if ndeferred:
-            deep = sorted(
-                v
-                for f in ndeferred
-                for v in _expr_vars(f)
-                if not _is_internal(v) and v not in nvars and v not in gvars
-            )
-            if deep:
-                raise SparqlError(
-                    f"a nested OPTIONAL filter references variable(s) "
-                    f"{deep} bound neither in its group nor in the "
-                    "immediately enclosing group — SPARQL scopes the "
-                    "filter at its own LeftJoin, where they are unbound"
-                )
         n_maybe_null = sorted(v for v in nshared if v in g_nullable)
         if ndeferred and (n_maybe_null or not nshared):
             # nested LeftJoin(G, N, F) over nullable/absent join keys
@@ -5527,15 +5606,46 @@ def _compile_optional_group(
     # nested-OPTIONAL bindings) — equivalent to putting them in F;
     # filters that also need the LEFT side's variables defer to the
     # caller's join condition
+    # split the filters: fully-group-local apply here; referencing the
+    # immediate left side defer to the caller's join condition; and (r5,
+    # formerly rejected by the callers) a filter whose OTHER references
+    # are group-local but which also names variables bound neither here
+    # nor on the immediate left side takes the §18.2 unbound
+    # substitution — those variables are unbound at this group's own
+    # LeftJoin even if a textually-outer level binds the name — and
+    # then applies locally. A filter that BOTH defers and carries
+    # unscoped references keeps the clean rejection (the join-condition
+    # compiler's renames do not carry the substitution columns).
     local: list[tuple] = []
     deferred: list[tuple] = []
+    subst: list[tuple] = []
     for f in gfilters:
         fv = {v for v in _expr_vars(f) if not _is_internal(v)}
-        if fv <= gvars:
+        refs = {v for v in _expr_input_vars(f) if not _is_internal(v)}
+        unscoped = refs - gvars - outer_vars
+        if unscoped and (fv - unscoped) <= gvars:
+            subst.append(f)
+        elif unscoped:
+            raise SparqlError(
+                f"a filter in this OPTIONAL group references both the "
+                f"enclosing group's variables and variable(s) "
+                f"{sorted(unscoped)} bound in neither — the combined "
+                "cross-group + unbound-substitution form is not "
+                "supported; split the filter"
+            )
+        elif fv <= gvars:
             local.append(f)
         else:
             deferred.append(f)
     gdf = _apply_filters(gdf, local, gvars, "this OPTIONAL group")
+    if subst:
+        gdf, subst, unb_names, unb_cols = _null_substitute_unscoped(
+            gdf, subst, gvars, "this OPTIONAL group"
+        )
+        gdf = _apply_filters(
+            gdf, subst, gvars | unb_names, "this OPTIONAL group"
+        )
+        gdf = gdf.drop(*unb_cols)
     # [NOT] EXISTS group filters (r4): Filter(EXISTS(P), G) — the
     # same semi/anti-join compilation as top-level EXISTS, applied
     # to the GROUP's solutions. Correlation is through variables
@@ -5595,18 +5705,22 @@ def _compile_where(
                     triples, pats, gfilters, nested, gexists, gbinds, bound
                 )
                 if bdeferred:
-                    deep = sorted({
-                        v
-                        for f in bdeferred
-                        for v in _expr_vars(f)
-                        if not _is_internal(v) and v not in bvars
-                    })
-                    raise SparqlError(
-                        f"a UNION branch filter references variable(s) "
-                        f"{deep} not bound in the branch — SPARQL scopes "
-                        "branch filters to the branch, where they are "
-                        "unbound"
+                    # (r5, formerly rejected) a UNION branch has no
+                    # left side: every non-branch reference is UNBOUND
+                    # where the branch filter evaluates (§18.2 — each
+                    # branch evaluates independently), even when the
+                    # outer query binds the name — NULL-substitute and
+                    # apply branch-locally
+                    bdf, bdeferred, unb_names, unb_cols = (
+                        _null_substitute_unscoped(
+                            bdf, bdeferred, bvars, "this UNION branch"
+                        )
                     )
+                    bdf = _apply_filters(
+                        bdf, bdeferred, bvars | unb_names,
+                        "this UNION branch",
+                    )
+                    bdf = bdf.drop(*unb_cols)
             else:
                 bdf, bvars = _join_patterns(triples, pats)
                 bdf, bnames = _apply_group_binds(
@@ -5615,7 +5729,18 @@ def _compile_where(
                 )
                 bvars |= bnames
                 b_nullable = set(bnames)
-                bdf = _apply_filters(bdf, gfilters, bvars, "this UNION branch")
+                # (r5) non-branch refs are unbound inside the branch —
+                # NULL-substitute instead of rejecting (§18.2 scoping)
+                bdf, gfilters, unb_names, unb_cols = (
+                    _null_substitute_unscoped(
+                        bdf, gfilters, bvars, "this UNION branch"
+                    )
+                )
+                bdf = _apply_filters(
+                    bdf, gfilters, bvars | unb_names, "this UNION branch"
+                )
+                if unb_cols:
+                    bdf = bdf.drop(*unb_cols)
                 # (r4) [NOT] EXISTS inside the branch: Filter(EXISTS(P), B)
                 # — the same semi/anti-join compilation as the top level,
                 # applied to the BRANCH's solutions (SPARQL evaluates the

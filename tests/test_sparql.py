@@ -1263,16 +1263,19 @@ def test_cross_group_optional_filter_semantics(spark):
     # e1: bonus 20 > salary 10 → joined; e2: 20 > 50 fails → row KEPT
     # with ?b unbound (Diff half of LeftJoin), not dropped
     assert got == {(EX + "e1", "20"), (EX + "e2", None)}
-    # two levels out is rejected: SPARQL scopes F at its own LeftJoin
+    # two levels out (r5, formerly rejected): SPARQL scopes F at its
+    # own LeftJoin, where ?s is UNBOUND → the comparison errors →
+    # false → the inner OPTIONAL contributes nothing, rows kept with
+    # ?c unbound — NOT evaluated against the outer ?s binding
     q2 = """
     PREFIX ex: <http://ex.org/>
-    SELECT ?e WHERE {
+    SELECT ?e ?c WHERE {
       ?e ex:salary ?s .
       OPTIONAL { ?e ex:bonus ?b . OPTIONAL { ?e ex:bonus ?c . FILTER (?c > ?s) } }
     }
     """
-    with pytest.raises(SparqlError):
-        sparql_select(g, q2)
+    got2 = {(r.e, r.c) for r in sparql_select(g, q2).collect()}
+    assert got2 == {(EX + "e1", None), (EX + "e2", None)}
 
 
 def test_nested_optional_cross_group_filter(spark):
@@ -2894,8 +2897,10 @@ def test_optional_inside_union_branch(graph):
 
 def test_optional_inside_union_branch_filter_scope(graph):
     # a branch filter referencing a variable bound only OUTSIDE the
-    # branch is rejected (SPARQL scopes branch filters to the branch,
-    # where that variable is unbound), not evaluated against the outer
+    # branch evaluates with that variable UNBOUND (r5, formerly
+    # rejected — SPARQL scopes branch filters to the branch): ?w
+    # unbound → ?n != ?w errors → false → branch 1 empty, so only the
+    # second branch's Person rows survive, NOT filtered by the outer ?w
     q = """PREFIX ex: <http://ex.org/>
     SELECT ?p WHERE {
       ?z ex:note ?w .
@@ -2903,8 +2908,8 @@ def test_optional_inside_union_branch_filter_scope(graph):
       UNION
       { ?p a ex:Person }
     }"""
-    with pytest.raises(SparqlError):
-        sparql_select(graph, q)
+    got = sorted(r.p for r in sparql_select(graph, q).collect())
+    assert got == [EX + "p1", EX + "p2"]
 
 
 def test_nested_optional_textual_order_guard(graph):

@@ -1651,3 +1651,138 @@ def test_group_bind_exists_differential(spark, graph, outer, g1, e1):
         for b in want_sols
     )
     assert got == want, f"query {q!r} diverged"
+
+
+# ---------------------------------------------------------------------------
+# §18.2 filter scoping (r5): out-of-scope filter references are UNBOUND
+# where the filter evaluates — UNION branches see nothing outside the
+# branch, a nested OPTIONAL's filter sees its own group + the immediate
+# left side only — differentially pinned against a naive evaluator that
+# implements the scoping directly.
+
+_FILTER_FORMS = ["bound", "notbound", "eqalpha"]
+
+
+def _fmt_scoped_filter(form, var):
+    if form == "bound":
+        return f"bound(?{var})"
+    if form == "notbound":
+        return f"!bound(?{var})"
+    return f'STR(?{var}) = "alpha"'
+
+
+def _naive_filter_ok(m, form, var):
+    # unbound var: bound() false, !bound() true, value test error→false
+    if form == "bound":
+        return var in m
+    if form == "notbound":
+        return var not in m
+    return var in m and m[var][0] == "alpha"
+
+
+if HAVE_HYP:
+    _scope_var_union = st.sampled_from(["a", "b", "z"])
+    _scope_var_nested = st.sampled_from(["a", "b", "c", "z"])
+    _filter_form_st = st.sampled_from(_FILTER_FORMS)
+
+
+@pytest.mark.skipif(not HAVE_HYP, reason="hypothesis not installed")
+@settings(max_examples=40, deadline=None)
+@given(
+    graph=graph_st,
+    form=_filter_form_st if HAVE_HYP else st.none(),
+    fvar=_scope_var_union if HAVE_HYP else st.none(),
+)
+def test_union_branch_filter_scoping_differential(spark, graph, form, fvar):
+    """Branch filter referencing ?a (outer-bound → unbound in the
+    branch), ?b (branch-local) or ?z (bound nowhere): engine vs the
+    naive per-branch evaluation."""
+    from r2rml_parser_spark.plans.sparql import SparqlError
+
+    rows = [
+        (s[0], s[1], p, o[0], o[1], o[2] or None, o[3] or None)
+        for s, p, o in graph
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    P = [EX + f"p{i}" for i in range(3)]
+    cond = _fmt_scoped_filter(form, fvar)
+    q = (
+        "SELECT ?s ?a ?b ?c WHERE { "
+        f"?s <{P[0]}> ?a . "
+        f"{{ ?s <{P[1]}> ?b . FILTER({cond}) }} UNION {{ ?s <{P[2]}> ?c }} }}"
+    )
+    try:
+        out = sparql_select(g, q)
+    except SparqlError:
+        return  # rejection is always safe; mis-evaluation is the bug
+    svar = ("var", "s")
+    outer = naive_eval(graph, [(svar, ("const", (P[0], "iri", "", "")), ("var", "a"))])
+    b1 = [
+        m
+        for m in naive_eval(
+            graph, [(svar, ("const", (P[1], "iri", "", "")), ("var", "b"))]
+        )
+        if _naive_filter_ok(m, form, fvar)  # branch scope: only s/b bound
+    ]
+    b2 = naive_eval(graph, [(svar, ("const", (P[2], "iri", "", "")), ("var", "c"))])
+    want_sols = _naive_join(outer, b1 + b2)
+    vars_ = ["s", "a", "b", "c"]
+    got = Counter(tuple(r[v] for v in vars_) for r in out.collect())
+    want = Counter(
+        tuple(m[v][0] if v in m else None for v in vars_) for m in want_sols
+    )
+    assert got == want, f"query {q!r} diverged"
+
+
+@pytest.mark.skipif(not HAVE_HYP, reason="hypothesis not installed")
+@settings(max_examples=40, deadline=None)
+@given(
+    graph=graph_st,
+    form=_filter_form_st if HAVE_HYP else st.none(),
+    fvar=_scope_var_nested if HAVE_HYP else st.none(),
+)
+def test_nested_optional_filter_scoping_differential(spark, graph, form, fvar):
+    """Inner-OPTIONAL filter referencing ?c (local), ?b (immediate
+    left side → LeftJoin condition), ?a (TWO levels up → unbound at the
+    inner LeftJoin, formerly rejected) or ?z (bound nowhere)."""
+    from r2rml_parser_spark.plans.sparql import SparqlError
+
+    rows = [
+        (s[0], s[1], p, o[0], o[1], o[2] or None, o[3] or None)
+        for s, p, o in graph
+    ]
+    g = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in COLS))
+    P = [EX + f"p{i}" for i in range(3)]
+    cond = _fmt_scoped_filter(form, fvar)
+    q = (
+        "SELECT ?s ?a ?b ?c WHERE { "
+        f"?s <{P[0]}> ?a . "
+        f"OPTIONAL {{ ?s <{P[1]}> ?b . "
+        f"OPTIONAL {{ ?s <{P[2]}> ?c . FILTER({cond}) }} }} }}"
+    )
+    try:
+        out = sparql_select(g, q)
+    except SparqlError:
+        return
+    svar = ("var", "s")
+    outer = naive_eval(graph, [(svar, ("const", (P[0], "iri", "", "")), ("var", "a"))])
+    bsols = naive_eval(graph, [(svar, ("const", (P[1], "iri", "", "")), ("var", "b"))])
+    csols = naive_eval(graph, [(svar, ("const", (P[2], "iri", "", "")), ("var", "c"))])
+    # inner LeftJoin(B, C, F): F sees the merged μ of ITS join — ?a is
+    # out of scope there no matter what the top level binds
+    inner = []
+    for m1 in bsols:
+        matches = [
+            {**m1, **m2}
+            for m2 in csols
+            if _naive_compatible(m1, m2)
+            and _naive_filter_ok({**m1, **m2}, form, fvar)
+        ]
+        inner.extend(matches if matches else [m1])
+    want_sols = _naive_leftjoin(outer, inner)
+    vars_ = ["s", "a", "b", "c"]
+    got = Counter(tuple(r[v] for v in vars_) for r in out.collect())
+    want = Counter(
+        tuple(m[v][0] if v in m else None for v in vars_) for m in want_sols
+    )
+    assert got == want, f"query {q!r} diverged"
