@@ -2819,6 +2819,7 @@ def _apply_group_exists(
     outer_bound: set[str],
     scope: str,
     nullable_vars: set[str] | None = None,
+    graph_var: str | None = None,
 ) -> DataFrame:
     """Filter(EXISTS(P), G): apply ``[NOT] EXISTS`` entries over a
     group's solution relation as semi/anti joins correlated through
@@ -2851,7 +2852,7 @@ def _apply_group_exists(
         # below). Probe filters must be probe-local.
         edf, evars, e_nullable, edeferred = _compile_optional_group(
             triples, epats, efilters, enested, eexists, ebinds,
-            outer_bound | gvars,
+            outer_bound | gvars, graph_var=graph_var,
         )
         if edeferred:
             deep = sorted({
@@ -3585,9 +3586,11 @@ def _compile_graph_block(
     group — nested OPTIONALs, EXISTS, BINDs, paths all compile) runs
     against the 7-column projection of that one named graph through
     the ordinary group machinery. ``GRAPH ?g { ... }`` threads the
-    graph column through every pattern scan as the ?g binding
-    (BGP + FILTER + BIND content; OPTIONAL/EXISTS under a variable
-    graph are rejected, not mis-evaluated). A 7-column dataset has no
+    graph column through every pattern scan as the ?g binding — the
+    FULL group grammar (nested OPTIONALs, FILTER EXISTS, BINDs)
+    compiles, ?g riding the joins as an ordinary shared variable;
+    property paths and EXISTS-in-BIND probes under a variable graph
+    are rejected, not mis-evaluated. A 7-column dataset has no
     named graphs, so every GRAPH block evaluates to the empty
     solution bag — the spec's answer, not an error."""
     pats, gfilters, nested, gexists, gbinds = group
@@ -3624,24 +3627,26 @@ def _compile_graph_block(
             {v for v in gvars if not _is_internal(v)},
             {v for v in g_nullable if not _is_internal(v)},
         )
+    # variable graph: the FULL group grammar (nested OPTIONALs, FILTER
+    # EXISTS, BINDs) compiles with ?g threaded through every pattern
+    # scan — nested groups and EXISTS probes share ?g as an ordinary
+    # join/correlation variable, so §13.3's same-graph evaluation holds
+    # at every depth (r5 session 2; property paths and EXISTS-in-BIND
+    # probes stay cleanly rejected — their relations are graph-blind).
     gname = gterm.name
-    if nested or gexists:
-        raise SparqlError(
-            "OPTIONAL / FILTER EXISTS inside GRAPH ?var is not "
-            "supported — use GRAPH <iri> { ... } or hoist the OPTIONAL "
-            "outside the GRAPH block"
-        )
-    gdf, bvars = _join_patterns(named, pats, graph_var=gname)
-    gdf, bnames = _apply_group_binds(
-        gdf, gbinds, outer_bound, f"GRAPH ?{gname}",
-        triples=None, nullable=set(),
+    gdf, gvars, g_nullable, deferred = _compile_optional_group(
+        named, pats, gfilters, nested, gexists, gbinds, set(),
+        graph_var=gname,
     )
-    allv = bvars | bnames | {gname}
-    gdf = _apply_filters(gdf, gfilters, allv, f"GRAPH ?{gname}")
+    if deferred:  # pragma: no cover — outer_vars=∅ defers nothing
+        raise SparqlError(
+            "a GRAPH block filter may only reference variables bound "
+            "inside the block"
+        )
     return (
         gdf,
-        {v for v in allv if not _is_internal(v)},
-        {v for v in bnames if not _is_internal(v)},
+        {v for v in gvars if not _is_internal(v)} | {gname},
+        {v for v in g_nullable if not _is_internal(v)},
     )
 
 
@@ -5463,6 +5468,7 @@ def _compile_optional_group(
     triples: DataFrame,
     gpats: list[tuple], gfilters: list[tuple], nested: list[tuple],
     gexists: list[tuple], gbinds: list[tuple], outer_vars: set[str],
+    graph_var: str | None = None,
 ) -> tuple[DataFrame, set[str], set[str], list[tuple]]:
     """One OPTIONAL group with arbitrarily deep nested OPTIONALs →
     (solutions, bound vars, nullable vars, deferred filters). Each
@@ -5489,11 +5495,12 @@ def _compile_optional_group(
     Filters reaching past the immediate left side (two levels up)
     are rejected: SPARQL scopes F at its own LeftJoin, where such
     variables are unbound."""
-    gdf, gvars = _join_patterns(triples, gpats)
+    gdf, gvars = _join_patterns(triples, gpats, graph_var=graph_var)
     g_nullable: set[str] = set()
     for npats, nfilters, nnested, nexists, nbinds in nested:
         ndf, nvars, n_nullable, ndeferred = _compile_optional_group(
-            triples, npats, nfilters, nnested, nexists, nbinds, gvars | outer_vars
+            triples, npats, nfilters, nnested, nexists, nbinds,
+            gvars | outer_vars, graph_var=graph_var,
         )
         if ndeferred:
             # (r5, formerly the "two levels up" rejection) classify the
@@ -5597,7 +5604,11 @@ def _compile_optional_group(
     # before the group filters, which see the targets group-wide
     gdf, bnames = _apply_group_binds(
         gdf, gbinds, outer_vars, "this OPTIONAL group",
-        triples=triples, nullable=set(g_nullable),
+        # under GRAPH ?g an EXISTS-in-BIND probe would scan across
+        # graphs without binding ?g — triples=None makes that combo a
+        # clean rejection while plain BINDs compile
+        triples=None if graph_var is not None else triples,
+        nullable=set(g_nullable),
     )
     gvars |= bnames
     g_nullable |= bnames  # §10.1: NULL on evaluation error
@@ -5655,7 +5666,7 @@ def _compile_optional_group(
     # Recursive for EXISTS-in-EXISTS.
     gdf = _apply_group_exists(
         triples, gdf, gvars, gexists, outer_vars, "an OPTIONAL group",
-        nullable_vars=g_nullable,
+        nullable_vars=g_nullable, graph_var=graph_var,
     )
     return gdf, gvars, g_nullable, deferred
 

@@ -119,6 +119,35 @@ def test_graph_iri_full_group_content(quads):
     assert got == {(EX + "a", EX + "b")}
 
 
+def test_graph_var_full_group_content(quads):
+    """GRAPH ?g carries the full group grammar (r5 session 2): nested
+    OPTIONAL and FILTER EXISTS compile with ?g threaded through every
+    scan — the OPTIONAL only extends within the SAME graph."""
+    q = f"""SELECT ?g ?b ?x WHERE {{ GRAPH ?g {{
+      ?b <{EX}q> ?t .
+      OPTIONAL {{ ?t <{EX}p> ?x }}
+    }} }}"""
+    got = {(r.g, r.b, r.x) for r in sparql_select(quads, q).collect()}
+    # g1: b-q->a and a has p litG1 IN g1; g2: b-q->c but c's p triple
+    # is in the DEFAULT graph, so the OPTIONAL stays unbound
+    assert got == {
+        (EX + "g1", EX + "b", "litG1"),
+        (EX + "g2", EX + "b", None),
+    }
+    q2 = f"""SELECT ?g ?b WHERE {{ GRAPH ?g {{
+      ?b <{EX}q> ?t . FILTER EXISTS {{ ?t <{EX}p> ?x }}
+    }} }}"""
+    got2 = {(r.g, r.b) for r in sparql_select(quads, q2).collect()}
+    # the probe also binds ?g: only g1's target has a same-graph p edge
+    assert got2 == {(EX + "g1", EX + "b")}
+    # BIND inside GRAPH ?g
+    q3 = f"""SELECT ?g ?u WHERE {{ GRAPH ?g {{
+      <{EX}a> <{EX}p> ?o . BIND(UCASE(?o) AS ?u)
+    }} }}"""
+    got3 = {(r.g, r.u) for r in sparql_select(quads, q3).collect()}
+    assert got3 == {(EX + "g1", "LITG1"), (EX + "g2", "LITG2")}
+
+
 def test_graph_seven_col_dataset_is_empty(quads):
     """A 7-column dataset has no named graphs: GRAPH matches nothing
     (the spec's answer), while default patterns still work."""
@@ -143,12 +172,12 @@ def test_graph_rejections(quads):
             quads,
             f"SELECT ?s WHERE {{ GRAPH ?g {{ ?s <{EX}q>+ ?o }} }}",
         )
-    # OPTIONAL under a variable graph
-    with pytest.raises(SparqlError, match="GRAPH"):
+    # paths inside a nested OPTIONAL under a variable graph reject too
+    with pytest.raises(SparqlError, match="paths"):
         sparql_select(
             quads,
             f"SELECT ?s WHERE {{ GRAPH ?g {{ ?s <{EX}q> ?o "
-            f"OPTIONAL {{ ?o <{EX}p> ?v }} }} }}",
+            f"OPTIONAL {{ ?o <{EX}p>+ ?v }} }} }}",
         )
     # literal graph name
     with pytest.raises(SparqlError, match="IRI"):
@@ -293,3 +322,46 @@ def test_lineage_quads(graph_engine):
     assert only.where("graph is null").count() == 0
     with pytest.raises(MappingError, match="source_map"):
         lineage_quads(graph_engine.triples(lineage=False))
+
+
+# ---------------------------------------------------------------------------
+# N-Quads sink
+
+
+def test_nquads_dump(graph_engine, spark, tmp_path):
+    from r2rml_parser_spark.sinks import nquads, ntriples
+
+    q = graph_engine.quads()
+    out = nquads.dump_string(q)
+    lines = out.split("\n")
+    assert lines == sorted(lines)  # deterministic global order
+    # named quads carry the graph label, default-graph quads do not
+    assert any(line.endswith(f"<{EX}tags> .") for line in lines)
+    assert any(line.endswith('" .') for line in lines)  # default-graph literal
+    # default-graph quads render as plain triple lines: every line of
+    # the N-Triples dump of the default slice appears verbatim
+    default7 = q.where("graph is null").drop("graph")
+    for ln in ntriples.dump_string(default7).split("\n"):
+        assert ln in lines
+    # escaping matches the N-Triples rules (shared renderer)
+    rows = [("http://x/s", "iri", "http://x/p", 'he said "hi"\n', "literal",
+             None, None, "http://x/g")]
+    g = spark.createDataFrame(
+        rows, ", ".join(f"{c} string" for c in COLS)
+    )
+    s = nquads.dump_string(g)
+    assert s == ('<http://x/s> <http://x/p> "he said \\"hi\\"\\n" '
+                 "<http://x/g> .")
+    # cluster-scale writer: globally ordered part files
+    path = str(tmp_path / "nq")
+    nquads.write_sorted(q, path, partitions=2)
+    import glob
+
+    parts = sorted(glob.glob(path + "/part-*"))
+    joined = []
+    for p in parts:
+        with open(p) as fh:
+            chunk = [ln.rstrip("\n") for ln in fh if ln.strip()]
+        assert chunk == sorted(chunk)
+        joined.extend(chunk)
+    assert joined == sorted(joined) and len(joined) == len(lines)
