@@ -126,6 +126,15 @@ def q_sparql_store_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tpch_sparql_store(spark, sf_dir)
 
 
+def q_sparql_store_graph_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-as-dataset (r5): GRAPH ?g over the persisted GraphStore —
+    each mapping's partition is a named graph (IRI = triples-map URI),
+    so per-mapping provenance counts come off the store layout."""
+    from r2rml_parser_spark.tpch_kg import run_tpch_sparql_store_graph
+
+    return run_tpch_sparql_store_graph(spark, sf_dir)
+
+
 def q_sparql_closure_seeded_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL closure with VARIABLE endpoints seeded by sibling
     patterns (multi-source frontier walk, not full reachability);
@@ -852,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tpch_triples": q_kg_tpch_triples,
         "sparql_kg": q_sparql_kg,
         "sparql_store_kg": q_sparql_store_kg,
+        "sparql_store_graph_kg": q_sparql_store_graph_kg,
         "sparql_agg_kg": q_sparql_agg_kg,
         "sparql_typed_kg": q_sparql_typed_kg,
         "sparql_str_kg": q_sparql_str_kg,
@@ -991,6 +1001,7 @@ def oracle_sql() -> dict[str, str]:
         TPCH_SPARQL_GRAPH_ORACLE_SQL,
         TPCH_SPARQL_GRAPHIRI_ORACLE_SQL,
         TPCH_SPARQL_PATHN_ORACLE_SQL,
+        TPCH_SPARQL_STORE_GRAPH_ORACLE_SQL,
         TPCH_SPARQL_UNION_ORACLE_SQL,
         TPCH_SPARQL_OPTFILTER_ORACLE_SQL,
         TPCH_SPARQL_GROUPCONCAT_ORACLE_SQL,
@@ -1023,6 +1034,7 @@ SELECT doc_id, CAST(n_spans AS INT) AS n_spans, md5(joined) AS sequence_md5 FROM
         "sparql_kg": TPCH_SPARQL_ORACLE_SQL,
         # same result set as sparql_kg, read back from the store
         "sparql_store_kg": TPCH_SPARQL_ORACLE_SQL,
+        "sparql_store_graph_kg": TPCH_SPARQL_STORE_GRAPH_ORACLE_SQL,
         "sparql_agg_kg": TPCH_SPARQL_AGG_ORACLE_SQL,
         "sparql_typed_kg": TPCH_SPARQL_TYPED_ORACLE_SQL,
         "sparql_str_kg": TPCH_SPARQL_STR_ORACLE_SQL,

@@ -389,6 +389,37 @@ class GraphStore:
 
         return sparql_select(self.read(), sparql, prefixes)
 
+    def read_quads(self, include_default: bool = True) -> DataFrame:
+        """The store as an RDF DATASET (r5): each mapping's partition
+        is a NAMED GRAPH whose IRI is the triples-map URI — the store
+        layout is already partitioned by it, so ``GRAPH <map-iri>``
+        reads exactly one partition directory and ``GRAPH ?g`` scans
+        the union with the graph term minted per branch as a literal
+        column (no extra shuffle). With ``include_default`` every
+        triple also populates the default graph (union-default-graph
+        store semantics — plain patterns keep matching); pass False
+        for a named-graphs-only dataset."""
+        from r2rml_parser_spark.plans.engine import lineage_quads
+
+        return lineage_quads(
+            self.read_with_lineage(), include_default=include_default
+        )
+
+    def query_dataset(
+        self,
+        sparql: str,
+        prefixes: dict[str, str] | None = None,
+        include_default: bool = True,
+    ) -> DataFrame:
+        """SPARQL SELECT over the store-as-dataset (r5): GRAPH blocks
+        resolve against the per-mapping named graphs — the store-native
+        provenance query (\"which mapping produced these triples\")."""
+        from r2rml_parser_spark.plans.sparql import sparql_select
+
+        return sparql_select(
+            self.read_quads(include_default=include_default), sparql, prefixes
+        )
+
     def ask(self, sparql: str, prefixes: dict[str, str] | None = None) -> bool:
         """SPARQL ASK over the persisted store."""
         from r2rml_parser_spark.plans.sparql import sparql_ask

@@ -2131,3 +2131,37 @@ SELECT '{KG}/customer/' || c.c_custkey,
        '{KG}/region/' || n.n_regionkey
 FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
 """
+
+
+# Store-as-dataset (r5): the GraphStore's per-mapping partitions ARE
+# named graphs (IRI = triples-map URI) — GRAPH ?g over the persisted
+# store answers "which mapping produced these triples" directly off
+# the partition layout, no lineage join.
+TPCH_SPARQL_STORE_GRAPH_QUERY = """
+SELECT ?g (COUNT(?s) AS ?n) WHERE {
+  GRAPH ?g { ?s ?p ?o }
+} GROUP BY ?g ORDER BY ?g
+"""
+
+
+def run_tpch_sparql_store_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from r2rml_parser_spark.sinks.checkpoint import GraphStore
+
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="r2rml_store_gq_"))
+    store.sync(build_tpch_kg(spark, sf_dir, lineage=True))
+    return store.query_dataset(TPCH_SPARQL_STORE_GRAPH_QUERY)
+
+
+# CustomerMap emits 7 triples per customer row (class + name + custkey
+# + the P9 segment fan-out ×2 + constant sourceSystem + inNation ref),
+# NationMap 3 per nation (class + name + inRegion) — all distinct
+# within their map (subjects are key-templated), so the per-graph
+# set-dedup'd counts are exact multiples.
+TPCH_SPARQL_STORE_GRAPH_ORACLE_SQL = """
+SELECT '#CustomerMap' AS g, CAST(7 * COUNT(*) AS BIGINT) AS n FROM customer
+UNION ALL
+SELECT '#NationMap' AS g, CAST(3 * COUNT(*) AS BIGINT) AS n FROM nation
+ORDER BY g
+"""

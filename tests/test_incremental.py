@@ -324,3 +324,36 @@ def test_store_construct_and_describe(spark, engine, tmp_path):
     assert {(r.subj, r.pred, r.obj) for r in desc.collect()} == {
         ("http://x/a/1", "http://ex.org/v", "x"),
     }
+
+
+def test_store_dataset_query_per_mapping_graphs(spark, engine, tmp_path):
+    """Store-as-dataset (r5): each mapping's partition is a named graph
+    (IRI = the triples-map URI) — GRAPH ?g answers 'which mapping
+    produced this triple' straight off the store layout, GRAPH <iri>
+    prunes to one partition directory, and with include_default the
+    plain patterns still see everything."""
+    store = GraphStore(spark, str(tmp_path / "gq"))
+    IncrementalRunner(engine, store).run()
+    out = store.query_dataset(
+        "PREFIX ex: <http://ex.org/> "
+        "SELECT ?g (COUNT(?s) AS ?n) WHERE { GRAPH ?g { ?s ex:v ?o } } "
+        "GROUP BY ?g ORDER BY ?g"
+    )
+    got = [(r.g, r.n) for r in out.collect()]
+    assert len(got) == 2 and [n for _, n in got] == [2, 1]
+    assert all(g.endswith(("#A", "#B")) for g, _ in got)
+    # constant-graph slice: only mapping A's partition
+    a_uri = got[0][0]
+    only_a = store.query_dataset(
+        f"SELECT ?s ?o WHERE {{ GRAPH <{a_uri}> {{ ?s ?p ?o }} }}"
+    )
+    assert {r.s for r in only_a.collect()} == {"http://x/a/1", "http://x/a/2"}
+    # union-default semantics: plain patterns match the whole graph
+    assert store.query_dataset(
+        "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:v ?o }"
+    ).count() == 3
+    # named-graphs-only dataset: the default graph is empty
+    assert store.query_dataset(
+        "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:v ?o }",
+        include_default=False,
+    ).count() == 0
