@@ -365,3 +365,24 @@ def test_nquads_dump(graph_engine, spark, tmp_path):
         assert chunk == sorted(chunk)
         joined.extend(chunk)
     assert joined == sorted(joined) and len(joined) == len(lines)
+
+
+def test_construct_over_quads(quads):
+    """CONSTRUCT { tpl } WHERE { GRAPH ?g { ... } }: the WHERE clause
+    resolves against the dataset (named slice), the template mints a
+    plain 7-column triples DF — provenance reified into the default
+    graph."""
+    from r2rml_parser_spark.plans.sparql import SparqlError, sparql_construct
+
+    q = f"""CONSTRUCT {{ ?s <{EX}seenIn> ?g }}
+    WHERE {{ GRAPH ?g {{ ?s <{EX}p> ?o }} }}"""
+    out = sparql_construct(quads, q)
+    assert out.columns == "subj subj_kind pred obj obj_kind lang dtype".split()
+    got = {(r.subj, r.obj) for r in out.collect()}
+    assert got == {(EX + "a", EX + "g1"), (EX + "a", EX + "g2")}
+    # the CONSTRUCT WHERE shorthand stays a plain-BGP form: GRAPH inside
+    # it is rejected (the §10.2.3 grammar has no GRAPH production)
+    with pytest.raises(SparqlError, match="shorthand|plain"):
+        sparql_construct(
+            quads, f"CONSTRUCT WHERE {{ GRAPH ?g {{ ?s <{EX}p> ?o }} }}"
+        )

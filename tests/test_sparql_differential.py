@@ -1786,3 +1786,71 @@ def test_nested_optional_filter_scoping_differential(spark, graph, form, fvar):
         tuple(m[v][0] if v in m else None for v in vars_) for m in want_sols
     )
     assert got == want, f"query {q!r} diverged"
+
+
+# ---------------------------------------------------------------------------
+# GRAPH / RDF dataset semantics (r5): random quad datasets × GRAPH
+# queries vs a naive §13.3 evaluator (default-graph split + per-graph
+# evaluation with the graph variable bound).
+
+if HAVE_HYP:
+    GRAPHS = [None, EX + "g0", EX + "g1", EX + "g2"]
+    quad_st = st.tuples(
+        st.sampled_from(SUBJECTS[:4]),
+        st.sampled_from(PREDS),
+        st.sampled_from(OBJECTS[:6]),
+        st.sampled_from(GRAPHS),
+    )
+    dataset_st = st.lists(quad_st, min_size=1, max_size=14, unique=True)
+
+
+@pytest.mark.skipif(not HAVE_HYP, reason="hypothesis not installed")
+@settings(max_examples=30, deadline=None)
+@given(
+    dataset=dataset_st if HAVE_HYP else st.none(),
+    patterns=query_st,
+    inner=pattern_st if HAVE_HYP else st.none(),
+)
+def test_graph_dataset_differential(spark, dataset, patterns, inner):
+    """SELECT over { BGP . GRAPH ?g { pat } }: the outer BGP sees only
+    default-graph quads, the GRAPH block each named graph with ?g
+    bound, joined on shared variables — vs the naive evaluation."""
+    # bnode constants have no stable query syntax — skip those examples
+    for pat in [*patterns, inner]:
+        for mode, v in pat:
+            if mode == "const" and term_sparql(v) is None:
+                return
+    rows = [
+        (s[0], s[1], p, o[0], o[1], o[2] or None, o[3] or None, g)
+        for s, p, o, g in dataset
+    ]
+    cols = COLS + ["graph"]
+    gdf = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in cols))
+    body = " . ".join(_fmt_plain_pattern(p) for p in patterns)
+    q = (
+        "SELECT * WHERE { "
+        + body
+        + " . GRAPH ?gv { "
+        + _fmt_plain_pattern(inner)
+        + " } }"
+    )
+    vars_ = sorted(set(used_vars(patterns)) | set(used_vars([inner])) | {"gv"})
+    out = sparql_select(gdf, q)
+    default_graph = [(s, p, o) for s, p, o, g in dataset if g is None]
+    outer_sols = naive_eval(default_graph, patterns)
+    inner_sols = []
+    for gname in sorted({g for *_t, g in dataset if g is not None}):
+        gtrips = [(s, p, o) for s, p, o, g in dataset if g == gname]
+        for m in naive_eval(gtrips, [inner]):
+            mm = dict(m)
+            gterm = (gname, "iri", "", "")
+            if "gv" in mm and mm["gv"] != gterm:
+                continue  # ?gv also used inside the pattern: must match
+            mm["gv"] = gterm
+            inner_sols.append(mm)
+    want_sols = _naive_join(outer_sols, inner_sols)
+    got = Counter(tuple(r[v] for v in vars_) for r in out.collect())
+    want = Counter(
+        tuple(m[v][0] if v in m else None for v in vars_) for m in want_sols
+    )
+    assert got == want, f"query {q!r} diverged"
