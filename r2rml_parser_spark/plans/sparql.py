@@ -1485,16 +1485,7 @@ class _Parser:
                 # pattern additionally binds ?g). Compiled as a
                 # join-commutative element like a subquery.
                 self._next()
-                gk, gv = self._peek()
-                if gk == "var":
-                    self._next()
-                    gterm = Var(str(gv))
-                else:
-                    gterm = self._term("graph name")
-                    if not isinstance(gterm, Iri):
-                        raise SparqlError(
-                            "GRAPH names an IRI or a ?variable"
-                        )
+                gterm = self._graph_term()
                 gblock = self._group(
                     allow_nested_optional=True, allow_exists=True,
                     allow_bind=True,
@@ -1575,25 +1566,47 @@ class _Parser:
                 # per-branch semi/anti join before the union; (late r4)
                 # allow_nested_optional: a branch may carry its own
                 # OPTIONAL groups, compiled with the recursive LeftJoin
-                # machinery (the branch IS a group)
-                raw = [self._group(
-                    allow_nested_optional=True, allow_exists=True,
-                    allow_bind=True,
-                )]
+                # machinery (the branch IS a group). (r5) a branch may
+                # instead be exactly ONE GRAPH block — the common
+                # per-graph alternation { GRAPH ?g {..} } UNION { .. } —
+                # parsed by _union_branch into a ("graphbranch", ...)
+                # marker the union compiler routes to the GRAPH
+                # compiler.
+                raw = [self._union_branch()]
                 while self._kw_is("UNION"):
                     self._next()
-                    raw.append(self._group(
-                        allow_nested_optional=True, allow_exists=True,
-                        allow_bind=True,
-                    ))
+                    raw.append(self._union_branch())
                 if len(raw) < 2:
                     raise SparqlError("a braced group must be a UNION branch")
-                branches = raw  # (pats, gfilters, nested, gexists, gbinds)
-                union_vars = {
-                    v
-                    for pats, _gf, n, _ge, gb in branches
-                    for v in _group_all_vars(pats, n, gb)
-                }
+                branches = raw  # 5-tuples | ("graphbranch", gterm, block)
+
+                def _branch_all_vars(br) -> set[str]:
+                    if br and br[0] == "graphbranch":
+                        _, gt, blk = br
+                        vs = _group_all_vars(blk[0], blk[2], blk[4])
+                        if isinstance(gt, Var):
+                            vs |= {gt.name}
+                        return vs
+                    pats_, _gf, n_, _ge, gb_ = br
+                    return _group_all_vars(pats_, n_, gb_)
+
+                def _branch_definite_vars(br) -> set[str]:
+                    if br and br[0] == "graphbranch":
+                        _, gt, blk = br
+                        vs = {
+                            v
+                            for v in _pattern_vars(blk[0])
+                            if not _is_internal(v)
+                        }
+                        if isinstance(gt, Var):
+                            vs |= {gt.name}
+                        return vs
+                    pats_, _gf, _n, _ge, _gb = br
+                    return {
+                        v for v in _pattern_vars(pats_) if not _is_internal(v)
+                    }
+
+                union_vars = {v for br in branches for v in _branch_all_vars(br)}
                 union_vars = {v for v in union_vars if not _is_internal(v)}
                 if union_vars & guard_vars:
                     timeline.append(("union", branches))
@@ -1602,10 +1615,7 @@ class _Parser:
                 # vars not DEFINITELY bound by every branch are unbound
                 # somewhere: missing-branch vars, branch-BIND targets
                 # (error-NULL), and branch-OPTIONAL vars are all nullable
-                per_branch = [
-                    {v for v in _pattern_vars(pats) if not _is_internal(v)}
-                    for pats, _gf, _n, _ge, _gb in branches
-                ]
+                per_branch = [_branch_definite_vars(br) for br in branches]
                 null_vars |= union_vars - set.intersection(*per_branch)
                 seen_vars |= union_vars
                 if self._peek() == ("punct", "."):
@@ -1905,6 +1915,46 @@ class _Parser:
             group_by=group_by, having=having, order=order, limit=limit,
             offset=offset, template=template, describe=describe,
             no_where=False, post_binds=post_binds, hidden_aggs=hidden_aggs,
+        )
+
+    def _graph_term(self):
+        """The term after GRAPH: a ?variable or an IRI."""
+        gk, gv = self._peek()
+        if gk == "var":
+            self._next()
+            return Var(str(gv))
+        gterm = self._term("graph name")
+        if not isinstance(gterm, Iri):
+            raise SparqlError("GRAPH names an IRI or a ?variable")
+        return gterm
+
+    def _union_branch(self):
+        """One UNION branch: a full group, or (r5) exactly one GRAPH
+        block — ``{ GRAPH ?g { ... } }`` — returned as a
+        ("graphbranch", gterm, block) marker for the union compiler."""
+        if (
+            self._peek() == ("punct", "{")
+            and self._peek2()[0] == "kw"
+            and str(self._peek2()[1]).upper() == "GRAPH"
+        ):
+            self._next()  # {
+            self._next()  # GRAPH
+            gterm = self._graph_term()
+            block = self._group(
+                allow_nested_optional=True, allow_exists=True,
+                allow_bind=True,
+            )
+            if self._peek() == ("punct", "."):
+                self._next()
+            if self._next() != ("punct", "}"):
+                raise SparqlError(
+                    "a GRAPH union branch holds exactly the GRAPH block "
+                    "— put additional patterns inside the GRAPH braces "
+                    "or outside the UNION"
+                )
+            return ("graphbranch", gterm, block)
+        return self._group(
+            allow_nested_optional=True, allow_exists=True, allow_bind=True
         )
 
     def _subselect(self) -> SimpleNamespace:
@@ -5702,7 +5752,22 @@ def _compile_where(
 
     def _join_union(df, bound, nullable, branches):
         compiled = []
-        for pats, gfilters, nested, gexists, gbinds in branches:
+        for branch in branches:
+            if branch and branch[0] == "graphbranch":
+                # (r5) a branch that IS one GRAPH block — the common
+                # per-graph alternation — compiles through the GRAPH
+                # compiler and unions like any branch
+                _, gterm_, gblock_ = branch
+                bdf, bvars, b_nullable = _compile_graph_block(
+                    triples, quads, gterm_, gblock_, bound
+                )
+                compiled.append((
+                    bdf,
+                    {v for v in bvars if not _is_internal(v)},
+                    {v for v in b_nullable if not _is_internal(v)},
+                ))
+                continue
+            pats, gfilters, nested, gexists, gbinds = branch
             if nested:
                 # (late r4, formerly rejected) OPTIONAL inside a UNION
                 # branch: the branch IS a group — compile it with the

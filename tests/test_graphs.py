@@ -386,3 +386,36 @@ def test_construct_over_quads(quads):
         sparql_construct(
             quads, f"CONSTRUCT WHERE {{ GRAPH ?g {{ ?s <{EX}p> ?o }} }}"
         )
+
+
+def test_graph_union_branches(quads):
+    """(r5) a UNION branch that IS one GRAPH block: per-graph
+    alternation — graph-var and constant-graph branches mix with plain
+    branches; the constant branch leaves ?g unbound."""
+    q = f"""SELECT ?g ?s ?o WHERE {{
+      {{ GRAPH ?g {{ ?s <{EX}p> ?o }} }}
+      UNION
+      {{ GRAPH <{EX}g2> {{ ?s <{EX}p> ?o }} }}
+    }}"""
+    got = {(r.g, r.s, r.o) for r in sparql_select(quads, q).collect()}
+    assert got == {
+        (EX + "g1", EX + "a", "litG1"),
+        (EX + "g2", EX + "a", "litG2"),
+        (None, EX + "a", "litG2"),
+    }
+    # GRAPH branch + plain (default-graph) branch
+    q2 = f"""SELECT ?s ?o WHERE {{
+      {{ GRAPH <{EX}g1> {{ ?s <{EX}p> ?o }} }} UNION {{ ?s <{EX}p> ?o }}
+    }}"""
+    got2 = {(r.s, r.o) for r in sparql_select(quads, q2).collect()}
+    assert got2 == {
+        (EX + "a", "litG1"), (EX + "a", "litA"), (EX + "c", "litC"),
+    }
+    # a branch mixing GRAPH with sibling patterns stays rejected
+    with pytest.raises(SparqlError, match="exactly the GRAPH block"):
+        sparql_select(
+            quads,
+            f"""SELECT ?s WHERE {{
+              {{ GRAPH ?g {{ ?s <{EX}p> ?o }} . ?s <{EX}p> ?z }}
+              UNION {{ ?s <{EX}p> ?o }} }}""",
+        )
