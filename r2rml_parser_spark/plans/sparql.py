@@ -5733,6 +5733,11 @@ def _compile_where(
     # blocks see the named slice. A 7-column relation is the
     # all-default dataset, unchanged.
     quads = triples if _GRAPH_COL in triples.columns else None
+    # subqueries re-enter the FULL dataset (their own _compile_where
+    # re-splits it), so a GRAPH block inside { SELECT } still sees the
+    # named graphs; every other consumer here evaluates against the
+    # default graph per §13.3's active-graph rule
+    dataset = triples
     if quads is not None:
         triples = quads.where(F.col(_GRAPH_COL).isNull()).drop(_GRAPH_COL)
     patterns, unions = parsed.patterns, parsed.unions
@@ -5875,7 +5880,7 @@ def _compile_where(
         return df, bound, nullable
 
     def _join_sub(df, bound, nullable, sub):
-        sdf, svars, alias_names, s_nullable = _compile_subselect(triples, sub)
+        sdf, svars, alias_names, s_nullable = _compile_subselect(dataset, sub)
         clash = sorted(alias_names & bound)
         if clash:
             raise SparqlError(

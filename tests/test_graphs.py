@@ -419,3 +419,20 @@ def test_graph_union_branches(quads):
               {{ GRAPH ?g {{ ?s <{EX}p> ?o }} . ?s <{EX}p> ?z }}
               UNION {{ ?s <{EX}p> ?o }} }}""",
         )
+
+
+def test_graph_inside_subquery(quads):
+    """A { SELECT } subquery re-enters the FULL dataset: GRAPH blocks
+    inside it see the named graphs (r5 fix — the subquery used to
+    receive the pre-sliced default graph and returned empty)."""
+    q = """SELECT ?g ?n WHERE {
+      { SELECT ?g (COUNT(?s) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } }
+        GROUP BY ?g }
+    } ORDER BY ?g"""
+    got = [(r.g, r.n) for r in sparql_select(quads, q).collect()]
+    assert got == [(EX + "g1", 2), (EX + "g2", 2)]
+    # ...while the subquery's plain patterns still see only the default
+    q2 = """SELECT ?n WHERE {
+      { SELECT (COUNT(?s) AS ?n) WHERE { ?s ?p ?o } }
+    }"""
+    assert [r.n for r in sparql_select(quads, q2).collect()] == [2]
