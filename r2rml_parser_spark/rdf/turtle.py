@@ -263,3 +263,32 @@ def parse_ntriples(text: str) -> list[Triple]:
             raise TurtleParseError(f"bad N-Triples line: {line!r}")
         out.append((_nt_term(m.group("s")), _nt_term(m.group("p")), _nt_term(m.group("o"))))
     return out
+
+
+_NQ_LINE = re.compile(
+    r"^\s*(?P<s><[^>]*>|_:\S+)\s+"
+    r"(?P<p><[^>]*>)\s+"
+    r'(?P<o><[^>]*>|_:\S+|"(?:[^"\\]|\\.)*"(?:@[\w-]+|\^\^<[^>]*>)?)'
+    r"\s*(?:(?P<g><[^>]*>)\s*)?\.\s*$"
+)
+
+
+def parse_nquads(text: str) -> list[tuple]:
+    """Parse W3C N-Quads → list of (s, p, o, graph-IRI-or-None) —
+    the graph label CAPTURED this time (``parse_ntriples`` drops it);
+    a plain triple line is a default-graph quad (r5, the read half of
+    ``sinks/nquads.py``'s round trip)."""
+    out: list[tuple] = []
+    for line in text.splitlines():
+        if not line.strip() or line.lstrip().startswith("#"):
+            continue
+        m = _NQ_LINE.match(line)
+        if not m:
+            raise TurtleParseError(f"bad N-Quads line: {line!r}")
+        g = m.group("g")
+        out.append((
+            _nt_term(m.group("s")), _nt_term(m.group("p")),
+            _nt_term(m.group("o")),
+            IRI(unescape_literal(g[1:-1])) if g else None,
+        ))
+    return out

@@ -59,12 +59,19 @@ def turtle_tables(
 def turtle_blocks(
     triples: DataFrame, qnames: dict[str, str], sort: bool = True,
     class_qnames: dict[str, str] | None = None, chunk_size: int = 10_000,
+    extra_keys: list[str] | None = None,
 ) -> DataFrame:
     """Triples → one-column DF of per-subject Turtle blocks, chunked at
     ``chunk_size`` objects per (subject, predicate) and predicate lines
     per subject — a hot subject emits continuation blocks (valid
     Turtle, same graph) instead of one unbounded collect_list row
-    (VERDICT r3 #4)."""
+    (VERDICT r3 #4).
+
+    ``extra_keys`` (r5, the TriG sink): additional grouping columns —
+    e.g. the quad ``graph`` column — threaded through both folds and
+    RETAINED on the output next to ``value``, so the caller can wrap
+    each block per key (subjects shared across graphs stay separate
+    blocks)."""
     if qnames:
         qmap = F.create_map(*[F.lit(x) for kv in qnames.items() for x in kv])
         pred_abbrev = qmap[F.col("pred")]
@@ -84,14 +91,16 @@ def turtle_blocks(
         ).otherwise(obj_txt)
     from r2rml_parser_spark.sinks.rdfxml import _fold_buckets
 
+    ek = list(extra_keys or [])
     po = triples.select(
+        *ek,
         subj_term(triples).alias("s"),
         pred_txt.alias("p"),
         obj_txt.alias("o"),
     )
     by_pred = (
-        _fold_buckets(po, ["s", "p"], "o", chunk_size)
-        .groupBy("s", "p", "_b")
+        _fold_buckets(po, [*ek, "s", "p"], "o", chunk_size)
+        .groupBy(*ek, "s", "p", "_b")
         .agg(F.array_join(F.sort_array(F.collect_list("o")), ", ").alias("objs"))
     )
     # the object-level chunk key flows into the subject fold: each
@@ -99,20 +108,21 @@ def turtle_blocks(
     # fold would re-merge all chunks into one unbounded row); a second
     # bucket level bounds subjects hot in predicate-LINE count too
     lines = by_pred.select(
-        "s", F.col("_b").alias("_bo"),
+        *ek, "s", F.col("_b").alias("_bo"),
         F.concat(F.col("p"), F.lit(" "), F.col("objs")).alias("po"),
     )
     by_subj = (
-        _fold_buckets(lines, ["s", "_bo"], "po", chunk_size)
-        .groupBy("s", "_bo", "_b")
+        _fold_buckets(lines, [*ek, "s", "_bo"], "po", chunk_size)
+        .groupBy(*ek, "s", "_bo", "_b")
         .agg(
             F.array_join(F.sort_array(F.collect_list("po")), " ;\n    ").alias("body")
         )
     )
     blocks = by_subj.select(
-        F.concat(F.col("s"), F.lit(" "), F.col("body"), F.lit(" .")).alias("value")
+        *ek,
+        F.concat(F.col("s"), F.lit(" "), F.col("body"), F.lit(" .")).alias("value"),
     )
-    return blocks.sort("value") if sort else blocks
+    return blocks.sort(*ek, "value") if sort else blocks
 
 
 def prefix_header(prefixes: dict[str, str]) -> str:
